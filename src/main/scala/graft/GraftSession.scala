@@ -9,9 +9,22 @@ import org.apache.spark.sql.SparkSession
   * partitions, converting to broadcast joins, splitting skewed
   * partitions), and the shuffle-partition count is sized to the local
   * parallelism rather than the 200 default.
+  *
+  * Every entry point (Verify, Bench, tests) builds its session here so
+  * configuration cannot drift between the correctness and bench paths.
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+
+  /** Parallelism: env override, else all cores capped at 32 (the driver
+    * contract runs local[32]; smaller machines shouldn't oversubscribe).
+    */
+  def defaultCpus: Int =
+    sys.env
+      .get("SPARK_GRAFT_CPUS")
+      .map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+
+  def builder(master: String = s"local[$defaultCpus]", shufflePartitions: Int = defaultCpus): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)
@@ -22,10 +35,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is physically INT64 TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects by default. Engine-wide we surface it as a
+      // long and truncate to micros in Tables.events — the same coercion
+      // DuckDB applies, so oracle comparisons line up exactly. Set here
+      // (not in the loader) so building a plan never mutates session state.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -12,20 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects by default. We read it as a long
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds with
-    * integer division — the same truncation DuckDB applies when it
-    * coerces nanos to its microsecond TIMESTAMP, so oracle comparisons
-    * line up exactly. Plain `/ 1000` would go through DOUBLE and lose
-    * precision above 2^53; `DIV` stays integral.
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS). The session reads
+    * it as a long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    * GraftSession) and we truncate to microseconds with integer
+    * division — the same truncation DuckDB applies when it coerces nanos
+    * to its microsecond TIMESTAMP, so oracle comparisons line up
+    * exactly. Plain `/ 1000` would go through DOUBLE and lose precision
+    * above 2^53; `DIV` stays integral.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {

@@ -1,0 +1,635 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational operator surface (SURVEY.md §2.3, rows E2–E11) over the
+  * driver testdata, each paired with a DuckDB oracle.
+  *
+  * Oracle-stability rules used throughout (SURVEY.md §5 risk register):
+  *
+  *  - Money-like doubles in the testdata are fixed-point by construction
+  *    (prices/balances 2-decimal, event values 3-decimal — verified
+  *    against the parquet). Aggregates sum them as scaled integers
+  *    (`round(x*100) :: BIGINT`) so the result is exact and
+  *    order-independent; a plain float `sum()` differs between Spark and
+  *    DuckDB in the last ulp depending on reduction order. `l_quantity`
+  *    is integral-valued, so its double sum is exact as-is.
+  *  - Every query ends in a deterministic total ORDER BY with explicit
+  *    NULLS LAST (Spark's bare `asc` is nulls-FIRST, DuckDB's default is
+  *    nulls-LAST — the SURVEY §2.1 O1 landmine).
+  *  - Computed integers are cast to BIGINT on both sides: DuckDB
+  *    `sum(BIGINT)` is HUGEINT and `year()`/`row_number()` are BIGINT,
+  *    while Spark's are LONG/INT.
+  *  - Ratios are computed as ONE division of exactly-determined operands
+  *    (IEEE division is correctly rounded, so both engines produce the
+  *    identical double).
+  */
+object Relational {
+
+  /** Exact fixed-point reading of a 2-decimal double, as integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact reading of a product of fixed-point doubles (≤6 decimals). */
+  private def e6(c: Column): Column = round(c * 1000000L, 0).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E2 + E5: filter → hash aggregate (TPC-H Q1 shape). The shipdate
+    // filter is pushed to the parquet scan; aggregation is partial
+    // (map-side) then final — one shuffle on the 4-distinct group key.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("base_cents"),
+            sum(e6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("disc_e6"),
+            count(lit(1)).as("n"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty")
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_cents,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT) AS disc_e6,
+        count(*) AS n,
+        sum(l_quantity)/count(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E2: filter + project. Selective predicates reach the scan as
+    // PushedFilters; ReadSchema carries only the 5 projected columns.
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(
+            col("l_quantity") >= 48 && col("l_discount") <= 0.02 &&
+              col("l_shipdate").between(
+                lit("1997-01-01").cast("timestamp"),
+                lit("1997-12-31").cast("timestamp")
+              )
+          )
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_quantity >= 48 AND l_discount <= 0.02
+          AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        ORDER BY l_orderkey, l_linenumber""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3: equi join + aggregate. No broadcast hint: at 100 TB customer is
+    // a fact-sized table, so this must survive as a shuffle join; AQE
+    // will still broadcast at small SF.
+    QueryDef(
+      "q03_join_agg",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("order_cnt"),
+            sum(cents(col("o_totalprice"))).as("total_cents")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS order_cnt,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3: multi-way join with explicit broadcast of the genuinely small
+    // dimensions (nation=25, region=5 rows at ANY scale factor — these
+    // stay broadcast-able at 100 TB; customer/orders/lineitem do not).
+    QueryDef(
+      "q04_join_multi",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum(e6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_e6"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT) AS revenue_e6,
+        count(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3: left-semi join (EXISTS). The filter on the build side shrinks
+    // it before the join.
+    QueryDef(
+      "q05_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3: left-anti join (NOT EXISTS): customers that never emitted an
+    // event (events.user_id covers only a prefix of the custkey range).
+    QueryDef(
+      "q06_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val e = Tables(s, dir, "events")
+        c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: distinct aggregates (expand + two-phase distinct agg in Spark).
+    QueryDef(
+      "q07_distinct_agg",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E8: top-k — planner emits TakeOrderedAndProject (per-partition
+    // heap + driver merge of k rows, never a global sort).
+    QueryDef(
+      "q08_topk",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E7: ranking window — top-3 orders per customer. One shuffle on the
+    // partition key; the rank filter is pushed below the final sort.
+    QueryDef(
+      "q09_window_topn",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E7: running aggregate + lag over an ordered frame.
+    QueryDef(
+      "q10_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            sum(cents(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("run_cents"),
+            lag("o_totalprice", 1).over(w).as("prev_price")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+        lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E9: set operations over two customer slices.
+    QueryDef(
+      "q11_union",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        a.union(b).distinct().orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "q12_intersect",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        a.intersect(b).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "q13_except",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        a.except(b).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E6: rollup over the region→nation hierarchy.
+    QueryDef(
+      "q14_rollup",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        // ROLLUP expressed as its grouping-sets expansion: Spark 4's
+        // DetectAmbiguousSelfJoin rule false-positives on
+        // join→rollup(String*) (dataset-id metadata meets Expand's
+        // re-created grouping attributes); groupingSets on the projected
+        // plan produces the identical Expand + partial/final agg.
+        c.alias("c")
+          .join(broadcast(n.alias("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+          .join(broadcast(r.alias("r")), col("n.n_regionkey") === col("r.r_regionkey"))
+          .select(col("r.r_name"), col("n.n_name"), col("c.c_acctbal"))
+          .groupingSets(
+            Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+            col("r_name"),
+            col("n_name")
+          )
+          .agg(count(lit(1)).as("cnt"), sum(cents(col("c_acctbal"))).as("acct_cents"))
+          .orderBy(asc_nulls_last("r_name"), asc_nulls_last("n_name"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS cnt,
+        CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_cents
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS LAST, n_name NULLS LAST""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E6: cube over two independent dimensions.
+    QueryDef(
+      "q15_cube",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E6: explicit grouping sets.
+    QueryDef(
+      "q16_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+            col("c_mktsegment"),
+            col("c_nationkey")
+          )
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_last("c_mktsegment"), asc_nulls_last("c_nationkey"))
+      },
+      Some("""SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment NULLS LAST, c_nationkey NULLS LAST""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10: JSON scalar extraction from events.props (a JSON string).
+    QueryDef(
+      "q17_json_scalars",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k")
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10: typed JSON parse to a MAP + map functions.
+    QueryDef(
+      "q18_map_funcs",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+          .select(
+            col("event_id"),
+            element_at(col("m"), "k").as("k"),
+            size(map_keys(col("m"))).cast("long").as("n_keys")
+          )
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        FROM events ORDER BY event_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11: deterministic exact dedup — first event per (user, type) by
+    // (ts, event_id). dropDuplicates picks an ARBITRARY survivor, which
+    // can't be oracle-checked and is a reproducibility hazard in a real
+    // pipeline; the row_number formulation is the scalable deterministic
+    // variant (one shuffle on the dedup key).
+    QueryDef(
+      "q19_dedup_first",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, ts, value
+        FROM (SELECT user_id, event_type, event_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11: projection-distinct (exact dedup of the projected key set).
+    QueryDef(
+      "q20_distinct",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select("user_id", "event_type")
+          .distinct()
+          .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E4: range join against a small banding dimension — broadcast
+    // nested-loop with a range predicate; the broadcast keeps it linear
+    // in the fact side at any scale.
+    QueryDef(
+      "q21_range_join",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val bands = Seq(
+          (0.0, 100000.0, "b0"),
+          (100000.0, 200000.0, "b1"),
+          (200000.0, 300000.0, "b2"),
+          (300000.0, 400000.0, "b3"),
+          (400000.0, 500000.0, "b4")
+        ).toDF("lo", "hi", "band")
+        Tables(s, dir, "orders")
+          .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("total_cents"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS cnt,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        JOIN (VALUES (0.0, 100000.0, 'b0'), (100000.0, 200000.0, 'b1'),
+                     (200000.0, 300000.0, 'b2'), (300000.0, 400000.0, 'b3'),
+                     (400000.0, 500000.0, 'b4')) b(lo, hi, band)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E4: as-of join realized the scalable way — for every purchase, the
+    // most recent strictly-prior click of the same user, via a single
+    // window pass (one shuffle on user_id) instead of an O(n²) non-equi
+    // self-join.
+    QueryDef(
+      "q22_asof_join",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "last_click_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts, last_click_ts
+        FROM (SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+              FROM events)
+        WHERE event_type = 'purchase' ORDER BY event_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10: string/date/math scalar functions (all codegen built-ins).
+    QueryDef(
+      "q23_scalar_funcs",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(
+            col("o_orderkey"),
+            upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+            length(col("o_orderpriority")).cast("long").as("pri_len"),
+            concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            sqrt(col("o_totalprice")).as("price_sqrt"),
+            abs(col("o_totalprice") - lit(250000.0)).as("price_dev")
+          )
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        upper(substring(o_orderpriority, 1, 3)) AS pri3,
+        CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        sqrt(o_totalprice) AS price_sqrt,
+        abs(o_totalprice - 250000.0) AS price_dev
+        FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10: array functions over the documents corpus.
+    QueryDef(
+      "q24_array_funcs",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+            element_at(split(col("text"), " "), 1).as("first_tok"),
+            element_at(split(col("text"), " "), -1).as("last_tok"),
+            array_contains(split(col("text"), " "), "spark").as("has_spark")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        string_split(text, ' ')[1] AS first_tok,
+        string_split(text, ' ')[-1] AS last_tok,
+        list_contains(string_split(text, ' '), 'spark') AS has_spark
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (batch view): epoch-aligned tumbling window aggregation; the
+    // identical groupBy(window(...)) works unchanged on a stream.
+    QueryDef(
+      "q25_tumbling_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 1000, 0).cast("long")).as("value_milli"),
+            min("value").as("min_v"),
+            max("value").as("max_v")
+          )
+          .select(col("w.start").as("bucket_start"), col("event_type"), col("n"),
+            col("value_milli"), col("min_v"), col("max_v"))
+          .orderBy("bucket_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli,
+        min(value) AS min_v, max(value) AS max_v
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (batch view): session windows (5-minute gap) per user. The
+    // DuckDB oracle is the classic gaps-and-islands formulation; Spark's
+    // session_window uses the same gap semantics (new session when
+    // ts - prev_ts >= gap).
+    QueryDef(
+      "q26_session_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+          .orderBy("user_id", "session_start"),
+      Some("""SELECT user_id, min(ts) AS session_start, count(*) AS n
+        FROM (SELECT user_id, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts >= INTERVAL '5 minutes' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+              FROM (SELECT user_id, ts, event_id,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+        GROUP BY user_id, grp ORDER BY user_id, session_start""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: HLL sketch — approx_count_distinct. No oracle (sketch values
+    // are implementation-specific); the driver records a rows-only
+    // check, and exactness is covered by q07.
+    QueryDef(
+      "q27_approx_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("apx_part"),
+            approx_count_distinct(col("l_suppkey")).as("apx_supp")
+          )
+          .orderBy("l_returnflag"),
+      None
+    )
+  )
+}
