@@ -18,7 +18,8 @@ object SparkEntry {
     queries("q04_join_multi")(spark, "/root/testdata/sf0.001")
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs,
+    graft.queries.Dbt.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
