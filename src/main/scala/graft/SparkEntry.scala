@@ -19,7 +19,11 @@ object SparkEntry {
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(
     graft.queries.Relational.defs,
-    graft.queries.Dbt.defs
+    graft.queries.Dbt.defs,
+    graft.queries.TextOps.defs,
+    graft.queries.Dedup.defs,
+    graft.queries.Similarity.defs,
+    graft.queries.Media.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3 E13):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH variant as the scale path.
+  *
+  * 100 TB posture: the query set is broadcast (it is small by
+  * definition); candidates stream through a linear scan — never a
+  * shuffled cross join. The LSH variant prunes the scan to bucket-local
+  * candidates: with B bucket bits the expected candidate fraction is
+  * 2^-B per table, so cost scales down exponentially while the planted
+  * cluster structure keeps recall high; multiple tables (L=2 here)
+  * recover recall lost to unlucky cuts. Dot products are
+  * `zip_with`+`aggregate` higher-order built-ins over DOUBLE — codegen,
+  * no UDF, and deterministic (fixed fold order).
+  */
+object Similarity {
+
+  /** Embeddings with double-precision vectors and L2 norms. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+
+  private val dot =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)")
+
+  /** Bit-signature for random-hyperplane LSH: `nBits` pseudo-random
+    * hyperplanes per table, weights derived from xxhash64(plane, dim)
+    * scaled to [-1, 1] — deterministic, no stored model. Returns a
+    * string key per table.
+    */
+  private def lshKeys(vCol: String, tables: Int, bits: Int) =
+    expr(s"""transform(sequence(0, ${tables - 1}), t ->
+               struct(t AS tbl,
+                      array_join(transform(sequence(0, ${bits - 1}), p ->
+                        CASE WHEN aggregate(
+                               zip_with($vCol, sequence(0, 63), (x, d) ->
+                                 x * (cast(xxhash64(concat(cast(t * $bits + p AS string), '_',
+                                                           cast(d AS string))) AS double)
+                                      / 9.223372036854776E18)),
+                               cast(0 AS double), (a, x) -> a + x) > 0
+                             THEN '1' ELSE '0' END), '') AS key))""")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E13 baseline: exact top-5 cosine neighbors for the first 10
+    // vectors. BroadcastNestedLoopJoin (query side broadcast) → linear
+    // scan of candidates → per-query top-k window. No SQL oracle
+    // (float reduction order is engine-specific in DuckDB's list
+    // functions); SimilaritySpec asserts exactness on planted vectors.
+    QueryDef(
+      "q40_cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "vec_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 scale path: random-hyperplane LSH (2 tables × 8 bits) for
+    // candidate generation, exact cosine re-rank within candidates.
+    QueryDef(
+      "q41_ann_lsh",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("bucket", explode(lshKeys("v", tables = 2, bits = 8)))
+        val q = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
+            col("bucket").as("qbucket"))
+        val cand = e
+          .join(broadcast(q), col("bucket") === col("qbucket") && col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
+          .distinct() // a pair can collide in both tables
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        cand
+          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "vec_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13/E5 hybrid: per-label centroid stats — demonstrates vector
+    // aggregation without collect (element-wise array sums via
+    // zip_with-reduce in a declarative agg would shuffle arrays; counts
+    // and exact scalar stats suffice here and ARE oracle-checkable when
+    // derived from integral fields).
+    QueryDef(
+      "q42_embedding_stats",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("vec_id")).as("nd_vec"),
+            min("vec_id").as("min_vec"),
+            max("vec_id").as("max_vec")
+          )
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n, count(DISTINCT vec_id) AS nd_vec,
+        min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM embeddings GROUP BY label ORDER BY label""")
+    )
+  )
+}

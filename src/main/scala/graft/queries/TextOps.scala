@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md §2.3
+  * E14 + the training-data-pipeline brief): per-document statistics,
+  * quality scoring, regex tokenization, n-gram language ID, and content
+  * fingerprinting. Everything is built-in codegen expressions — no UDFs
+  * on the hot path; ratios divide exactly-determined integers so the
+  * DuckDB oracles match bit-for-bit.
+  */
+object TextOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E14: per-doc token statistics (whitespace tokenization).
+    QueryDef(
+      "q30_text_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            (length(expr("replace(text, ' ', '')")).cast("double") /
+              size(split(col("text"), " "))).as("avg_tok_len"),
+            (size(filter(split(col("text"), " "), t => t.isin("the", "a", "of", "and", "to")))
+              .cast("double") / size(split(col("text"), " "))).as("stop_ratio")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: BPE-ish regex tokenization — token count + alpha mass.
+    QueryDef(
+      "q31_token_regex",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+              .as("n_alpha_tokens"),
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha_chars")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha_chars
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: composite quality score from length/stopword/token-shape
+    // signals — the standard corpus-filtering heuristic. Arithmetic is
+    // ordered identically on both sides so doubles agree exactly.
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) => {
+        val nTok = size(split(col("text"), " "))
+        val stopCnt =
+          size(filter(split(col("text"), " "), t => t.isin("the", "a", "of", "and", "to")))
+        val avgLen = length(expr("replace(text, ' ', '')")).cast("double") / nTok
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            (least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - stopCnt.cast("double") / nTok) * 0.4 +
+              least(avgLen / 8.0, lit(1.0)) * 0.3).as("quality")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3
+        + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 0.4
+        + least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3 AS quality
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: language identification via character-bigram profiles learned
+    // from the corpus itself (top-40 bigrams per language, rank-weighted)
+    // and re-applied per document. Output is the lang × predicted-lang
+    // confusion matrix. No SQL oracle (multi-stage pipeline); covered by
+    // TextOpsSpec. Scale posture: the profile is tiny → broadcast join;
+    // the bigram explode is linear in corpus bytes; integer rank weights
+    // keep scores exact.
+    QueryDef(
+      "q33_lang_id",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+        val bigrams = docs.select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))")).as("bg")
+        )
+        val wProfile = Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("bg"))
+        val profile = bigrams
+          .groupBy(col("lang").as("p_lang"), col("bg"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wProfile))
+          .filter(col("rk") <= 40)
+          .select(col("p_lang"), col("bg"), (lit(41) - col("rk")).cast("long").as("w"))
+        val scored = bigrams
+          .groupBy("doc_id", "lang", "bg")
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(profile), Seq("bg"))
+          .groupBy("doc_id", "lang", "p_lang")
+          .agg(sum(col("n") * col("w")).as("score"))
+        val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+        scored
+          .withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+          .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "pred_lang")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: content fingerprint — polynomial rolling hash over the token
+    // stream (order-sensitive, unlike a token-set hash). xxhash64 per
+    // token keeps it content-stable; the fold is a single codegen'd
+    // `aggregate` higher-order call. No oracle (hash is engine-defined);
+    // determinism asserted in TextOpsSpec.
+    QueryDef(
+      "q34_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            // modular polynomial hash (mod 1e9+7): keeps every
+            // intermediate below 2^63 so ANSI overflow checking never
+            // trips, while staying order-sensitive and deterministic
+            expr(
+              """aggregate(split(text, ' '), cast(0 as bigint),
+                 (acc, x) -> pmod(acc * 1000003 + pmod(xxhash64(x), 1000000007), 1000000007))"""
+            ).as("fp")
+          )
+          .orderBy("doc_id"),
+      None
+    )
+  )
+}

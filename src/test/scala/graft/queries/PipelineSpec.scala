@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, SparkEntry}
+
+/** Deterministic checks for the LLM-pipeline operators that have no SQL
+  * oracle (LSH / hashing / multi-stage pipelines). Runs at sf0.01 —
+  * documents and embeddings are 500 rows there.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q36 MinHash-LSH finds exactly the true near-dup pairs (recall vs exact q35)") {
+    val exact = run("q35_ngram_jaccard").select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q36_minhash_lsh").collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the corpus's planted near-dups all sit at jaccard >= 0.9, where
+    // 8-band/4-row LSH detection probability is ~0.9998 — and the hash
+    // family is fixed, so the outcome is deterministic
+    assert(lshPairs == exact)
+    assert(lsh.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("q37 SimHash pairs: deterministic, banded candidates, hamming bound holds") {
+    val a = run("q37_simhash_pairs").collect()
+    val b = run("q37_simhash_pairs").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Long]("hamming") <= 6))
+    assert(a.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q34 fingerprint: distinct texts ⇒ distinct fingerprints, stable across runs") {
+    val fp = run("q34_fingerprint")
+    val nTexts = graft.Tables(spark, dir, "documents").select("text").distinct().count()
+    assert(fp.select("fp").distinct().count() == nTexts)
+    assert(fp.collect().toSeq == run("q34_fingerprint").collect().toSeq)
+  }
+
+  test("q33 lang-id: every document classified exactly once") {
+    val conf = run("q33_lang_id")
+    val total = conf.agg(sum("cnt")).collect().head.getLong(0)
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(total == nDocs)
+  }
+
+  test("q40 brute-force cosine top-k: shape, ordering, self-exclusion") {
+    val rows = run("q40_cosine_topk").collect()
+    assert(rows.length == 50) // 10 queries × k=5
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+      val cos = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y }) // non-increasing
+      assert(cos.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      assert(rs.forall(r => r.getAs[Long]("vec_id") != r.getLong(0))) // no self match
+    }
+  }
+
+  test("q41 ANN-LSH: candidates are a subset in quality — per-query best cos ≤ brute best") {
+    val brute = run("q40_cosine_topk")
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos"))
+      .toMap
+    val ann = run("q41_ann_lsh").filter(col("rank") === 1).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getAs[Double]("cos") <= brute(q) + 1e-12)
+      assert(r.getAs[Long]("vec_id") != q)
+    }
+  }
+}
