@@ -3,6 +3,8 @@ package graft
 /** Dev utility: run a single named query against a testdata dir.
   *
   * Usage: runMain graft.RunOne <queryName> [sfDir] [show|count|explain|noop]
+  *        runMain graft.RunOne stream [sfDir]   — live streaming drive:
+  *        events parquet as a file stream → windowedCounts → memory sink
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -10,6 +12,28 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val mode = if (args.length > 2) args(2) else "show"
     val spark = GraftSession.get()
+    if (name == "stream") {
+      import org.apache.spark.sql.functions._
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val events = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = graft.streaming.EventStreams
+        .windowedCounts(events)
+        .writeStream
+        .format("memory")
+        .queryName("stream_probe")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      spark.table("stream_probe").orderBy("bucket_start", "event_type").show(10, truncate = false)
+      println(s"stream rows=${spark.table("stream_probe").count()}")
+      q.stop()
+      spark.stop()
+      return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     mode match {
       case "show"    => df.show(20, truncate = false)

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row — mirrors the `events` table schema (TESTDATA.md). */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double
+)
+
+/** Structured-Streaming operators over the events stream (SURVEY.md §2.3
+  * E15, §7.7). Each transform is source-agnostic: the identical plan
+  * runs over `readStream` (Kafka/files at cluster scale, MemoryStream in
+  * tests) and over the static `events` table — q25/q26 in Relational are
+  * the batch instantiations, oracle-checked against DuckDB.
+  *
+  * Scale posture: state is keyed and partitioned by the group key (one
+  * shuffle), watermarks bound state size, and the stateful dedup keeps
+  * one boolean per key — no per-event state growth.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with a 5-minute gap (same gap semantics as
+    * the q26 batch/oracle formulation). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"),
+        col("n")
+      )
+
+  /** Stateful streaming dedup: emit only the FIRST event ever seen per
+    * (user_id, event_type); later occurrences — in the same or any later
+    * micro-batch — are dropped. Within a batch the earliest (ts,
+    * event_id) wins, so output is deterministic regardless of batch
+    * iterator order.
+    */
+  def firstSeen(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), it: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      )
+  }
+}

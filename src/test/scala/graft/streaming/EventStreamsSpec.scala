@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Deterministic MemoryStream tests for the streaming operators —
+  * streaming has no DuckDB oracle (SURVEY.md §5 risk register), so this
+  * spec IS its correctness gate; the batch twins (q25/q26) are
+  * oracle-checked separately.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def ev(id: Long, t: String, user: Long, typ: String): Event =
+    Event(id, ts(t), user, typ, 1.0)
+
+  test("tumbling windowed counts over a MemoryStream") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .windowedCounts(mem.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("wc")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01T00:05:00Z", 1, "click"),
+        ev(2, "2024-01-01T00:55:00Z", 1, "click"),
+        ev(3, "2024-01-01T01:05:00Z", 2, "view")
+      )
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01T00:00:00Z", "click", 2L),
+        ("2024-01-01T01:00:00Z", "view", 1L)
+      ))
+      // late-ish second batch lands in an existing window
+      mem.addData(ev(4, "2024-01-01T00:59:00Z", 3, "click"))
+      q.processAllAvailable()
+      val n = spark.table("wc").collect()
+        .find(r => r.getString(1) == "click" && r.getTimestamp(0).toInstant.toString == "2024-01-01T00:00:00Z")
+        .get.getLong(2)
+      assert(n == 3L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 5-minute gap") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .sessionCounts(mem.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("sc")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01T00:00:00Z", 7, "click"), // session A
+        ev(2, "2024-01-01T00:04:00Z", 7, "click"), // A (gap < 5m)
+        ev(3, "2024-01-01T00:20:00Z", 7, "click"), // session B (gap >= 5m)
+        ev(4, "2024-01-01T00:21:00Z", 8, "view")   // user 8, own session
+      )
+      q.processAllAvailable()
+      val rows = spark.table("sc").collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0).toInstant.toString, r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        (7L, "2024-01-01T00:00:00Z", 2L),
+        (7L, "2024-01-01T00:20:00Z", 1L),
+        (8L, "2024-01-01T00:21:00Z", 1L)
+      ))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState dedup keeps state across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .firstSeen(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("fs")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: two dups in-batch (later ts first — earliest must win) + one other key
+      mem.addData(
+        ev(2, "2024-01-01T00:10:00Z", 1, "click"),
+        ev(1, "2024-01-01T00:01:00Z", 1, "click"),
+        ev(3, "2024-01-01T00:02:00Z", 2, "view")
+      )
+      q.processAllAvailable()
+      // batch 2: same keys again — must be suppressed by state; one new key
+      mem.addData(
+        ev(4, "2024-01-01T00:20:00Z", 1, "click"),
+        ev(5, "2024-01-01T00:21:00Z", 2, "view"),
+        ev(6, "2024-01-01T00:22:00Z", 2, "click")
+      )
+      q.processAllAvailable()
+      val ids = spark.table("fs").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 6L))
+    } finally q.stop()
+  }
+}
