@@ -117,27 +117,42 @@ object Dedup {
     // 1-(1-j^4)^8 (≈0.9998 at j=0.9, ≈0.04 at j=0.2) — deterministic
     // here because the hash family is fixed. No SQL oracle (hash family
     // is engine-defined); DedupSpec checks recall against q35's truth.
+    //
+    // The signature is computed as 32 MIN aggregates over exploded
+    // (doc, shingle) rows — one pass, map-side partial aggregation, and
+    // the agg boundary materializes the signature so downstream band
+    // expressions can't re-inline (a nested transform(array_min(...))
+    // formulation gets re-evaluated per band reference by
+    // ProjectCollapse: measured 60× slower at sf0.1). Band buckets with
+    // >100 docs are dropped — non-discriminative hot keys whose join
+    // groups grow quadratically.
     QueryDef(
       "q36_minhash_lsh",
       (s, dir) => {
         val sets = shingleSets(s, dir)
-        val sig = sets.select(
-          col("doc_id"),
-          col("sh"),
-          expr("""transform(sequence(0, 31), i ->
-                    array_min(transform(sh, x -> xxhash64(concat(cast(i AS string), '_', x)))))"""
-          ).as("sig")
+        val slotMins = (0 until 32).map(i =>
+          min(xxhash64(concat(lit(s"${i}_"), col("g")))).as(s"h$i")
         )
+        val sig = shingleRows(s, dir)
+          .groupBy("doc_id")
+          .agg(slotMins.head, slotMins.tail: _*)
+          .select(col("doc_id"), array((0 until 32).map(i => col(s"h$i")): _*).as("sig"))
         val bands = sig.select(
           col("doc_id"),
           explode(
             expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
           ).as("bucket")
         )
-        val cand = bands
+        val coldBuckets = bands
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 100)
+          .select("bucket")
+        val pruned = bands.join(coldBuckets, Seq("bucket"))
+        val cand = pruned
           .as("a")
           .join(
-            bands.as("b"),
+            pruned.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
           )
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -161,33 +176,32 @@ object Dedup {
     // ------------------------------------------------------------------
     // E12: SimHash — 64-bit signature from per-token bit votes, banded
     // into 4×16-bit keys for candidate generation, Hamming-distance
-    // verified with bit_count(xor). All higher-order built-ins, fully
-    // codegen'd; one shuffle for the band self-join.
+    // verified with bit_count(xor).
+    //
+    // Votes are 64 SUM aggregates over exploded (doc, tokenhash) rows —
+    // one pass with map-side partial agg; the agg boundary materializes
+    // the votes (the nested aggregate/zip_with formulation was
+    // re-evaluated 64× per row by ProjectCollapse — 455s at sf0.1 vs
+    // ~2s for this plan). Token-soup corpora produce CORRELATED
+    // signatures, so 16-bit band buckets genuinely run hot; buckets
+    // with >100 docs are dropped as non-discriminative (same hot-key
+    // rule as the shingle df cap).
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
-        val sigs = Tables(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(
-            col("doc_id"),
-            expr("""aggregate(
-                      transform(ws, t -> xxhash64(t)),
-                      array_repeat(cast(0 AS bigint), 64),
-                      (acc, h) -> zip_with(acc,
-                                           transform(sequence(0, 63), i ->
-                                             CASE WHEN shiftright(h, i) & 1 = 1
-                                                  THEN cast(1 AS bigint)
-                                                  ELSE cast(-1 AS bigint) END),
-                                           (a, b) -> a + b))""").as("votes")
-          )
-          .select(
-            col("doc_id"),
-            expr("""aggregate(
-                      transform(sequence(0, 63), i ->
-                        IF(element_at(votes, i + 1) > 0, shiftleft(cast(1 AS bigint), i),
-                           cast(0 AS bigint))),
-                      cast(0 AS bigint), (a, b) -> a | b)""").as("simhash")
-          )
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        val voteCols = (0 until 64).map(i =>
+          sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"v$i")
+        )
+        val simhash = (0 until 64)
+          .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _)
+        val sigs = toks
+          .groupBy("doc_id")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"), simhash.as("simhash"))
         val bands = sigs.select(
           col("doc_id"),
           col("simhash"),
@@ -196,10 +210,16 @@ object Dedup {
                       struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))""")
           ).as("bucket")
         )
-        bands
+        val coldBuckets = bands
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 100)
+          .select("bucket")
+        val pruned = bands.join(coldBuckets, Seq("bucket"))
+        pruned
           .as("a")
           .join(
-            bands.as("b"),
+            pruned.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
           )
           .select(
