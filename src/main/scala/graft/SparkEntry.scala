@@ -23,7 +23,9 @@ object SparkEntry {
     graft.queries.TextOps.defs,
     graft.queries.Dedup.defs,
     graft.queries.Similarity.defs,
-    graft.queries.Media.defs
+    graft.queries.Media.defs,
+    graft.queries.Vectors.defs,
+    graft.queries.MlText.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, IDF, NGram, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.linalg.{SparseVector, Vector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MLlib text-featurization pipeline over `documents` (SURVEY.md §2.3
+  * E14): RegexTokenizer → StopWordsRemover → HashingTF → IDF, plus
+  * word n-grams. The fitted IDF model is a 2^18-dim vector broadcast by
+  * MLlib; the transform stays a per-row map — no extra shuffles beyond
+  * the IDF fit's one aggregation over the corpus.
+  */
+object TextPipeline {
+
+  val NumFeatures = 1 << 18
+
+  /** tokens + filtered tokens + 2-grams, as plain array columns. */
+  def tokenized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tok = new RegexTokenizer()
+      .setInputCol("text")
+      .setOutputCol("tokens")
+      .setPattern("\\s+")
+    val stop = new StopWordsRemover()
+      .setInputCol("tokens")
+      .setOutputCol("filtered")
+    val ngram = new NGram().setN(2).setInputCol("filtered").setOutputCol("bigrams")
+    ngram.transform(stop.transform(tok.transform(docs)))
+  }
+
+  /** TF-IDF vectors (hashing trick). Returns doc_id + the sparse vector
+    * plus summary scalars that are cheap to inspect. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokenized(spark, dir)
+    val tf = new HashingTF()
+      .setInputCol("filtered")
+      .setOutputCol("tf")
+      .setNumFeatures(NumFeatures)
+    val withTf = tf.transform(tokens)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(withTf)
+    idf.transform(withTf)
+  }
+
+  /** Flat, deterministic summary of the MLlib pipeline output (vector
+    * internals are implementation-defined → rows-only query). */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame = {
+    val nnz = udf((v: Vector) => v.asInstanceOf[SparseVector].indices.length)
+    val l1 = udf((v: Vector) => v.toArray.sum)
+    tfidf(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(col("filtered")).cast("long").as("n_filtered"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        nnz(col("tfidf")).cast("long").as("tfidf_nnz"),
+        round(l1(col("tfidf")), 3).as("tfidf_l1")
+      )
+      .orderBy("doc_id")
+  }
+}

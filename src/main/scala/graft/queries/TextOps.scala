@@ -154,6 +154,76 @@ object TextOps {
           )
           .orderBy("doc_id"),
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: TF-IDF with a RATIONAL idf (tf · N/df instead of tf · ln(N/df))
+    // so the score is two exactly-rounded float ops over exact integers —
+    // bit-identical across engines, hence oracle-checkable (libm `ln`
+    // may differ in the last ulp between JVMs and DuckDB). Top-3 terms
+    // per document for the first 50 docs. The corpus size joins in as a
+    // broadcast scalar — no driver-side count in the plan.
+    QueryDef(
+      "q38_tfidf_terms",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.filter(col("doc_id") < 50)
+          .join(dfreq, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn(
+            "score",
+            col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double"))
+          )
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+        FROM (SELECT doc_id, term, tf, df,
+                     CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                                                 term) AS rk
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+              WHERE doc_id < 50)
+        WHERE rk <= 3 ORDER BY doc_id, rk""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: corpus-level n-gram frequency — top-20 word bigrams.
+    QueryDef(
+      "q39_ngram_freq",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(
+            explode(
+              expr("transform(sequence(1, size(ws)-1), i -> concat_ws(' ', slice(ws, i, 2)))")
+            ).as("bigram")
+          )
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20),
+      Some("""SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*) AS cnt
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+              FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2))
+        GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""")
     )
   )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, SparkEntry, Tables}
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("E16 ArrayMean aggregator matches brute-force centroids") {
+    val rows = SparkEntry.queries("q43_label_centroids")(spark, dir).collect()
+    assert(rows.nonEmpty)
+
+    // brute force on the driver (sf0.001 is small)
+    val raw = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble)))
+    val expected = raw.groupBy(_._1).map { case (label, vs) =>
+      val n = vs.length
+      val c0 = vs.map(_._2.head).sum / n
+      label -> (n.toLong, c0)
+    }
+    rows.foreach { r =>
+      val (n, c0) = expected(r.getInt(0))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(math.abs(r.getAs[Double]("c0") - c0) < 1e-9)
+    }
+  }
+
+  test("E14 MLlib pipeline: tokenizer/stopwords/tfidf/ngram shapes") {
+    val out = TextPipeline.featureSummary(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nFil = r.getAs[Long]("n_filtered")
+      val nBg = r.getAs[Long]("n_bigrams")
+      assert(nFil <= nTok) // stopwords only remove
+      assert(nBg == math.max(nFil - 1, 0)) // 2-grams of the filtered stream
+      assert(r.getAs[Long]("tfidf_nnz") <= nFil)
+      assert(r.getAs[Double]("tfidf_l1") >= 0.0)
+    }
+  }
+
+  test("E1 scans/sinks: CSV and JSON round-trip preserves documents") {
+    val docs = Tables(spark, dir, "documents").orderBy("doc_id")
+    val tmp = Files.createTempDirectory("graft_sinks").toString
+
+    docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    docs.write.mode("overwrite").json(s"$tmp/json")
+
+    val fromCsv = spark.read
+      .option("header", "true")
+      .schema(docs.schema)
+      .csv(s"$tmp/csv")
+      .orderBy("doc_id")
+    val fromJson = spark.read.schema(docs.schema).json(s"$tmp/json").orderBy("doc_id")
+
+    assert(fromCsv.collect().toSeq == docs.collect().toSeq)
+    assert(fromJson.collect().toSeq == docs.collect().toSeq)
+  }
+}
