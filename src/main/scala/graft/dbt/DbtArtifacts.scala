@@ -25,9 +25,32 @@ object DbtArtifacts {
     * whole-file parse (explore.R:38, :226) maps to wholetext+from_json —
     * NOT spark.read.json, whose per-line/inference behavior mis-handles
     * the map-keyed sections (SURVEY.md §1.1).
+    *
+    * Validates existence up front (SURVEY §2.1 S3/V1 — the reference's
+    * `file.exists` + `stopifnot` dispatch, explore.R:37-41, :225-228)
+    * so a typo'd path fails fast with a clear message instead of an
+    * empty-glob analysis error.
     */
-  private def rawJson(spark: SparkSession, path: String): DataFrame =
+  private def rawJson(spark: SparkSession, path: String): DataFrame = {
+    require(
+      path.contains("://") || java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      s"dbt artifact not found: $path"
+    )
     spark.read.option("wholetext", "true").text(path)
+  }
+
+  /** Top-level sections present in an artifact file (SURVEY §2.1 S4 —
+    * the reference's `names(manifest)`, explore.R:269): schema-declared
+    * sections whose parsed value is non-NULL.
+    */
+  def artifactSections(spark: SparkSession, path: String): Seq[String] = {
+    val parsed = rawJson(spark, path)
+      .select(from_json(col("value"), catalogSchema).as("c"))
+      .select(col("c.nodes").isNotNull.as("nodes"), col("c.sources").isNotNull.as("sources"))
+      .collect()
+      .head
+    Seq("nodes", "sources").filter(s => parsed.getAs[Boolean](s))
+  }
 
   /** `{macros: [...], nodes: [...]}` → `ARRAY<STRUCT<type, unique_id>>`,
     * one element per referenced id, `type` recycled — the exact fan-out

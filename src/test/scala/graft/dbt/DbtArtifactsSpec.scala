@@ -132,6 +132,15 @@ class DbtArtifactsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[scala.collection.Seq[Row]]("columns").isEmpty) // empty map → typed empty array
   }
 
+  test("input dispatch: missing artifact fails fast; section introspection") {
+    val e = intercept[IllegalArgumentException] {
+      DbtArtifacts.readManifest(spark, s"$dir/does_not_exist.json")
+    }
+    assert(e.getMessage.contains("does_not_exist.json"))
+    assert(DbtArtifacts.artifactSections(spark, s"$dir/catalog.json") == Seq("nodes", "sources"))
+    assert(DbtArtifacts.artifactSections(spark, s"$dir/catalog_nodes_only.json") == Seq("nodes"))
+  }
+
   test("sources.json: typed raw view + exploded results") {
     val raw = DbtArtifacts.readSourceFreshness(spark, s"$dir/sources.json").collect().head
     assert(raw.getAs[Double]("elapsed_time") == 1.5)
