@@ -99,15 +99,48 @@ object DbtArtifacts {
     * (resource_type, database, schema, name, unique_id) NULLS LAST —
     * dplyr::arrange places NA last, Spark's bare asc is nulls-first.
     */
-  def readManifest(spark: SparkSession, path: String): DataFrame = {
-    val m = rawJson(spark, path)
-      .select(from_json(col("value"), manifestSchema).as("m"))
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    manifestFromRaw(
+      rawJson(spark, path).withColumn("source_file", input_file_name())
+    ).drop("source_file")
+      .orderBy(
+        asc_nulls_last("resource_type"), // arrange :251-257
+        asc_nulls_last("database"),
+        asc_nulls_last("schema"),
+        asc_nulls_last("name"),
+        asc_nulls_last("unique_id")
+      )
+
+  /** Fleet-scale variant: one call over a directory/glob of manifests
+    * (e.g. one per project per run). Each file is still a single row
+    * into `from_json`, so parsing parallelizes per file across
+    * executors; output carries `source_file` provenance and sorts it
+    * first so per-manifest blocks stay contiguous.
+    */
+  def readManifestAll(spark: SparkSession, glob: String): DataFrame =
+    manifestFromRaw(
+      spark.read
+        .option("wholetext", "true")
+        .text(glob)
+        .withColumn("source_file", input_file_name())
+    ).orderBy(
+      asc_nulls_last("source_file"),
+      asc_nulls_last("resource_type"),
+      asc_nulls_last("database"),
+      asc_nulls_last("schema"),
+      asc_nulls_last("name"),
+      asc_nulls_last("unique_id")
+    )
+
+  private def manifestFromRaw(raw: DataFrame): DataFrame = {
+    val m = raw.select(from_json(col("value"), manifestSchema).as("m"), col("source_file"))
 
     // explore.R:140-169 — note unique_id comes from the FIELD (:144),
     // unlike the catalog where it is the map key.
     val nodes = m
-      .select(explode(map_entries(col("m.nodes"))).as("e"))
+      .select(col("source_file"), explode(map_entries(col("m.nodes"))).as("e"))
       .select(
+        col("source_file"),
         col("e.value.unique_id").as("unique_id"),
         lit("nodes").as("manifest_group"),
         col("e.value.resource_type").as("resource_type"),
@@ -128,8 +161,9 @@ object DbtArtifacts {
 
     // explore.R:171-197
     val sources = m
-      .select(explode(map_entries(col("m.sources"))).as("e"))
+      .select(col("source_file"), explode(map_entries(col("m.sources"))).as("e"))
       .select(
+        col("source_file"),
         col("e.value.unique_id").as("unique_id"),
         lit("sources").as("manifest_group"),
         col("e.value.resource_type").as("resource_type"),
@@ -148,8 +182,9 @@ object DbtArtifacts {
 
     // explore.R:199-221
     val macros = m
-      .select(explode(map_entries(col("m.macros"))).as("e"))
+      .select(col("source_file"), explode(map_entries(col("m.macros"))).as("e"))
       .select(
+        col("source_file"),
         col("e.value.unique_id").as("unique_id"),
         lit("macros").as("manifest_group"),
         col("e.value.resource_type").as("resource_type"),
@@ -172,13 +207,6 @@ object DbtArtifacts {
     nodes
       .unionByName(sources, allowMissingColumns = true) // bind_rows :246-250
       .unionByName(macros, allowMissingColumns = true)
-      .orderBy(
-        asc_nulls_last("resource_type"), // arrange :251-257
-        asc_nulls_last("database"),
-        asc_nulls_last("schema"),
-        asc_nulls_last("name"),
-        asc_nulls_last("unique_id")
-      )
   }
 
   /** `import_catalog_json` (explore.R:35-65): nodes ∪ sources (each

@@ -1,0 +1,87 @@
+package graft.dbt
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Derived operators over the normalized manifest view — the queries a
+  * dbt-artifact consumer actually runs (lineage, impact analysis,
+  * change detection). All inputs are `readManifest` outputs, so these
+  * compose at fleet scale: edges and diffs are plain shuffle joins on
+  * `unique_id`.
+  */
+object ManifestOps {
+
+  /** Lineage edge list: one row per (dependent, dependency) pair, from
+    * the depends_on fan-out (SURVEY §2.1 F4).
+    */
+  def lineageEdges(manifest: DataFrame): DataFrame =
+    manifest
+      .select(col("unique_id").as("src"), explode(col("depends_on")).as("d"))
+      .select(col("src"), col("d.type").as("dep_type"), col("d.unique_id").as("dst"))
+
+  /** Transitive dependency closure (src reaches dst in `hops` joins),
+    * bounded by `maxHops`, with early termination when a frontier adds
+    * nothing new. Classic iterative-join BFS: each hop is one
+    * distributed equi-join + anti-join dedup; the driver only sees a
+    * per-hop COUNT (a scalar), never edge data — the loop is control
+    * flow, not data movement. dbt graphs are shallow (hops ≤ ~20), so
+    * the bound is generous.
+    */
+  def transitiveClosure(edges: DataFrame, maxHops: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    var paths = e.withColumn("hops", lit(1))
+    var frontier = paths
+    var hop = 1
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .as("f")
+        .join(e.as("n"), col("f.dst") === col("n.src"))
+        .select(col("f.src").as("src"), col("n.dst").as("dst"))
+        .distinct()
+        .withColumn("hops", lit(hop + 1))
+      frontier = next.join(paths.select("src", "dst"), Seq("src", "dst"), "left_anti").cache()
+      paths = paths.unionByName(frontier)
+      hop += 1
+    }
+    paths
+  }
+
+  /** Snapshot diff of two manifest views keyed by unique_id:
+    * added / removed / changed (content sha256 or materialization) /
+    * unchanged. Enables incremental lineage at fleet scale — only
+    * 'changed' nodes need lineage recomputation.
+    */
+  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+    // presence markers distinguish "row absent" from "row present with
+    // NULL sha/materialization" (sources and macros legitimately carry
+    // NULLs there)
+    val a = before.select(
+      col("unique_id"),
+      col("sha256").as("sha_before"),
+      col("materialized_as").as("mat_before"),
+      lit(true).as("in_before")
+    )
+    val b = after.select(
+      col("unique_id"),
+      col("sha256").as("sha_after"),
+      col("materialized_as").as("mat_after"),
+      lit(true).as("in_after")
+    )
+    a.join(b, Seq("unique_id"), "full_outer")
+      .select(
+        col("unique_id"),
+        when(col("in_before").isNull, lit("added"))
+          .when(col("in_after").isNull, lit("removed"))
+          .when(
+            !(col("sha_before") <=> col("sha_after")) ||
+              !(col("mat_before") <=> col("mat_after")),
+            lit("changed")
+          )
+          .otherwise(lit("unchanged"))
+          .as("status"),
+        col("sha_before"),
+        col("sha_after")
+      )
+      .orderBy("unique_id")
+  }
+}

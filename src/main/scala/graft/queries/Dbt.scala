@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.dbt.DbtArtifacts
+import graft.dbt.{DbtArtifacts, ManifestOps}
 
 /** dbt-artifact ingestion exposed as named queries (SURVEY.md §2.1
   * S1-S4/F1-F4/P1-P5/X1-X5/N1-N2/A1-A2/O1/V1 — the reference-parity
@@ -34,6 +34,33 @@ object Dbt {
     QueryDef(
       "dbt_run_results",
       (s, _) => DbtArtifacts.runResultsResults(s, s"$fixtureDir/run_results.json"),
+      None
+    ),
+    QueryDef(
+      "dbt_lineage_edges",
+      (s, _) =>
+        ManifestOps
+          .lineageEdges(DbtArtifacts.readManifest(s, s"$fixtureDir/manifest.json"))
+          .orderBy("src", "dep_type", "dst"),
+      None
+    ),
+    QueryDef(
+      "dbt_lineage_closure",
+      (s, _) =>
+        ManifestOps
+          .transitiveClosure(
+            ManifestOps.lineageEdges(DbtArtifacts.readManifest(s, s"$fixtureDir/manifest.json"))
+          )
+          .orderBy("src", "dst", "hops"),
+      None
+    ),
+    QueryDef(
+      "dbt_manifest_diff",
+      (s, _) =>
+        ManifestOps.diff(
+          DbtArtifacts.readManifest(s, s"$fixtureDir/manifest.json"),
+          DbtArtifacts.readManifest(s, s"$fixtureDir/manifest_v2.json")
+        ),
       None
     )
   )

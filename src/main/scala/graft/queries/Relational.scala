@@ -616,6 +616,95 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // E3: left outer join with null-side aggregation — events per
+    // customer including event-less customers (user_id covers only a
+    // prefix of custkeys).
+    QueryDef(
+      "q28_outer_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val e = Tables(s, dir, "events")
+        c.join(e, c("c_custkey") === e("user_id"), "left_outer")
+          .groupBy(c("c_custkey").as("c_custkey"))
+          .agg(
+            count(e("event_id")).as("n_events"), // count(col) skips nulls
+            max(e("ts")).as("last_ts")
+          )
+          .filter(col("c_custkey") < 300)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(event_id) AS n_events, max(ts) AS last_ts
+        FROM customer LEFT OUTER JOIN events ON c_custkey = user_id
+        WHERE c_custkey < 300
+        GROUP BY c_custkey ORDER BY c_custkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: median / percentile. Interpolation of integral-valued doubles
+    // ((a+b)/2) is exact, so the oracle matches bit-for-bit.
+    QueryDef(
+      "q29_median",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            median(col("l_quantity")).as("med_qty"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty")
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10 (Spark 4): VARIANT ingestion of the JSON props — parse once,
+    // extract typed fields lazily. Same oracle as the string-path
+    // extraction, demonstrating semantic equivalence.
+    QueryDef(
+      "q44_variant_json",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(
+            col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k")
+          )
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E7: RANGE-frame window — for each order, total cents of the same
+    // customer's orders within the preceding 30 days (time-based frame,
+    // not row-based).
+    QueryDef(
+      "q45_window_range_frame",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          // parquet NTZ timestamp → UTC instant → epoch seconds
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0L)
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w).as("cents_30d")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: HLL sketch — approx_count_distinct. No oracle (sketch values
     // are implementation-specific); the driver records a rows-only
     // check, and exactness is covered by q07.

@@ -132,6 +132,15 @@ class DbtArtifactsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[scala.collection.Seq[Row]]("columns").isEmpty) // empty map → typed empty array
   }
 
+  test("multi-file ingestion: glob of manifests with source_file provenance") {
+    val df = DbtArtifacts.readManifestAll(spark, s"$dir/manifest*.json")
+    assert(df.schema.fieldNames.head == "source_file")
+    val byFile = df.collect().groupBy(r => r.getAs[String]("source_file").split('/').last)
+    assert(byFile.keySet == Set("manifest.json", "manifest_v2.json"))
+    assert(byFile("manifest.json").length == 4)
+    assert(byFile("manifest_v2.json").length == 4) // 2 nodes + 1 source + 1 macro
+  }
+
   test("input dispatch: missing artifact fails fast; section introspection") {
     val e = intercept[IllegalArgumentException] {
       DbtArtifacts.readManifest(spark, s"$dir/does_not_exist.json")
