@@ -100,6 +100,65 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 scale path #2: IVF — a KMeans coarse quantizer partitions the
+    // corpus into cells; each query probes its nprobe=2 nearest cells
+    // and exact-re-ranks only those candidates. The centroid table is
+    // 16×64 doubles — broadcast; the expensive scan is pruned to
+    // ~nprobe/k of the corpus. Model fit is seeded (clusters are
+    // implementation-defined → rows-only; SimilaritySpec asserts the
+    // quality bound vs brute force).
+    QueryDef(
+      "q46_ann_ivf",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+
+        val e = emb(s, dir)
+        val feat = e.select(
+          col("vec_id"),
+          col("v"),
+          col("norm"),
+          array_to_vector(col("v")).as("features")
+        )
+        val model = new KMeans().setK(16).setSeed(42).setFeaturesCol("features").fit(feat)
+        val assigned = model
+          .transform(feat)
+          .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+
+        val sess = s
+        import sess.implicits._
+        val centroids = model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("cell", "cv")
+
+        // nprobe=2 nearest cells per query by euclidean distance
+        val wCell = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+        val probed = q
+          .crossJoin(broadcast(centroids))
+          .withColumn(
+            "d2",
+            expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), cast(0 AS double), (a, x) -> a + x)")
+          )
+          .withColumn("rk", row_number().over(wCell))
+          .filter(col("rk") <= 2)
+          .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        probed
+          .join(assigned, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "vec_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts

@@ -46,6 +46,29 @@ object EventStreams {
         col("n")
       )
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast — the static side is planned once per batch),
+    * then aggregate per segment. The static side can be arbitrarily
+    * refreshed between restarts without touching stream state.
+    */
+  def enrichedCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(customers), events("user_id") === customers("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("c_mktsegment"), col("n"))
+
+  /** Built-in watermark-bounded streaming dedup — the engine drops state
+    * for keys older than the watermark, so memory is bounded by the
+    * watermark horizon instead of key cardinality (contrast with
+    * `firstSeen`, which keeps state forever for exact global dedup).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stateful streaming dedup: emit only the FIRST event ever seen per
     * (user_id, event_type); later occurrences — in the same or any later
     * micro-batch — are dropped. Within a batch the earliest (ts,

@@ -61,6 +61,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q46 ANN-IVF: probed-cell candidates respect the brute-force quality bound") {
+    val brute = run("q40_cosine_topk")
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos"))
+      .toMap
+    val ivf = run("q46_ann_ivf").collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length)) // contiguous ranks
+      assert(rs.forall(_.getAs[Double]("cos") <= brute(q) + 1e-12))
+      assert(rs.forall(_.getAs[Long]("vec_id") != q))
+    }
+  }
+
   test("q41 ANN-LSH: candidates are a subset in quality — per-query best cos ≤ brute best") {
     val brute = run("q40_cosine_topk")
       .filter(col("rank") === 1)

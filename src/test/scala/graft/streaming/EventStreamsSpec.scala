@@ -86,6 +86,59 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .enrichedCounts(mem.toDF, customers)
+      .writeStream
+      .format("memory")
+      .queryName("ec")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01T00:05:00Z", 1, "click"),
+        ev(2, "2024-01-01T00:06:00Z", 1, "view"),
+        ev(3, "2024-01-01T00:07:00Z", 2, "click"),
+        ev(4, "2024-01-01T00:08:00Z", 99, "click") // no dim match → dropped
+      )
+      q.processAllAvailable()
+      val rows = spark.table("ec").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("BUILDING", 2L), ("MACHINERY", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by the watermark") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .dedupWithinWatermark(mem.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("dw")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01T00:01:00Z", 1, "click"),
+        ev(2, "2024-01-01T00:02:00Z", 1, "click") // dup within watermark → dropped
+      )
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01T00:03:00Z", 1, "click")) // still within horizon
+      q.processAllAvailable()
+      val ids = spark.table("dw").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedup keeps state across micro-batches") {
     val sess = spark
     import sess.implicits._
