@@ -46,8 +46,15 @@ object TextPipeline {
   /** Flat, deterministic summary of the MLlib pipeline output (vector
     * internals are implementation-defined → rows-only query). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
-    val nnz = udf((v: Vector) => v.asInstanceOf[SparseVector].indices.length)
-    val l1 = udf((v: Vector) => v.toArray.sum)
+    // operate on the sparse representation — v.toArray would walk all
+    // 2^18 slots per row (measured 50x slower at sf0.1)
+    val nnz = udf((v: Vector) => v.numNonzeros)
+    val l1 = udf((v: Vector) =>
+      v match {
+        case sv: SparseVector => sv.values.sum
+        case dv               => dv.toArray.sum
+      }
+    )
     tfidf(spark, dir)
       .select(
         col("doc_id"),

@@ -100,6 +100,42 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E12/E13: embedding-cosine near-dup PAIRS — candidates from LSH
+    // bucket self-joins (4 tables × 6 bits; never an all-pairs cross
+    // join), verified with the exact cosine. On corpora with genuine
+    // duplicates (cos ≥ 0.95) bucket recall is high (p_bit≈0.95 →
+    // ≈0.74/table, ≈1-(1-0.74)^4≈0.995 over 4 tables); this synthetic
+    // corpus peaks at cos≈0.51, so the query legitimately returns few
+    // pairs. Output ⊆ true pairs by construction (exact verification).
+    QueryDef(
+      "q47_embedding_neardup",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("bucket", explode(lshKeys("v", tables = 4, bits = 6)))
+        val pairs = e
+          .as("a")
+          .join(
+            e.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+          )
+          .select(
+            col("a.vec_id").as("i"),
+            col("b.vec_id").as("j"),
+            col("a.v").as("qv"),
+            col("b.v").as("v"),
+            col("a.norm").as("qn"),
+            col("b.norm").as("norm")
+          )
+          .distinct() // pair may collide in several tables
+        pairs
+          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .filter(col("cos") >= 0.4)
+          .select("i", "j", "cos")
+          .orderBy("i", "j")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E13 scale path #2: IVF — a KMeans coarse quantizer partitions the
     // corpus into cells; each query probes its nprobe=2 nearest cells
     // and exact-re-ranks only those candidates. The centroid table is
