@@ -29,6 +29,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // engine-native SQL functions (custom Catalyst expressions with
+      // codegen) — see graft.functions
+      .withExtensions(graft.functions.CosineSim.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -15,9 +15,11 @@ import graft.{QueryDef, Tables}
   * candidates: with B bucket bits the expected candidate fraction is
   * 2^-B per table, so cost scales down exponentially while the planted
   * cluster structure keeps recall high; multiple tables (L=2 here)
-  * recover recall lost to unlucky cuts. Dot products are
-  * `zip_with`+`aggregate` higher-order built-ins over DOUBLE — codegen,
-  * no UDF, and deterministic (fixed fold order).
+  * recover recall lost to unlucky cuts. Cosine scoring uses the
+  * engine-native `cosine_sim` expression (graft.functions.CosineSim):
+  * one fused allocation-free walk per pair inside whole-stage codegen,
+  * bit-identical to the zip_with+aggregate formulation (fixed fold
+  * order) but without its per-pair intermediate array.
   */
 object Similarity {
 
@@ -26,9 +28,6 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
-
-  private val dot =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)")
 
   /** Bit-signature for random-hyperplane LSH: `nBits` pseudo-random
     * hyperplanes per table, weights derived from xxhash64(plane, dim)
@@ -64,7 +63,7 @@ object Similarity {
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select("q_id", "rank", "vec_id", "cos")
@@ -90,7 +89,7 @@ object Similarity {
           .distinct() // a pair can collide in both tables
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         cand
-          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select("q_id", "rank", "vec_id", "cos")
@@ -127,7 +126,7 @@ object Similarity {
           )
           .distinct() // pair may collide in several tables
         pairs
-          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
           .filter(col("cos") >= 0.4)
           .select("i", "j", "cos")
           .orderBy("i", "j")
@@ -185,7 +184,7 @@ object Similarity {
         probed
           .join(assigned, Seq("cell"))
           .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos", dot / (col("qn") * col("norm")))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select("q_id", "rank", "vec_id", "cos")

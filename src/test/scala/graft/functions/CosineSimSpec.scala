@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class CosineSimSpec extends AnyFunSuite with SparkSpec {
+
+  test("matches the higher-order-function formulation bit-for-bit") {
+    val sess = spark
+    import sess.implicits._
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val paired = df.as("a").crossJoin(df.as("b")).filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(
+        expr("cosine_sim(a.v, b.v)").as("native"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 AS double), (p, x) -> p + x)") /
+          (sqrt(expr("aggregate(a.v, cast(0 AS double), (p, x) -> p + x*x)")) *
+            sqrt(expr("aggregate(b.v, cast(0 AS double), (p, x) -> p + x*x)")))).as("hof")
+      )
+      .collect()
+    assert(paired.nonEmpty)
+    paired.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("null inputs propagate, identical vectors give 1.0") {
+    val one = spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").collect().head
+    assert(math.abs(one.getDouble(0) - 1.0) < 1e-15)
+    val nul = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").collect().head
+    assert(nul.isNullAt(0))
+    val ortho = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").collect().head
+    assert(ortho.getDouble(0) == 0.0)
+  }
+}
