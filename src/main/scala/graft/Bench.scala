@@ -12,6 +12,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    // warm up codegen/classloading and the parquet footer cache so the
+    // alphabetically-first query doesn't absorb one-time session costs
+    spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
+    Tables(spark, sfDir, "lineitem").limit(1).write.format("noop").mode("overwrite").save()
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -160,12 +160,19 @@ object Dedup {
         cand
           .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
           .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+          // materialize the intersection size once — referencing
+          // array_intersect twice in one projection evaluates it twice
           .select(
             col("d1"),
             col("d2"),
-            (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-              (size(col("sh1")) + size(col("sh2")) -
-                size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard")
+            size(col("sh1")).as("n1"),
+            size(col("sh2")).as("n2"),
+            size(array_intersect(col("sh1"), col("sh2"))).as("inter")
+          )
+          .select(
+            col("d1"),
+            col("d2"),
+            (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard")
           )
           .filter(col("jaccard") >= 0.5)
           .orderBy("d1", "d2")

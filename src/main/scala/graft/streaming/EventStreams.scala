@@ -69,6 +69,21 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Idempotent per-batch parquet writer: each micro-batch lands in its
+    * own `batch_id=<id>` directory with overwrite mode, so replaying a
+    * batch after a failure rewrites the same directory instead of
+    * duplicating rows — the standard exactly-once file-sink recipe when
+    * combined with checkpointed offsets.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Stream → idempotent parquet via foreachBatch. Caller starts it:
+    * `toIdempotentParquet(df, dir).option("checkpointLocation", ...).start()`.
+    */
+  def toIdempotentParquet(df: DataFrame, outDir: String) =
+    df.writeStream.foreachBatch((batch: DataFrame, id: Long) => writeBatch(batch, id, outDir))
+
   /** Stateful streaming dedup: emit only the FIRST event ever seen per
     * (user_id, event_type); later occurrences — in the same or any later
     * micro-batch — are dropped. Within a batch the earliest (ts,

@@ -132,6 +132,38 @@ class DbtArtifactsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getAs[scala.collection.Seq[Row]]("columns").isEmpty) // empty map → typed empty array
   }
 
+  test("robustness: missing sections and malformed JSON degrade to empty, not errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("dbt_edge")
+    // manifest with ONLY macros — nodes/sources absent entirely
+    java.nio.file.Files.writeString(
+      tmp.resolve("macros_only.json"),
+      """{"macros": {"macro.p.m": {"unique_id": "macro.p.m", "resource_type": "macro",
+         "name": "m", "description": "", "depends_on": {"macros": []}, "meta": {},
+         "macro_sql": "select 2"}}}"""
+    )
+    val macrosOnly = DbtArtifacts.readManifest(spark, tmp.resolve("macros_only.json").toString).collect()
+    assert(macrosOnly.length == 1)
+    assert(macrosOnly.head.getAs[String]("manifest_group") == "macros")
+
+    // structurally valid JSON that matches nothing in the schema
+    java.nio.file.Files.writeString(tmp.resolve("unrelated.json"), """{"foo": [1, 2, 3]}""")
+    assert(DbtArtifacts.readManifest(spark, tmp.resolve("unrelated.json").toString).count() == 0)
+
+    // malformed JSON → from_json yields NULL → zero rows (PERMISSIVE),
+    // not a crash: fleet-scale ingestion must tolerate a corrupt file
+    java.nio.file.Files.writeString(tmp.resolve("corrupt.json"), """{"nodes": {"a": """)
+    assert(DbtArtifacts.readManifest(spark, tmp.resolve("corrupt.json").toString).count() == 0)
+
+    // empty sections (present but {}) → zero rows, correct schema
+    java.nio.file.Files.writeString(
+      tmp.resolve("empty.json"),
+      """{"nodes": {}, "sources": {}, "macros": {}}"""
+    )
+    val empty = DbtArtifacts.readManifest(spark, tmp.resolve("empty.json").toString)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.length == 14)
+  }
+
   test("multi-file ingestion: glob of manifests with source_file provenance") {
     val df = DbtArtifacts.readManifestAll(spark, s"$dir/manifest*.json")
     assert(df.schema.fieldNames.head == "source_file")

@@ -47,6 +47,47 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("salted join and salted count match their unsalted equivalents") {
+    val events = Tables(spark, dir, "events")
+    val customers = Tables(spark, dir, "customer")
+
+    val plain = events
+      .join(customers, events("user_id") === customers("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val salted = SkewJoin
+      .saltedJoin(events, customers, "user_id", "c_custkey", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(salted == plain)
+
+    val plainCnt = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedCnt = SkewJoin.saltedCount(events, "event_type", salts = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedCnt == plainCnt)
+  }
+
+  test("partitioned sink: partition pruning reaches the scan") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    Tables(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+
+    val q = spark.read.parquet(tmp).filter(col("event_type") === "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+    // pruning is real: only the purchase partition's rows are read
+    val expected = Tables(spark, dir, "events").filter(col("event_type") === "purchase").count()
+    assert(q.count() == expected)
+  }
+
   test("E1 scans/sinks: CSV and JSON round-trip preserves documents") {
     val docs = Tables(spark, dir, "documents").orderBy("doc_id")
     val tmp = Files.createTempDirectory("graft_sinks").toString

@@ -139,6 +139,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent parquet sink: batch replay does not duplicate") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .toIdempotentParquet(mem.toDF, out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(ev(1, "2024-01-01T00:01:00Z", 1, "click"))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01T00:02:00Z", 2, "view"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+
+      // simulate a batch REPLAY after failure: rewriting the same batch
+      // id must overwrite, not append
+      val replay = Seq(Event(1L, ts("2024-01-01T00:01:00Z"), 1L, "click", 1.0)).toDF
+      EventStreams.writeBatch(replay, 0L, out)
+      EventStreams.writeBatch(replay, 0L, out)
+      assert(spark.read.parquet(out).count() == 2) // still 2, not 3/4
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedup keeps state across micro-batches") {
     val sess = spark
     import sess.implicits._
