@@ -42,7 +42,35 @@ object Dbt {
         ManifestOps
           .lineageEdges(DbtArtifacts.readManifest(s, s"$fixtureDir/manifest.json"))
           .orderBy("src", "dep_type", "dst"),
-      None
+      // flat output → oracle-checkable even though the input is a JSON
+      // fixture: DuckDB re-derives the edges with its JSON functions
+      // (quoted paths because unique_ids contain dots; absent
+      // depends_on arrays cast to NULL lists → unnest yields 0 rows)
+      Some(s"""WITH t AS (SELECT content FROM read_text('$fixtureDir/manifest.json')),
+        nk AS (SELECT unnest(json_keys(content, '$$.nodes')) AS key, content FROM t),
+        mk AS (SELECT unnest(json_keys(content, '$$.macros')) AS key, content FROM t),
+        edges AS (
+          SELECT json_extract_string(content, '$$.nodes."' || key || '".unique_id') AS src,
+                 'macros' AS dep_type,
+                 unnest(CAST(json_extract(content, '$$.nodes."' || key || '".depends_on.macros') AS VARCHAR[])) AS dst
+          FROM nk
+          UNION ALL
+          SELECT json_extract_string(content, '$$.nodes."' || key || '".unique_id'),
+                 'nodes',
+                 unnest(CAST(json_extract(content, '$$.nodes."' || key || '".depends_on.nodes') AS VARCHAR[]))
+          FROM nk
+          UNION ALL
+          SELECT json_extract_string(content, '$$.macros."' || key || '".unique_id'),
+                 'macros',
+                 unnest(CAST(json_extract(content, '$$.macros."' || key || '".depends_on.macros') AS VARCHAR[]))
+          FROM mk
+          UNION ALL
+          SELECT json_extract_string(content, '$$.macros."' || key || '".unique_id'),
+                 'nodes',
+                 unnest(CAST(json_extract(content, '$$.macros."' || key || '".depends_on.nodes') AS VARCHAR[]))
+          FROM mk
+        )
+        SELECT src, dep_type, dst FROM edges ORDER BY src, dep_type, dst""")
     ),
     QueryDef(
       "dbt_lineage_closure",

@@ -129,7 +129,25 @@ object TextOps {
           .agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "pred_lang")
       },
-      None
+      // the whole pipeline is integer arithmetic (counts, rank weights),
+      // so even this multi-stage query is oracle-exact
+      Some("""WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        bigrams AS (SELECT doc_id, lang, substring(t, i, 2) AS bg
+                    FROM (SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i FROM docs)),
+        profile AS (
+          SELECT p_lang, bg, CAST(41 - rk AS BIGINT) AS w FROM (
+            SELECT lang AS p_lang, bg, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg) AS rk
+            FROM bigrams GROUP BY lang, bg) WHERE rk <= 40),
+        docbg AS (SELECT doc_id, lang, bg, count(*) AS n FROM bigrams GROUP BY 1, 2, 3),
+        scored AS (SELECT doc_id, lang, p_lang, sum(n * w) AS score
+                   FROM docbg JOIN profile USING (bg) GROUP BY 1, 2, 3),
+        best AS (SELECT doc_id, lang, p_lang FROM (
+          SELECT doc_id, lang, p_lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+          FROM scored) WHERE rk = 1)
+        SELECT lang, p_lang AS pred_lang, count(*) AS cnt
+        FROM best GROUP BY 1, 2 ORDER BY 1, 2""")
     ),
 
     // ------------------------------------------------------------------
@@ -154,6 +172,34 @@ object TextOps {
           )
           .orderBy("doc_id"),
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: codepoint rolling hash — the ORACLE-CHECKABLE fingerprint
+    // variant: a modular polynomial over unicode code points, engine-
+    // agnostic (unlike q34's xxhash64-based one). Both sides fold in
+    // index order with the same modulus.
+    QueryDef(
+      "q48_codepoint_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr(
+              """aggregate(
+                   transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+                   cast(0 AS bigint),
+                   (acc, c) -> pmod(acc * 31 + c, 1000000007))"""
+            ).as("fp")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(text)+1),
+                           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")
     ),
 
     // ------------------------------------------------------------------
