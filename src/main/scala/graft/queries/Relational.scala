@@ -705,6 +705,63 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // E5/E10: ordered string aggregation — sort_array(collect_list(...))
+    // gives a deterministic within-group order, mirrored by DuckDB's
+    // string_agg(... ORDER BY ...).
+    QueryDef(
+      "q49_string_agg",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        c.filter(col("c_acctbal") > 9000)
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("c_name")))).as("rich_customers"),
+            count(lit(1)).as("cnt")
+          )
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+        string_agg(c_name, ',' ORDER BY c_name) AS rich_customers,
+        count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000
+        GROUP BY n_name ORDER BY n_name""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E7: navigation window functions — first/last/nth over an explicit
+    // full-partition frame (last_value over the default frame is a
+    // classic running-value trap; the frame is pinned on both sides).
+    QueryDef(
+      "q52_window_nav",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            first("o_orderkey").over(w).as("first_ok"),
+            last("o_orderkey").over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        first_value(o_orderkey) OVER w AS first_ok,
+        last_value(o_orderkey) OVER w AS last_ok,
+        nth_value(o_orderkey, 2) OVER w AS second_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: HLL sketch — approx_count_distinct. No oracle (sketch values
     // are implementation-specific); the driver records a rows-only
     // check, and exactness is covered by q07.
