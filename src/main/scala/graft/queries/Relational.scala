@@ -762,6 +762,38 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // E2/E3: LIKE-predicate scan pruning + the part/supplier dimensions
+    // (completing table coverage): revenue by brand for medium parts
+    // from high-balance suppliers.
+    QueryDef(
+      "q53_part_supplier",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val p = Tables(s, dir, "part").filter(
+          col("p_type").like("%BRASS%") && col("p_size").between(5, 20)
+        )
+        val sup = Tables(s, dir, "supplier").filter(col("s_acctbal") > 0)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(e6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_e6"),
+            countDistinct(col("s_suppkey")).as("nd_supp")
+          )
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT) AS rev_e6,
+        count(DISTINCT s_suppkey) AS nd_supp
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_type LIKE '%BRASS%' AND p_size BETWEEN 5 AND 20 AND s_acctbal > 0
+        GROUP BY p_brand ORDER BY p_brand""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: HLL sketch — approx_count_distinct. No oracle (sketch values
     // are implementation-specific); the driver records a rows-only
     // check, and exactness is covered by q07.

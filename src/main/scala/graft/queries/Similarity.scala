@@ -29,22 +29,34 @@ object Similarity {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
 
-  /** Bit-signature for random-hyperplane LSH: `nBits` pseudo-random
-    * hyperplanes per table, weights derived from xxhash64(plane, dim)
-    * scaled to [-1, 1] — deterministic, no stored model. Returns a
-    * string key per table.
+  /** Bit-signature for random-hyperplane LSH: `bits` pseudo-random
+    * hyperplanes per table. Plane weights are a seeded driver-side
+    * LITERAL (java.util.Random is platform-stable, so outcomes are
+    * deterministic across JVMs) folded into the plan as a constant —
+    * an earlier per-row hash-derived variant recomputed
+    * rows × planes × dims string hashes and dominated query time.
+    * Returns one struct(tbl, key) per table.
     */
-  private def lshKeys(vCol: String, tables: Int, bits: Int) =
-    expr(s"""transform(sequence(0, ${tables - 1}), t ->
-               struct(t AS tbl,
-                      array_join(transform(sequence(0, ${bits - 1}), p ->
-                        CASE WHEN aggregate(
-                               zip_with($vCol, sequence(0, 63), (x, d) ->
-                                 x * (cast(xxhash64(concat(cast(t * $bits + p AS string), '_',
-                                                           cast(d AS string))) AS double)
-                                      / 9.223372036854776E18)),
-                               cast(0 AS double), (a, x) -> a + x) > 0
-                             THEN '1' ELSE '0' END), '') AS key))""")
+  private def lshKeys(vCol: String, tables: Int, bits: Int) = {
+    val rng = new java.util.Random(42)
+    val keys = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { _ =>
+        // each plane is a TOP-LEVEL ArrayType literal — codegen emits a
+        // reference to the array object; embedding the plane matrix
+        // inside nested SQL lambdas instead produced a 1536-node
+        // expression tree whose Janino compile dominated runtime
+        val plane = typedlit(Seq.fill(64)(rng.nextDouble() * 2 - 1))
+        val dotPlane = aggregate(
+          zip_with(col(vCol), plane, (x, w) => x * w),
+          lit(0.0),
+          (a, x) => a + x
+        )
+        when(dotPlane > 0, "1").otherwise("0")
+      }
+      struct(lit(t).as("tbl"), concat(bitCols: _*).as("key"))
+    }
+    array(keys: _*)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -109,26 +121,30 @@ object Similarity {
     QueryDef(
       "q47_embedding_neardup",
       (s, dir) => {
-        val e = emb(s, dir).withColumn("bucket", explode(lshKeys("v", tables = 4, bits = 6)))
-        val pairs = e
+        // the candidate stream stays NARROW (id pairs): the self-join
+        // shuffles only (bucket, vec_id); vectors re-attach via a
+        // broadcast lookup (the embedding table is tiny relative to the
+        // pair stream — at larger scale, bucket-partition both sides
+        // instead); the cosine filter crushes volume before the dedup,
+        // so the distinct runs on a handful of survivors. A distinct
+        // over rows carrying two 64-dim arrays (the naive plan)
+        // shuffles ~30× more bytes.
+        val sigs = emb(s, dir)
+          .select(col("vec_id"), explode(lshKeys("v", tables = 4, bits = 6)).as("bucket"))
+        val vecs = emb(s, dir)
+        sigs
           .as("a")
           .join(
-            e.as("b"),
+            sigs.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
           )
-          .select(
-            col("a.vec_id").as("i"),
-            col("b.vec_id").as("j"),
-            col("a.v").as("qv"),
-            col("b.v").as("v"),
-            col("a.norm").as("qn"),
-            col("b.norm").as("norm")
-          )
-          .distinct() // pair may collide in several tables
-        pairs
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+          .join(broadcast(vecs.select(col("vec_id").as("i"), col("v").as("qv"), col("norm").as("qn"))), Seq("i"))
+          .join(broadcast(vecs.select(col("vec_id").as("j"), col("v").as("v"), col("norm").as("norm"))), Seq("j"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
           .filter(col("cos") >= 0.4)
           .select("i", "j", "cos")
+          .distinct() // a pair may collide in several tables
           .orderBy("i", "j")
       },
       None
