@@ -794,6 +794,55 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // E6-adjacent: PIVOT — event counts per user spread across one
+    // column per event type. Pivot values are pinned explicitly (an
+    // unpinned pivot scans the data twice to discover them).
+    QueryDef(
+      "q54_pivot",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E6-adjacent: UNPIVOT/melt — wide metric columns to long form.
+    QueryDef(
+      "q55_unpivot",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric",
+            "value"
+          )
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+          FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+        ORDER BY l_orderkey, l_linenumber, metric""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: HLL sketch — approx_count_distinct. No oracle (sketch values
     // are implementation-specific); the driver records a rows-only
     // check, and exactness is covered by q07.
