@@ -46,6 +46,24 @@ object ManifestOps {
     paths
   }
 
+  /** Impact analysis — the composite every dbt consumer runs after a
+    * change lands: which entities must rebuild because something they
+    * (transitively) depend on changed between two manifest snapshots?
+    * Composes `diff` (what changed) with the reverse reachability of
+    * the AFTER graph's `transitiveClosure` (who reaches the changed
+    * node through depends_on edges).
+    */
+  def impacted(before: DataFrame, after: DataFrame, maxHops: Int = 10): DataFrame = {
+    val changed = diff(before, after)
+      .filter(col("status") === "changed")
+      .select(col("unique_id").as("changed_id"))
+    val closure = transitiveClosure(lineageEdges(after), maxHops)
+    closure
+      .join(changed, closure("dst") === changed("changed_id"))
+      .select(col("changed_id"), col("src").as("impacted_id"), col("hops"))
+      .orderBy("changed_id", "impacted_id", "hops")
+  }
+
   /** Snapshot diff of two manifest views keyed by unique_id:
     * added / removed / changed (content sha256 or materialization) /
     * unchanged. Enables incremental lineage at fleet scale — only

@@ -90,6 +90,15 @@ object Dbt {
           DbtArtifacts.readManifest(s, s"$fixtureDir/manifest_v2.json")
         ),
       None
+    ),
+    QueryDef(
+      "dbt_impact",
+      (s, _) =>
+        ManifestOps.impacted(
+          DbtArtifacts.readManifest(s, s"$fixtureDir/manifest.json"),
+          DbtArtifacts.readManifest(s, s"$fixtureDir/manifest_v2.json")
+        ),
+      None
     )
   )
 }

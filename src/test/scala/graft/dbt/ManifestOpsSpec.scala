@@ -35,6 +35,17 @@ class ManifestOpsSpec extends AnyFunSuite with SparkSpec {
     assert(closure.forall(_._3 <= 2))
   }
 
+  test("impact analysis: downstream of changed nodes in the AFTER graph") {
+    val imp = ManifestOps
+      .impacted(manifest, DbtArtifacts.readManifest(spark, s"$dir/manifest_v2.json"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // only model.proj.orders changed; in v2, model.proj.summary depends
+    // on it (1 hop) — the removed test node must NOT appear
+    assert(imp == Set(("model.proj.orders", "model.proj.summary", 1)))
+  }
+
   test("manifest diff classifies added/removed/changed/unchanged") {
     val d = ManifestOps
       .diff(manifest, DbtArtifacts.readManifest(spark, s"$dir/manifest_v2.json"))
