@@ -12,10 +12,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // warm up codegen/classloading and the parquet footer cache so the
-    // alphabetically-first query doesn't absorb one-time session costs
+    // warm up codegen/classloading, parquet footers, AND the page cache:
+    // a full scan of every input table once, so the first query touching
+    // a table doesn't absorb its cold-disk read into the measured time
     spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
-    Tables(spark, sfDir, "lineitem").limit(1).write.format("noop").mode("overwrite").save()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"))
+      Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -28,6 +31,9 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               Left(e.getClass.getSimpleName)
           }
+        // iterative queries (transitive closure) cache intermediates;
+        // drop them so later timings aren't skewed by leaked blocks
+        spark.catalog.clearCache()
         name -> r
       }
     val qs = results

@@ -103,21 +103,39 @@ object TextOps {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+        // adjacent-char pairs via zip_with over the char array: three
+        // linear split() evaluations per row. The substring(t, i, 2)
+        // formulation re-seeks the UTF8 string from the front per index
+        // (O(n²) per doc); the trailing zip_with pair concats with NULL
+        // and is filtered out.
         val bigrams = docs.select(
           col("doc_id"),
           col("lang"),
-          explode(expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))")).as("bg")
+          explode(
+            expr("""filter(zip_with(split(t, ''), slice(split(t, ''), 2, size(split(t, ''))),
+                             (a, b) -> concat(a, b)),
+                           x -> x IS NOT NULL)""")
+          ).as("bg")
         )
+        // per-doc bigram counts feed BOTH the profile (re-aggregated per
+        // language) and the scoring join — the shared aggregate exchange
+        // is computed once (ReuseExchange), so the corpus-wide bigram
+        // explode runs a single pass instead of two. The explicit
+        // isNotNull matches the constraint the scoring join infers on its
+        // side; without it the two branches canonicalize differently and
+        // the exchange is NOT reused.
+        val docbg = bigrams
+          .filter(col("bg").isNotNull)
+          .groupBy("doc_id", "lang", "bg")
+          .agg(count(lit(1)).as("n"))
         val wProfile = Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("bg"))
-        val profile = bigrams
+        val profile = docbg
           .groupBy(col("lang").as("p_lang"), col("bg"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("n")).as("cnt"))
           .withColumn("rk", row_number().over(wProfile))
           .filter(col("rk") <= 40)
           .select(col("p_lang"), col("bg"), (lit(41) - col("rk")).cast("long").as("w"))
-        val scored = bigrams
-          .groupBy("doc_id", "lang", "bg")
-          .agg(count(lit(1)).as("n"))
+        val scored = docbg
           .join(broadcast(profile), Seq("bg"))
           .groupBy("doc_id", "lang", "p_lang")
           .agg(sum(col("n") * col("w")).as("score"))
@@ -185,9 +203,12 @@ object TextOps {
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
+            // split('') yields the char array in one linear pass;
+            // substring(text, i, 1) per index would re-seek the UTF8
+            // string from the front each time — O(n²) per document
             expr(
               """aggregate(
-                   transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) AS bigint)),
+                   transform(split(text, ''), c -> cast(ascii(c) AS bigint)),
                    cast(0 AS bigint),
                    (acc, c) -> pmod(acc * 31 + c, 1000000007))"""
             ).as("fp")
