@@ -62,9 +62,11 @@ object Similarity {
     // ------------------------------------------------------------------
     // E13 baseline: exact top-5 cosine neighbors for the first 10
     // vectors. BroadcastNestedLoopJoin (query side broadcast) → linear
-    // scan of candidates → per-query top-k window. No SQL oracle
-    // (float reduction order is engine-specific in DuckDB's list
-    // functions); SimilaritySpec asserts exactness on planted vectors.
+    // scan of candidates → per-query top-k window. Oracle-exact: both
+    // engines fold dot/norm sums in ascending index order (cosine_sim
+    // accumulates i=0..n; DuckDB list_reduce is a left fold), sqrt and
+    // one division are correctly-rounded IEEE ops — so the doubles are
+    // bit-identical.
     QueryDef(
       "q40_cosine_topk",
       (s, dir) => {
@@ -81,7 +83,25 @@ object Similarity {
           .select("q_id", "rank", "vec_id", "cos")
           .orderBy("q_id", "rank")
       },
-      None
+      Some("""WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x)),
+                      (a,b) -> a+b)) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q_id, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)
+                   / (qn * norm) AS cos
+          FROM n CROSS JOIN q WHERE q_id <> vec_id)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM pairs)
+        WHERE rank <= 5 ORDER BY q_id, rank""")
     ),
 
     // ------------------------------------------------------------------
