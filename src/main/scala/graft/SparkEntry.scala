@@ -19,6 +19,7 @@ object SparkEntry {
 
   private lazy val (queryMap, oracleMap) = QueryDef.toMaps(
     graft.queries.Relational.defs,
+    graft.queries.Extras.defs,
     graft.queries.Dbt.defs,
     graft.queries.TextOps.defs,
     graft.queries.Dedup.defs,

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Second relational tranche (SURVEY.md §2.3): statistical aggregates,
+  * distribution windows, positional explode, time bucketing, SQL
+  * subqueries, and selective aggregates — each oracle-checked.
+  *
+  * Determinism posture matches Relational: float-valued statistics are
+  * DERIVED from exact integer sums with the identical sequence of
+  * correctly-rounded double ops on both sides (a built-in
+  * `stddev`/`corr` merges partials in partition order — not
+  * reproducible bit-for-bit across engines; the integer-moment
+  * formulation is, and runs in the same single aggregate pass).
+  */
+object Extras {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E5: sample variance / stddev / correlation from exact integer
+    // moments (l_quantity and l_linenumber are integral-valued).
+    QueryDef(
+      "q56_stats_moments",
+      (s, dir) => {
+        val q = col("l_quantity").cast("long")
+        val y = col("l_linenumber").cast("long")
+        val agg = Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).as("s1"),
+            sum(q * q).as("s2"),
+            sum(y).as("t1"),
+            sum(y * y).as("t2"),
+            sum(q * y).as("sxy")
+          )
+        val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+        val t1 = col("t1"); val t2 = col("t2"); val sxy = col("sxy")
+        val varSamp = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+        val corr = (n * sxy - s1 * t1).cast("double") /
+          (sqrt((n * s2 - s1 * s1).cast("double")) * sqrt((n * t2 - t1 * t1).cast("double")))
+        agg
+          .select(
+            col("l_returnflag"),
+            n,
+            s1.as("sum_q"),
+            varSamp.as("var_q"),
+            sqrt(varSamp).as("std_q"),
+            corr.as("corr_q_line")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+                 CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS t1,
+                 CAST(sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS t2,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, s1 AS sum_q,
+               CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_q,
+               sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS std_q,
+               CAST(n*sxy - s1*t1 AS DOUBLE)
+                 / (sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*t2 - t1*t1 AS DOUBLE))) AS corr_q_line
+        FROM m ORDER BY l_returnflag""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E7: distribution window functions. The window orders by a UNIQUE
+    // key pair so peer groups are single rows — percent_rank/cume_dist
+    // are then exact rational values both engines compute identically.
+    QueryDef(
+      "q57_distribution_windows",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables(s, dir, "customer")
+          .filter(col("c_custkey") <= 3000)
+          .select(
+            col("c_mktsegment"),
+            col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume")
+          )
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer WHERE c_custkey <= 3000
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        ORDER BY c_mktsegment, c_custkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10/F-family: positional explode of a regex token extraction —
+    // generator with ordinality.
+    QueryDef(
+      "q58_posexplode_tokens",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 25)
+          .select(col("doc_id"), posexplode(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{7,}') AS toks,
+                     unnest(range(1, len(regexp_extract_all(text, '[a-z]{7,}')) + 1)) AS i
+              FROM documents WHERE doc_id < 25)
+        ORDER BY doc_id, pos""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E10: calendar bucketing — monthly order histogram with exact-cents
+    // totals and quarter extraction.
+    QueryDef(
+      "q59_date_trunc",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(
+            date_trunc("month", col("o_orderdate").cast("timestamp")).as("month"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")
+          )
+          .groupBy("month", "qtr")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .orderBy("month"),
+      Some("""SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+          count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY 1, 2 ORDER BY month""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3/E10 via the SQL front end: IN-subquery + correlated EXISTS —
+    // Catalyst rewrites both to semi joins; registered through temp
+    // views to exercise spark.sql end to end.
+    QueryDef(
+      "q60_subqueries",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+          FROM orders_v o
+          WHERE o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING')
+            AND EXISTS (SELECT 1 FROM lineitem_v l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+        FROM orders o
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: selective aggregates — min_by/max_by keyed by the UNIQUE
+    // custkey (deterministic), count_if, bool_or.
+    QueryDef(
+      "q61_selective_agg",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("count_if(c_acctbal < 0)").cast("long").as("n_neg"),
+            expr("bool_or(c_acctbal < 0)").as("any_neg"),
+            min_by(col("c_name"), col("c_custkey")).as("first_name"),
+            max_by(col("c_name"), col("c_custkey")).as("last_name")
+          )
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg,
+          bool_or(c_acctbal < 0) AS any_neg,
+          min_by(c_name, c_custkey) AS first_name,
+          max_by(c_name, c_custkey) AS last_name
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    )
+  )
+}

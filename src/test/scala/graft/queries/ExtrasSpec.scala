@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec, Tables}
+
+class ExtrasSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q56 integer-moment stats match Spark's built-in stddev_samp/corr") {
+    val derived = SparkEntry
+      .queries("q56_stats_moments")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("std_q"), r.getAs[Double]("corr_q_line")))
+      .toMap
+    val builtin = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        stddev_samp(col("l_quantity")).as("std"),
+        corr(col("l_quantity"), col("l_linenumber")).as("c")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("std"), r.getAs[Double]("c")))
+      .toMap
+    assert(derived.keySet == builtin.keySet)
+    derived.foreach { case (k, (std, c)) =>
+      assert(math.abs(std - builtin(k)._1) < 1e-9, s"stddev mismatch for $k")
+      assert(math.abs(c - builtin(k)._2) < 1e-9, s"corr mismatch for $k")
+    }
+  }
+
+  test("q57 distribution windows: quartiles partition evenly, pct_rank in [0,1]") {
+    val rows = SparkEntry.queries("q57_distribution_windows")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      assert(pr >= 0.0 && pr <= 1.0)
+      val cd = r.getAs[Double]("cume")
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    // ntile balance: per segment, quartile sizes differ by at most 1
+    rows.groupBy(_.getString(0)).foreach { case (_, seg) =>
+      val sizes = seg.groupBy(_.getAs[Long]("quartile")).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("q58 posexplode positions are dense per document") {
+    val rows = SparkEntry.queries("q58_posexplode_tokens")(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, doc) =>
+      val ps = doc.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(ps == (0L until ps.length.toLong))
+    }
+  }
+
+  test("q60 subqueries agree with the equivalent join formulation") {
+    val viaSql = SparkEntry
+      .queries("q60_subqueries")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val o = Tables(spark, dir, "orders")
+    val building = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val bigLines = Tables(spark, dir, "lineitem").filter(col("l_quantity") >= 45)
+    val viaJoin = o
+      .join(building, o("o_custkey") === building("c_custkey"), "left_semi")
+      .join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(viaSql == viaJoin)
+  }
+}
