@@ -81,6 +81,54 @@ object Multimodal {
       }
     }
 
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Long,
+      frame_len: Int,
+      frame_text: String
+  )
+
+  implicit private val frameEnc: Encoder[MediaFrame] = Encoders.product[MediaFrame]
+
+  /** Frame sampling: treat the payload as fixed-width frames and emit
+    * every `stride`-th one — the video-pipeline primitive (decode is
+    * stubbed: a real build hands each frame to a codec; the row-per-frame
+    * generator shape, offsets, and batching are the production plumbing).
+    * Payloads are ASCII here so the emitted frame bytes round-trip as
+    * text, which keeps the operator oracle-checkable.
+    */
+  def sampleFrames(
+      ds: Dataset[MediaRecord],
+      frameBytes: Int = 32,
+      stride: Int = 4
+  ): Dataset[MediaFrame] =
+    ds.flatMap { m =>
+      val step = frameBytes * stride
+      Iterator
+        .from(0)
+        .map(j => j * step)
+        .takeWhile(_ < m.payload.length)
+        .zipWithIndex
+        .map { case (off, j) =>
+          val end = math.min(off + frameBytes, m.payload.length)
+          val bytes = java.util.Arrays.copyOfRange(m.payload, off, end)
+          MediaFrame(m.media_id, j.toLong, end - off, new String(bytes, "UTF-8"))
+        }
+    }
+
+  /** A payload after stub "resize": decimate to ≤ `targetBytes` by
+    * stride sampling. Real builds swap the body for a scaler; schema
+    * (binary in / binary out + updated metadata) is the contract.
+    */
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int = 16): Dataset[MediaRecord] =
+    ds.map { m =>
+      val n = m.payload.length
+      val step = math.max(1, (n + targetBytes - 1) / targetBytes)
+      val out = Array.range(0, n, step).map(m.payload)
+      MediaRecord(m.media_id, m.media_type, out, out.length.toLong)
+    }
+
   /** Flat, oracle-friendly projection of the feature table. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir))
