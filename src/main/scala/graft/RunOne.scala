@@ -34,7 +34,11 @@ object RunOne {
       spark.stop()
       return
     }
+    // construction is timed too: iterative queries (BFS closure) run
+    // eager actions while BUILDING the DataFrame
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    val buildSec = (System.nanoTime() - tc) / 1e9
     mode match {
       case "show"    => df.show(20, truncate = false)
       case "count"   => println(s"rows=${df.count()}")
@@ -42,7 +46,7 @@ object RunOne {
       case "noop" =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        println(f"noop-exec ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        println(f"noop-exec ${(System.nanoTime() - t0) / 1e9}%.3f s (build $buildSec%.3f s)")
     }
     spark.stop()
   }

@@ -100,9 +100,7 @@ object DbtArtifacts {
     * dplyr::arrange places NA last, Spark's bare asc is nulls-first.
     */
   def readManifest(spark: SparkSession, path: String): DataFrame =
-    manifestFromRaw(
-      rawJson(spark, path).withColumn("source_file", input_file_name())
-    ).drop("source_file")
+    readManifestUnsorted(spark, path)
       .orderBy(
         asc_nulls_last("resource_type"), // arrange :251-257
         asc_nulls_last("database"),
@@ -110,6 +108,16 @@ object DbtArtifacts {
         asc_nulls_last("name"),
         asc_nulls_last("unique_id")
       )
+
+  /** The manifest view WITHOUT the presentation sort. Derived operators
+    * (lineage edges, closure, diff, impact) are order-insensitive, and
+    * the final ORDER BY is a RangePartitioning exchange that costs a
+    * sampling job per call — callers that immediately explode or join
+    * should start here. */
+  def readManifestUnsorted(spark: SparkSession, path: String): DataFrame =
+    manifestFromRaw(
+      rawJson(spark, path).withColumn("source_file", input_file_name())
+    ).drop("source_file")
 
   /** Fleet-scale variant: one call over a directory/glob of manifests
     * (e.g. one per project per run). Each file is still a single row

@@ -35,7 +35,12 @@ object ManifestOps {
     while (hop < maxHops && !frontier.isEmpty) {
       val next = frontier
         .as("f")
-        .join(e.as("n"), col("f.dst") === col("n.src"))
+        // the static edge side is bounded by the manifest graph (node
+        // count, not path count) — broadcast it so each hop is a
+        // map-side join of the frontier, not a shuffle; the identical
+        // broadcast subplan is reused across hops. The frontier/paths
+        // sides stay distributed (path count can exceed node count).
+        .join(broadcast(e.as("n")), col("f.dst") === col("n.src"))
         .select(col("f.src").as("src"), col("n.dst").as("dst"))
         .distinct()
         .withColumn("hops", lit(hop + 1))
@@ -54,7 +59,7 @@ object ManifestOps {
     * node through depends_on edges).
     */
   def impacted(before: DataFrame, after: DataFrame, maxHops: Int = 10): DataFrame = {
-    val changed = diff(before, after)
+    val changed = diffUnsorted(before, after)
       .filter(col("status") === "changed")
       .select(col("unique_id").as("changed_id"))
     val closure = transitiveClosure(lineageEdges(after), maxHops)
@@ -69,7 +74,13 @@ object ManifestOps {
     * unchanged. Enables incremental lineage at fleet scale — only
     * 'changed' nodes need lineage recomputation.
     */
-  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+  def diff(before: DataFrame, after: DataFrame): DataFrame =
+    diffUnsorted(before, after).orderBy("unique_id")
+
+  /** diff without the presentation sort — for consumers (impact
+    * analysis) that only filter on `status` and don't need the
+    * RangePartitioning exchange the ORDER BY costs. */
+  def diffUnsorted(before: DataFrame, after: DataFrame): DataFrame = {
     // presence markers distinguish "row absent" from "row present with
     // NULL sha/materialization" (sources and macros legitimately carry
     // NULLs there)
@@ -100,6 +111,5 @@ object ManifestOps {
         col("sha_before"),
         col("sha_after")
       )
-      .orderBy("unique_id")
   }
 }

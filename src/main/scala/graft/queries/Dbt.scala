@@ -334,7 +334,7 @@ object Dbt {
       "dbt_lineage_edges",
       (s, _) =>
         ManifestOps
-          .lineageEdges(DbtArtifacts.readManifest(s, manifestPath))
+          .lineageEdges(DbtArtifacts.readManifestUnsorted(s, manifestPath))
           .orderBy("src", "dep_type", "dst"),
       // flat output → oracle-checkable even though the input is a JSON
       // fixture: DuckDB re-derives the edges with its JSON functions
@@ -357,7 +357,7 @@ object Dbt {
       (s, _) =>
         ManifestOps
           .transitiveClosure(
-            ManifestOps.lineageEdges(DbtArtifacts.readManifest(s, manifestPath))
+            ManifestOps.lineageEdges(DbtArtifacts.readManifestUnsorted(s, manifestPath))
           )
           .orderBy("src", "dst", "hops"),
       Some(closureSql(edgesSql(manifestPath)))
@@ -366,8 +366,8 @@ object Dbt {
       "dbt_manifest_diff",
       (s, _) =>
         ManifestOps.diff(
-          DbtArtifacts.readManifest(s, manifestPath),
-          DbtArtifacts.readManifest(s, manifestV2Path)
+          DbtArtifacts.readManifestUnsorted(s, manifestPath),
+          DbtArtifacts.readManifestUnsorted(s, manifestV2Path)
         ),
       Some(diffSql(manifestPath, manifestV2Path))
     ),
@@ -375,8 +375,8 @@ object Dbt {
       "dbt_impact",
       (s, _) =>
         ManifestOps.impacted(
-          DbtArtifacts.readManifest(s, manifestPath),
-          DbtArtifacts.readManifest(s, manifestV2Path)
+          DbtArtifacts.readManifestUnsorted(s, manifestPath),
+          DbtArtifacts.readManifestUnsorted(s, manifestV2Path)
         ),
       Some(s"""WITH changed AS (
           SELECT unique_id AS changed_id FROM (${diffSql(manifestPath, manifestV2Path)})
