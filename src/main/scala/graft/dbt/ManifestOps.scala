@@ -44,7 +44,10 @@ object ManifestOps {
         .select(col("f.src").as("src"), col("n.dst").as("dst"))
         .distinct()
         .withColumn("hops", lit(hop + 1))
-      frontier = next.join(paths.select("src", "dst"), Seq("src", "dst"), "left_anti").cache()
+      // localCheckpoint (eager) both materializes the frontier and
+      // TRUNCATES its logical plan — without it every later iteration
+      // re-analyzes the whole accumulated lineage per action
+      frontier = next.join(paths.select("src", "dst"), Seq("src", "dst"), "left_anti").localCheckpoint()
       paths = paths.unionByName(frontier)
       hop += 1
     }
@@ -62,11 +65,46 @@ object ManifestOps {
     val changed = diffUnsorted(before, after)
       .filter(col("status") === "changed")
       .select(col("unique_id").as("changed_id"))
-    val closure = transitiveClosure(lineageEdges(after), maxHops)
-    closure
-      .join(changed, closure("dst") === changed("changed_id"))
+    reverseReachable(lineageEdges(after), changed, maxHops)
       .select(col("changed_id"), col("src").as("impacted_id"), col("hops"))
       .orderBy("changed_id", "impacted_id", "hops")
+  }
+
+  /** Seeded reverse reachability: every (src, changed_id, hops) where
+    * `src` reaches a seed through depends_on edges in `hops` ≥ 1 joins
+    * (min hops — BFS discovery order). Equivalent to filtering the full
+    * transitive closure on dst ∈ seeds, but explores ONLY the impact
+    * cone: at fleet scale the full closure is O(V · avg-reach) while a
+    * change set touches a small cone of it. Same broadcast-edges loop
+    * shape as `transitiveClosure`.
+    */
+  def reverseReachable(edges: DataFrame, seeds: DataFrame, maxHops: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // eager localCheckpoint: the seed set's lineage (two manifest
+    // parses + a full-outer diff) would otherwise be re-analyzed inside
+    // every iteration's plan
+    var frontier = e
+      .join(broadcast(seeds), e("dst") === seeds("changed_id"))
+      .select(col("src"), col("changed_id"))
+      .distinct()
+      .withColumn("hops", lit(1))
+      .localCheckpoint()
+    var paths = frontier
+    var hop = 1
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = e
+        .as("n")
+        .join(frontier.as("f"), col("n.dst") === col("f.src"))
+        .select(col("n.src").as("src"), col("f.changed_id").as("changed_id"))
+        .distinct()
+        .withColumn("hops", lit(hop + 1))
+      frontier = next
+        .join(paths.select("src", "changed_id"), Seq("src", "changed_id"), "left_anti")
+        .localCheckpoint()
+      paths = paths.unionByName(frontier)
+      hop += 1
+    }
+    paths
   }
 
   /** Snapshot diff of two manifest views keyed by unique_id:
