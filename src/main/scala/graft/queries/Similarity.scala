@@ -191,7 +191,15 @@ object Similarity {
           col("norm"),
           array_to_vector(col("v")).as("features")
         )
-        val model = new KMeans().setK(16).setSeed(42).setFeaturesCol("features").fit(feat)
+        // a coarse quantizer needs rough cells, not convergence: 5 Lloyd
+        // iterations (vs the default 20) — at corpus scale each
+        // iteration is a full pass over the vectors
+        val model = new KMeans()
+          .setK(16)
+          .setSeed(42)
+          .setMaxIter(5)
+          .setFeaturesCol("features")
+          .fit(feat)
         val assigned = model
           .transform(feat)
           .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
