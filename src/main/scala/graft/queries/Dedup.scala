@@ -63,7 +63,11 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= 50)
           .select("g")
-        val shr = sh.join(rare, Seq("g"))
+        // materialize the filtered shingle index ONCE (narrow doc_id+g
+        // rows): it feeds the size table and both sides of the pair
+        // self-join — without it the corpus explode re-runs per branch
+        // (8 Generate nodes in the static plan)
+        val shr = sh.join(rare, Seq("g")).cache()
         val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = shr
           .as("a")
@@ -137,12 +141,16 @@ object Dedup {
           .groupBy("doc_id")
           .agg(slotMins.head, slotMins.tail: _*)
           .select(col("doc_id"), array((0 until 32).map(i => col(s"h$i")): _*).as("sig"))
-        val bands = sig.select(
-          col("doc_id"),
-          explode(
-            expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
-          ).as("bucket")
-        )
+        val bands = sig
+          .select(
+            col("doc_id"),
+            explode(
+              expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
+            ).as("bucket")
+          )
+          // one materialization feeds the bucket-size filter and both
+          // self-join sides — the 32-aggregate signature pass runs once
+          .cache()
         val coldBuckets = bands
           .groupBy("bucket")
           .agg(count(lit(1)).as("bn"))
@@ -209,14 +217,17 @@ object Dedup {
           .groupBy("doc_id")
           .agg(voteCols.head, voteCols.tail: _*)
           .select(col("doc_id"), simhash.as("simhash"))
-        val bands = sigs.select(
-          col("doc_id"),
-          col("simhash"),
-          explode(
-            expr("""transform(sequence(0, 3), b ->
-                      struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))""")
-          ).as("bucket")
-        )
+        val bands = sigs
+          .select(
+            col("doc_id"),
+            col("simhash"),
+            explode(
+              expr("""transform(sequence(0, 3), b ->
+                        struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))""")
+            ).as("bucket")
+          )
+          // one materialization of the 64-vote signature pass
+          .cache()
         val coldBuckets = bands
           .groupBy("bucket")
           .agg(count(lit(1)).as("bn"))
