@@ -119,6 +119,31 @@ object DbtArtifacts {
       rawJson(spark, path).withColumn("source_file", input_file_name())
     ).drop("source_file")
 
+  /** Dual-input convention (SURVEY §2.1 S3 — the reference importers
+    * accept a path OR an already-parsed object, explore.R:37-41,
+    * :225-228): the overload takes any DataFrame with one JSON document
+    * per row in `value` (e.g. a Kafka payload column or a pre-read
+    * text table) and applies the same normalization.
+    */
+  def readManifest(raw: DataFrame): DataFrame = {
+    require(raw.columns.contains("value"), "expected a 'value' column holding manifest JSON")
+    manifestFromRaw(raw.withColumn("source_file", lit("")))
+      .drop("source_file")
+      .orderBy(
+        asc_nulls_last("resource_type"),
+        asc_nulls_last("database"),
+        asc_nulls_last("schema"),
+        asc_nulls_last("name"),
+        asc_nulls_last("unique_id")
+      )
+  }
+
+  /** Dual-input overload for the catalog (explore.R:37-41). */
+  def readCatalog(raw: DataFrame): DataFrame = {
+    require(raw.columns.contains("value"), "expected a 'value' column holding catalog JSON")
+    catalogFromParsed(raw.select(from_json(col("value"), catalogSchema).as("c")))
+  }
+
   /** Fleet-scale variant: one call over a directory/glob of manifests
     * (e.g. one per project per run). Each file is still a single row
     * into `from_json`, so parsing parallelizes per file across
@@ -222,10 +247,12 @@ object DbtArtifacts {
     * (:12). No final sort — the reference's `arrange()` at :31 has zero
     * keys and is a deliberate no-op we don't reproduce (SURVEY §2.1 O2).
     */
-  def readCatalog(spark: SparkSession, path: String): DataFrame = {
-    val c = rawJson(spark, path)
-      .select(from_json(col("value"), catalogSchema).as("c"))
+  def readCatalog(spark: SparkSession, path: String): DataFrame =
+    catalogFromParsed(
+      rawJson(spark, path).select(from_json(col("value"), catalogSchema).as("c"))
+    )
 
+  private def catalogFromParsed(c: DataFrame): DataFrame = {
     def section(sectionCol: Column, group: String): DataFrame =
       c.select(explode(map_entries(sectionCol)).as("e")) // absent section → NULL map → 0 rows
         .select(

@@ -182,6 +182,23 @@ class DbtArtifactsSpec extends AnyFunSuite with SparkSpec {
     assert(DbtArtifacts.artifactSections(spark, s"$dir/catalog_nodes_only.json") == Seq("nodes"))
   }
 
+  test("input dispatch: pre-parsed DataFrame overloads match the path readers") {
+    val rawM = spark.read.option("wholetext", "true").text(s"$dir/manifest.json")
+    assert(
+      DbtArtifacts.readManifest(rawM).collect().toSeq ==
+        DbtArtifacts.readManifest(spark, s"$dir/manifest.json").collect().toSeq
+    )
+    val rawC = spark.read.option("wholetext", "true").text(s"$dir/catalog.json")
+    assert(
+      DbtArtifacts.readCatalog(rawC).collect().toSeq ==
+        DbtArtifacts.readCatalog(spark, s"$dir/catalog.json").collect().toSeq
+    )
+    val bad = intercept[IllegalArgumentException] {
+      DbtArtifacts.readManifest(rawM.select(org.apache.spark.sql.functions.col("value").as("v")))
+    }
+    assert(bad.getMessage.contains("value"))
+  }
+
   test("sources.json: typed raw view + exploded results") {
     val raw = DbtArtifacts.readSourceFreshness(spark, s"$dir/sources.json").collect().head
     assert(raw.getAs[Double]("elapsed_time") == 1.5)
