@@ -168,6 +168,62 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // E10: error-safe scalar functions (ANSI try_* family) — NULL
+    // instead of failure on bad casts, division by zero, and BIGINT
+    // overflow. The oracle states the same semantics with guards.
+    QueryDef(
+      "q64_try_funcs",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"),
+            expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+            // CAST to DOUBLE on both engines: a bare 100.0 literal is
+            // DECIMAL in Spark SQL and the decimal division rounds
+            // differently from IEEE double division
+            expr("try_divide(CAST(100 AS DOUBLE), CAST(try_cast(get_json_object(props, '$.k') AS BIGINT) % 10 AS DOUBLE))")
+              .as("div_or_null"),
+            expr("try_add(9223372036854775807, try_cast(get_json_object(props, '$.k') AS BIGINT))")
+              .as("overflow_or_null")
+          )
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          TRY_CAST(event_type AS BIGINT) AS bad_cast,
+          CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0 THEN NULL
+               ELSE CAST(100 AS DOUBLE) / CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS DOUBLE) END AS div_or_null,
+          CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 0 THEN NULL
+               ELSE 9223372036854775807 + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS overflow_or_null
+        FROM events ORDER BY event_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // F-family: null-preserving generator — explode_outer keeps the
+    // parent row (with a NULL element) when the child array is empty;
+    // the oracle emulates it by unnesting a [NULL] sentinel.
+    QueryDef(
+      "q65_explode_outer",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 3").as("m")
+          )
+          .select(
+            col("event_id"),
+            explode_outer(array_remove(array(col("m")), 0)).as("elem")
+          )
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+          unnest(CASE WHEN m = 0 OR m IS NULL THEN [NULL] ELSE [m] END) AS elem
+        FROM (SELECT event_id,
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS m
+              FROM events)
+        ORDER BY event_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: selective aggregates — min_by/max_by keyed by the UNIQUE
     // custkey (deterministic), count_if, bool_or.
     QueryDef(

@@ -33,6 +33,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n"))
 
+  /** Sliding hourly windows every 15 minutes — each event lands in 4
+    * overlapping buckets; watermark bounds the open-window state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"))
+
   /** Per-user session windows with a 5-minute gap (same gap semantics as
     * the q26 batch/oracle formulation). */
   def sessionCounts(events: DataFrame): DataFrame =

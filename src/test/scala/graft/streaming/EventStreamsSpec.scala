@@ -55,6 +55,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows place one event in 4 overlapping hourly buckets") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .slidingCounts(mem.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("slide")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(ev(1, "2024-01-01T01:10:00Z", 1, "click"))
+      q.processAllAvailable()
+      val starts = spark.table("slide").collect()
+        .map(r => r.getTimestamp(0).toInstant.toString).toSet
+      // hourly window sliding by 15 min: starts 00:15..01:00 cover 01:10
+      assert(starts == Set(
+        "2024-01-01T00:15:00Z",
+        "2024-01-01T00:30:00Z",
+        "2024-01-01T00:45:00Z",
+        "2024-01-01T01:00:00Z"
+      ))
+      assert(spark.table("slide").collect().forall(_.getLong(2) == 1L))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 5-minute gap") {
     val sess = spark
     import sess.implicits._
