@@ -107,6 +107,19 @@ object ManifestOps {
     paths
   }
 
+  /** Incremental upsert — dbt's incremental-materialization primitive:
+    * rows from `updates` win on key collision, unmatched `base` rows
+    * carry over. One anti-join + union, both keyed on `key`: at fleet
+    * scale this is a co-partitioned shuffle (or a broadcast anti-join
+    * when the update batch is small — AQE decides), never a rewrite of
+    * unmatched data through a full outer join.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"),
+      allowMissingColumns = false
+    )
+
   /** Snapshot diff of two manifest views keyed by unique_id:
     * added / removed / changed (content sha256 or materialization) /
     * unchanged. Enables incremental lineage at fleet scale — only

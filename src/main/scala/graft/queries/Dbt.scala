@@ -181,6 +181,27 @@ object Dbt {
   private val manifestPath = s"$fixtureDir/manifest.json"
   private val manifestV2Path = s"$fixtureDir/manifest_v2.json"
 
+  /** Comparator-safe flat projection of the manifest view (scalars +
+    * child cardinalities). */
+  private def flatManifest(s: org.apache.spark.sql.SparkSession, path: String) =
+    DbtArtifacts
+      .readManifest(s, path)
+      .select(
+        col("unique_id"),
+        col("manifest_group"),
+        col("resource_type"),
+        col("database"),
+        col("schema"),
+        col("name"),
+        col("description"),
+        col("is_enabled"),
+        col("materialized_as"),
+        size(col("depends_on")).cast("long").as("n_depends_on"),
+        size(col("columns")).cast("long").as("n_columns"),
+        array_join(col("tags"), ",").as("tags_csv"),
+        col("sha256")
+      )
+
   val defs: Seq[QueryDef] = Seq(
     // Flattened df_manifest: every scalar output column of the reference
     // view plus cardinalities of the nested cells (the nested
@@ -188,25 +209,23 @@ object Dbt {
     // driver's comparator cannot hash array cells).
     QueryDef(
       "dbt_manifest",
-      (s, _) =>
-        DbtArtifacts
-          .readManifest(s, manifestPath)
-          .select(
-            col("unique_id"),
-            col("manifest_group"),
-            col("resource_type"),
-            col("database"),
-            col("schema"),
-            col("name"),
-            col("description"),
-            col("is_enabled"),
-            col("materialized_as"),
-            size(col("depends_on")).cast("long").as("n_depends_on"),
-            size(col("columns")).cast("long").as("n_columns"),
-            array_join(col("tags"), ",").as("tags_csv"),
-            col("sha256")
-          ),
+      (s, _) => flatManifest(s, manifestPath),
       Some(manifestFlatSql(manifestPath))
+    ),
+    // Incremental upsert of two manifest snapshots, latest wins — dbt's
+    // incremental-materialization primitive as one anti-join + union.
+    QueryDef(
+      "dbt_manifest_merge",
+      (s, _) =>
+        ManifestOps
+          .upsert(flatManifest(s, manifestPath), flatManifest(s, manifestV2Path), "unique_id")
+          .orderBy("unique_id"),
+      Some(s"""SELECT * FROM (${manifestFlatSql(manifestV2Path)})
+        UNION ALL
+        SELECT * FROM (${manifestFlatSql(manifestPath)}) a
+        WHERE NOT EXISTS (SELECT 1 FROM (${manifestFlatSql(manifestV2Path)}) b
+                          WHERE b.unique_id = a.unique_id)
+        ORDER BY unique_id""")
     ),
     // df_manifest's nested `columns` cell, exploded (F2 + N1 round-trip).
     QueryDef(

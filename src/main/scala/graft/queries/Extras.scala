@@ -224,6 +224,34 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // E14/E10: edit distance between adjacent tokens — both engines
+    // implement standard Levenshtein over exact strings.
+    QueryDef(
+      "q66_edit_distance",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(
+            col("doc_id"),
+            element_at(split(col("text"), " "), 1).as("w1"),
+            element_at(split(col("text"), " "), 2).as("w2")
+          )
+          .select(
+            col("doc_id"),
+            col("w1"),
+            col("w2"),
+            levenshtein(col("w1"), col("w2")).cast("long").as("dist")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+        FROM (SELECT doc_id,
+                     string_split(text, ' ')[1] AS w1,
+                     string_split(text, ' ')[2] AS w2
+              FROM documents WHERE doc_id < 200)
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: selective aggregates — min_by/max_by keyed by the UNIQUE
     // custkey (deterministic), count_if, bool_or.
     QueryDef(

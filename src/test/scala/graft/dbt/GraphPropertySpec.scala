@@ -68,6 +68,19 @@ class GraphPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("upsert: update rows win on key collision, unmatched base rows carry over") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val upd = Seq(("b", 20), ("d", 40)).toDF("k", "v")
+    val got = ManifestOps
+      .upsert(base, upd, "k")
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    assert(got == Map("a" -> 1, "b" -> 20, "c" -> 3, "d" -> 40))
+  }
+
   test("reverseReachable equals closure filtered to seeds") {
     val samples =
       (6 to 9).flatMap(i => genDag(8).apply(Gen.Parameters.default, Seed(i.toLong)))
