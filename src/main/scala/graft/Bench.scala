@@ -32,8 +32,11 @@ object Bench {
               Left(e.getClass.getSimpleName)
           }
         // iterative queries (transitive closure) cache intermediates;
-        // drop them so later timings aren't skewed by leaked blocks
+        // drop them so later timings aren't skewed by leaked blocks.
+        // clearCache only covers the SQL cache — localCheckpoint blocks
+        // live as persisted RDDs and need the RDD-level unpersist.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> r
       }
     val qs = results

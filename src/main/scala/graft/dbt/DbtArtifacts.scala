@@ -94,20 +94,21 @@ object DbtArtifacts {
   private val emptyColumns: Column = array().cast(manifestColumnsOutType)
   private def nullStr: Column = lit(null).cast("string")
 
+  /** The reference's presentation order (arrange, explore.R:251-257):
+    * dplyr places NA last; Spark's bare asc is nulls-first. Optionally
+    * prefixed by extra keys (source_file for the fleet glob variant). */
+  private def presentationSort(df: DataFrame, prefix: String*): DataFrame =
+    df.orderBy(
+      (prefix ++ Seq("resource_type", "database", "schema", "name", "unique_id"))
+        .map(asc_nulls_last): _*
+    )
+
   /** `import_manifest_json` (explore.R:223-259): nodes ∪ sources ∪
-    * macros as one table with the SURVEY §1.5 schema, sorted by
-    * (resource_type, database, schema, name, unique_id) NULLS LAST —
-    * dplyr::arrange places NA last, Spark's bare asc is nulls-first.
+    * macros as one table with the SURVEY §1.5 schema, in the reference's
+    * presentation order.
     */
   def readManifest(spark: SparkSession, path: String): DataFrame =
-    readManifestUnsorted(spark, path)
-      .orderBy(
-        asc_nulls_last("resource_type"), // arrange :251-257
-        asc_nulls_last("database"),
-        asc_nulls_last("schema"),
-        asc_nulls_last("name"),
-        asc_nulls_last("unique_id")
-      )
+    presentationSort(readManifestUnsorted(spark, path))
 
   /** The manifest view WITHOUT the presentation sort. Derived operators
     * (lineage edges, closure, diff, impact) are order-insensitive, and
@@ -127,15 +128,7 @@ object DbtArtifacts {
     */
   def readManifest(raw: DataFrame): DataFrame = {
     require(raw.columns.contains("value"), "expected a 'value' column holding manifest JSON")
-    manifestFromRaw(raw.withColumn("source_file", lit("")))
-      .drop("source_file")
-      .orderBy(
-        asc_nulls_last("resource_type"),
-        asc_nulls_last("database"),
-        asc_nulls_last("schema"),
-        asc_nulls_last("name"),
-        asc_nulls_last("unique_id")
-      )
+    presentationSort(manifestFromRaw(raw.withColumn("source_file", lit(""))).drop("source_file"))
   }
 
   /** Dual-input overload for the catalog (explore.R:37-41). */
@@ -156,14 +149,8 @@ object DbtArtifacts {
         .option("wholetext", "true")
         .text(glob)
         .withColumn("source_file", input_file_name())
-    ).orderBy(
-      asc_nulls_last("source_file"),
-      asc_nulls_last("resource_type"),
-      asc_nulls_last("database"),
-      asc_nulls_last("schema"),
-      asc_nulls_last("name"),
-      asc_nulls_last("unique_id")
-    )
+)
+      .transform(presentationSort(_, "source_file"))
 
   private def manifestFromRaw(raw: DataFrame): DataFrame = {
     val m = raw.select(from_json(col("value"), manifestSchema).as("m"), col("source_file"))

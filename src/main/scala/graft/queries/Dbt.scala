@@ -121,19 +121,16 @@ object Dbt {
   /** (unique_id, sha256, materialized_as) per manifest entity — the diff
     * key columns (ManifestOps.diff). */
   private def manifestShaSql(path: String): String =
-    s"""SELECT ${str("nodes", "unique_id")} AS unique_id,
+    s"""WITH ${keyCtes(path, Seq("nodes", "sources", "macros"))}
+       SELECT ${str("nodes", "unique_id")} AS unique_id,
              $nodeSha AS sha,
              ${str("nodes", "config.materialized")} AS mat
-       FROM (SELECT unnest(json_keys(content, '$$.nodes')) AS key, content
-             FROM read_text('$path'))
+       FROM nodes_k
        UNION ALL
-       SELECT ${str("sources", "unique_id")}, NULL, NULL
-       FROM (SELECT unnest(json_keys(content, '$$.sources')) AS key, content
-             FROM read_text('$path'))
+       SELECT ${str("sources", "unique_id")}, NULL, NULL FROM sources_k
        UNION ALL
        SELECT ${str("macros", "unique_id")}, sha256(${str("macros", "macro_sql")}), NULL
-       FROM (SELECT unnest(json_keys(content, '$$.macros')) AS key, content
-             FROM read_text('$path'))"""
+       FROM macros_k"""
 
   /** depends_on fan-out as (src, dst) pairs of one section+type. */
   private def edgeBranchSql(sec: String, depType: String): String =
@@ -183,9 +180,11 @@ object Dbt {
 
   /** Comparator-safe flat projection of the manifest view (scalars +
     * child cardinalities). */
+  // starts from the UNSORTED view: consumers either re-sort on their own
+  // key (merge) or feed the driver comparator, which sorts before hashing
   private def flatManifest(s: org.apache.spark.sql.SparkSession, path: String) =
     DbtArtifacts
-      .readManifest(s, path)
+      .readManifestUnsorted(s, path)
       .select(
         col("unique_id"),
         col("manifest_group"),
@@ -232,7 +231,7 @@ object Dbt {
       "dbt_manifest_columns",
       (s, _) =>
         DbtArtifacts
-          .readManifest(s, manifestPath)
+          .readManifestUnsorted(s, manifestPath)
           .select(col("unique_id"), col("manifest_group"), explode(col("columns")).as("c"))
           .select(
             col("unique_id"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -36,16 +37,21 @@ object Extras {
             sum(y * y).as("t2"),
             sum(q * y).as("sxy")
           )
-        val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
-        val t1 = col("t1"); val t2 = col("t2"); val sxy = col("sxy")
+        // moment products in DECIMAL(38,0): n*s2 overflows BIGINT once a
+        // group holds ~1.5e9 rows (n*s2 ≈ 5e21 at the 1 TB point) —
+        // 128-bit intermediates keep the integers exact at any SF; the
+        // oracle mirrors with HUGEINT. Cast to double only at the end.
+        def d(c: Column) = c.cast("decimal(38,0)")
+        val n = d(col("n")); val s1 = d(col("s1")); val s2 = d(col("s2"))
+        val t1 = d(col("t1")); val t2 = d(col("t2")); val sxy = d(col("sxy"))
         val varSamp = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
         val corr = (n * sxy - s1 * t1).cast("double") /
           (sqrt((n * s2 - s1 * s1).cast("double")) * sqrt((n * t2 - t1 * t1).cast("double")))
         agg
           .select(
             col("l_returnflag"),
-            n,
-            s1.as("sum_q"),
+            col("n"),
+            col("s1").as("sum_q"),
             varSamp.as("var_q"),
             sqrt(varSamp).as("std_q"),
             corr.as("corr_q_line")
@@ -60,13 +66,18 @@ object Extras {
                  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS t1,
                  CAST(sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS t2,
                  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
-          FROM lineitem GROUP BY l_returnflag)
+          FROM lineitem GROUP BY l_returnflag),
+        h AS (SELECT l_returnflag, n, s1,
+                     CAST(n AS HUGEINT) AS nh, CAST(s1 AS HUGEINT) AS s1h,
+                     CAST(s2 AS HUGEINT) AS s2h, CAST(t1 AS HUGEINT) AS t1h,
+                     CAST(t2 AS HUGEINT) AS t2h, CAST(sxy AS HUGEINT) AS sxyh
+              FROM m)
         SELECT l_returnflag, n, s1 AS sum_q,
-               CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_q,
-               sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS std_q,
-               CAST(n*sxy - s1*t1 AS DOUBLE)
-                 / (sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*t2 - t1*t1 AS DOUBLE))) AS corr_q_line
-        FROM m ORDER BY l_returnflag""")
+               CAST(nh*s2h - s1h*s1h AS DOUBLE) / CAST(nh*(nh-1) AS DOUBLE) AS var_q,
+               sqrt(CAST(nh*s2h - s1h*s1h AS DOUBLE) / CAST(nh*(nh-1) AS DOUBLE)) AS std_q,
+               CAST(nh*sxyh - s1h*t1h AS DOUBLE)
+                 / (sqrt(CAST(nh*s2h - s1h*s1h AS DOUBLE)) * sqrt(CAST(nh*t2h - t1h*t1h AS DOUBLE))) AS corr_q_line
+        FROM h ORDER BY l_returnflag""")
     ),
 
     // ------------------------------------------------------------------
