@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Scale-posture lint over EVERY registered query's physical plan: the
+  * shapes that kill a 100 TB run must not appear. A CartesianProduct is
+  * never acceptable; BroadcastNestedLoopJoin only where the broadcast
+  * side is a bounded query/model table by construction (exact top-k
+  * scoring against ≤10 query vectors, a 1-row corpus-size scalar, a
+  * 16-row centroid table).
+  */
+class PlanLintSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * the build side is constant-bounded, not data-scaled. */
+  private val bnljAllowed = Set(
+    "q40_cosine_topk", // ≤10 broadcast query vectors scored in one scan
+    "q38_tfidf_terms", // 1-row broadcast n_docs scalar
+    "q46_ann_ivf", // 16-row broadcast centroid table
+    "q21_range_join" // 5-row literal band table, non-equi by design
+  )
+
+  test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || bnlj)
+        Some(s"$name: ${if (cart) "CartesianProduct " else ""}${if (bnlj) "BroadcastNestedLoopJoin" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
+  }
+}
