@@ -211,6 +211,32 @@ object Dbt {
       (s, _) => flatManifest(s, manifestPath),
       Some(manifestFlatSql(manifestPath))
     ),
+    // Fleet-scale multi-file ingestion: ONE call over a glob of
+    // manifests; each file parses as a single row in parallel and the
+    // output carries source_file provenance.
+    QueryDef(
+      "dbt_manifest_all",
+      (s, _) =>
+        DbtArtifacts
+          .readManifestAll(s, s"$fixtureDir/manifest*.json")
+          .select(
+            // input_file_name is a file:// URI; the oracle's read_text
+            // filename is a plain path
+            regexp_replace(col("source_file"), "^file://", "").as("source_file"),
+            col("unique_id"),
+            col("manifest_group"),
+            col("resource_type"),
+            col("name"),
+            col("sha256")
+          ),
+      Some(s"""SELECT '$fixtureDir/manifest.json' AS source_file,
+               unique_id, manifest_group, resource_type, name, sha256
+        FROM (${manifestFlatSql(s"$fixtureDir/manifest.json")})
+        UNION ALL
+        SELECT '$fixtureDir/manifest_v2.json',
+               unique_id, manifest_group, resource_type, name, sha256
+        FROM (${manifestFlatSql(s"$fixtureDir/manifest_v2.json")})""")
+    ),
     // Incremental upsert of two manifest snapshots, latest wins — dbt's
     // incremental-materialization primitive as one anti-join + union.
     QueryDef(
