@@ -32,6 +32,7 @@ object GraftSession {
       // engine-native SQL functions (custom Catalyst expressions with
       // codegen) — see graft.functions
       .withExtensions(graft.functions.CosineSim.install)
+      .withExtensions(graft.functions.RollingHash.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

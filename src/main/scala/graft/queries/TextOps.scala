@@ -202,15 +202,11 @@ object TextOps {
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
-            // split('') yields the char array in one linear pass;
-            // substring(text, i, 1) per index would re-seek the UTF8
-            // string from the front each time — O(n²) per document
-            expr(
-              """aggregate(
-                   transform(split(text, ''), c -> cast(ascii(c) AS bigint)),
-                   cast(0 AS bigint),
-                   (acc, c) -> pmod(acc * 31 + c, 1000000007))"""
-            ).as("fp")
+            // engine-native fused loop (graft.functions.RollingHash) —
+            // bit-identical to the HOF formulation
+            // aggregate(transform(split(text,''), ascii), 0, pmod(acc*31+c))
+            // without its two per-row array materializations
+            expr("rolling_hash(text)").as("fp")
           )
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
