@@ -169,26 +169,34 @@ object TextOps {
 
     // ------------------------------------------------------------------
     // E14: content fingerprint — polynomial rolling hash over the token
-    // stream (order-sensitive, unlike a token-set hash). xxhash64 per
-    // token keeps it content-stable; the fold is a single codegen'd
-    // `aggregate` higher-order call. No oracle (hash is engine-defined);
-    // determinism asserted in TextOpsSpec.
+    // stream (order-sensitive, unlike a token-set hash). Per-token hash
+    // is the native `rolling_hash` expression; the outer fold is one
+    // codegen'd `aggregate` call. Every intermediate stays below 2^63
+    // (mod 1e9+7), and the whole computation is engine-agnostic, so the
+    // oracle reproduces it with nested list_reduce folds.
     QueryDef(
       "q34_fingerprint",
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
-            // modular polynomial hash (mod 1e9+7): keeps every
-            // intermediate below 2^63 so ANSI overflow checking never
-            // trips, while staying order-sensitive and deterministic
             expr(
               """aggregate(split(text, ' '), cast(0 as bigint),
-                 (acc, x) -> pmod(acc * 1000003 + pmod(xxhash64(x), 1000000007), 1000000007))"""
+                 (acc, x) -> pmod(acc * 1000003 + rolling_hash(x), 1000000007))"""
             ).as("fp")
           )
           .orderBy("doc_id"),
-      None
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              t -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(t)+1),
+                         i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                     (a, b) -> (a*31 + b) % 1000000007))),
+          (a, b) -> (a*1000003 + b) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")
     ),
 
     // ------------------------------------------------------------------
