@@ -37,6 +37,13 @@ object Bench {
         // live as persisted RDDs and need the RDD-level unpersist.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // ContextCleaner reclaims shuffle files / broadcasts only after
+        // the JVM GCs their driver handles; without an explicit GC the
+        // run accumulates dead shuffle data on disk, evicts the page
+        // cache, and later queries absorb the re-read cost (r3 recorded
+        // 57s for a query that runs in 2.6s standalone). GC cost is
+        // <100ms per query, well below the noise floor.
+        System.gc()
         name -> r
       }
     val qs = results

@@ -39,6 +39,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle files and broadcast blocks are reclaimed by the
+      // ContextCleaner only when the JVM garbage-collects their driver
+      // handles; the default periodic-GC interval (30min) lets tens of
+      // GB of dead shuffle data pile up across a long multi-query run,
+      // evicting the page cache and slowing later queries. One minute
+      // keeps a long-lived session's disk footprint bounded.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // ~80 registered queries generate well over the default 100 cached
+      // codegen classes; evictions force Janino recompiles mid-run.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // events.ts is physically INT64 TIMESTAMP(NANOS), which Spark's
       // parquet reader rejects by default. Engine-wide we surface it as a
       // long and truncate to micros in Tables.events — the same coercion

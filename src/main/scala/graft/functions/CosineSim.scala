@@ -61,16 +61,29 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, nx = 0.0, ny = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double xi = $a.getDouble(i);
-        |  double yi = $b.getDouble(i);
-        |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+      (a, b) => {
+        // freshName on every local: fixed names collide (Janino
+        // "Redefinition of local variable") when the expression appears
+        // more than once in one codegen context, silently falling back
+        // to interpreted eval.
+        val n   = ctx.freshName("n")
+        val i   = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val nx  = ctx.freshName("nx")
+        val ny  = ctx.freshName("ny")
+        val xi  = ctx.freshName("xi")
+        val yi  = ctx.freshName("yi")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = $a.getDouble($i);
+        |  double $yi = $b.getDouble($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         |}
-        |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
-      """.stripMargin
+        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        """.stripMargin
+      }
     )
 
   override protected def withNewChildrenInternal(

@@ -23,6 +23,32 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     paired.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("two occurrences in one projection stay in codegen (no Janino redefinition)") {
+    // Regression: fixed local names in doGenCode collided when the
+    // expression appeared twice in one codegen context, silently falling
+    // back to interpreted eval. Disable the fallback so a compile error
+    // fails the test instead of hiding.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory  = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val rows = spark
+        .sql("""SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 1.0d)) AS c1,
+                       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c2
+                FROM range(3)""")
+        .collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - 0.8) < 1e-15)
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("null inputs propagate, identical vectors give 1.0") {
     val one = spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").collect().head
     assert(math.abs(one.getDouble(0) - 1.0) < 1e-15)
