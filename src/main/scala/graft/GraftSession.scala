@@ -33,6 +33,7 @@ object GraftSession {
       // codegen) — see graft.functions
       .withExtensions(graft.functions.CosineSim.install)
       .withExtensions(graft.functions.RollingHash.install)
+      .withExtensions(graft.functions.BloomSketch.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

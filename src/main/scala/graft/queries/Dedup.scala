@@ -35,6 +35,76 @@ object Dedup {
       )
       .distinct()
 
+  /** Distinct word-5-gram shingles (contamination screening granularity). */
+  private def shingle5Rows(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(1, size(ws)-4), i -> concat_ws(' ', slice(ws, i, 5)))")
+        ).as("g")
+      )
+      .distinct()
+
+  /** The q35 near-dup pair graph (exact Jaccard ≥ threshold over rare
+    * 3-gram shingle sets) — shared by the pair query and the cluster
+    * query so both stay oracle-reproducible from the same definition.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String, minJaccard: Double): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val rare = sh
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+      .select("g")
+    val shr = sh.join(rare, Seq("g")).cache()
+    val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shr
+      .as("a")
+      .join(shr.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(
+        col("d1"),
+        col("d2"),
+        (col("shared").cast("double") / (col("s1.n") + col("s2.n") - col("shared")))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The q35 pair CTE chain as DuckDB SQL — prefix for oracles that
+    * consume the pair graph. */
+  private val pairSql = """tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), sh AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM tok)
+        ), rare AS (
+          SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
+          WHERE df >= 2 AND df <= 50
+        ), shr AS (
+          SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
+        ), rawpairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT d1, d2
+          FROM rawpairs
+          JOIN sz s1 ON s1.doc_id = d1
+          JOIN sz s2 ON s2.doc_id = d2
+          WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.5
+        )"""
+
   /** Per-doc distinct shingle SET as an array column (for verification
     * joins). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
@@ -56,36 +126,11 @@ object Dedup {
     // shingle sets, so the DuckDB oracle reproduces it exactly.
     QueryDef(
       "q35_ngram_jaccard",
-      (s, dir) => {
-        val sh = shingleRows(s, dir)
-        val rare = sh
-          .groupBy("g")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 50)
-          .select("g")
-        // materialize the filtered shingle index ONCE (narrow doc_id+g
-        // rows): it feeds the size table and both sides of the pair
-        // self-join — without it the corpus explode re-runs per branch
-        // (8 Generate nodes in the static plan)
-        val shr = sh.join(rare, Seq("g")).cache()
-        val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = shr
-          .as("a")
-          .join(shr.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        pairs
-          .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-          .select(
-            col("d1"),
-            col("d2"),
-            (col("shared").cast("double") / (col("s1.n") + col("s2.n") - col("shared")))
-              .as("jaccard")
-          )
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("d1", "d2")
-      },
+      // jaccardPairs materializes the filtered shingle index ONCE
+      // (narrow doc_id+g rows): it feeds the size table and both sides
+      // of the pair self-join — without it the corpus explode re-runs
+      // per branch (8 Generate nodes in the static plan)
+      (s, dir) => jaccardPairs(s, dir, 0.5).orderBy("d1", "d2"),
       Some("""WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
           WHERE len(string_split(text, ' ')) >= 3
@@ -250,6 +295,94 @@ object Dedup {
           .orderBy("d1", "d2")
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E12 (clustering step): near-dup pairs → duplicate CLUSTERS via
+    // connected components (min-label propagation, graft.operators
+    // .ConnectedComponents), plus canonical selection — the actual
+    // output a dedup pipeline keeps: one representative per cluster.
+    // cluster_id = smallest doc_id in the component, is_canonical marks
+    // the doc a 100 TB pipeline would retain. Oracle: DuckDB recursive
+    // CTE computing min reachable id over the same pair graph.
+    QueryDef(
+      "q67_dedup_clusters",
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir, 0.5)
+        graft.operators.ConnectedComponents
+          .label(pairs, "d1", "d2")
+          .select(
+            col("id").as("doc_id"),
+            col("label").as("cluster_id"),
+            (col("id") === col("label")).as("is_canonical")
+          )
+          .orderBy("cluster_id", "doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairSql, edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL
+          SELECT d2 AS a, d1 AS b FROM pairs
+        ), reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id,
+               (id = min(r)) AS is_canonical
+        FROM reach GROUP BY id
+        ORDER BY cluster_id, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Decontamination screen (training-data pipeline): which training
+    // docs share a 5-gram with the held-out eval set (doc_id % 20 = 0)?
+    // Candidate pairs come from an equi-join on the shared gram — never
+    // all-pairs; grams held by > 100 docs are dropped first (boilerplate
+    // n-grams, the standard decontamination rule, and exactly the hot
+    // join keys that blow up group sizes at scale).
+    QueryDef(
+      "q68_contamination",
+      (s, dir) => {
+        val g5 = shingle5Rows(s, dir)
+        val keep = g5
+          .groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100)
+          .select("g")
+        val g5r = g5.join(keep, Seq("g")).cache()
+        val evalSide = g5r
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("g"), col("doc_id").as("eval_id"))
+        g5r
+          .filter(col("doc_id") % 20 =!= 0)
+          .join(evalSide, Seq("g"))
+          .groupBy("doc_id")
+          .agg(
+            countDistinct(col("g")).as("shared_grams"),
+            countDistinct(col("eval_id")).as("eval_docs")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok5 AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 5
+        ), g5 AS (
+          SELECT DISTINCT doc_id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-3)) AS i FROM tok5)
+        ), keep AS (
+          SELECT g FROM (SELECT g, count(*) AS df FROM g5 GROUP BY g) WHERE df <= 100
+        ), g5r AS (
+          SELECT g5.doc_id, g5.g FROM g5 JOIN keep USING (g)
+        )
+        SELECT t.doc_id,
+               count(DISTINCT t.g) AS shared_grams,
+               count(DISTINCT e.doc_id) AS eval_docs
+        FROM g5r t
+        JOIN g5r e ON t.g = e.g
+        WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id""")
     )
   )
 }

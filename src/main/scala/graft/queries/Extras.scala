@@ -292,6 +292,215 @@ object Extras {
           min_by(c_name, c_custkey) AS first_name,
           max_by(c_name, c_custkey) AS last_name
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: exact interpolated quartiles. `percentile` (exact, linear
+    // interpolation) — l_quantity is integral-valued so quarter-point
+    // interpolations are dyadic rationals, exactly representable; the
+    // oracle's quantile_cont uses the same definition bit-for-bit.
+    // 100 TB note: exact percentile shuffles per group; the sketch path
+    // (approx_percentile / t-digest) is the scale alternative and is
+    // covered by q27's HLL analogue — here the group count is tiny and
+    // exactness buys an oracle.
+    QueryDef(
+      "q71_quartiles",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+          .select(
+            col("l_returnflag"),
+            element_at(col("qs"), 1).as("q1"),
+            element_at(col("qs"), 2).as("q2"),
+            element_at(col("qs"), 3).as("q3")
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.25) AS q1,
+          quantile_cont(l_quantity, 0.50) AS q2,
+          quantile_cont(l_quantity, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3 (SQL front end): LATERAL correlated subquery — top-3 customers
+    // by balance per nation, the "for each row, run this dependent
+    // query" shape. Catalyst decorrelates it into a ranked window join
+    // (DomainJoin → Window rank ≤ 3), so execution is one shuffle, not
+    // per-row subquery invocations.
+    QueryDef(
+      "q72_lateral_topk",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation_l")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_l")
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+          FROM nation_l n,
+          LATERAL (
+            SELECT c_name, c_acctbal FROM customer_l c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+          ) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+      },
+      Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3 at scale: bloom-filter runtime pre-filter, stated explicitly
+    // in the same shape Catalyst's InjectRuntimeFilter produces: a
+    // scalar-subquery bloom_filter_agg over the join keys of the
+    // FILTERED fact side, applied with might_contain to the dimension
+    // BEFORE the exact join (graft.functions.BloomSketch exposes the
+    // internal sketch expressions as SQL functions; might_contain
+    // itself requires the scalar-subquery/constant shape — the sketch
+    // is one row, never a shuffled side). On a cluster this cuts the
+    // shuffled dimension volume by the bloom's true-negative rate;
+    // false positives are removed by the exact semi-join after, so the
+    // final result is EXACTLY the plain semi-join (which is the oracle).
+    QueryDef(
+      "q73_bloom_prefilter",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_bf")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_bf")
+        s.sql("""SELECT c_custkey, c_name, c_mktsegment
+          FROM customer_bf
+          WHERE might_contain(
+                  (SELECT bloom_filter_agg(xxhash64(o_custkey), 50000L, 400000L)
+                   FROM orders_bf WHERE o_totalprice > 400000.0),
+                  xxhash64(c_custkey))
+            AND EXISTS (SELECT 1 FROM orders_bf
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: mergeable distinct-count sketches (Apache DataSketches HLL,
+    // Spark 4 hll_sketch_agg/hll_union_agg). THE 100 TB pattern for
+    // distinct users per slice: per-partition sketches merge
+    // associatively (map-side partial agg), and pre-aggregated slice
+    // sketches re-merge to any rollup without touching raw data —
+    // hll_union_agg over the per-type sketches reproduces the global
+    // count. No oracle (the sketch binary layout is engine-specific);
+    // ExtrasSpec pins estimates against exact distinct counts.
+    QueryDef(
+      "q74_hll_sketch",
+      (s, dir) => {
+        val perType = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"), count(lit(1)).as("n_events"))
+        perType
+          .select(
+            col("event_type"),
+            col("n_events"),
+            expr("hll_sketch_estimate(sk)").cast("long").as("approx_users")
+          )
+          .unionByName(
+            perType
+              .agg(expr("hll_sketch_estimate(hll_union_agg(sk)) ")
+                     .cast("long").as("approx_users"),
+                   sum("n_events").as("n_events"))
+              .select(lit("_all").as("event_type"), col("n_events"), col("approx_users"))
+          )
+          .orderBy("event_type")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // Date-spine gap fill: generate the full day spine between the
+    // corpus min/max order date and left-join daily counts, filling
+    // silent days with 0 — the canonical time-series densification
+    // before windowed trend features. The spine explodes from ONE
+    // aggregate row (sequence() of days), so at any scale it is
+    // |days| rows, never |orders|.
+    QueryDef(
+      "q75_date_spine",
+      (s, dir) => {
+        val daily = Tables(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("volume"))
+        val spine = Tables(s, dir, "orders")
+          .agg(to_date(min("o_orderdate")).as("d0"), to_date(max("o_orderdate")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        spine
+          .join(daily, Seq("day"), "left")
+          .select(
+            col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(round(col("volume"), 2), lit(0.0)).as("volume")
+          )
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+                 sum(o_totalprice) AS volume
+          FROM orders GROUP BY 1
+        ), bounds AS (
+          SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                 CAST(max(o_orderdate) AS DATE) AS d1 FROM orders
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        )
+        SELECT spine.day AS day, COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(round(volume, 2), 0.0) AS volume
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+        ORDER BY spine.day""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Stratified sampling (training-data pipeline): per-language
+    // fractions with a fixed seed — downsample the over-represented
+    // language, keep the rest. sampleBy is a per-row Bernoulli draw
+    // seeded per partition: fully distributed, no shuffle, and
+    // deterministic for a fixed input layout + seed (rows-only check;
+    // ExtrasSpec pins determinism and per-stratum bounds).
+    QueryDef(
+      "q76_stratified_sample",
+      (s, dir) => {
+        val fracs = Map("en" -> 0.3, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8, "zh" -> 0.8)
+        Tables(s, dir, "documents")
+          .stat
+          .sampleBy("lang", fracs, 42L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: fixed-bound histogram via width_bucket — n_chars binned into
+    // 10 equal buckets over [0, 2000) plus the overflow bucket. The
+    // oracle restates width_bucket's in-range arithmetic
+    // (floor(x/width)+1, clamped) — exact because n_chars is integral.
+    QueryDef(
+      "q77_histogram",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(expr("width_bucket(n_chars, 0, 2000, 10)").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN n_chars >= 2000 THEN 11
+                          WHEN n_chars < 0 THEN 0
+                          ELSE CAST(floor(n_chars / 200) AS BIGINT) + 1 END AS bucket,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY bucket""")
     )
   )
 }

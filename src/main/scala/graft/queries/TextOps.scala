@@ -294,6 +294,123 @@ object TextOps {
               FROM (SELECT string_split(text, ' ') AS ws FROM documents
                     WHERE len(string_split(text, ' ')) >= 2))
         GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Quality-filter FUNNEL (training-data pipeline): the per-stage
+    // retention report every corpus-cleaning run produces. Stages
+    // compose as a cascade — each count is over rows surviving all
+    // previous stages, computed in ONE pass via conditional aggregation
+    // (sum of stage predicates), not four scans: at 100 TB the corpus
+    // is read once and the funnel falls out of a single map-side
+    // aggregate.
+    QueryDef(
+      "q69_filter_funnel",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val stopRatio = size(filter(ws, t => t.isin("the", "a", "of", "and", "to")))
+          .cast("double") / size(ws)
+        val p1 = size(ws).between(20, 400)
+        val p2 = p1 && col("lang").isin("en", "de", "fr", "es")
+        val p3 = p2 && stopRatio < 0.3
+        val agg = Tables(s, dir, "documents")
+          .agg(
+            count(lit(1)).as("c0"),
+            sum(when(p1, 1L).otherwise(0L)).as("c1"),
+            sum(when(p2, 1L).otherwise(0L)).as("c2"),
+            sum(when(p3, 1L).otherwise(0L)).as("c3")
+          )
+        val stages = Seq(
+          ("0_total", "c0"), ("1_length", "c1"), ("2_lang", "c2"), ("3_stopword", "c3")
+        )
+        stages
+          .map { case (nm, c) => agg.select(lit(nm).as("stage"), col(c).as("kept")) }
+          .reduce(_.unionByName(_))
+          .orderBy("stage")
+      },
+      Some("""WITH d AS (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents
+        ), agg AS (
+          SELECT count(*) AS c0,
+                 sum(CASE WHEN n_tok BETWEEN 20 AND 400 THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN n_tok BETWEEN 20 AND 400
+                           AND lang IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END) AS c2,
+                 sum(CASE WHEN n_tok BETWEEN 20 AND 400
+                           AND lang IN ('en', 'de', 'fr', 'es')
+                           AND stop_ratio < 0.3 THEN 1 ELSE 0 END) AS c3
+          FROM d
+        )
+        SELECT stage, kept FROM (
+          SELECT '0_total' AS stage, CAST(c0 AS BIGINT) AS kept FROM agg
+          UNION ALL SELECT '1_length', CAST(c1 AS BIGINT) FROM agg
+          UNION ALL SELECT '2_lang', CAST(c2 AS BIGINT) FROM agg
+          UNION ALL SELECT '3_stopword', CAST(c3 AS BIGINT) FROM agg
+        ) ORDER BY stage""")
+    ),
+
+    // ------------------------------------------------------------------
+    // PII redaction (training-data pipeline). The synthetic corpus holds
+    // no PII, so both engines first derive the same contact-bearing text
+    // (append a deterministic email + phone per doc), then redact by
+    // regex — the patterns are the real thing: emails and NNN-NNNN
+    // phones, restricted to constructs Java regex and RE2 share.
+    // Redaction count comes from regexp_count on the SAME pattern, so
+    // the oracle checks both the rewrite and the match census.
+    QueryDef(
+      "q70_pii_redact",
+      (s, dir) => {
+        val contact = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.org or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+        )
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), contact.as("raw"))
+          .select(
+            col("doc_id"),
+            (regexp_count(col("raw"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.-]+")) +
+              regexp_count(col("raw"), lit("[0-9]{3}-[0-9]{4}"))).cast("long").as("n_pii"),
+            regexp_replace(
+              regexp_replace(col("raw"), "[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "[0-9]{3}-[0-9]{4}",
+              "<PHONE>"
+            ).as("clean")
+          )
+          .select(
+            col("doc_id"),
+            col("n_pii"),
+            length(col("clean")).cast("long").as("clean_len"),
+            substring(col("clean"), -30, 30).as("clean_tail")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.org or 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) +
+                    len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
+               CAST(len(regexp_replace(regexp_replace(raw,
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS clean_len,
+               CASE WHEN len(regexp_replace(regexp_replace(raw,
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) >= 30
+                    THEN right(regexp_replace(regexp_replace(raw,
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 30)
+                    ELSE regexp_replace(regexp_replace(raw,
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') END AS clean_tail
+        FROM raw ORDER BY doc_id""")
     )
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+import scala.collection.mutable
+import scala.util.Random
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sess = spark
+    import sess.implicits._
+    ConnectedComponents
+      .label(pairs.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Driver-side union-find reference. */
+  private def reference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain, clique, and isolated pair label to the component minimum") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> min 1
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique -> min 10
+      (20L, 21L) // pair -> min 20
+    )
+    val labels = cc(pairs)
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L
+    ))
+  }
+
+  test("agrees with a union-find reference on a seeded random graph") {
+    val rnd = new Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(pairs) == reference(pairs))
+  }
+
+  test("long path converges within the iteration budget") {
+    // a 30-node path has diameter 29 > default maxIter, so pass a
+    // larger budget; every node must still reach label 0
+    val path = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels = ConnectedComponents
+      .label({ val sess = spark; import sess.implicits._; path.toDF("a", "b") }, "a", "b", maxIter = 40)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels.values.toSet == Set(0L))
+  }
+}

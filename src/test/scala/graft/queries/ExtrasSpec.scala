@@ -75,4 +75,62 @@ class ExtrasSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(viaSql == viaJoin)
   }
+
+  test("q74 HLL sketch estimates track exact distinct counts") {
+    val est = SparkEntry
+      .queries("q74_hll_sketch")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users"))
+      .toMap
+    val exactPer = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val exactAll = Tables(spark, dir, "events")
+      .agg(countDistinct(col("user_id")))
+      .head()
+      .getLong(0)
+    assert(est.keySet == exactPer.keySet + "_all")
+    (exactPer + ("_all" -> exactAll)).foreach { case (k, exact) =>
+      val e = est(k)
+      assert(math.abs(e - exact) <= math.max(2L, (exact * 0.02).toLong),
+        s"$k: estimate $e vs exact $exact")
+    }
+  }
+
+  test("q76 stratified sample is deterministic and respects strata") {
+    val q = SparkEntry.queries("q76_stratified_sample")
+    val a = q(spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = q(spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "same seed + same input must give the same sample")
+    val totals = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    a.foreach { case (lang, n) => assert(n <= totals(lang), s"$lang oversampled") }
+    // en is downsampled at 0.3 — with hundreds of docs the sampled count
+    // must fall strictly below the stratum total
+    assert(a("en") < totals("en"))
+  }
+
+  test("q73 bloom pre-filter never drops a true match (no false negatives)") {
+    val viaBloom = SparkEntry
+      .queries("q73_bloom_prefilter")(spark, dir)
+      .select("c_custkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    val exact = Tables(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(viaBloom == exact)
+  }
 }
