@@ -78,6 +78,37 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding 10 minutes. BOTH sides carry
+    * watermarks and the join condition carries the time bound — that
+    * pair is what lets the engine expire buffered rows on both sides
+    * (state is bounded by watermark + interval, not by stream length).
+    * Inner join, so results emit as soon as both sides arrive.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("user_id").as("click_user"),
+        col("ts").as("click_ts"),
+        col("event_id").as("click_id")
+      )
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"),
+        col("value").as("amount")
+      )
+    c.join(
+      p,
+      col("click_user") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES")
+    ).select(col("buy_user").as("user_id"), col("click_id"), col("buy_id"), col("amount"))
+  }
+
   /** Idempotent per-batch parquet writer: each micro-batch lands in its
     * own `batch_id=<id>` directory with overwrite mode, so replaying a
     * batch after a failure rewrites the same directory instead of

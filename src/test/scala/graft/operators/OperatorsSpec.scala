@@ -105,4 +105,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(fromCsv.collect().toSeq == docs.collect().toSeq)
     assert(fromJson.collect().toSeq == docs.collect().toSeq)
   }
+
+  test("E1 scans/sinks: ORC round-trip preserves embeddings incl. float arrays") {
+    val emb = Tables(spark, dir, "embeddings").orderBy("vec_id")
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    emb.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = spark.read.orc(s"$tmp/orc").orderBy("vec_id")
+    assert(back.schema == emb.schema)
+    assert(back.collect().toSeq == emb.collect().toSeq)
+  }
 }

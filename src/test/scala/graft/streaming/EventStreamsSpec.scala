@@ -225,4 +225,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(ids == Set(1L, 3L, 6L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStreams
+      .clickAttribution(clicks.toDF, buys.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("attr")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01T00:00:00Z", 1, "click"), // matched by buy 100
+        ev(11, "2024-01-01T00:30:00Z", 2, "click"), // too early for buy 101
+        ev(12, "2024-01-01T01:10:00Z", 3, "click")  // AFTER buy 102 — must not match
+      )
+      buys.addData(
+        ev(100, "2024-01-01T00:05:00Z", 1, "purchase"), // 5 min after click 10
+        ev(101, "2024-01-01T00:55:00Z", 2, "purchase"), // 25 min after click 11
+        ev(102, "2024-01-01T01:00:00Z", 3, "purchase")  // before click 12
+      )
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set((1L, 10L, 100L)))
+      // second batch: a click for user 2 close enough to a new purchase
+      clicks.addData(ev(13, "2024-01-01T01:20:00Z", 2, "click"))
+      buys.addData(ev(103, "2024-01-01T01:25:00Z", 2, "purchase"))
+      q.processAllAvailable()
+      val rows2 = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows2 == Set((1L, 10L, 100L), (2L, 13L, 103L)))
+    } finally q.stop()
+  }
 }
