@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, IDF, NGram, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, HashingTF, IDF, NGram, RegexTokenizer, StopWordsRemover}
 import org.apache.spark.ml.linalg.{SparseVector, Vector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,21 @@ object TextPipeline {
     val withTf = tf.transform(tokens)
     val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(withTf)
     idf.transform(withTf)
+  }
+
+  /** Exact-vocabulary term counts (CountVectorizer) — the collision-free
+    * alternative to the hashing trick when the vocabulary fits the
+    * driver (it's broadcast to executors). Returns the fitted model too
+    * so callers can map indices back to terms.
+    */
+  def countVectorized(spark: SparkSession, dir: String, vocabSize: Int = 1 << 16): (DataFrame, CountVectorizerModel) = {
+    val tokens = tokenized(spark, dir)
+    val cv = new CountVectorizer()
+      .setInputCol("filtered")
+      .setOutputCol("counts")
+      .setVocabSize(vocabSize)
+      .fit(tokens)
+    (cv.transform(tokens), cv)
   }
 
   /** Flat, deterministic summary of the MLlib pipeline output (vector

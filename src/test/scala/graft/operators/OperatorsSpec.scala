@@ -106,6 +106,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(fromJson.collect().toSeq == docs.collect().toSeq)
   }
 
+  test("E14 CountVectorizer: exact vocabulary counts match manual token counts") {
+    val (vecs, model) = TextPipeline.countVectorized(spark, dir)
+    // the fitted vocabulary maps index -> term; pick the top term and
+    // check its per-doc count against a plain array count
+    val term = model.vocabulary.head
+    val idx = 0
+    val viaCv = vecs
+      .select(col("doc_id"), col("counts"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)(idx).toLong)
+      .toMap
+    val manual = TextPipeline
+      .tokenized(spark, dir)
+      .select(col("doc_id"), size(filter(col("filtered"), t => t === term)).cast("long").as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(viaCv == manual)
+  }
+
+  test("E10 schema_of_json infers the events.props shape") {
+    val sample = Tables(spark, dir, "events").select("props").head().getString(0)
+    val schema = spark.range(1)
+      .select(schema_of_json(lit(sample)).as("s"))
+      .head()
+      .getString(0)
+    assert(schema.toUpperCase.contains("K"))
+    assert(schema.toUpperCase.contains("BIGINT"))
+    // and the inferred schema actually parses every row
+    val parsed = Tables(spark, dir, "events")
+      .select(from_json(col("props"), lit(schema), new java.util.HashMap[String, String]()).as("p"))
+      .filter(col("p").isNotNull)
+      .count()
+    assert(parsed == Tables(spark, dir, "events").count())
+  }
+
   test("E1 scans/sinks: ORC round-trip preserves embeddings incl. float arrays") {
     val emb = Tables(spark, dir, "embeddings").orderBy("vec_id")
     val tmp = Files.createTempDirectory("graft_orc").toString
