@@ -1,8 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  TTLConfig,
+  TimeMode,
+  TimerValues,
+  ValueState
+}
 
 /** One event row — mirrors the `events` table schema (TESTDATA.md). */
 final case class Event(
@@ -123,6 +132,51 @@ object EventStreams {
     */
   def toIdempotentParquet(df: DataFrame, outDir: String) =
     df.writeStream.foreachBatch((batch: DataFrame, id: Long) => writeBatch(batch, id, outDir))
+
+  /** Per-user running totals via `transformWithState` (Spark 4's
+    * arbitrary-state API, successor to *GroupsWithState): typed
+    * ValueState per key, updated per micro-batch, emitting the running
+    * (n_events, total_value) after each batch touches the key. Requires
+    * the RocksDB state store provider — which is also the right store
+    * at scale: state lives off-heap/on-disk per partition with
+    * changelog checkpointing, so key cardinality is bounded by disk,
+    * not executor heap. TTLConfig.NONE here; production pipelines set a
+    * TTL to expire idle users.
+    */
+  class RunningTotals extends StatefulProcessor[Long, Event, (Long, Long, Double)] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var sumState: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      sumState = getHandle.getValueState[Double]("sum", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[(Long, Long, Double)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var sum = if (sumState.exists()) sumState.get() else 0.0
+      // fixed fold order for float determinism regardless of batch
+      // iterator order
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        n += 1; sum += e.value
+      }
+      nState.update(n)
+      sumState.update(sum)
+      Iterator.single((key, n, sum))
+    }
+  }
+
+  /** events → per-user running (n_events, total_value), update mode. */
+  def runningTotals(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Stateful streaming dedup: emit only the FIRST event ever seen per
     * (user_id, event_type); later occurrences — in the same or any later

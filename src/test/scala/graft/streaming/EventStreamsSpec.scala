@@ -265,4 +265,51 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(rows2 == Set((1L, 10L, 100L), (2L, 13L, 103L)))
     } finally q.stop()
   }
+
+  test("transformWithState keeps typed per-key running totals across batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider — also the
+    // at-scale choice (off-heap keyed state, changelog checkpointing)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .runningTotals(mem.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream
+      .format("memory")
+      .queryName("rt")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01T00:00:00Z"), 1, "purchase", 10.0),
+        Event(2, ts("2024-01-01T00:01:00Z"), 1, "purchase", 5.0),
+        Event(3, ts("2024-01-01T00:02:00Z"), 2, "purchase", 7.0)
+      )
+      q.processAllAvailable()
+      val afterB1 = spark.table("rt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterB1 == Set((1L, 2L, 15.0), (2L, 1L, 7.0)))
+      // state must persist: batch 2 continues user 1's totals
+      mem.addData(Event(4, ts("2024-01-01T00:05:00Z"), 1, "purchase", 2.5))
+      q.processAllAvailable()
+      val latest = spark.table("rt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(latest(1L) == ((1L, 3L, 17.5)))
+      assert(latest(2L) == ((2L, 1L, 7.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
