@@ -32,18 +32,35 @@ object ConnectedComponents {
   /** @param pairs DataFrame with two node-id columns (one row per
     *              undirected edge; direction and duplicates don't matter)
     * @return (id, cluster_id) — cluster_id = min node id reachable
+    * @throws IllegalStateException if propagation has not converged
+    *         within `maxIter` rounds — returning mid-propagation labels
+    *         would be silently WRONG (nodes far from the component
+    *         minimum keep a stale cluster_id); raise `maxIter` or use a
+    *         large-star/small-star variant for such graphs
     */
-  def label(pairs: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
+  def label(pairs: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+
+    // localCheckpoint + record which RDD blocks it pinned, so each
+    // round can free the previous round's labels instead of leaving
+    // maxIter persisted copies behind for the session's lifetime
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+
     val e = pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     // symmetrize once; edges are re-joined every round, so materialize
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym
-      .select(col("a").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointTracked(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    )
+    var (labels, labelIds) = checkpointTracked(
+      sym
+        .select(col("a").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("label"))
+    )
     var iter = 0
     var changedNodes = 1L
     while (iter < maxIter && changedNodes > 0) {
@@ -51,19 +68,34 @@ object ConnectedComponents {
         .join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min("label").as("nbr_label"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(
-          col("id"),
-          col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
-        )
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels
+          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(
+            col("id"),
+            col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
+          )
+      )
       changedNodes =
         next.filter(col("label") =!= col("old_label")).limit(1).count()
+      // previous round's blocks are unreferenced once `labels` is
+      // reassigned — free them now rather than at session end
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       labels = next.select("id", "label")
+      labelIds = nextIds
       iter += 1
     }
+    if (changedNodes > 0) {
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      symIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "component diameter exceeds the iteration budget; raise maxIter " +
+          "or switch to a large-star/small-star formulation"
+      )
+    }
+    symIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     labels
   }
 }

@@ -91,13 +91,17 @@ object MlLsh {
       .setNumHashTables(6)
       .setSeed(42L)
     val model = lsh.fit(corpus)
-    // normalized vectors: cos ≥ 0 ⇒ d ≤ sqrt(2); threshold sqrt(2)
-    // keeps every non-negative-cosine candidate the buckets surface
+    // normalized vectors: distance is bounded by 2 (antipodal), so a
+    // threshold of 2 keeps EVERY candidate the buckets surface — the
+    // top-k cut belongs to the re-rank below, not the threshold. (A
+    // sqrt(2) threshold would silently drop all negative-cosine
+    // candidates and return short lists for queries pointing away from
+    // the corpus.)
     val joined = model
       .approxSimilarityJoin(
         queries.withColumnRenamed("qv", "v"),
         corpus,
-        math.sqrt(2.0),
+        2.0 + 1e-9,
         "dist"
       )
       .select(

@@ -98,7 +98,8 @@ object Dedup {
           FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         ), pairs AS (
-          SELECT d1, d2
+          SELECT d1, d2,
+                 CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
           FROM rawpairs
           JOIN sz s1 ON s1.doc_id = d1
           JOIN sz s2 ON s2.doc_id = d2
@@ -131,31 +132,10 @@ object Dedup {
       // of the pair self-join — without it the corpus explode re-runs
       // per branch (8 Generate nodes in the static plan)
       (s, dir) => jaccardPairs(s, dir, 0.5).orderBy("d1", "d2"),
-      Some("""WITH tok AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-          WHERE len(string_split(text, ' ')) >= 3
-        ), sh AS (
-          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM tok)
-        ), rare AS (
-          SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
-          WHERE df >= 2 AND df <= 50
-        ), shr AS (
-          SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)
-        ), sz AS (
-          SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
-        ), pairs AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-          FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT d1, d2,
-               CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
-        FROM pairs
-        JOIN sz s1 ON s1.doc_id = d1
-        JOIN sz s2 ON s2.doc_id = d2
-        WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.5
-        ORDER BY d1, d2""")
+      // ONE DuckDB restatement of the pair definition (pairSql) is
+      // shared by this oracle and q67's — the Spark side is shared via
+      // jaccardPairs, so the SQL must not fork either
+      Some(s"WITH $pairSql SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2")
     ),
 
     // ------------------------------------------------------------------

@@ -320,12 +320,15 @@ object TextOps {
             sum(when(p2, 1L).otherwise(0L)).as("c2"),
             sum(when(p3, 1L).otherwise(0L)).as("c3")
           )
-        val stages = Seq(
-          ("0_total", "c0"), ("1_length", "c1"), ("2_lang", "c2"), ("3_stopword", "c3")
-        )
-        stages
-          .map { case (nm, c) => agg.select(lit(nm).as("stage"), col(c).as("kept")) }
-          .reduce(_.unionByName(_))
+        // unpivot the one aggregate row with stack() — a 4-way union of
+        // selects over the same aggregate would put four copies of the
+        // scan+agg subtree in the logical plan and lean on exchange
+        // reuse to dedupe them; stack keeps the single-pass shape
+        // structural, not an optimizer courtesy
+        agg
+          .selectExpr(
+            "stack(4, '0_total', c0, '1_length', c1, '2_lang', c2, '3_stopword', c3) AS (stage, kept)"
+          )
           .orderBy("stage")
       },
       Some("""WITH d AS (

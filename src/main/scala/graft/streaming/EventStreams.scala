@@ -159,9 +159,13 @@ object EventStreams {
     ): Iterator[(Long, Long, Double)] = {
       var n = if (nState.exists()) nState.get() else 0L
       var sum = if (sumState.exists()) sumState.get() else 0.0
-      // fixed fold order for float determinism regardless of batch
-      // iterator order
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // streaming fold — never buffer the group (a hot key with
+      // millions of rows in one batch must not materialize in heap).
+      // The count is exact regardless of order; the double total
+      // follows batch iterator order (last-ulp variance across runs) —
+      // pipelines needing bit-stable money totals accumulate scaled
+      // integers instead (see the q01/q56 exact-sum pattern).
+      rows.foreach { e =>
         n += 1; sum += e.value
       }
       nState.update(n)

@@ -55,14 +55,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("long path converges within the iteration budget") {
-    // a 30-node path has diameter 29 > default maxIter, so pass a
-    // larger budget; every node must still reach label 0
+    // a 30-node path (diameter 29) fits the default 50-round budget;
+    // every node must reach label 0
     val path = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
     val labels = ConnectedComponents
-      .label({ val sess = spark; import sess.implicits._; path.toDF("a", "b") }, "a", "b", maxIter = 40)
+      .label({ val sess = spark; import sess.implicits._; path.toDF("a", "b") }, "a", "b")
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
     assert(labels.values.toSet == Set(0L))
+  }
+
+  test("exceeding the iteration budget throws instead of returning wrong labels") {
+    val sess = spark
+    import sess.implicits._
+    val path = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.label(path.toDF("a", "b"), "a", "b", maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 }
