@@ -406,6 +406,30 @@ object Dbt {
           .orderBy("src", "dst", "hops"),
       Some(closureSql(edgesSql(manifestPath)))
     ),
+    // Same closure, stated as SQL: Spark 4.1's WITH RECURSIVE planned by
+    // Catalyst (UnionLoop), oracle'd against DuckDB's recursive CTE —
+    // cross-checks the iterative DataFrame implementation above through
+    // a completely different execution path.
+    QueryDef(
+      "dbt_closure_recursive",
+      (s, _) => {
+        ManifestOps
+          .lineageEdges(DbtArtifacts.readManifestUnsorted(s, manifestPath))
+          .select("src", "dst")
+          .createOrReplaceTempView("lineage_edges_rc")
+        s.sql("""WITH RECURSIVE paths(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM lineage_edges_rc
+            UNION ALL
+            SELECT p.src, e.dst, p.hops + 1
+            FROM paths p JOIN lineage_edges_rc e ON p.dst = e.src
+            WHERE p.hops < 10
+          )
+          SELECT src, dst, CAST(min(hops) AS INT) AS hops
+          FROM paths GROUP BY src, dst
+          ORDER BY src, dst""")
+      },
+      Some(closureSql(edgesSql(manifestPath)))
+    ),
     QueryDef(
       "dbt_manifest_diff",
       (s, _) =>

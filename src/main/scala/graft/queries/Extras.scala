@@ -484,6 +484,31 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): a reusable
+    // scalar defined IN SQL, inlined by Catalyst into the calling plan —
+    // full codegen/pushdown, none of the black-box cost of a JVM UDF.
+    // The oracle restates the body inline (DuckDB macros can't ship in
+    // a single-statement oracle); one IEEE division of exact integers,
+    // so the hash matches bit-for-bit.
+    QueryDef(
+      "q80_sql_udf",
+      (s, dir) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_chars_per_token(
+                   nc BIGINT, nt BIGINT) RETURNS DOUBLE
+                 RETURN CAST(nc AS DOUBLE) / (CAST(nt AS DOUBLE) + 1.0)""")
+        Tables(s, dir, "documents").createOrReplaceTempView("docs_sqludf")
+        s.sql("""SELECT doc_id,
+                        graft_chars_per_token(n_chars,
+                          CAST(size(split(text, ' ')) AS BIGINT)) AS cpt
+                 FROM docs_sqludf ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+               CAST(n_chars AS DOUBLE) /
+                 (CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) AS cpt
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: fixed-bound histogram via width_bucket — n_chars binned into
     // 10 equal buckets over [0, 2000) plus the overflow bucket. The
     // oracle restates width_bucket's in-range arithmetic
