@@ -43,7 +43,14 @@ object MlLsh {
       .setOutputCol("features")
       .setBinary(true)
       .setNumFeatures(1 << 18)
-    val vecs = tf.transform(docs).filter(_.getAs[Vector]("features").numNonzeros > 0)
+    // drop the shingle string arrays before the LSH: approxSimilarityJoin
+    // shuffles and pair-dedups FULL rows of both sides, so every column
+    // carried here multiplies the join volume (~1 KB of shingles per doc
+    // otherwise rides through the candidate join)
+    val vecs = tf
+      .transform(docs)
+      .select("doc_id", "features")
+      .filter(_.getAs[Vector]("features").numNonzeros > 0)
     val lsh = new MinHashLSH()
       .setInputCol("features")
       .setOutputCol("hashes")
