@@ -769,8 +769,11 @@ object Relational {
       "q53_part_supplier",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")
+        // '%OM%' selects the PROMO and ECONOMY type families in this
+        // corpus (a '%BRASS%'-style TPC-H pattern matches nothing here
+        // and made the query vacuously 0-row)
         val p = Tables(s, dir, "part").filter(
-          col("p_type").like("%BRASS%") && col("p_size").between(5, 20)
+          col("p_type").like("%OM%") && col("p_size").between(5, 20)
         )
         val sup = Tables(s, dir, "supplier").filter(col("s_acctbal") > 0)
         l.join(p, l("l_partkey") === p("p_partkey"))
@@ -789,7 +792,7 @@ object Relational {
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
-        WHERE p_type LIKE '%BRASS%' AND p_size BETWEEN 5 AND 20 AND s_acctbal > 0
+        WHERE p_type LIKE '%OM%' AND p_size BETWEEN 5 AND 20 AND s_acctbal > 0
         GROUP BY p_brand ORDER BY p_brand""")
     ),
 
