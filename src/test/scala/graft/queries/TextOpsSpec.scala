@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PII redaction removes every email/phone and leaves clean text unchanged") {
+    val sess = spark
+    import sess.implicits._
+    // strings with PII embedded at varied positions, plus PII-free rows
+    val dirty = Seq(
+      "reach me at jane.doe@example.com asap",
+      "x 555-1234 y",
+      "a.b@c.d then 999-0000 twice 111-2222",
+      "email: A_1@host.io.",
+      "no pii here at all",
+      "almost@ but not an email",
+      "digits 12-345 but not a phone"
+    ).toDF("raw")
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val out = dirty
+      .select(
+        col("raw"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+          .as("clean")
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    // no residual matches anywhere
+    out.values.foreach { c =>
+      assert(!c.matches(s".*$emailRe.*"), s"email survived: $c")
+      assert(!c.matches(s".*$phoneRe.*"), s"phone survived: $c")
+    }
+    // every PII row got a placeholder; PII-free rows byte-identical
+    assert(out("reach me at jane.doe@example.com asap") == "reach me at <EMAIL> asap")
+    assert(out("x 555-1234 y") == "x <PHONE> y")
+    assert(out("a.b@c.d then 999-0000 twice 111-2222") == "<EMAIL> then <PHONE> twice <PHONE>")
+    assert(out("no pii here at all") == "no pii here at all")
+    assert(out("almost@ but not an email") == "almost@ but not an email")
+    assert(out("digits 12-345 but not a phone") == "digits 12-345 but not a phone")
+  }
+
+  test("q70 census: every doc reports the two injected PII items") {
+    val rows = SparkEntry.queries("q70_pii_redact")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pii") == 2L, s"doc ${r.getLong(0)}: expected 2 PII hits")
+      assert(r.getAs[String]("clean_tail").contains("<PHONE>"))
+    }
+  }
+
+  test("q69 funnel counts are monotonically non-increasing") {
+    val rows = SparkEntry
+      .queries("q69_filter_funnel")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq == Seq("0_total", "1_length", "2_lang", "3_stopword"))
+    val counts = rows.map(_._2)
+    assert(counts.head > 0)
+    counts.sliding(2).foreach { case Array(a, b) => assert(a >= b, s"funnel grew: $a -> $b") }
+  }
+
+  test("q75 date spine is dense: consecutive days, zero-filled gaps") {
+    val rows = SparkEntry
+      .queries("q75_date_spine")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((d1, _), (d2, _)) => assert(d2 == d1.plusDays(1), s"gap between $d1 and $d2")
+      case _                       =>
+    }
+    // spine covers min..max inclusive; totals reconcile with the raw table
+    val nOrders = graft.Tables(spark, dir, "orders").count()
+    assert(rows.map(_._2).sum == nOrders)
+  }
+}
