@@ -417,6 +417,14 @@ object Dbt {
           .lineageEdges(DbtArtifacts.readManifestUnsorted(s, manifestPath))
           .select("src", "dst")
           .createOrReplaceTempView("lineage_edges_rc")
+        // Spark 4.1 rejects UNION (distinct) in recursive CTEs
+        // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so unlike the DuckDB
+        // oracle's UNION and the iterative implementation's per-frontier
+        // anti-join dedup, this recursion enumerates every distinct PATH
+        // — exponential on chained-diamond DAGs. Output is identical
+        // (min(hops) collapses paths) and the hop bound caps the blowup,
+        // but for deep/diamond-heavy graphs at scale prefer
+        // ManifestOps.transitiveClosure, which dedups each frontier.
         s.sql("""WITH RECURSIVE paths(src, dst, hops) AS (
             SELECT src, dst, 1 FROM lineage_edges_rc
             UNION ALL

@@ -13,6 +13,12 @@ import graft.{QueryDef, Tables}
   */
 object TextOps {
 
+  /** PII patterns for q70 — restricted to constructs Java regex and RE2
+    * share. Referenced by TextOpsSpec so unit coverage can't drift from
+    * the production redaction. */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // E14: per-doc token statistics (whitespace tokenization).
@@ -376,11 +382,11 @@ object TextOps {
           .select(col("doc_id"), contact.as("raw"))
           .select(
             col("doc_id"),
-            (regexp_count(col("raw"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.-]+")) +
-              regexp_count(col("raw"), lit("[0-9]{3}-[0-9]{4}"))).cast("long").as("n_pii"),
+            (regexp_count(col("raw"), lit(EmailRe)) +
+              regexp_count(col("raw"), lit(PhoneRe))).cast("long").as("n_pii"),
             regexp_replace(
-              regexp_replace(col("raw"), "[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-              "[0-9]{3}-[0-9]{4}",
+              regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+              PhoneRe,
               "<PHONE>"
             ).as("clean")
           )
@@ -392,28 +398,27 @@ object TextOps {
           )
           .orderBy("doc_id")
       },
-      Some("""WITH raw AS (
+      // patterns interpolated from the SAME constants the Spark side
+      // uses — one source of truth for what "PII" means here
+      Some(s"""WITH raw AS (
           SELECT doc_id,
                  text || ' contact user' || doc_id || '@example.org or 555-' ||
                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
           FROM documents
+        ), cleaned AS (
+          SELECT doc_id, raw,
+                 regexp_replace(regexp_replace(raw,
+                   '$EmailRe', '<EMAIL>', 'g'),
+                   '$PhoneRe', '<PHONE>', 'g') AS clean
+          FROM raw
         )
         SELECT doc_id,
-               CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) +
-                    len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
-               CAST(len(regexp_replace(regexp_replace(raw,
-                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS clean_len,
-               CASE WHEN len(regexp_replace(regexp_replace(raw,
-                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) >= 30
-                    THEN right(regexp_replace(regexp_replace(raw,
-                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 30)
-                    ELSE regexp_replace(regexp_replace(raw,
-                    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') END AS clean_tail
-        FROM raw ORDER BY doc_id""")
+               CAST(len(regexp_extract_all(raw, '$EmailRe')) +
+                    len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_pii,
+               CAST(len(clean) AS BIGINT) AS clean_len,
+               CASE WHEN len(clean) >= 30 THEN right(clean, 30)
+                    ELSE clean END AS clean_tail
+        FROM cleaned ORDER BY doc_id""")
     )
   )
 }

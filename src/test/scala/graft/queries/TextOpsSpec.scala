@@ -21,8 +21,10 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       "almost@ but not an email",
       "digits 12-345 but not a phone"
     ).toDF("raw")
-    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
-    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    // the production patterns — shared constants so this test can't
+    // drift from what q70 actually redacts
+    val emailRe = TextOps.EmailRe
+    val phoneRe = TextOps.PhoneRe
     val out = dirty
       .select(
         col("raw"),
