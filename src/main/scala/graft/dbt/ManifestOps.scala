@@ -51,6 +51,11 @@ object ManifestOps {
       paths = paths.unionByName(frontier)
       hop += 1
     }
+    // release the loop-lifetime edge cache instead of pinning a block
+    // per invocation for the whole session. Hop layers ≥ 2 are
+    // physically checkpointed; only the hops=1 layer re-derives the
+    // edge distinct once when the caller consumes the result.
+    e.unpersist(false)
     paths
   }
 
@@ -92,8 +97,11 @@ object ManifestOps {
     var paths = frontier
     var hop = 1
     while (hop < maxHops && !frontier.isEmpty) {
-      val next = e
-        .as("n")
+      // broadcast the static edge side (same shape as transitiveClosure):
+      // the frontier is the cone-scaled side and must stay distributed;
+      // without the hint the planner may broadcast the frontier or
+      // shuffle the edges every hop once sizes cross the threshold
+      val next = broadcast(e.as("n"))
         .join(frontier.as("f"), col("n.dst") === col("f.src"))
         .select(col("n.src").as("src"), col("f.changed_id").as("changed_id"))
         .distinct()
@@ -104,6 +112,10 @@ object ManifestOps {
       paths = paths.unionByName(frontier)
       hop += 1
     }
+    // every frontier layer is physically checkpointed, so the cached
+    // edge list is no longer needed by the returned plan — release it
+    // rather than leaving a session-lifetime block per invocation
+    e.unpersist(false)
     paths
   }
 

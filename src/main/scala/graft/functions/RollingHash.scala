@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: modular polynomial rolling hash of a
-  * string — `fold(acc, c) = (acc*31 + c) mod 1e9+7` over UTF-16 code
-  * units, bit-identical to the higher-order formulation
-  * `aggregate(transform(split(text, ''), c -> ascii(c)), 0, ...)`
-  * (Java `split("")` yields code units and `ascii` returns the leading
-  * unit's value), but in one fused allocation-free loop inside
-  * whole-stage codegen instead of materializing a char array and an
-  * int array per row and dispatching two lambdas per character.
+  * string — `fold(acc, c) = (acc*31 + c) mod 1e9+7` over CODE POINTS,
+  * bit-identical to the higher-order formulation
+  * `aggregate(transform(split(text, ''), c -> ascii(c)), 0, ...)`:
+  * Spark's zero-width `split('')` advances by code point (it never
+  * splits inside a surrogate pair) and `ascii` returns the full code
+  * point of the leading character, which is why this eval uses
+  * `codePointAt`/`charCount` — a UTF-16 `charAt` loop would DIVERGE
+  * from the HOF on astral characters (RollingHashSpec pins the emoji
+  * case). One fused allocation-free loop inside whole-stage codegen
+  * instead of materializing a char array and an int array per row and
+  * dispatching two lambdas per character.
   *
   * Second engine-native SQL function (after `cosine_sim`) — preference
   * order (b) of the build brief: a custom Expression where built-ins

@@ -218,7 +218,11 @@ object Dbt {
       "dbt_manifest_all",
       (s, _) =>
         DbtArtifacts
-          .readManifestAll(s, s"$fixtureDir/manifest*.json")
+          // brace-glob pinned to exactly the files the oracle reads:
+          // a bare manifest*.json would silently pull any future
+          // fixture (manifest_v3.json, manifest_broken.json) into this
+          // query and fail the gate far from the file that caused it
+          .readManifestAll(s, s"$fixtureDir/manifest{,_v2}.json")
           .select(
             // input_file_name is a file:// URI; the oracle's read_text
             // filename is a plain path

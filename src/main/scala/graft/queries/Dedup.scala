@@ -15,6 +15,15 @@ import graft.{QueryDef, Tables}
   * blow-up is bounded per key; the document-frequency cap on shingles
   * doubles as hot-key (skew) removal — precisely the keys AQE's skew
   * split would otherwise struggle with.
+  *
+  * Cache ownership: the `.cache()` calls in these builders exist to
+  * dedupe plan BRANCHES within one execution (the shingle index / band
+  * table feeds a size filter and both self-join sides). The builders
+  * are lazy, so they cannot unpersist after the action; callers that
+  * execute these plans in a long-lived session own the cleanup — the
+  * Bench/Verify harnesses sweep `catalog.clearCache()` + persistent
+  * RDDs between queries, and GraftSession's 1-minute periodic GC
+  * bounds anything a caller forgets.
   */
 object Dedup {
 

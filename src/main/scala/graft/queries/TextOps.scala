@@ -100,10 +100,13 @@ object TextOps {
     // E14: language identification via character-bigram profiles learned
     // from the corpus itself (top-40 bigrams per language, rank-weighted)
     // and re-applied per document. Output is the lang × predicted-lang
-    // confusion matrix. No SQL oracle (multi-stage pipeline); covered by
-    // TextOpsSpec. Scale posture: the profile is tiny → broadcast join;
-    // the bigram explode is linear in corpus bytes; integer rank weights
-    // keep scores exact.
+    // confusion matrix. ORACLE-EXACT despite being multi-stage: the
+    // whole pipeline is integer arithmetic (counts, rank weights), so
+    // the DuckDB restatement below must be kept in lockstep with any
+    // bigram/scoring change — plus PipelineSpec pins per-doc coverage.
+    // Scale posture: the profile is tiny → broadcast join; the bigram
+    // explode is linear in corpus bytes; integer rank weights keep
+    // scores exact.
     QueryDef(
       "q33_lang_id",
       (s, dir) => {
