@@ -40,17 +40,17 @@ object DbtArtifacts {
   }
 
   /** Top-level sections present in an artifact file (SURVEY §2.1 S4 —
-    * the reference's `names(manifest)`, explore.R:269): schema-declared
-    * sections whose parsed value is non-NULL.
+    * the reference's `names(manifest)`, explore.R:269): ALL top-level
+    * keys in document order, artifact-agnostic (`json_object_keys` on
+    * the raw text — no schema assumption, so a manifest's `macros` or a
+    * future artifact's sections surface exactly like R's `names()`).
     */
-  def artifactSections(spark: SparkSession, path: String): Seq[String] = {
-    val parsed = rawJson(spark, path)
-      .select(from_json(col("value"), catalogSchema).as("c"))
-      .select(col("c.nodes").isNotNull.as("nodes"), col("c.sources").isNotNull.as("sources"))
+  def artifactSections(spark: SparkSession, path: String): Seq[String] =
+    rawJson(spark, path)
+      .select(explode(expr("json_object_keys(value)")).as("k"))
       .collect()
-      .head
-    Seq("nodes", "sources").filter(s => parsed.getAs[Boolean](s))
-  }
+      .map(_.getString(0))
+      .toSeq
 
   /** `{macros: [...], nodes: [...]}` → `ARRAY<STRUCT<type, unique_id>>`,
     * one element per referenced id, `type` recycled — the exact fan-out

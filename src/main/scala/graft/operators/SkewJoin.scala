@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * skew-join split isn't available or the skew is in a non-shuffle-join
   * context).
   *
-  * The skewed (large) side gets a uniform random-ish salt in [0, salts);
-  * the small side is replicated `salts` times; joining on (key, salt)
-  * spreads each hot key over `salts` reducer partitions. The salt here
-  * is derived deterministically from a per-row fingerprint rather than
-  * rand() so results — and tests — are reproducible.
+  * The skewed (large) side gets a uniform salt in [0, salts); the small
+  * side is replicated `salts` times; joining on (key, salt) spreads
+  * each hot key over `salts` reducer partitions. The salt hashes
+  * `monotonically_increasing_id()` (row position), NOT row content: the
+  * archetypal skew workload is millions of BYTE-IDENTICAL rows on one
+  * hot key, and a content fingerprint would give them all the same salt
+  * — leaving the join exactly as skewed as before. Position-derived
+  * salt spreads duplicates uniformly and stays deterministic for a
+  * fixed input layout (same file splits ⇒ same ids), which is the same
+  * reproducibility rand(seed) offers, without depending on content.
   *
   * Cost model: replication multiplies the small side by `salts`, so use
   * it when |small| × salts ≪ |large-side hot-key partitions|. For
@@ -19,6 +24,12 @@ import org.apache.spark.sql.functions._
   * (key, salt), final on key) — see saltedCount.
   */
 object SkewJoin {
+
+  /** Position-derived salt in [0, salts) — see the class doc for why
+    * this must not be a content fingerprint. Package-visible so specs
+    * can assert the spread on duplicate-heavy input. */
+  private[graft] def saltCol(salts: Int) =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int")
 
   /** Equi-join `large ⋈ small` on `largeKey == smallKey`, salted. */
   def saltedJoin(
@@ -28,11 +39,7 @@ object SkewJoin {
       smallKey: String,
       salts: Int
   ): DataFrame = {
-    // deterministic salt from the row's whole content fingerprint
-    val saltedLarge = large.withColumn(
-      "_salt",
-      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)), lit(salts)).cast("int")
-    )
+    val saltedLarge = large.withColumn("_salt", saltCol(salts))
     val replicatedSmall = small.withColumn(
       "_salt",
       explode(expr(s"sequence(0, ${salts - 1})"))
@@ -52,10 +59,8 @@ object SkewJoin {
     * .count() but with bounded per-partition group size.
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn(
-      "_salt",
-      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salts)).cast("int")
-    ).groupBy(col(key), col("_salt"))
+    df.withColumn("_salt", saltCol(salts))
+      .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("cnt"))

@@ -180,6 +180,12 @@ class DbtArtifactsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("does_not_exist.json"))
     assert(DbtArtifacts.artifactSections(spark, s"$dir/catalog.json") == Seq("nodes", "sources"))
     assert(DbtArtifacts.artifactSections(spark, s"$dir/catalog_nodes_only.json") == Seq("nodes"))
+    // artifact-agnostic: a manifest's macros section surfaces too
+    // (the old schema-bound version could only ever see nodes/sources)
+    assert(
+      DbtArtifacts.artifactSections(spark, s"$dir/manifest.json") ==
+        Seq("nodes", "sources", "macros")
+    )
   }
 
   test("input dispatch: pre-parsed DataFrame overloads match the path readers") {

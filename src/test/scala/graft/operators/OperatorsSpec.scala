@@ -74,6 +74,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(saltedCnt == plainCnt)
   }
 
+  test("salt spreads byte-identical duplicate rows across all buckets") {
+    // the archetypal skew input: one hot key, every row identical — a
+    // content-fingerprint salt would put all of them in ONE bucket
+    val sess = spark
+    import sess.implicits._
+    val hot = Seq.fill(4000)(("hotkey", 1)).toDF("k", "v")
+    val used = hot
+      .withColumn("_salt", SkewJoin.saltCol(8))
+      .select("_salt")
+      .distinct()
+      .count()
+    assert(used == 8L, s"expected all 8 salt buckets used, got $used")
+    // and the salted count over this worst case still agrees exactly
+    val cnt = SkewJoin.saltedCount(hot, "k", salts = 8).collect()
+    assert(cnt.length == 1 && cnt.head.getLong(1) == 4000L)
+  }
+
   test("partitioned sink: partition pruning reaches the scan") {
     val tmp = Files.createTempDirectory("graft_part").toString
     Tables(spark, dir, "events")
