@@ -17,7 +17,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   * expression walks both arrays once, allocation-free, and stays inside
   * the surrounding WholeStageCodegen span. Accumulation order is
   * index-ascending, matching the higher-order formulation, so results
-  * are bit-identical with `dot/(sqrt(nx)*sqrt(ny))` computed that way.
+  * are bit-identical with `dot/(sqrt(nx)*sqrt(ny))` computed that way
+  * on well-formed inputs (equal length, nonzero norm).
+  *
+  * Corner cases deliberately DIVERGE from the HOF toward safety:
+  * mismatched lengths → NULL (a truncated score would mask embedding
+  * corruption; zip_with would null-poison the fold anyway) and zero
+  * norm → NULL rather than NaN (cosine is undefined there, and NaN
+  * sorts ABOVE every real score in a descending Spark window — a
+  * corrupt row would top every top-k).
   *
   * Registered as SQL function `cosine_sim` via SparkSessionExtensions
   * (GraftSession) — preference order (b) of the build brief: a custom
@@ -41,12 +49,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +65,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,14 +86,22 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         val xi  = ctx.freshName("xi")
         val yi  = ctx.freshName("yi")
         s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $xi = $a.getDouble($i);
-        |  double $yi = $b.getDouble($i);
-        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $xi = $a.getDouble($i);
+        |    double $yi = $b.getDouble($i);
+        |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |  }
+        |  if ($nx == 0.0 || $ny == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |  }
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         """.stripMargin
       }
     )

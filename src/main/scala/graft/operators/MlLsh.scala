@@ -29,14 +29,17 @@ object MlLsh {
     * `maxDistance`.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDistance: Double = 0.5): DataFrame = {
+    // pre-project the token array: referencing split() inside the
+    // transform lambda would re-tokenize the whole text per shingle
+    // index (the O(n²) HOF re-evaluation class measured at 60-455×
+    // elsewhere in this repo — see Dedup/q33 notes)
     val docs = Tables(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(
         col("doc_id"),
-        expr(
-          "transform(sequence(1, size(split(text, ' '))-2)," +
-            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-        ).as("shingles")
+        expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
+          .as("shingles")
       )
     val tf = new HashingTF()
       .setInputCol("shingles")
@@ -81,13 +84,17 @@ object MlLsh {
       nQueries: Int = 10,
       k: Int = 5
   ): DataFrame = {
+    // zero vectors have no defined cosine; returning them unnormalized
+    // would score cos = 1 - d²/2 = 0.5 against every unit query and
+    // pollute the top-k — map them to null and drop
     val toVec = udf { (a: Seq[Float]) =>
       val d = a.map(_.toDouble).toArray
       val n = math.sqrt(d.map(x => x * x).sum)
-      Vectors.dense(if (n == 0) d else d.map(_ / n))
+      if (n == 0) null else Vectors.dense(d.map(_ / n))
     }
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), toVec(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val corpus = emb.filter(col("vec_id") >= nQueries)

@@ -87,9 +87,14 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The Jaccard threshold shared by the pair query, the cluster query,
+    * and (interpolated) both DuckDB oracles — one knob, no drift. */
+  private val PairMinJaccard = 0.5
+
   /** The q35 pair CTE chain as DuckDB SQL — prefix for oracles that
-    * consume the pair graph. */
-  private val pairSql = """tok AS (
+    * consume the pair graph. Threshold interpolated from the same
+    * constant the Spark side passes to jaccardPairs. */
+  private def pairSql: String = s"""tok AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
           WHERE len(string_split(text, ' ')) >= 3
         ), sh AS (
@@ -112,7 +117,7 @@ object Dedup {
           FROM rawpairs
           JOIN sz s1 ON s1.doc_id = d1
           JOIN sz s2 ON s2.doc_id = d2
-          WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.5
+          WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= $PairMinJaccard
         )"""
 
   /** Per-doc distinct shingle SET as an array column (for verification
@@ -140,7 +145,7 @@ object Dedup {
       // (narrow doc_id+g rows): it feeds the size table and both sides
       // of the pair self-join — without it the corpus explode re-runs
       // per branch (8 Generate nodes in the static plan)
-      (s, dir) => jaccardPairs(s, dir, 0.5).orderBy("d1", "d2"),
+      (s, dir) => jaccardPairs(s, dir, PairMinJaccard).orderBy("d1", "d2"),
       // ONE DuckDB restatement of the pair definition (pairSql) is
       // shared by this oracle and q67's — the Spark side is shared via
       // jaccardPairs, so the SQL must not fork either
@@ -216,7 +221,9 @@ object Dedup {
             col("d2"),
             (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard")
           )
-          .filter(col("jaccard") >= 0.5)
+          // same near-dup threshold as the exact pair graph, so q36's
+          // recall spec compares like against like
+          .filter(col("jaccard") >= PairMinJaccard)
           .orderBy("d1", "d2")
       },
       None
@@ -297,7 +304,7 @@ object Dedup {
     QueryDef(
       "q67_dedup_clusters",
       (s, dir) => {
-        val pairs = jaccardPairs(s, dir, 0.5)
+        val pairs = jaccardPairs(s, dir, PairMinJaccard)
         graft.operators.ConnectedComponents
           .label(pairs, "d1", "d2")
           .select(

@@ -138,7 +138,7 @@ object Extras {
           .select(
             date_trunc("month", col("o_orderdate").cast("timestamp")).as("month"),
             quarter(col("o_orderdate")).cast("long").as("qtr"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents")
+            Exact.cents(col("o_totalprice")).as("cents")
           )
           .groupBy("month", "qtr")
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
@@ -430,9 +430,16 @@ object Extras {
     QueryDef(
       "q75_date_spine",
       (s, dir) => {
+        // exact-cents sum (the repo's money rule): a raw double sum's
+        // reduction order diverges between engines once groups are big
+        // enough, and round(...,2) can't mask that at 100 TB volumes.
+        // The single division of an exact integer is bit-stable.
         val daily = Tables(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
-          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("volume"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(Exact.cents(col("o_totalprice"))).as("volume_c")
+          )
         val spine = Tables(s, dir, "orders")
           .agg(to_date(min("o_orderdate")).as("d0"), to_date(max("o_orderdate")).as("d1"))
           .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
@@ -441,13 +448,13 @@ object Extras {
           .select(
             col("day"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-            coalesce(round(col("volume"), 2), lit(0.0)).as("volume")
+            (coalesce(col("volume_c"), lit(0L)).cast("double") / 100.0).as("volume")
           )
           .orderBy("day")
       },
       Some("""WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-                 sum(o_totalprice) AS volume
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS volume_c
           FROM orders GROUP BY 1
         ), bounds AS (
           SELECT CAST(min(o_orderdate) AS DATE) AS d0,
@@ -457,7 +464,7 @@ object Extras {
           FROM bounds
         )
         SELECT spine.day AS day, COALESCE(n_orders, 0) AS n_orders,
-               COALESCE(round(volume, 2), 0.0) AS volume
+               CAST(COALESCE(volume_c, 0) AS DOUBLE) / 100.0 AS volume
         FROM spine LEFT JOIN daily ON spine.day = daily.day
         ORDER BY spine.day""")
     ),

@@ -29,11 +29,8 @@ import graft.{QueryDef, Tables}
   */
 object Relational {
 
-  /** Exact fixed-point reading of a 2-decimal double, as integer cents. */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
-
-  /** Exact reading of a product of fixed-point doubles (≤6 decimals). */
-  private def e6(c: Column): Column = round(c * 1000000L, 0).cast("long")
+  // the scaled-int rule lives in ONE place — see Exact's scaladoc
+  import Exact.{cents, e6}
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -693,7 +690,7 @@ object Relational {
             col("o_custkey"),
             col("o_orderkey"),
             col("o_orderdate"),
-            sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w).as("cents_30d")
+            sum(cents(col("o_totalprice"))).over(w).as("cents_30d")
           )
           .orderBy("o_custkey", "o_orderkey")
       },

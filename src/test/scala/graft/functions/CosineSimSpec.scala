@@ -57,4 +57,27 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     val ortho = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").collect().head
     assert(ortho.getDouble(0) == 0.0)
   }
+
+  test("mismatched lengths and zero vectors yield NULL, not a truncated score or NaN") {
+    // corrupted embedding (wrong dim): must NOT silently truncate
+    val short = spark.sql("SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d)) AS c")
+      .collect().head
+    assert(short.isNullAt(0))
+    // zero vector: cosine undefined; NaN would sort above every real
+    // score in a descending window
+    val zero = spark.sql("SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c")
+      .collect().head
+    assert(zero.isNullAt(0))
+    // same corner cases through forced codegen (interpreted and
+    // generated paths must agree)
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val rows = spark.sql(
+        """SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d)) AS a,
+                  cosine_sim(array(0.0d), array(1.0d)) AS b
+           FROM range(1)""").collect().head
+      assert(rows.isNullAt(0) && rows.isNullAt(1))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
 }
