@@ -516,6 +516,61 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // E5: single-pass heavy hitters (df.stat.freqItems — the
+    // Karp/Shenker/Papadimitriou counter algorithm): candidate frequent
+    // tokens at 5% support in ONE scan with map-side partial merges, no
+    // full groupBy — the 100 TB way to surface boilerplate tokens
+    // before an exact count of just the candidates. Guarantee is
+    // superset (may include false positives, never misses a true heavy
+    // hitter); the exact-count join then trims to truth. The final
+    // exact filter makes the output deterministic, but freqItems'
+    // internal candidate set is layout-dependent → rows-only + spec.
+    QueryDef(
+      "q81_freq_items",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val candidates = toks.stat.freqItems(Seq("tok"), 0.03)
+          .select(explode(col("tok_freqItems")).as("tok"))
+        val nTotal = toks.count()
+        toks
+          .join(broadcast(candidates), Seq("tok"), "left_semi")
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          // strict >: the KSP superset guarantee covers count > n*support
+          .filter(col("n") > nTotal * 0.03)
+          .orderBy(desc("n"), col("tok"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E5: quantile SKETCH (approx_percentile, Greenwald-Khanna): the
+    // scale path q71's exact percentile trades against — mergeable
+    // per-partition summaries, one pass, bounded memory, rank error ≤
+    // 1/accuracy. Sketch internals are engine-defined → rows-only;
+    // ExtrasSpec pins the rank-error bound against the exact quartiles.
+    QueryDef(
+      "q82_approx_quantiles",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            element_at(col("qs"), 1).as("q1"),
+            element_at(col("qs"), 2).as("q2"),
+            element_at(col("qs"), 3).as("q3")
+          )
+          .orderBy("l_returnflag"),
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E5: fixed-bound histogram via width_bucket — n_chars binned into
     // 10 equal buckets over [0, 2000) plus the overflow bucket. The
     // oracle restates width_bucket's in-range arithmetic

@@ -117,6 +117,57 @@ class ExtrasSpec extends AnyFunSuite with SparkSpec {
     assert(a("en") < totals("en"))
   }
 
+  test("q81 heavy hitters equal the exact > 3% frequency set") {
+    val hh = SparkEntry
+      .queries("q81_freq_items")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val exact = toks
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > n * 0.03)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // freqItems candidates are a superset of true heavy hitters and the
+    // exact-count trim removes false positives → sets must be EQUAL
+    assert(hh == exact)
+    assert(hh.nonEmpty, "corpus should have >3% tokens (top corpus words)")
+  }
+
+  test("q82 approx quantiles respect the rank-error bound vs exact") {
+    val approx = SparkEntry
+      .queries("q82_approx_quantiles")(spark, dir)
+      .collect()
+      .map(r =>
+        r.getString(0) -> (r.getAs[Long]("n"), Seq(
+          r.getAs[Double]("q1"), r.getAs[Double]("q2"), r.getAs[Double]("q3")))
+      )
+      .toMap
+    val li = Tables(spark, dir, "lineitem")
+    approx.foreach { case (flag, (n, qs)) =>
+      val sorted = li
+        .filter(col("l_returnflag") === flag)
+        .select("l_quantity")
+        .orderBy("l_quantity")
+        .collect()
+        .map(_.getDouble(0))
+      Seq(0.25, 0.5, 0.75).zip(qs).foreach { case (p, q) =>
+        // GK sketch: returned value's rank within eps = n/accuracy of
+        // the target rank (accuracy 10000 → eps = n/10000)
+        val eps = math.max(1L, n / 10000L)
+        val lo = math.max(0L, (p * n).toLong - 2 * eps - 1).toInt
+        val hi = math.min(n - 1, (p * n).toLong + 2 * eps + 1).toInt
+        assert(q >= sorted(lo) && q <= sorted(hi),
+          s"$flag p$p: $q outside rank window [${sorted(lo)}, ${sorted(hi)}]")
+      }
+    }
+  }
+
   test("q73 bloom pre-filter never drops a true match (no false negatives)") {
     val viaBloom = SparkEntry
       .queries("q73_bloom_prefilter")(spark, dir)
