@@ -571,6 +571,48 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // E7: sessionization — assign a session SEQUENCE NUMBER to every
+    // event (gap > 30 min starts a new session): lag + conditional flag
+    // + running sum, one shuffle on the session key. This is the
+    // per-event id-assignment twin of q26's session-window AGGREGATE —
+    // pipelines need the ids to join features back onto events. All
+    // integer arithmetic (epoch micros) → oracle-exact.
+    QueryDef(
+      "q83_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("ts"),
+            when(gapUs > 1800L * 1000000L, 1L).otherwise(0L).as("new_sess")
+          )
+          .select(
+            col("user_id"),
+            col("event_id"),
+            (sum(col("new_sess")).over(
+              Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            ) + 1L).as("session_seq")
+          )
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+                 AS session_seq
+        FROM flagged ORDER BY user_id, event_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: fixed-bound histogram via width_bucket — n_chars binned into
     // 10 equal buckets over [0, 2000) plus the overflow bucket. The
     // oracle restates width_bucket's in-range arithmetic
