@@ -613,6 +613,52 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // E9 (bag semantics): INTERSECT ALL / EXCEPT ALL — multiplicity-
+    // preserving set ops (q12/q13 cover the DISTINCT variants). Spark
+    // plans both as aggregate+join on counts, not row-by-row NL.
+    QueryDef(
+      "q84_setops_all",
+      (s, dir) => {
+        val a = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type"))
+        val b = Tables(s, dir, "events")
+          .filter(col("value") > 0.5)
+          .select(col("user_id"), col("event_type"))
+        a.intersectAll(b)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intersect"))
+          .join(
+            a.exceptAll(b).groupBy("event_type").agg(count(lit(1)).as("n_except")),
+            Seq("event_type"),
+            "full_outer"
+          )
+          .select(
+            col("event_type"),
+            coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+            coalesce(col("n_except"), lit(0L)).as("n_except")
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT user_id, event_type FROM events WHERE event_type IN ('click', 'view')
+        ), b AS (
+          SELECT user_id, event_type FROM events WHERE value > 0.5
+        ), i AS (
+          SELECT event_type, count(*) AS n_intersect
+          FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+        ), e AS (
+          SELECT event_type, count(*) AS n_except
+          FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+        )
+        SELECT COALESCE(i.event_type, e.event_type) AS event_type,
+               COALESCE(n_intersect, 0) AS n_intersect,
+               COALESCE(n_except, 0) AS n_except
+        FROM i FULL OUTER JOIN e ON i.event_type = e.event_type
+        ORDER BY event_type""")
+    ),
+
+    // ------------------------------------------------------------------
     // E5: fixed-bound histogram via width_bucket — n_chars binned into
     // 10 equal buckets over [0, 2000) plus the overflow bucket. The
     // oracle restates width_bucket's in-range arithmetic

@@ -143,6 +143,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(viaCv == manual)
   }
 
+  test("E10 collations (Spark 4): UTF8_LCASE compares and groups case-insensitively") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("Alpha", "alpha", "ALPHA", "Beta", "beta", "gamma").toDF("s")
+    val grouped = df
+      .select(collate(col("s"), "UTF8_LCASE").as("s"))
+      .groupBy("s")
+      .count()
+      .collect()
+      .map(r => r.getString(0).toLowerCase -> r.getLong(1))
+      .toMap
+    assert(grouped == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+    val eq = spark.sql("SELECT collate('STRASSE', 'UNICODE_CI') = collate('strasse', 'UNICODE_CI') AS e")
+      .head().getBoolean(0)
+    assert(eq)
+  }
+
   test("E10 schema_of_json infers the events.props shape") {
     val sample = Tables(spark, dir, "events").select("props").head().getString(0)
     val schema = spark.range(1)
