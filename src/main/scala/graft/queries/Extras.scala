@@ -518,7 +518,7 @@ object Extras {
     // ------------------------------------------------------------------
     // E5: single-pass heavy hitters (df.stat.freqItems — the
     // Karp/Shenker/Papadimitriou counter algorithm): candidate frequent
-    // tokens at 5% support in ONE scan with map-side partial merges, no
+    // tokens at 3% support in ONE scan with map-side partial merges, no
     // full groupBy — the 100 TB way to surface boilerplate tokens
     // before an exact count of just the candidates. Guarantee is
     // superset (may include false positives, never misses a true heavy
@@ -532,13 +532,19 @@ object Extras {
           .select(explode(split(col("text"), " ")).as("tok"))
         val candidates = toks.stat.freqItems(Seq("tok"), 0.03)
           .select(explode(col("tok_freqItems")).as("tok"))
-        val nTotal = toks.count()
+        // total token count as a LAZY 1-row broadcast scalar (the q38
+        // n_docs pattern) — an eager toks.count() here would run a full
+        // scan job every time the plan is merely BUILT (RunOne explain,
+        // plan lint over all queries, ...)
+        val total = toks.agg(count(lit(1)).as("n_total"))
         toks
           .join(broadcast(candidates), Seq("tok"), "left_semi")
           .groupBy("tok")
           .agg(count(lit(1)).as("n"))
+          .join(broadcast(total))
           // strict >: the KSP superset guarantee covers count > n*support
-          .filter(col("n") > nTotal * 0.03)
+          .filter(col("n") > col("n_total") * 0.03)
+          .select(col("tok"), col("n"))
           .orderBy(desc("n"), col("tok"))
       },
       None
@@ -592,9 +598,7 @@ object Extras {
           .select(
             col("user_id"),
             col("event_id"),
-            (sum(col("new_sess")).over(
-              Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-            ) + 1L).as("session_seq")
+            (sum(col("new_sess")).over(w) + 1L).as("session_seq")
           )
           .orderBy("user_id", "event_id")
       },
