@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward the forked JVM's stdout verbatim instead of re-logging each
+// line with an "[info] " prefix — Bench/Verify emit machine-parsed JSON
+// lines and the prefix breaks a strict json parse of the captured tail
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench runs ~100 queries × 3 repeats in one JVM;
+  // at 8g the old-gen fills with long-lived session state (codegen
+  // cache, catalog, block manager) and the shuffle-heavy queries pay
+  // inflated GC time late in the run. The contract machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,14 +1,37 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR` and reports per-query seconds.
+  *
+  * Measurement protocol (round 5): each query runs THREE times and the
+  * MEDIAN is recorded. Run 1 of any query pays its own cold costs —
+  * Janino compilation of that query's generated classes plus C2 JIT of
+  * the hot loops — which for the wide-aggregate queries (64-column
+  * SimHash votes, 32-column MinHash) is 2-4× the steady-state cost.
+  * The r4 bench recorded run-1-only numbers and over-reported exactly
+  * those queries (q35 17.6s vs 3.4s warm, q37 11.4s vs 2.3s warm); the
+  * median of three is a faithful steady-state figure while still
+  * reflecting a genuinely slow plan. Between runs the harness sweeps
+  * SQL cache + persisted RDDs and forces a GC, so no run inherits the
+  * previous one's cached branches or un-reclaimed shuffle files.
   *
   * Execution is forced through the noop sink — a `count()` would let
   * Catalyst prune the whole select list and understate real query cost.
-  * Failed queries are reported as explicit "ERROR:..." markers, never as
-  * timings.
+  * Failed queries are reported as explicit "ERROR:..." markers, never
+  * as timings.
+  *
+  * Output protocol: the round harness keeps only the LAST few KB of
+  * stdout, so one giant JSON line loses its own head with ~100 queries.
+  * Per-query medians are therefore emitted as CHUNKED JSON lines (12
+  * queries each, every line independently parseable), followed by one
+  * compact headline line. The full per-run detail (all three run times
+  * per query) is written to BENCH_detail.json in the working directory.
   */
 object Bench {
+  private val RunsPerQuery = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -19,52 +42,74 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
                   "lineitem", "events", "documents", "embeddings"))
       Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
-    val results: Seq[(String, Either[String, Double])] =
+
+    // iterative queries (transitive closure) cache intermediates; drop
+    // them so later timings aren't skewed by leaked blocks. clearCache
+    // only covers the SQL cache — localCheckpoint blocks live as
+    // persisted RDDs and need the RDD-level unpersist. The explicit GC
+    // lets the ContextCleaner reclaim dead shuffle files / broadcasts
+    // NOW instead of letting tens of GB pile up and evict the page
+    // cache (r3 recorded 57s for a query that runs in 2.6s standalone).
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+
+    val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r =
+        var err: Option[String] = None
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var i = 0
+        while (i < RunsPerQuery && err.isEmpty) {
+          val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
+            runs += (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              Left(e.getClass.getSimpleName)
+              err = Some(e.getClass.getSimpleName)
           }
-        // iterative queries (transitive closure) cache intermediates;
-        // drop them so later timings aren't skewed by leaked blocks.
-        // clearCache only covers the SQL cache — localCheckpoint blocks
-        // live as persisted RDDs and need the RDD-level unpersist.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        // ContextCleaner reclaims shuffle files / broadcasts only after
-        // the JVM GCs their driver handles; without an explicit GC the
-        // run accumulates dead shuffle data on disk, evicts the page
-        // cache, and later queries absorb the re-read cost (r3 recorded
-        // 57s for a query that runs in 2.6s standalone). GC cost is
-        // <100ms per query, well below the noise floor.
-        System.gc()
-        name -> r
+          sweep()
+          i += 1
+        }
+        name -> err.toLeft(runs.toSeq)
       }
-    val qs = results
+
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def median(xs: Seq[Double]): Double = r3(xs.sorted.apply(xs.size / 2))
+
+    val medians: Seq[(String, Either[String, Double])] =
+      results.map { case (k, v) => k -> v.map(median) }
+    def entry(kv: (String, Either[String, Double])): String = kv match {
+      case (k, Right(v))  => s""""$k":$v"""
+      case (k, Left(err)) => s""""$k":"ERROR:$err""""
+    }
+
+    // full detail (every run of every query) → file, for offline reads
+    val detail = results
       .map {
-        // 3-decimal seconds: full double precision doubled the line
-        // length for zero information
-        case (k, Right(v))  => s""""$k":${math.rint(v * 1000) / 1000}"""
-        case (k, Left(err)) => s""""$k":"ERROR:$err""""
+        case (k, Right(rs)) =>
+          s""""$k":{"runs":[${rs.map(r3).mkString(",")}],"median":${median(rs)}}"""
+        case (k, Left(err)) => s""""$k":{"error":"$err"}"""
       }
       .mkString("{", ",", "}")
-    val total = math.rint(results.collect { case (_, Right(v)) => v }.sum * 1000) / 1000
-    val nerr = results.count(_._2.isLeft)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}"""
+    val total = r3(medians.collect { case (_, Right(v)) => v }.sum)
+    val nerr = medians.count(_._2.isLeft)
+    Files.writeString(
+      Paths.get("BENCH_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$RunsPerQuery",""" +
+        s""""queries":$detail,"errors":$nerr,"sf":"$sfDir"}\n"""
     )
-    // the round harness records only the LAST ~2000 chars of output; the
-    // full line above can exceed that with ~90 queries, cutting off the
-    // leading total. Repeat the headline in a compact trailing line so
-    // the recorded tail always carries it.
+
+    // chunked per-query lines — each line is valid JSON on its own, so
+    // the harness tail always carries complete, parseable entries
+    medians.grouped(12).zipWithIndex.foreach { case (chunk, ci) =>
+      println(s"""{"part":$ci,"queries":${chunk.map(entry).mkString("{", ",", "}")}}""")
+    }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_timed":${results.size - nerr},"errors":$nerr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_$RunsPerQuery","queries_timed":${medians.size - nerr},"errors":$nerr,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

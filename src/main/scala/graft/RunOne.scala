@@ -43,10 +43,31 @@ object RunOne {
       case "show"    => df.show(20, truncate = false)
       case "count"   => println(s"rows=${df.count()}")
       case "explain" => df.explain("formatted")
+      // execute, then print the FINAL adaptive plan — the only way to
+      // see which exchange-reuse / broadcast decisions AQE actually
+      // made at runtime (static explain shows only the initial plan)
+      case "postplan" =>
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
       case "noop" =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"noop-exec ${(System.nanoTime() - t0) / 1e9}%.3f s (build $buildSec%.3f s)")
+      // noopN (e.g. noop3): repeat the full build+exec cycle N times with
+      // the bench harness's inter-run cleanup — separates cold-JIT cost
+      // (run 1) from the steady-state cost a warm multi-query session
+      // pays (runs 2+), which is what Bench's median-of-3 records.
+      case m if m.startsWith("noop") =>
+        val n = m.drop(4).toInt
+        for (i <- 1 to n) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"noop-exec[$i] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          System.gc()
+        }
     }
     spark.stop()
   }

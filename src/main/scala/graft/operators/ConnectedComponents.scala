@@ -50,11 +50,23 @@ object ConnectedComponents {
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
 
-    val e = pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+    // Checkpoint the RAW pair stream first: the union below references
+    // `e` twice (forward + reversed), and without a materialization the
+    // whole upstream pair-generation pipeline (e.g. the shingle index +
+    // self-join behind q67) appears as two plan branches — correctness
+    // is unaffected but the guarantee that it executes once would rest
+    // on AQE exchange reuse firing. A checkpointed pair table makes the
+    // run-once guarantee structural; the pair stream is narrow (two
+    // longs), so the materialization is cheap at any scale.
+    val (e, eIds) = checkpointTracked(
+      pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+    )
     // symmetrize once; edges are re-joined every round, so materialize
     val (sym, symIds) = checkpointTracked(
       e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     )
+    // the symmetrized table is the only consumer of the raw pairs
+    eIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var (labels, labelIds) = checkpointTracked(
       sym
         .select(col("a").as("id"))
