@@ -26,7 +26,9 @@ object SparkEntry {
     graft.queries.Similarity.defs,
     graft.queries.Media.defs,
     graft.queries.Vectors.defs,
-    graft.queries.MlText.defs
+    graft.queries.MlText.defs,
+    graft.queries.Ingest.defs,
+    graft.queries.StreamGate.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Source/sink round-trips through the driver's correctness gate
+  * (SURVEY.md §2.3 E1): a CSV ingest, a JSON-lines ingest, and a
+  * partitioned parquet sink + pruned re-read. The format round-trips
+  * were previously spec-only (OperatorsSpec); these register them as
+  * oracle-checked queries, because a real user's first act on a new
+  * corpus is an ingest and their last act is a partitioned write.
+  *
+  * Shape of every query here: write a copy of a driver parquet table in
+  * the target format, read it back with an EXPLICIT schema (schema
+  * inference is a second full scan at 100 TB — never rely on it), and
+  * aggregate. The oracle runs the same aggregate over the original
+  * parquet table, so any loss in the round-trip (quoting, escaping,
+  * type coercion, partition-value encoding) breaks the hash match —
+  * that is the point.
+  *
+  * Scale posture: the scratch copies are written under target/ (local
+  * scratch, one dir per format, `overwrite`); at cluster scale the same
+  * code writes to a distributed store — the API is identical. The
+  * partitioned sink uses a low-cardinality partition column (3 values),
+  * the only kind a 100 TB pipeline should directory-partition by.
+  */
+object Ingest {
+
+  /** Local scratch root for format round-trips (driver runs from the
+    * repo root; target/ is the build's own scratch area). */
+  private def scratch(sub: String): String =
+    new java.io.File(s"target/graft_scratch/$sub").getAbsolutePath
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E1 (CSV scan): parquet → CSV with header → explicit-schema read →
+    // aggregate. Exercises quoting on the value side and header
+    // round-trip; the oracle aggregates the original parquet table, so
+    // the CSV copy must be byte-faithful for the hash to match.
+    QueryDef(
+      "q86_csv_ingest",
+      (s, dir) => {
+        val nation = Tables(s, dir, "nation")
+        val path = scratch("nation_csv")
+        nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        s.read
+          .schema(nation.schema) // explicit: inference would re-scan
+          .option("header", "true")
+          .csv(path)
+          .groupBy(col("n_regionkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_name")).as("first_name"),
+            max(col("n_name")).as("last_name"),
+            sum(col("n_nationkey")).cast("long").as("key_sum")
+          )
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n,
+            min(n_name) AS first_name, max(n_name) AS last_name,
+            CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+          FROM nation GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1 (JSON scan): parquet → JSON-lines → explicit-schema read →
+    // aggregate. JSON is the lossless text round-trip (empty strings
+    // and unicode survive, unlike CSV's empty-vs-null ambiguity), and
+    // JSON-lines is THE wire format of LLM training corpora — sum of
+    // text lengths in the aggregate proves the payload survived.
+    QueryDef(
+      "q87_json_ingest",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val path = scratch("documents_json")
+        docs.write.mode("overwrite").json(path)
+        s.read
+          .schema(docs.schema)
+          .json(path)
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars_meta"),
+            sum(length(col("text"))).cast("long").as("chars_text")
+          )
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars_meta,
+            CAST(sum(length(text)) AS BIGINT) AS chars_text
+          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1 (partitioned sink + pruned scan): orders → parquet partitioned
+    // by o_orderstatus → re-read filtered to ONE partition → monthly
+    // revenue. The filter on the partition column must prune to a
+    // single directory (PartitionFilters in the scan — asserted in
+    // OperatorsSpec; here the VALUES are gated). Money sums in exact
+    // cents per the engine-wide scaled-integer rule.
+    QueryDef(
+      "q89_partitioned_sink",
+      (s, dir) => {
+        val path = scratch("orders_by_status")
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        s.read
+          .parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents")
+          )
+          .orderBy("month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+            count(*) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""")
+    )
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryDef, Tables}
+
+/** Streaming surfaces registered through the driver's correctness gate
+  * (SURVEY.md §2.3 E15). Until round 5 the streaming operators were
+  * spec-only (MemoryStream specs in StreamingSpec); these two queries
+  * put a real Structured Streaming run and the one window shape with no
+  * batch twin (sliding) in front of the DuckDB oracle.
+  */
+object StreamGate {
+
+  /** Unique memory-sink names: the gate query can run several times in
+    * one session (bench repeats), and a memory sink's backing temp view
+    * belongs to its (stopped) streaming query — never reuse one. */
+  private val sinkSeq = new AtomicInteger(0)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E15 (batch twin, sliding): hourly windows sliding every 15
+    // minutes — each event lands in exactly 4 overlapping buckets.
+    // Same window geometry as streaming EventStreams.slidingCounts, so
+    // this is its oracle-checked batch twin (tumbling and session
+    // windows already have q25/q26). The DuckDB restatement cross-joins
+    // a 4-row offset spine: window starts for event t are
+    // time_bucket_15(t) - k·15min, k ∈ 0..3 — exactly Spark's
+    // epoch-aligned sliding-window assignment.
+    QueryDef(
+      "q85_sliding_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("bucket_start"), col("event_type"), col("n"))
+          .orderBy("bucket_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+              AS bucket_start, event_type, count(*) AS n
+          FROM events, (SELECT unnest(range(4)) AS k)
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming through the gate): the events table replayed as a
+    // FILE-SOURCE STREAM into EventStreams.windowedCounts (watermark +
+    // tumbling window), drained with Trigger.AvailableNow, collected
+    // via a memory sink in complete mode. The returned DataFrame is the
+    // final result table, so the DuckDB oracle hash-checks an actual
+    // Structured Streaming execution — stream-vs-batch equivalence is
+    // additionally pinned by StreamingSpec.
+    //
+    // Gate-harness shapes, called out honestly: the memory sink is the
+    // collection vehicle (a cluster job writes files/Kafka via
+    // foreachBatch — see EventStreams.idempotentSink), and complete
+    // mode is what makes a bounded replay equal its batch twin (append
+    // mode would hold back the watermark-open tail windows; at 100 TB
+    // you run append + checkpoints on an unbounded source).
+    QueryDef(
+      "q88_stream_tumbling",
+      (s, dir) => {
+        // physical schema (ts is INT64 nanos read as long under
+        // nanosAsLong) — the stream applies the same micros truncation
+        // as Tables.events so batch and stream rows are identical
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val events = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet") // file source takes a dir
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStreams
+          .windowedCounts(events)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        s.table(sink).orderBy("bucket_start", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+            event_type, count(*) AS n
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+    )
+  )
+}
