@@ -34,6 +34,8 @@ object GraftSession {
       .withExtensions(graft.functions.CosineSim.install)
       .withExtensions(graft.functions.RollingHash.install)
       .withExtensions(graft.functions.BloomSketch.install)
+      .withExtensions(graft.functions.HashAggregates.install)
+      .withExtensions(graft.functions.DistinctUpTo.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

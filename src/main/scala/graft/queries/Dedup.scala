@@ -17,8 +17,10 @@ import graft.{QueryDef, Tables}
   * split would otherwise struggle with.
   *
   * Cache ownership: the `.cache()` calls in these builders exist to
-  * dedupe plan BRANCHES within one execution (the shingle index / band
-  * table feeds a size filter and both self-join sides). The builders
+  * dedupe plan BRANCHES within one execution (the per-shingle doc
+  * lists feed the size table and the pair expansion; the SimHash
+  * signature table feeds the band explode and both hamming join-backs).
+  * The builders
   * are lazy, so they cannot unpersist after the action; callers that
   * execute these plans in a long-lived session own the cleanup — the
   * Bench/Verify harnesses sweep `catalog.clearCache()` + persistent
@@ -33,7 +35,10 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
 
-  /** Distinct word-3-gram shingles, one row per (doc, shingle). */
+  /** Word-3-gram shingle rows, one row per (doc, occurrence) — NOT
+    * deduplicated: every consumer (distinct_up_to doc lists, MIN-based
+    * MinHash slots) is duplicate-insensitive, so the explicit distinct
+    * pass (a full exchange of the exploded index) would be pure cost. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     tok(s, dir)
       .select(
@@ -42,7 +47,13 @@ object Dedup {
           expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
         ).as("g")
       )
-      .distinct()
+
+  /** In-group ordered pair expansion over a sorted `docs` array: all
+    * (d1, d2) with d1 < d2 — the replacement for a self-join on the
+    * group key once groups are df-capped. */
+  private val PairExpand =
+    "flatten(transform(docs, (x, i) -> " +
+      "transform(slice(docs, i + 2, size(docs)), y -> named_struct('d1', x, 'd2', y))))"
 
   /** Distinct word-5-gram shingles (contamination screening granularity). */
   private def shingle5Rows(s: SparkSession, dir: String): DataFrame =
@@ -62,18 +73,31 @@ object Dedup {
     * query so both stay oracle-reproducible from the same definition.
     */
   private def jaccardPairs(s: SparkSession, dir: String, minJaccard: Double): DataFrame = {
-    val sh = shingleRows(s, dir)
-    val rare = sh
+    // Per-shingle doc lists in ONE exchange of the raw exploded index:
+    // `distinct_up_to` (graft.functions.DistinctUpTo) dedups in the
+    // aggregation buffer, returns the sorted doc list, and poisons to
+    // NULL past 50 distinct docs — so the df ∈ [2, 50] rule costs a
+    // single groupBy with O(cap) state per shingle. The r5 formulation
+    // (distinct pass + df groupBy + semi join + self-join) paid three
+    // full-index exchanges for the same pairs; hot stop-shingles now
+    // never materialize their doc groups at all (overflow
+    // short-circuits map-side).
+    val grouped = shingleRows(s, dir)
       .groupBy("g")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 50)
-      .select("g")
-    val shr = sh.join(rare, Seq("g")).cache()
-    val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = shr
-      .as("a")
-      .join(shr.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(expr("distinct_up_to(doc_id, 50)").as("docs"))
+      .filter(col("docs").isNotNull && size(col("docs")) >= 2)
+      // one materialization feeds the per-doc size table and the pair
+      // expansion — without it the corpus explode re-runs per branch
+      .cache()
+    val sz = grouped
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val pairs = grouped
+      // docs is sorted ascending, so expanding (i, j>i) positions gives
+      // exactly the d1 < d2 pairs a self-join condition would produce
+      .select(explode(expr(PairExpand)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
@@ -141,10 +165,9 @@ object Dedup {
     // shingle sets, so the DuckDB oracle reproduces it exactly.
     QueryDef(
       "q35_ngram_jaccard",
-      // jaccardPairs materializes the filtered shingle index ONCE
-      // (narrow doc_id+g rows): it feeds the size table and both sides
-      // of the pair self-join — without it the corpus explode re-runs
-      // per branch (8 Generate nodes in the static plan)
+      // jaccardPairs materializes the per-shingle doc lists ONCE: they
+      // feed the size table and the pair expansion — without it the
+      // corpus explode re-runs per branch
       (s, dir) => jaccardPairs(s, dir, PairMinJaccard).orderBy("d1", "d2"),
       // ONE DuckDB restatement of the pair definition (pairSql) is
       // shared by this oracle and q67's — the Spark side is shared via
@@ -153,56 +176,49 @@ object Dedup {
     ),
 
     // ------------------------------------------------------------------
-    // E12: MinHash + banded LSH. 32 hashes (xxhash64 seeded per slot),
-    // 8 bands × 4 rows; candidates = docs sharing a band bucket;
-    // survivors verified with exact Jaccard on the shingle sets. For a
-    // pair with true Jaccard j the detection probability is
-    // 1-(1-j^4)^8 (≈0.9998 at j=0.9, ≈0.04 at j=0.2) — deterministic
-    // here because the hash family is fixed. No SQL oracle (hash family
-    // is engine-defined); DedupSpec checks recall against q35's truth.
+    // E12: MinHash + banded LSH. 32 hash slots, 8 bands × 4 rows;
+    // candidates = docs sharing a band bucket; survivors verified with
+    // exact Jaccard on the shingle sets. For a pair with true Jaccard j
+    // the detection probability is 1-(1-j^4)^8 (≈0.9998 at j=0.9,
+    // ≈0.04 at j=0.2) — deterministic here because the hash family is
+    // fixed. No SQL oracle (hash family is engine-defined); DedupSpec
+    // checks recall against q35's truth.
     //
-    // The signature is computed as 32 MIN aggregates over exploded
-    // (doc, shingle) rows — one pass, map-side partial aggregation, and
-    // the agg boundary materializes the signature so downstream band
-    // expressions can't re-inline (a nested transform(array_min(...))
-    // formulation gets re-evaluated per band reference by
-    // ProjectCollapse: measured 60× slower at sf0.1). Band buckets with
-    // >100 docs are dropped — non-discriminative hot keys whose join
-    // groups grow quadratically.
+    // The signature is one native `minhash_sig` aggregate
+    // (graft.functions.MinHashSig) over exploded (doc, shingle) rows:
+    // one xxhash64 per row + a 5-op mix per slot, single primitive
+    // buffer, map-side partial aggregation — replacing 32 separate
+    // MIN(xxhash64(concat(...))) aggregate columns that re-hashed the
+    // shingle string 32×. The agg boundary materializes the signature
+    // so downstream band expressions can't re-inline (a nested
+    // transform(array_min(...)) formulation gets re-evaluated per band
+    // reference by ProjectCollapse: measured 60× slower at sf0.1).
+    // Band buckets with >100 docs are dropped — non-discriminative hot
+    // keys whose join groups grow quadratically.
     QueryDef(
       "q36_minhash_lsh",
       (s, dir) => {
         val sets = shingleSets(s, dir)
-        val slotMins = (0 until 32).map(i =>
-          min(xxhash64(concat(lit(s"${i}_"), col("g")))).as(s"h$i")
-        )
         val sig = shingleRows(s, dir)
           .groupBy("doc_id")
-          .agg(slotMins.head, slotMins.tail: _*)
-          .select(col("doc_id"), array((0 until 32).map(i => col(s"h$i")): _*).as("sig"))
-        val bands = sig
+          .agg(expr("minhash_sig(xxhash64(g))").as("sig"))
+        // candidate pairs in ONE exchange of the band table:
+        // distinct_up_to collects each bucket's doc list (sorted, NULL
+        // past 100 docs = the hot-bucket cap), and the in-group
+        // expansion replaces the bucket-count + semi-join + self-join
+        // chain — a straight-line pipeline from signature to pairs
+        val cand = sig
           .select(
             col("doc_id"),
             explode(
               expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
             ).as("bucket")
           )
-          // one materialization feeds the bucket-size filter and both
-          // self-join sides — the 32-aggregate signature pass runs once
-          .cache()
-        val coldBuckets = bands
           .groupBy("bucket")
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= 100)
-          .select("bucket")
-        val pruned = bands.join(coldBuckets, Seq("bucket"))
-        val cand = pruned
-          .as("a")
-          .join(
-            pruned.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
-          )
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(expr("distinct_up_to(doc_id, 100)").as("docs"))
+          .filter(col("docs").isNotNull && size(col("docs")) >= 2)
+          .select(explode(expr(PairExpand)).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
           .distinct()
         cand
           .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
@@ -234,59 +250,54 @@ object Dedup {
     // into 4×16-bit keys for candidate generation, Hamming-distance
     // verified with bit_count(xor).
     //
-    // Votes are 64 SUM aggregates over exploded (doc, tokenhash) rows —
-    // one pass with map-side partial agg; the agg boundary materializes
-    // the votes (the nested aggregate/zip_with formulation was
-    // re-evaluated 64× per row by ProjectCollapse — 455s at sf0.1 vs
-    // ~2s for this plan). Token-soup corpora produce CORRELATED
-    // signatures, so 16-bit band buckets genuinely run hot; buckets
-    // with >100 docs are dropped as non-discriminative (same hot-key
-    // rule as the shingle df cap).
+    // The signature is one native `simhash_agg` aggregate
+    // (graft.functions.SimHashAgg) over exploded (doc, tokenhash) rows:
+    // a 64-counter primitive buffer bumped in a tight loop per row,
+    // map-side partial agg — replacing 64 SUM(CASE ...) aggregate
+    // columns (bit-identical result: majority vote, ties → 0). The agg
+    // boundary still materializes the signature (the nested
+    // aggregate/zip_with formulation was re-evaluated 64× per row by
+    // ProjectCollapse — 455s at sf0.1 vs ~2s). Token-soup corpora
+    // produce CORRELATED signatures, so 16-bit band buckets genuinely
+    // run hot; buckets with >100 docs are dropped as non-discriminative
+    // (same hot-key rule as the shingle df cap).
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .select(col("doc_id"), xxhash64(col("t")).as("h"))
-        val voteCols = (0 until 64).map(i =>
-          sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"v$i")
-        )
-        val simhash = (0 until 64)
-          .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _)
+        // signature table feeds the band explode AND both hamming
+        // join-backs — one materialization of the signature pass
         val sigs = toks
           .groupBy("doc_id")
-          .agg(voteCols.head, voteCols.tail: _*)
-          .select(col("doc_id"), simhash.as("simhash"))
-        val bands = sigs
+          .agg(expr("simhash_agg(h)").as("simhash"))
+          .cache()
+        // candidate pairs in ONE exchange of the band table (same
+        // distinct_up_to shape as q36); hamming re-attaches the two
+        // signatures via narrow joins on the tiny per-doc sig table
+        val cand = sigs
           .select(
             col("doc_id"),
-            col("simhash"),
             explode(
               expr("""transform(sequence(0, 3), b ->
                         struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))""")
             ).as("bucket")
           )
-          // one materialization of the 64-vote signature pass
-          .cache()
-        val coldBuckets = bands
           .groupBy("bucket")
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= 100)
-          .select("bucket")
-        val pruned = bands.join(coldBuckets, Seq("bucket"))
-        pruned
-          .as("a")
-          .join(
-            pruned.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
-          )
-          .select(
-            col("a.doc_id").as("d1"),
-            col("b.doc_id").as("d2"),
-            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming")
-          )
+          .agg(expr("distinct_up_to(doc_id, 100)").as("docs"))
+          .filter(col("docs").isNotNull && size(col("docs")) >= 2)
+          .select(explode(expr(PairExpand)).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
           .distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
+          .join(sigs.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
+          .select(
+            col("d1"),
+            col("d2"),
+            expr("bit_count(h1 ^ h2)").cast("long").as("hamming")
+          )
           .filter(col("hamming") <= 6)
           .orderBy("d1", "d2")
       },
