@@ -52,6 +52,17 @@ object GraftSession {
       // ~80 registered queries generate well over the default 100 cached
       // codegen classes; evictions force Janino recompiles mid-run.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // TypedImperativeAggregates (minhash_sig / simhash_agg /
+      // distinct_up_to) run under ObjectHashAggregateExec, which by
+      // default abandons hash aggregation after 128 distinct keys and
+      // sort-aggregates the rest — for the shingle-keyed groupBys
+      // (10^4-10^6 keys) that means sorting the whole exploded index
+      // and serializing every partial buffer (measured 3× on q35).
+      // 2^20 keys × ~100B average buffer ≈ 100MB per task keeps the
+      // hash path for realistic key counts; past that the sort-based
+      // spill path remains the safety net, so memory stays bounded on
+      // adversarial key cardinalities.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       // events.ts is physically INT64 TIMESTAMP(NANOS), which Spark's
       // parquet reader rejects by default. Engine-wide we surface it as a
       // long and truncate to micros in Tables.events — the same coercion

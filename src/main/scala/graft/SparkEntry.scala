@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Vectors.defs,
     graft.queries.MlText.defs,
     graft.queries.Ingest.defs,
-    graft.queries.StreamGate.defs
+    graft.queries.StreamGate.defs,
+    graft.queries.Corpus.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-level curation operators for a training-data pipeline
+  * (SURVEY.md §2.3 E14 family): repetition/boilerplate signals, the
+  * corpus-mix report that drives sampling weights, and chunk-level
+  * exact duplication. All outputs are integer-valued, so every query
+  * here is DuckDB-oracle-exact.
+  */
+object Corpus {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // E14 (repetition filters): per-document n-gram repetition signals —
+    // the Gopher/C4-style quality gates ("fraction of duplicated
+    // n-grams", "mass of the most frequent n-gram"). Everything except
+    // the bigram mode is computed LOCALLY per row (size/array_distinct
+    // over the gram arrays — no shuffle); the mode needs per-(doc,gram)
+    // counts, one partial-aggregated exchange keyed by (doc_id, g),
+    // reduced to doc_id. Outputs stay integers (numerators/denominators,
+    // not ratios) so the oracle matches bit-for-bit and downstream
+    // thresholds stay exact.
+    QueryDef(
+      "q91_repetition_stats",
+      (s, dir) => {
+        val base = Tables(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(
+            col("doc_id"),
+            expr("transform(sequence(1, size(ws)-1), i -> concat_ws(' ', slice(ws, i, 2)))")
+              .as("bgs"),
+            expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
+              .as("tgs")
+          )
+        // local (shuffle-free) counts: totals and distincts per doc
+        val local = base.select(
+          col("doc_id"),
+          size(col("bgs")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_distinct_bigrams"),
+          size(col("tgs")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("tgs"))).cast("long").as("n_distinct_trigrams")
+        )
+        // the bigram MODE is the one signal that needs an aggregation
+        // (a per-row HOF count-of-each-distinct is O(n²) per doc)
+        val top = base
+          .select(col("doc_id"), explode(col("bgs")).as("g"))
+          .groupBy("doc_id", "g")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("top_bigram_n"))
+        local
+          .join(top, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            col("n_bigrams"),
+            col("top_bigram_n"),
+            col("n_distinct_bigrams"),
+            col("n_trigrams"),
+            col("n_distinct_trigrams")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tok)
+        ), bgc AS (
+          SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2
+        ), bstat AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                 CAST(max(n) AS BIGINT) AS top_bigram_n,
+                 CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+          FROM bgc GROUP BY doc_id
+        ), tg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM tok)
+        ), tstat AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+          FROM tg GROUP BY doc_id
+        )
+        SELECT b.doc_id AS doc_id, n_bigrams, top_bigram_n, n_distinct_bigrams,
+               n_trigrams, n_distinct_trigrams
+        FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+        ORDER BY b.doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5/E14 (corpus-mix report): per (lang, source) token mass and its
+    // parts-per-million share of the corpus — the table a training-mix
+    // sampler is parameterized by. One scan, one small grouped exchange;
+    // the grand total re-attaches by broadcast cross join (1 row), the
+    // same shape TextOps uses for corpus-level denominators. share_ppm
+    // is integer floor division so the oracle is exact.
+    QueryDef(
+      "q93_corpus_mix",
+      (s, dir) => {
+        val per = Tables(s, dir, "documents")
+          .select(
+            col("lang"),
+            col("source"),
+            size(split(col("text"), " ")).cast("long").as("ntok"),
+            length(col("text")).cast("long").as("nch")
+          )
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).cast("long").as("total_tokens"),
+            sum(col("nch")).cast("long").as("total_chars"),
+            min(col("ntok")).cast("long").as("min_tokens"),
+            max(col("ntok")).cast("long").as("max_tokens")
+          )
+        val grand = per.agg(sum(col("total_tokens")).as("grand_tokens"))
+        per
+          .crossJoin(broadcast(grand))
+          .select(
+            col("lang"),
+            col("source"),
+            col("n_docs"),
+            col("total_tokens"),
+            col("total_chars"),
+            col("min_tokens"),
+            col("max_tokens"),
+            expr("total_tokens * 1000000 DIV grand_tokens").as("share_ppm")
+          )
+          .orderBy("lang", "source")
+      },
+      Some("""WITH per AS (
+          SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                 CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+                 CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT lang, source, n_docs, total_tokens, total_chars, min_tokens,
+               max_tokens,
+               CAST(total_tokens * 1000000 // (SELECT sum(total_tokens) FROM per) AS BIGINT)
+                 AS share_ppm
+        FROM per ORDER BY lang, source""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11/E12 (chunk-level exact dedup): fixed 20-token chunks hashed
+    // across the corpus; a doc's dup_chunks counts chunk positions whose
+    // content appears in ≥2 distinct documents — the within-corpus
+    // boilerplate measure used to trim templated spans before training.
+    // Candidates come from an equi-join on the chunk content (never
+    // all-pairs). At larger scale the join key would be xxhash64(g)
+    // (collision-checked) to keep the shuffle narrow; here the string
+    // key keeps the oracle exact.
+    QueryDef(
+      "q94_chunk_dedup",
+      (s, dir) => {
+        val ch = Tables(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 20)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(
+            col("doc_id"),
+            explode(
+              expr(
+                "transform(sequence(0, size(ws) DIV 20 - 1), i -> concat_ws(' ', slice(ws, i*20 + 1, 20)))"
+              )
+            ).as("g")
+          )
+        val df = ch.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+        ch.join(df, Seq("g"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("dup_chunks")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 20
+        ), ch AS (
+          SELECT doc_id, array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) // 20)) AS i FROM tok)
+        ), df AS (
+          SELECT g, count(DISTINCT doc_id) AS nd FROM ch GROUP BY g
+        )
+        SELECT ch.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+        FROM ch JOIN df USING (g)
+        GROUP BY ch.doc_id ORDER BY ch.doc_id""")
+    )
+  )
+}

@@ -35,16 +35,23 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
 
-  /** Word-3-gram shingle rows, one row per (doc, occurrence) — NOT
-    * deduplicated: every consumer (distinct_up_to doc lists, MIN-based
-    * MinHash slots) is duplicate-insensitive, so the explicit distinct
-    * pass (a full exchange of the exploded index) would be pure cost. */
+  /** Word-3-gram shingle rows, one row per (doc, DISTINCT shingle).
+    * Deduplication is LOCAL — array_distinct on the per-doc gram array
+    * before the explode — so it costs no exchange (a global `.distinct()`
+    * is a full shuffle of the exploded index) yet still shrinks the
+    * stream 2-3× on repetitive corpora before any aggregation sees it
+    * (measured: the raw-occurrence stream made q35 2× slower end to
+    * end). Every consumer needs per-doc-distinct or duplicate-
+    * insensitive semantics (doc lists, MIN-based MinHash slots), so
+    * local dedup is both the cheap and the correct granularity. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     tok(s, dir)
       .select(
         col("doc_id"),
         explode(
-          expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
+          array_distinct(
+            expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
+          )
         ).as("g")
       )
 
@@ -55,7 +62,8 @@ object Dedup {
     "flatten(transform(docs, (x, i) -> " +
       "transform(slice(docs, i + 2, size(docs)), y -> named_struct('d1', x, 'd2', y))))"
 
-  /** Distinct word-5-gram shingles (contamination screening granularity). */
+  /** Word-5-gram shingle rows, per-doc-distinct via the same local
+    * array_distinct trick (contamination screening granularity). */
   private def shingle5Rows(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 5)
@@ -63,25 +71,26 @@ object Dedup {
       .select(
         col("doc_id"),
         explode(
-          expr("transform(sequence(1, size(ws)-4), i -> concat_ws(' ', slice(ws, i, 5)))")
+          array_distinct(
+            expr("transform(sequence(1, size(ws)-4), i -> concat_ws(' ', slice(ws, i, 5)))")
+          )
         ).as("g")
       )
-      .distinct()
 
   /** The q35 near-dup pair graph (exact Jaccard ≥ threshold over rare
     * 3-gram shingle sets) — shared by the pair query and the cluster
     * query so both stay oracle-reproducible from the same definition.
     */
   private def jaccardPairs(s: SparkSession, dir: String, minJaccard: Double): DataFrame = {
-    // Per-shingle doc lists in ONE exchange of the raw exploded index:
-    // `distinct_up_to` (graft.functions.DistinctUpTo) dedups in the
-    // aggregation buffer, returns the sorted doc list, and poisons to
-    // NULL past 50 distinct docs — so the df ∈ [2, 50] rule costs a
-    // single groupBy with O(cap) state per shingle. The r5 formulation
-    // (distinct pass + df groupBy + semi join + self-join) paid three
-    // full-index exchanges for the same pairs; hot stop-shingles now
-    // never materialize their doc groups at all (overflow
-    // short-circuits map-side).
+    // Per-shingle doc lists in ONE exchange of the (per-doc-distinct)
+    // exploded index: `distinct_up_to` (graft.functions.DistinctUpTo)
+    // dedups in the aggregation buffer, returns the sorted doc list,
+    // and poisons to NULL past 50 distinct docs — so the df ∈ [2, 50]
+    // rule costs a single groupBy with O(cap) state per shingle. The r5
+    // formulation (global distinct pass + df groupBy + semi join +
+    // self-join) paid three full-index exchanges for the same pairs;
+    // hot stop-shingles now never materialize their doc groups at all
+    // (overflow short-circuits map-side).
     val grouped = shingleRows(s, dir)
       .groupBy("g")
       .agg(expr("distinct_up_to(doc_id, 50)").as("docs"))
@@ -350,19 +359,25 @@ object Dedup {
     QueryDef(
       "q68_contamination",
       (s, dir) => {
-        val g5 = shingle5Rows(s, dir)
-        val keep = g5
+        // ONE exchange of the 5-gram index: distinct_up_to collects each
+        // gram's doc list (NULL past 100 docs = the boilerplate cap,
+        // enforced map-side), the eval/train split is a LOCAL array
+        // partition of that list, and the (gram, train, eval) stream is
+        // the in-group expansion — replacing the df groupBy + semi-join
+        // + self-join chain that exchanged the full index three times.
+        val grouped = shingle5Rows(s, dir)
           .groupBy("g")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 100)
-          .select("g")
-        val g5r = g5.join(keep, Seq("g")).cache()
-        val evalSide = g5r
-          .filter(col("doc_id") % 20 === 0)
-          .select(col("g"), col("doc_id").as("eval_id"))
-        g5r
-          .filter(col("doc_id") % 20 =!= 0)
-          .join(evalSide, Seq("g"))
+          .agg(expr("distinct_up_to(doc_id, 100)").as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(
+            col("g"),
+            expr("filter(docs, d -> d % 20 = 0)").as("evals"),
+            expr("filter(docs, d -> d % 20 != 0)").as("trains")
+          )
+          .filter(size(col("evals")) >= 1 && size(col("trains")) >= 1)
+        grouped
+          .select(col("g"), explode(col("trains")).as("doc_id"), col("evals"))
+          .select(col("doc_id"), col("g"), explode(col("evals")).as("eval_id"))
           .groupBy("doc_id")
           .agg(
             countDistinct(col("g")).as("shared_grams"),

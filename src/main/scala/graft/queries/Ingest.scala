@@ -119,6 +119,42 @@ object Ingest {
             count(*) AS n_orders,
             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1 (XML scan — Spark 4's built-in XML source): parquet → XML with
+    // a rowTag per supplier → explicit-schema read → aggregate. XML is
+    // the third text format after CSV/JSON, with its own escaping rules
+    // (entity encoding) that this round-trip proves lossless; money sums
+    // in exact cents per the engine-wide scaled-integer rule, so a
+    // double that failed to round-trip through its text form breaks the
+    // hash.
+    QueryDef(
+      "q90_xml_ingest",
+      (s, dir) => {
+        val sup = Tables(s, dir, "supplier")
+        val path = scratch("supplier_xml")
+        sup.coalesce(1).write.mode("overwrite")
+          .option("rowTag", "supplier").option("rootTag", "suppliers")
+          .format("xml").save(path)
+        s.read
+          .schema(sup.schema) // explicit: inference would re-scan
+          .option("rowTag", "supplier")
+          .format("xml")
+          .load(path)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("s_name")).as("first_name"),
+            sum(col("s_suppkey")).cast("long").as("key_sum"),
+            sum(round(col("s_acctbal") * 100, 0).cast("long")).as("acctbal_cents")
+          )
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name,
+            CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+            CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+          FROM supplier GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -258,6 +258,61 @@ object Similarity {
       Some("""SELECT label, count(*) AS n, count(DISTINCT vec_id) AS nd_vec,
         min(vec_id) AS min_vec, max(vec_id) AS max_vec
         FROM embeddings GROUP BY label ORDER BY label""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E12/E13 (semantic dedup, SemDeDup-style): a seeded KMeans coarse
+    // quantizer cells the corpus; near-duplicate candidates are pairs
+    // WITHIN a cell (cell equi-join — never all-pairs), verified with
+    // the exact cosine; a vector is dropped when a smaller-id near-dup
+    // shares its cell, keep_id being the smallest such neighbor. The
+    // pair stream stays NARROW ((cell, id) self-join); vectors re-attach
+    // by broadcast before the cosine (q47's pattern). Within-cell
+    // comparison is quadratic in CELL size, not corpus size — at scale k
+    // grows with the corpus so cells stay bounded (k=16 here matches
+    // q46's quantizer). Threshold 0.4 matches q47, so the two dedup
+    // views (LSH-candidates vs cell-candidates) are comparable.
+    // Rows-only: cell assignments are implementation-defined (seeded
+    // MLlib KMeans); SimilaritySpec pins determinism, exact-cosine
+    // precision, and within-cell recall against brute force.
+    QueryDef(
+      "q92_semantic_dedup",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+
+        val e = emb(s, dir)
+        val feat = e.select(col("vec_id"), col("v"), array_to_vector(col("v")).as("features"))
+        val model = new KMeans()
+          .setK(16)
+          .setSeed(42)
+          .setMaxIter(5)
+          .setFeaturesCol("features")
+          .fit(feat)
+        val assigned = model
+          .transform(feat)
+          .select(col("vec_id"), col("prediction").as("cell"))
+        val vecs = e.select(col("vec_id"), col("v"))
+        assigned
+          .as("a")
+          .join(
+            assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+          )
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+          .join(broadcast(vecs.select(col("vec_id").as("i"), col("v").as("vi"))), Seq("i"))
+          .join(broadcast(vecs.select(col("vec_id").as("j"), col("v").as("vj"))), Seq("j"))
+          .withColumn("cos", expr("cosine_sim(vi, vj)"))
+          .filter(col("cos") >= 0.4)
+          .groupBy(col("j").as("vec_id"))
+          .agg(
+            min(col("i")).as("keep_id"),
+            max(col("cos")).as("max_cos"),
+            count(lit(1)).as("n_dups")
+          )
+          .orderBy("vec_id")
+      },
+      None
     )
   )
 }

@@ -87,6 +87,41 @@ object StreamGate {
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
             event_type, count(*) AS n
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, sliding): the same file-source replay through
+    // EventStreams.slidingCounts — overlapping windows are the one
+    // shape whose state store holds multiple open windows per event, so
+    // the gate exercises it live too (q88 covers tumbling). Oracle =
+    // q85's offset-spine restatement; the batch twin's hash match plus
+    // this one pins stream==batch==oracle three ways.
+    QueryDef(
+      "q95_stream_sliding",
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val events = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStreams
+          .slidingCounts(events)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        s.table(sink).orderBy("bucket_start", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+              AS bucket_start, event_type, count(*) AS n
+          FROM events, (SELECT unnest(range(4)) AS k)
+          GROUP BY 1, 2 ORDER BY 1, 2""")
     )
   )
 }

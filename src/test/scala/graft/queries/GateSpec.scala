@@ -86,4 +86,23 @@ class GateSpec extends AnyFunSuite with SparkSpec {
     val b = run("q88_stream_tumbling").count()
     assert(a == b && a > 0)
   }
+
+  test("q90 XML round-trip aggregate equals the same aggregate over parquet") {
+    val direct = Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("s_name")).as("first_name"),
+        sum(col("s_suppkey")).cast("long").as("key_sum"),
+        sum(round(col("s_acctbal") * 100, 0).cast("long")).as("acctbal_cents")
+      )
+      .orderBy("s_nationkey")
+    assert(run("q90_xml_ingest").collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("q95 streaming sliding run equals its batch twin (q85)") {
+    val stream = run("q95_stream_sliding").collect().toSeq
+    val batch = run("q85_sliding_window").collect().toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
 }

@@ -78,6 +78,34 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q92 semantic dedup: deterministic; every drop is a true cos≥0.4 pair with a smaller keep_id") {
+    val a = run("q92_semantic_dedup").collect()
+    val b = run("q92_semantic_dedup").collect()
+    assert(a.toSeq == b.toSeq) // seeded KMeans + fixed threshold
+    assert(a.nonEmpty)
+    // exact-cosine precision vs vectors recomputed driver-side: the
+    // cell structure may MISS cross-cell pairs (that's the documented
+    // SemDeDup trade), but everything it reports must be a real pair
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    a.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val k = r.getAs[Long]("keep_id")
+      assert(k < v) // keep rule: smallest id in the near-dup group survives
+      assert(cos(vecs(v), vecs(k)) >= 0.4 - 1e-9)
+      assert(r.getAs[Double]("max_cos") <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_dups") >= 1)
+    }
+  }
+
   test("q41 ANN-LSH: candidates are a subset in quality — per-query best cos ≤ brute best") {
     val brute = run("q40_cosine_topk")
       .filter(col("rank") === 1)

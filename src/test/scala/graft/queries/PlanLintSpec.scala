@@ -21,7 +21,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q38_tfidf_terms", // 1-row broadcast n_docs scalar
     "q46_ann_ivf", // 16-row broadcast centroid table
     "q21_range_join", // 5-row literal band table, non-equi by design
-    "q81_freq_items" // 1-row broadcast total-count scalar
+    "q81_freq_items", // 1-row broadcast total-count scalar
+    "q93_corpus_mix" // 1-row broadcast grand-total scalar
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
