@@ -36,6 +36,7 @@ object GraftSession {
       .withExtensions(graft.functions.BloomSketch.install)
       .withExtensions(graft.functions.HashAggregates.install)
       .withExtensions(graft.functions.DistinctUpTo.install)
+      .withExtensions(graft.functions.WordShingles.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.MlText.defs,
     graft.queries.Ingest.defs,
     graft.queries.StreamGate.defs,
-    graft.queries.Corpus.defs
+    graft.queries.Corpus.defs,
+    graft.queries.PipelineOps.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

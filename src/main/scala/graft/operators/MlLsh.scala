@@ -29,18 +29,15 @@ object MlLsh {
     * `maxDistance`.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDistance: Double = 0.5): DataFrame = {
-    // pre-project the token array: referencing split() inside the
-    // transform lambda would re-tokenize the whole text per shingle
-    // index (the O(n²) HOF re-evaluation class measured at 60-455×
-    // elsewhere in this repo — see Dedup/q33 notes)
+    // native word_shingles (codegen, per-doc distinct): with
+    // setBinary(true) the TF vector ignores duplicate shingles anyway,
+    // so the distinct shingle set is semantically identical input —
+    // and the repartition spreads the CPU-heavy TF+minhash stage off
+    // the single file split (see Dedup.docsWide)
     val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(
-        col("doc_id"),
-        expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
-          .as("shingles")
-      )
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism)
     val tf = new HashingTF()
       .setInputCol("shingles")
       .setOutputCol("features")

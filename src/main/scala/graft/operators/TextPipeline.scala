@@ -18,7 +18,11 @@ object TextPipeline {
 
   /** tokens + filtered tokens + 2-grams, as plain array columns. */
   def tokenized(spark: SparkSession, dir: String): DataFrame = {
+    // spread the tokenizer/TF CPU off the single file split (see
+    // Dedup.docsWide); every downstream MLlib transform is a per-row
+    // map, so the parallelism carries through the whole pipeline
     val docs = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
     val tok = new RegexTokenizer()
       .setInputCol("text")
       .setOutputCol("tokens")

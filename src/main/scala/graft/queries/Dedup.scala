@@ -16,44 +16,53 @@ import graft.{QueryDef, Tables}
   * doubles as hot-key (skew) removal — precisely the keys AQE's skew
   * split would otherwise struggle with.
   *
-  * Cache ownership: the `.cache()` calls in these builders exist to
-  * dedupe plan BRANCHES within one execution (the per-shingle doc
-  * lists feed the size table and the pair expansion; the SimHash
+  * Materialization ownership: the `.localCheckpoint()` calls in these
+  * builders dedupe plan BRANCHES within one execution (the per-shingle
+  * doc lists feed the size table and the pair expansion; the SimHash
   * signature table feeds the band explode and both hamming join-backs).
-  * The builders
-  * are lazy, so they cannot unpersist after the action; callers that
-  * execute these plans in a long-lived session own the cleanup — the
-  * Bench/Verify harnesses sweep `catalog.clearCache()` + persistent
-  * RDDs between queries, and GraftSession's 1-minute periodic GC
-  * bounds anything a caller forgets.
+  * They are EAGER on purpose — the downstream exchanges are submitted
+  * by AQE as concurrent jobs, and a lazy `.cache()` gets recomputed by
+  * every racer before one wins the block store (measured 3× scan cost
+  * on q35). The builders cannot unpersist after the action; callers
+  * that execute these plans in a long-lived session own the cleanup —
+  * the Bench/Verify harnesses sweep persistent RDDs between queries,
+  * and GraftSession's 1-minute periodic GC bounds anything a caller
+  * forgets.
   */
 object Dedup {
 
-  /** ≥3-token docs with their word arrays. */
-  private def tok(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-
   /** Word-3-gram shingle rows, one row per (doc, DISTINCT shingle).
-    * Deduplication is LOCAL — array_distinct on the per-doc gram array
-    * before the explode — so it costs no exchange (a global `.distinct()`
-    * is a full shuffle of the exploded index) yet still shrinks the
-    * stream 2-3× on repetitive corpora before any aggregation sees it
-    * (measured: the raw-occurrence stream made q35 2× slower end to
-    * end). Every consumer needs per-doc-distinct or duplicate-
-    * insensitive semantics (doc lists, MIN-based MinHash slots), so
-    * local dedup is both the cheap and the correct granularity. */
+    * Deduplication is LOCAL — inside the `word_shingles` evaluation,
+    * before the explode — so it costs no exchange (a global
+    * `.distinct()` is a full shuffle of the exploded index) yet still
+    * shrinks the stream 2-3× on repetitive corpora before any
+    * aggregation sees it (measured: the raw-occurrence stream made q35
+    * 2× slower end to end). Every consumer needs per-doc-distinct or
+    * duplicate-insensitive semantics (doc lists, MIN-based MinHash
+    * slots), so local dedup is both the cheap and the correct
+    * granularity. `word_shingles` (graft.functions.WordShingles) is the
+    * codegen replacement for the interpreted HOF chain
+    * array_distinct(transform(sequence, i -> concat_ws(slice(ws,i,n))))
+    * — bit-identical output, one byte-scan per doc (ShinglesSpec pins
+    * the equivalence); docs with <3 words yield an empty array, which
+    * `explode` drops, so no pre-filter scan is needed. */
+  /** The raw doc stream, spread across the session's full parallelism.
+    * The explicit round-robin repartition decouples CPU parallelism
+    * from FILE layout: a corpus delivered as few (or few large) parquet
+    * files scans as few splits, which would run the expensive
+    * explode+aggregate stages of the dedup family nearly single-
+    * threaded (measured: the whole q35 scan stage on 1 task). The
+    * shuffled payload is the narrow (id, text) stream — cheap relative
+    * to the CPU it unlocks; on a well-split 100 TB input AQE coalesces
+    * the exchange instead of it hurting. */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    tok(s, dir)
-      .select(
-        col("doc_id"),
-        explode(
-          array_distinct(
-            expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
-          )
-        ).as("g")
-      )
+    docsWide(s, dir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("g"))
 
   /** In-group ordered pair expansion over a sorted `docs` array: all
     * (d1, d2) with d1 < d2 — the replacement for a self-join on the
@@ -62,20 +71,11 @@ object Dedup {
     "flatten(transform(docs, (x, i) -> " +
       "transform(slice(docs, i + 2, size(docs)), y -> named_struct('d1', x, 'd2', y))))"
 
-  /** Word-5-gram shingle rows, per-doc-distinct via the same local
-    * array_distinct trick (contamination screening granularity). */
+  /** Word-5-gram shingle rows, per-doc-distinct inside the same native
+    * `word_shingles` scan (contamination screening granularity). */
   private def shingle5Rows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 5)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(
-        col("doc_id"),
-        explode(
-          array_distinct(
-            expr("transform(sequence(1, size(ws)-4), i -> concat_ws(' ', slice(ws, i, 5)))")
-          )
-        ).as("g")
-      )
+    docsWide(s, dir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("g"))
 
   /** The q35 near-dup pair graph (exact Jaccard ≥ threshold over rare
     * 3-gram shingle sets) — shared by the pair query and the cluster
@@ -95,9 +95,15 @@ object Dedup {
       .groupBy("g")
       .agg(expr("distinct_up_to(doc_id, 50)").as("docs"))
       .filter(col("docs").isNotNull && size(col("docs")) >= 2)
-      // one materialization feeds the per-doc size table and the pair
-      // expansion — without it the corpus explode re-runs per branch
-      .cache()
+      // one EAGER materialization feeds the per-doc size table (read by
+      // two join branches) and the pair expansion. A lazy `.cache()` is
+      // not enough here: AQE submits those three downstream exchanges as
+      // CONCURRENT jobs, and concurrent tasks hitting a cold cache each
+      // recompute the partition before one wins the store — the full
+      // shingle explode+aggregate ran 3× (measured: stages 57/58/59 all
+      // carried the scan's CPU). localCheckpoint materializes once,
+      // up front, and every consumer reads the finished blocks.
+      .localCheckpoint()
     val sz = grouped
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id")
@@ -156,13 +162,8 @@ object Dedup {
   /** Per-doc distinct shingle SET as an array column (for verification
     * joins). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    tok(s, dir)
-      .select(
-        col("doc_id"),
-        array_distinct(
-          expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
-        ).as("sh")
-      )
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -207,7 +208,10 @@ object Dedup {
     QueryDef(
       "q36_minhash_lsh",
       (s, dir) => {
-        val sets = shingleSets(s, dir)
+        // eager materialization: `sets` is joined on BOTH sides of the
+        // candidate verification (d1 and d2) — as two lazy plan
+        // branches the tokenize+shingle scan would run twice
+        val sets = shingleSets(s, dir).localCheckpoint()
         val sig = shingleRows(s, dir)
           .groupBy("doc_id")
           .agg(expr("minhash_sig(xxhash64(g))").as("sig"))
@@ -273,15 +277,18 @@ object Dedup {
     QueryDef(
       "q37_simhash_pairs",
       (s, dir) => {
-        val toks = Tables(s, dir, "documents")
+        val toks = docsWide(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .select(col("doc_id"), xxhash64(col("t")).as("h"))
         // signature table feeds the band explode AND both hamming
-        // join-backs — one materialization of the signature pass
+        // join-backs — one EAGER materialization of the signature pass
+        // (localCheckpoint, not cache: the three consumers are
+        // concurrent AQE stage jobs, and a cold lazy cache is computed
+        // by each racer — see jaccardPairs)
         val sigs = toks
           .groupBy("doc_id")
           .agg(expr("simhash_agg(h)").as("simhash"))
-          .cache()
+          .localCheckpoint()
         // candidate pairs in ONE exchange of the band table (same
         // distinct_up_to shape as q36); hamming re-attaches the two
         // signatures via narrow joins on the tiny per-doc sig table

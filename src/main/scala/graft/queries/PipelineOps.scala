@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-run preparation operators — the steps between a curated
+  * corpus and actual training input: sequence packing into fixed
+  * context windows, temperature-weighted mixture design, deterministic
+  * hash sharding, storage-layout optimization (Z-order), and
+  * retrieval-style overlapping chunking. Outputs are integers or
+  * single exactly-rounded IEEE ops over integers, so every query here
+  * is DuckDB-oracle-exact.
+  */
+object PipelineOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Sequence packing ("concatenate and chop"): documents are laid out
+    // in a deterministic order and cut into fixed token-budget context
+    // windows; a doc belongs to the bin where its first token lands.
+    // Packing is per STRATUM (lang here): the running-sum window is
+    // partitioned, so strata pack in parallel — the production layout
+    // uses (lang, shard) strata to bound any one window's data, never a
+    // global cumsum (a partition-less window is a single-task
+    // bottleneck by construction). Integer cumsum → oracle-exact.
+    QueryDef(
+      "q96_sequence_pack",
+      (s, dir) => {
+        val budget = 2048L
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+          .withColumn("bin", (col("cum_before") / budget).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("tokens"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc")
+          )
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tok,
+                 COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t
+        )
+        SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Temperature-weighted mixture design (the "alpha = 0.5" corpus
+    // rebalancing used to up-sample low-resource slices): per-language
+    // token mass and the unnormalized sampling weight mass^alpha.
+    // alpha is fixed at 0.5 because sqrt is an IEEE exactly-rounded
+    // operation — sqrt(exact integer) is bit-identical in any compliant
+    // engine, where pow(x, 0.7) is not. rel_weight divides two such
+    // exact doubles (division is exactly rounded too), so even the
+    // derived column hash-matches. The normalized share (a float SUM
+    // whose value depends on accumulation order) is deliberately left
+    // to the spec, not the oracle.
+    QueryDef(
+      "q97_temperature_mix",
+      (s, dir) => {
+        val mass = Tables(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens")
+          )
+          .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+        mass
+          .withColumn("rel_weight", col("weight") / min("weight").over(Window.orderBy()))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS weight,
+               sqrt(CAST(n_tokens AS DOUBLE)) / min(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                 AS rel_weight
+        FROM m ORDER BY lang"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Deterministic hash sharding: shard = first hex digit of
+    // md5(doc_id) → 16 shards. This is the reproducible global shuffle
+    // of a training pipeline — shard assignment depends only on the
+    // key, never on partitioning, task order or a seed table, so any
+    // re-run (or any engine) lands every doc in the same shard. The
+    // report proves balance: per-shard doc counts and token mass.
+    // Fully parallel — a pure projection + one 16-group aggregate.
+    QueryDef(
+      "q98_shard_assign",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            (instr(lit("0123456789abcdef"), substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+              .cast("long")
+              .as("shard")
+          )
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc")
+          )
+          .orderBy("shard"),
+      Some("""SELECT CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Z-order layout report: interleave the bits of two query dimensions
+    // (user bucket × day-of-month) into a space-filling-curve key, cut
+    // the curve into files (top bits of the z-value), and report each
+    // file's min/max on BOTH dimensions. The point of Z-ordering a
+    // 100 TB table is that every file then covers a small RANGE of every
+    // clustered dimension, so min/max file statistics prune scans on
+    // either predicate — the ranges in this report ARE those statistics
+    // (ZOrderSpec asserts they beat a single-dimension sort layout on
+    // the non-sorted dimension). Bit spreading is 7 explicit shift/mask
+    // terms per dimension — pure integer arithmetic, no window, no
+    // global sort needed for the report itself; the physical rewrite
+    // would be orderBy(z) + maxRecordsPerFile.
+    QueryDef(
+      "q99_zorder_layout",
+      (s, dir) => {
+        def spread(c: String, offset: Int): String =
+          (0 until 7)
+            .map(b => s"(shiftleft(shiftright($c, $b) & 1, ${2 * b + offset}))")
+            .mkString(" + ")
+        Tables(s, dir, "events")
+          .select(
+            (col("user_id") % 128).cast("long").as("x"),
+            dayofmonth(col("ts")).cast("long").as("y")
+          )
+          .withColumn("z", expr(s"${spread("x", 0)} + ${spread("y", 1)}"))
+          .withColumn("file_id", (col("z") / 64).cast("long"))
+          .groupBy("file_id")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("x").as("min_x"),
+            max("x").as("max_x"),
+            min("y").as("min_y"),
+            max("y").as("max_y")
+          )
+          .orderBy("file_id")
+      },
+      Some {
+        def spread(c: String, offset: Int): String =
+          (0 until 7)
+            .map(b => s"((($c >> $b) & 1) << ${2 * b + offset})")
+            .mkString(" + ")
+        s"""WITH d AS (
+          SELECT CAST(user_id % 128 AS BIGINT) AS x,
+                 CAST(date_part('day', ts) AS BIGINT) AS y
+          FROM events
+        ), z AS (
+          SELECT x, y, ${spread("x", 0)} + ${spread("y", 1)} AS z FROM d
+        )
+        SELECT CAST(z // 64 AS BIGINT) AS file_id, count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY 1 ORDER BY 1"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Retrieval-style overlapping chunking (RAG ingestion): fixed
+    // 64-token windows at stride 32, so consecutive chunks share half
+    // their tokens and no boundary sentence is ever split away from all
+    // its context. Differs from q94 (NON-overlapping chunks keyed by
+    // content for chunk-level dedup); here chunk identity is
+    // (doc, position) and the payload hash rides along for downstream
+    // exact dedup of the chunk store. One generate per doc — linear,
+    // shuffle-free until the final sort.
+    QueryDef(
+      "q100_rag_chunks",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(
+            col("doc_id"),
+            size(col("ws")).as("n"),
+            col("ws"),
+            explode(
+              expr("sequence(0, greatest(0, cast(ceil((size(ws) - 64) / 32.0) AS INT)))")
+            ).as("k")
+          )
+          .select(
+            col("doc_id"),
+            col("k").cast("long").as("chunk_id"),
+            expr("size(slice(ws, k * 32 + 1, 64))").cast("long").as("chunk_tokens"),
+            expr("md5(array_join(slice(ws, k * 32 + 1, 64), ' '))").as("chunk_md5")
+          )
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), k AS (
+          SELECT doc_id, ws, n,
+                 unnest(range(0, greatest(0, CAST(ceil((n - 64) / 32.0) AS INT)) + 1)) AS k
+          FROM t
+        )
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(ws, k * 32 + 1, least(k * 32 + 64, n))) AS BIGINT)
+                 AS chunk_tokens,
+               md5(array_to_string(list_slice(ws, k * 32 + 1, least(k * 32 + 64, n)), ' '))
+                 AS chunk_md5
+        FROM k ORDER BY doc_id, chunk_id"""),
+    ),
+  )
+}

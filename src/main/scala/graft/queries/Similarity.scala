@@ -23,7 +23,13 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Embeddings with double-precision vectors and L2 norms. */
+  /** Embeddings with double-precision vectors and L2 norms.
+    * Deliberately NOT repartitioned (unlike Dedup.docsWide): the heavy
+    * consumers here are iterative (KMeans fit) or broadcast-shaped
+    * (tiny query sides), and fanning 2k vectors across 32 tasks adds
+    * per-iteration scheduling cost without unlocking CPU (measured:
+    * q46 1.2s → 2.6s with the repartition). On a 100 TB embedding
+    * store the scan arrives well-split on its own. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))

@@ -110,8 +110,13 @@ object TextOps {
     QueryDef(
       "q33_lang_id",
       (s, dir) => {
+        // round-robin repartition: the bigram explode below is the
+        // query's CPU, and a single-file corpus scans as ONE split —
+        // spread the narrow (id, lang, text) stream across all cores
+        // first (same pattern as Dedup.docsWide)
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .repartition(s.sparkContext.defaultParallelism)
         // adjacent-char pairs via zip_with over the char array: three
         // linear split() evaluations per row. The substring(t, i, 2)
         // formulation re-seeks the UTF8 string from the front per index
