@@ -37,6 +37,7 @@ object GraftSession {
       .withExtensions(graft.functions.HashAggregates.install)
       .withExtensions(graft.functions.DistinctUpTo.install)
       .withExtensions(graft.functions.WordShingles.install)
+      .withExtensions(graft.functions.CharNgrams.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

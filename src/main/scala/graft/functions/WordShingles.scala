@@ -74,12 +74,9 @@ case class WordShingles(left: Expression, right: Expression) extends BinaryExpre
 
 object WordShingles {
 
-  /** Distinct word n-grams of `s` as byte slices between space
-    * boundaries, first-occurrence order. Public + static-shaped: called
-    * from generated code. */
-  def compute(s: UTF8String, n: Int): ArrayData = {
-    val b = s.getBytes
-    // word k starts at starts(k); word count = space count + 1
+  /** Word-start byte offsets of `b` (split on the 0x20 byte), or null
+    * when there are fewer than n words. */
+  private def wordStarts(b: Array[Byte], n: Int): Array[Int] = {
     var spaces = 0
     var i = 0
     while (i < b.length) {
@@ -87,7 +84,7 @@ object WordShingles {
       i += 1
     }
     val words = spaces + 1
-    if (words < n) return new GenericArrayData(Array.empty[Any])
+    if (words < n) return null
     val starts = new Array[Int](words)
     var w = 1
     i = 0
@@ -95,6 +92,17 @@ object WordShingles {
       if (b(i) == 0x20) { starts(w) = i + 1; w += 1 }
       i += 1
     }
+    starts
+  }
+
+  /** Distinct word n-grams of `s` as byte slices between space
+    * boundaries, first-occurrence order. Public + static-shaped: called
+    * from generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val starts = wordStarts(b, n)
+    if (starts == null) return new GenericArrayData(Array.empty[Any])
+    val words = starts.length
     val m = words - n + 1
     val seen = new java.util.LinkedHashSet[UTF8String](Math.min(m * 2, 1 << 16))
     var k = 0
@@ -111,7 +119,27 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  def install(ext: SparkSessionExtensions): Unit =
+  /** ALL word n-grams (non-distinct, in order) — the occurrence-count
+    * sibling used by repetition statistics. Public + static-shaped:
+    * called from generated code. */
+  def computeAll(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val starts = wordStarts(b, n)
+    if (starts == null) return new GenericArrayData(Array.empty[Any])
+    val words = starts.length
+    val m = words - n + 1
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val from = starts(k)
+      val until = if (k + n < words) starts(k + n) - 1 else b.length
+      out(k) = UTF8String.fromBytes(b, from, until - from)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         new FunctionIdentifier("word_shingles"),
@@ -122,4 +150,60 @@ object WordShingles {
         }
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "word_ngrams takes (text, n)")
+          WordNgrams(children.head, children(1))
+        }
+      )
+    )
+  }
+}
+
+/** `word_ngrams(text: STRING, n: INT literal) -> ARRAY<STRING>` — ALL
+  * word n-grams in order (non-distinct), bit-identical to
+  * `transform(sequence(1, size(ws)-(n-1)), i -> concat_ws(' ', slice(ws, i, n)))`
+  * over `ws = split(text, ' ')` when the text has >= n words (empty
+  * array below that — callers that keep the HOF's sequence(1,0)
+  * descending-quirk rows must pre-filter, as q91 always did). Same
+  * byte-slice scan as [[WordShingles]], without the dedup — consumers
+  * COUNT occurrences (repetition/boilerplate stats), so duplicates must
+  * survive. */
+case class WordNgrams(left: Expression, right: Expression) extends BinaryExpression {
+
+  private lazy val n: Int = right match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"word_ngrams n must be an INT literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams requires a STRING argument, got ${left.dataType.simpleString}"
+      )
+    else if (!right.foldable || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("word_ngrams n must be an INT literal")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"word_ngrams n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(text: Any, nArg: Any): Any =
+    WordShingles.computeAll(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (text, _) => s"${ev.value} = graft.functions.WordShingles.computeAll($text, $n);"
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

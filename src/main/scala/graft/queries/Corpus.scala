@@ -25,15 +25,18 @@ object Corpus {
     QueryDef(
       "q91_repetition_stats",
       (s, dir) => {
+        // native word_ngrams (codegen, NON-distinct — these are
+        // occurrence counts) replaces the interpreted HOF transform
+        // chain, and the repartition spreads the per-doc n-gram CPU off
+        // the single file split (see Dedup.docsWide); the >= 3 token
+        // filter is unchanged so the row set matches the oracle
         val base = Tables(s, dir, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .repartition(s.sparkContext.defaultParallelism)
           .select(
             col("doc_id"),
-            expr("transform(sequence(1, size(ws)-1), i -> concat_ws(' ', slice(ws, i, 2)))")
-              .as("bgs"),
-            expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
-              .as("tgs")
+            expr("word_ngrams(text, 2)").as("bgs"),
+            expr("word_ngrams(text, 3)").as("tgs")
           )
         // local (shuffle-free) counts: totals and distincts per doc
         val local = base.select(

@@ -122,6 +122,49 @@ object StreamGate {
               AS bucket_start, event_type, count(*) AS n
           FROM events, (SELECT unnest(range(4)) AS k)
           GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, stateful dedup): the events replay through
+    // EventStreams.dedupWithinWatermark (dropDuplicatesWithinWatermark
+    // on (user_id, event_type), 10-minute watermark) — the streaming
+    // ingest-dedup step of a training pipeline, live through the gate.
+    // Append mode: the dedup operator emits each first-seen key
+    // immediately. On this bounded single-file replay every row shares
+    // one micro-batch, so the surviving key set equals a global batch
+    // DISTINCT — which is exactly what the oracle states. Only the KEY
+    // columns are aggregated: which physical row survives per key
+    // depends on partition processing order (its other columns are
+    // nondeterministic by contract), the key set is not.
+    QueryDef(
+      "q101_stream_dedup",
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val events = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
+        val q = graft.streaming.EventStreams
+          .dedupWithinWatermark(events)
+          .select("user_id", "event_type")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        s.table(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_distinct_users
+          FROM (SELECT DISTINCT user_id, event_type FROM events)
+          GROUP BY 1 ORDER BY 1""")
     )
   )
 }

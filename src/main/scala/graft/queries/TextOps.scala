@@ -117,19 +117,16 @@ object TextOps {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
           .repartition(s.sparkContext.defaultParallelism)
-        // adjacent-char pairs via zip_with over the char array: three
-        // linear split() evaluations per row. The substring(t, i, 2)
-        // formulation re-seeks the UTF8 string from the front per index
-        // (O(n²) per doc); the trailing zip_with pair concats with NULL
-        // and is filtered out.
+        // adjacent-char pairs via the native `char_ngrams` codegen
+        // expression (graft.functions.CharNgrams): one UTF-8 boundary
+        // walk per row, bit-identical to the zip_with-over-split chain
+        // it replaces (which paid three interpreted split()
+        // materializations per row — CharNgramsSpec pins the
+        // equivalence, including surrogate pairs).
         val bigrams = docs.select(
           col("doc_id"),
           col("lang"),
-          explode(
-            expr("""filter(zip_with(split(t, ''), slice(split(t, ''), 2, size(split(t, ''))),
-                             (a, b) -> concat(a, b)),
-                           x -> x IS NOT NULL)""")
-          ).as("bg")
+          explode(expr("char_ngrams(t, 2)")).as("bg")
         )
         // per-doc bigram counts feed BOTH the profile (re-aggregated per
         // language) and the scoring join; AQE reuses the shared aggregate

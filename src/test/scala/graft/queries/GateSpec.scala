@@ -87,6 +87,17 @@ class GateSpec extends AnyFunSuite with SparkSpec {
     assert(a == b && a > 0)
   }
 
+  test("q101 streaming dedup equals batch DISTINCT on the dedup keys") {
+    val stream = run("q101_stream_dedup")
+    val batch = Tables(spark, dir, "events")
+      .select("user_id", "event_type")
+      .distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy("event_type")
+    assert(stream.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("q90 XML round-trip aggregate equals the same aggregate over parquet") {
     val direct = Tables(spark, dir, "supplier")
       .groupBy(col("s_nationkey"))
