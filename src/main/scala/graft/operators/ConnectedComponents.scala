@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * lineage per action. The convergence probe piggybacks on the same
   * materialized result (an aggregate over the checkpointed labels, not
   * a second lineage walk). For adversarially long paths (diameter ≫
-  * rounds) the classic fix is alternating large-star/small-star
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  * which converges in O(log²) rounds; `maxIter` bounds the cost here
-  * and the caller can raise it.
+  * rounds) use [[labelStar]] — the alternating large-star/small-star
+  * formulation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"), which converges in O(log²) rounds regardless of diameter;
+  * `maxIter` bounds the cost here and the caller can raise it.
   */
 object ConnectedComponents {
 
@@ -35,8 +35,8 @@ object ConnectedComponents {
     * @throws IllegalStateException if propagation has not converged
     *         within `maxIter` rounds — returning mid-propagation labels
     *         would be silently WRONG (nodes far from the component
-    *         minimum keep a stale cluster_id); raise `maxIter` or use a
-    *         large-star/small-star variant for such graphs
+    *         minimum keep a stale cluster_id); raise `maxIter` or use
+    *         [[labelStar]] for such graphs
     */
   def label(pairs: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -109,5 +109,123 @@ object ConnectedComponents {
     }
     symIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter path that `label`'s scaladoc
+    * points to. Min-label propagation needs diameter-many rounds; the
+    * star operations contract every component into a star rooted at
+    * its minimum node in O(log²) rounds regardless of diameter, at the
+    * cost of two grouped exchanges per round instead of one join.
+    *
+    * large-star: every node u computes m = min(Γ(u) ∪ {u}) over the
+    * symmetrized neighborhood and rewires its LARGER neighbors to m.
+    * small-star: on the downward-directed edge set (hi → lo), every
+    * node rewires its smaller neighbors (and itself) to their minimum.
+    * Both preserve connectivity; at fixpoint every component is a star
+    * whose center is the component minimum.
+    *
+    * Convergence detection: the edge set is compared across rounds by
+    * (count, XOR of per-edge xxhash64) — an O(1)-state aggregate over
+    * the same materialized round output (no second lineage walk; XOR,
+    * not SUM, because ANSI mode makes a hash sum overflow). The edge
+    * set is distinct, so XOR cancellation needs two different sets
+    * with equal count and equal hash-fold — vanishingly unlikely — and
+    * `maxIter` still bounds the loop.
+    *
+    * Same 100 TB posture as `label`: every round is a bounded set of
+    * shuffles on node id, localCheckpointed with per-round block
+    * cleanup; no driver-side graph state beyond the two convergence
+    * scalars.
+    */
+  def labelStar(pairs: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+
+    // canonical undirected edges, self-loops dropped
+    val (e0, e0Ids) = checkpointTracked(
+      pairs
+        .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .distinct()
+    )
+    // the node universe is fixed by the INPUT edges (later rounds drop
+    // star-internal edges, so it must be captured up front)
+    val (nodes, nodeIds) = checkpointTracked(
+      e0.select(col("hi").as("id")).union(e0.select(col("lo").as("id"))).distinct()
+    )
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym
+        .groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val rewired = e
+        .join(mins, e("hi") === mins("u"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("x"), col("m"))
+      val self = mins.select(col("u").as("x"), col("m"))
+      rewired
+        .union(self)
+        .select(greatest(col("x"), col("m")).as("hi"), least(col("x"), col("m")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("h")
+      ).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var (edges, edgeIds) = (e0, Set.empty[Int])
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(edges)))
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      edges = next
+      edgeIds = nextIds
+      iter += 1
+    }
+    if (!converged) {
+      (edgeIds ++ e0Ids ++ nodeIds).foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxIter rounds"
+      )
+    }
+    // at fixpoint every edge points a non-root directly at its
+    // component minimum; roots and isolated-in-input nodes label
+    // themselves
+    val out = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    e0Ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
   }
 }

@@ -357,6 +357,43 @@ object Dedup {
     ),
 
     // ------------------------------------------------------------------
+    // E12 (clustering, adversarial-diameter path): the SAME cluster
+    // semantics as q67 through ConnectedComponents.labelStar — the
+    // alternating large-star/small-star formulation (Kiveris et al.)
+    // that converges in O(log²) rounds regardless of component
+    // diameter, where q67's min-label propagation needs diameter-many
+    // rounds. Identical output ⇒ identical oracle; registering both
+    // keeps the gate checking that the two formulations agree on real
+    // pair graphs, not just on the spec's synthetic ones.
+    QueryDef(
+      "q102_dedup_clusters_star",
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir, PairMinJaccard)
+        graft.operators.ConnectedComponents
+          .labelStar(pairs, "d1", "d2")
+          .select(
+            col("id").as("doc_id"),
+            col("label").as("cluster_id"),
+            (col("id") === col("label")).as("is_canonical")
+          )
+          .orderBy("cluster_id", "doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairSql, edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL
+          SELECT d2 AS a, d1 AS b FROM pairs
+        ), reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id,
+               (id = min(r)) AS is_canonical
+        FROM reach GROUP BY id
+        ORDER BY cluster_id, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // Decontamination screen (training-data pipeline): which training
     // docs share a 5-gram with the held-out eval set (doc_id % 20 = 0)?
     // Candidate pairs come from an equi-join on the shared gram — never

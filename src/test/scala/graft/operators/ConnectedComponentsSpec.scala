@@ -75,4 +75,41 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
+    val sess = spark
+    import sess.implicits._
+    ConnectedComponents
+      .labelStar(pairs.toDF("a", "b"), "a", "b", maxIter)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("large-star/small-star agrees with union-find on a seeded random graph") {
+    val rnd = new Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccStar(pairs) == reference(pairs))
+  }
+
+  test("large-star/small-star labels a diameter-255 path in O(log^2) rounds") {
+    // min-label propagation needs 255 rounds here (it would THROW at the
+    // default 50-round budget); the star alternation contracts the path
+    // within the same budget — this is exactly the adversarial-diameter
+    // case the labelStar scaladoc exists for
+    val path = (0L until 256L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels = ccStar(path)
+    assert(labels.keySet == (0L until 256L).toSet)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("large-star/small-star matches min-label propagation on a mixed graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    )
+    assert(ccStar(pairs) == cc(pairs))
+  }
 }
