@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache, catalog, block manager) and the shuffle-heavy queries pay
   // inflated GC time late in the run. The contract machine has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // throughput collector: the bench is a single long-lived JVM running
+  // ~115 queries x 3 repeats; G1's pause-time goal costs measurable
+  // aggregate GC time inside the CPU-heavy explode/aggregate stages
+  // (stage-level profiling showed multi-second jvmGCTime there).
+  // Override with SPARK_GRAFT_GC=G1GC to compare.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC")}",
 )
