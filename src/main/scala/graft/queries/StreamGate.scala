@@ -20,6 +20,52 @@ object StreamGate {
     * belongs to its (stopped) streaming query — never reuse one. */
   private val sinkSeq = new AtomicInteger(0)
 
+  /** The events table replayed as a file-source stream (the file source
+    * takes a directory; the glob pins it to the one table). `ts` is
+    * INT64 nanos read as long under nanosAsLong — apply the same micros
+    * truncation as Tables.events so batch and stream rows are identical.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Drain a bounded streaming transform into a fresh memory sink with
+    * Trigger.AvailableNow and return the collected table.
+    *
+    * After the run, eagerly unload the state-store providers the stopped
+    * query leaves behind: a stopped StreamingQuery does NOT unload its
+    * providers — they sit in the executor's loadedProviders map (the
+    * HDFS-backed ones pinning their loadedMaps on-heap) until a ~60s
+    * maintenance tick notices the run is inactive. Every gate run uses a
+    * fresh temp checkpoint, i.e. a fresh provider set of
+    * `shuffle.partitions` stores, so under repeated runs the leftovers
+    * compound: the sliding-window gate degraded 5.3→8.0s across the
+    * bench's three runs while running flat at ~3.1s standalone. Eager
+    * unload makes every run pay for exactly its own state. (If other
+    * streams are active in the session they reload their stores on the
+    * next batch — a reload, not a correctness event.)
+    */
+  private def drainToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    s.table(sink)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // E15 (batch twin, sliding): hourly windows sliding every 15
@@ -61,29 +107,12 @@ object StreamGate {
     // you run append + checkpoints on an unbounded source).
     QueryDef(
       "q88_stream_tumbling",
-      (s, dir) => {
-        // physical schema (ts is INT64 nanos read as long under
-        // nanosAsLong) — the stream applies the same micros truncation
-        // as Tables.events so batch and stream rows are identical
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val events = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet") // file source takes a dir
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
-        val q = graft.streaming.EventStreams
-          .windowedCounts(events)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-        s.table(sink).orderBy("bucket_start", "event_type")
-      },
+      (s, dir) =>
+        drainToTable(
+          s,
+          graft.streaming.EventStreams.windowedCounts(eventsStream(s, dir)),
+          "complete"
+        ).orderBy("bucket_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
             event_type, count(*) AS n
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
@@ -98,26 +127,12 @@ object StreamGate {
     // this one pins stream==batch==oracle three ways.
     QueryDef(
       "q95_stream_sliding",
-      (s, dir) => {
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val events = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
-        val q = graft.streaming.EventStreams
-          .slidingCounts(events)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-        s.table(sink).orderBy("bucket_start", "event_type")
-      },
+      (s, dir) =>
+        drainToTable(
+          s,
+          graft.streaming.EventStreams.slidingCounts(eventsStream(s, dir)),
+          "complete"
+        ).orderBy("bucket_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
               AS bucket_start, event_type, count(*) AS n
           FROM events, (SELECT unnest(range(4)) AS k)
@@ -138,30 +153,16 @@ object StreamGate {
     // nondeterministic by contract), the key set is not.
     QueryDef(
       "q101_stream_dedup",
-      (s, dir) => {
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val events = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
-        val q = graft.streaming.EventStreams
-          .dedupWithinWatermark(events)
-          .select("user_id", "event_type")
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally q.stop()
-        s.table(sink)
-          .groupBy("event_type")
+      (s, dir) =>
+        drainToTable(
+          s,
+          graft.streaming.EventStreams
+            .dedupWithinWatermark(eventsStream(s, dir))
+            .select("user_id", "event_type"),
+          "append"
+        ).groupBy("event_type")
           .agg(count(lit(1)).as("n_distinct_users"))
-          .orderBy("event_type")
-      },
+          .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n_distinct_users
           FROM (SELECT DISTINCT user_id, event_type FROM events)
           GROUP BY 1 ORDER BY 1""")
