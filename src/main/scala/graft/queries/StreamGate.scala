@@ -166,6 +166,43 @@ object StreamGate {
       Some("""SELECT event_type, count(*) AS n_distinct_users
           FROM (SELECT DISTINCT user_id, event_type FROM events)
           GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, stream-stream join): click→purchase attribution
+    // LIVE — two independent file-source replays of the events table
+    // (clicks and purchases) interval-joined inside a streaming query
+    // (EventStreams.clickAttribution: same user, purchase within 10
+    // minutes after the click). Inner stream-stream joins emit matches
+    // as they are found, so append mode on a bounded replay yields the
+    // full match set; on an unbounded source the same plan holds join
+    // state only within the watermark interval. The memory-sink rows
+    // are aggregated per user with the engine-standard milli-unit trick
+    // (q25) so the double `amount` sums exactly in both engines.
+    QueryDef(
+      "q103_stream_join",
+      (s, dir) =>
+        drainToTable(
+          s,
+          graft.streaming.EventStreams.clickAttribution(
+            eventsStream(s, dir).filter(col("event_type") === "click"),
+            eventsStream(s, dir).filter(col("event_type") === "purchase")
+          ),
+          "append"
+        ).groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_attributed"),
+            sum(round(col("amount") * 1000, 0).cast("long")).as("amount_milli")
+          )
+          .orderBy("user_id"),
+      Some("""SELECT c.user_id, count(*) AS n_attributed,
+            CAST(sum(CAST(round(p.value*1000) AS BIGINT)) AS BIGINT) AS amount_milli
+          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+          JOIN (SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase') p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+          GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -116,4 +116,28 @@ class GateSpec extends AnyFunSuite with SparkSpec {
     val batch = run("q85_sliding_window").collect().toSeq
     assert(stream == batch && stream.nonEmpty)
   }
+
+  test("q103 live stream-stream join equals the batch interval join") {
+    val stream = run("q103_stream_join")
+    val ev = Tables(spark, dir, "events")
+    val c = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+    val batch = c
+      .join(
+        p,
+        col("cu") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES")
+      )
+      .groupBy(col("pu").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_attributed"),
+        sum(round(col("value") * 1000, 0).cast("long")).as("amount_milli")
+      )
+      .orderBy("user_id")
+    assert(stream.collect().toSeq == batch.collect().toSeq && stream.count() > 0)
+  }
 }
