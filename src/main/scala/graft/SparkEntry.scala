@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.Ingest.defs,
     graft.queries.StreamGate.defs,
     graft.queries.Corpus.defs,
-    graft.queries.PipelineOps.defs
+    graft.queries.PipelineOps.defs,
+    graft.queries.Graph.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

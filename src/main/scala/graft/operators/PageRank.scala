@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over a directed edge table — the standard
+  * graph-centrality signal of large-corpus curation (domain/source
+  * ranking feeds quality weighting and crawl prioritization; the same
+  * power-iteration shape ranks lineage nodes or co-purchase graphs).
+  *
+  * Arithmetic contract: ranks are FIXED-POINT BIGINTs in units of
+  * 1e-12 ("picorank", total mass ≈ 1e12), and every step is integer
+  * arithmetic — `rank div outdeg` per edge, `(85 * Σ contrib) div 100`
+  * plus `(15 * SCALE) div (100 * N)` per node. Floating-point PageRank
+  * sums in shuffle order, so two runs (or two engines) disagree in the
+  * low bits; integer ranks are associative, order-independent, and
+  * hence bit-identical across engines — this is what lets a DuckDB SQL
+  * restatement hash-match the distributed run exactly. Truncation loses
+  * < 1 picorank per (edge + node) per iteration: ~1e-7 relative error
+  * at a billion edges, far below any ranking-relevant difference, and
+  * identical truncation on both engines.
+  *
+  * 100 TB posture: each iteration is one equi-join of the edge table
+  * against the current rank table on the source id (shuffle on node
+  * id, partial aggregation map-side) — no driver-side graph state, no
+  * all-pairs. The edge+degree table is `localCheckpoint`ed once up
+  * front (it is consumed every iteration; a lazy cache would be raced
+  * and recomputed by AQE's concurrent stages) and each round's ranks
+  * replace the previous round's blocks, so state held is one narrow
+  * (node, rank) table regardless of iteration count. Iterations are a
+  * fixed parameter, not run-to-convergence: corpus-ranking practice
+  * uses a small constant (the signal stabilizes in ~10 rounds) and a
+  * fixed count keeps cost strictly bounded and restatement-friendly.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 1e12: rank unit = 1e-12 of total mass
+
+  /** @param edges directed edge table, one row per (src, dst) pair —
+    *              pre-deduplicated by the caller if multi-edges should
+    *              not weigh double
+    * @param src   source node id column name (any orderable type)
+    * @param dst   destination node id column name
+    * @param iters number of power iterations (fixed, ≥ 0)
+    * @return (node, rank_e12): every node that appears as a source or
+    *         destination, with its fixed-point rank after `iters`
+    *         rounds (damping 0.85)
+    */
+  def ranks(edges: DataFrame, src: String, dst: String, iters: Int = 3): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+
+    // Degree-annotated edges in ONE pass: repartition by src, then a
+    // partition-only window count — no separate degree table, no
+    // degree join, one shuffle of the edge table for the whole run.
+    // localCheckpoint preserves both the hash partitioning and the
+    // within-partition sort on src, so every iteration's equi-join on
+    // src sees the big edge side pre-distributed AND pre-sorted and
+    // only shuffles the narrow (node, rank) side.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val (edgesWithDeg, _) = checkpointTracked(
+      edges
+        .select(col(src).as("src"), col(dst).as("dst"))
+        .repartition(col("src"))
+        .withColumn("outdeg", count(lit(1)).over(w))
+    )
+    val (nodes, _) = checkpointTracked(
+      edgesWithDeg
+        .select(col("src").as("node"))
+        .union(edgesWithDeg.select(col("dst").as("node")))
+        .distinct()
+    )
+
+    val n = nodes.count() // one scalar action; the node count is a constant of the run
+    val base = (15L * Scale) / (100L * math.max(n, 1L))
+
+    var (rank, prevBlocks) = checkpointTracked(
+      nodes.withColumn("rank_e12", lit(Scale / math.max(n, 1L)))
+    )
+    for (_ <- 1 to iters) {
+      val contribs = edgesWithDeg
+        .join(rank, edgesWithDeg("src") === rank("node"))
+        .select(col("dst"), expr("rank_e12 div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+      // every node keeps receiving the teleport mass even with no
+      // in-edges, hence the left join from the full node universe
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(
+          col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank_e12")
+        )
+      val (ck, blocks) = checkpointTracked(next)
+      prevBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      rank = ck
+      prevBlocks = blocks
+    }
+    rank
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.PageRank
+
+/** Graph-centrality queries (SURVEY.md §2.3 — training-pipeline
+  * extensions). Corpus curation at crawl scale ranks sources/domains by
+  * link centrality and feeds the score into quality weighting and
+  * sampling; the engine's instantiation runs PageRank over the
+  * customer↔supplier co-purchase graph derived from orders⋈lineitem —
+  * same bipartite "entity linked to entity by interaction" shape as a
+  * domain/citation graph, built entirely from the testdata tables.
+  */
+object Graph {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Fixed-point integer PageRank (operators/PageRank): 3 power
+    // iterations, damping 0.85, ranks in 1e-12 units. Integer
+    // arithmetic makes the distributed sum order-independent, so the
+    // DuckDB restatement (the same three iterations unrolled as chained
+    // CTEs — recursive CTEs cannot aggregate over the recursive
+    // reference) hash-matches exactly. Edges: distinct customer→supplier
+    // purchase pairs, symmetrized so rank flows both ways.
+    QueryDef(
+      "q104_pagerank",
+      (s, dir) => {
+        // internal node ids are numeric (customer 2k, supplier 2k+1):
+        // longs shuffle, sort, and hash several times faster than
+        // strings across the iterations; the readable c<id>/s<id> label
+        // is applied only to the 100 output rows
+        val fwd = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+          .join(
+            Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey")
+          )
+          .select(
+            (col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")
+          )
+          .distinct()
+        val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank
+          .ranks(sym, "src", "dst", iters = 3)
+          .orderBy(desc("rank_e12"), asc("node"))
+          .limit(100)
+          .select(
+            expr(
+              "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node DIV 2 AS STRING) " +
+                "ELSE 's' || CAST(node DIV 2 AS STRING) END"
+            ).as("node"),
+            col("rank_e12")
+          )
+      },
+      Some("""WITH fwd AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        sym AS (SELECT src, dst FROM fwd
+                UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
+        deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+        ed AS (SELECT s.src, s.dst, d.outdeg FROM sym s JOIN deg d ON d.src = s.src),
+        p AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1000000000000 // n AS rank_e12 FROM nodes, p),
+        r1 AS (SELECT nodes.node,
+                 CAST((15000000000000 // (100 * p.n))
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r0.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r0 ON r0.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        r2 AS (SELECT nodes.node,
+                 CAST((15000000000000 // (100 * p.n))
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r1.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r1 ON r1.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        r3 AS (SELECT nodes.node,
+                 CAST((15000000000000 // (100 * p.n))
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r2.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r2 ON r2.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        top AS (SELECT node, rank_e12 FROM r3
+                ORDER BY rank_e12 DESC, node LIMIT 100)
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                    ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+               rank_e12
+        FROM top ORDER BY rank_e12 DESC, node""")
+    )
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class PageRankSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val sess = spark
+    import sess.implicits._
+    PageRank
+      .ranks(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Driver-side recompute with the operator's exact integer formulas. */
+  private def reference(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = (15L * PageRank.Scale) / (100L * n)
+    var rank = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).sum)
+        .toMap
+      rank = nodes.map(v => v -> (base + (85L * contribs.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private val chain = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a")
+  private val star =
+    Seq("h" -> "x", "x" -> "h", "h" -> "y", "y" -> "h", "h" -> "z", "z" -> "h")
+
+  test("matches the driver-side integer recompute on a cycle with a dangler") {
+    for (iters <- Seq(0, 1, 3)) {
+      assert(run(chain, iters) == reference(chain, iters), s"iters=$iters")
+    }
+  }
+
+  test("hub of a symmetric star outranks every leaf") {
+    val r = run(star, 5)
+    assert(Seq("x", "y", "z").forall(leaf => r("h") > r(leaf)))
+    assert(r("x") == r("y") && r("y") == r("z")) // symmetric leaves tie exactly
+  }
+
+  test("rank mass is conserved up to integer truncation") {
+    // each edge truncates < 1 unit at the div, each node < 1 at the
+    // damping div, per iteration; dangling nodes (no out-edges) retain
+    // their mass out of circulation — chain has none, so the bound is
+    // tight
+    val iters = 3
+    val total = run(chain, iters).values.sum
+    val slack = iters * (chain.size + 5)
+    assert(total <= PageRank.Scale && total >= PageRank.Scale - slack)
+  }
+
+  test("deterministic across runs") {
+    assert(run(star, 3) == run(star, 3))
+  }
+}
