@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.StreamGate.defs,
     graft.queries.Corpus.defs,
     graft.queries.PipelineOps.defs,
-    graft.queries.Graph.defs
+    graft.queries.Graph.defs,
+    graft.queries.Entity.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private def pairs(values: Seq[String]): Set[(String, String, Long)] = {
+    val sess = spark
+    import sess.implicits._
+    FuzzyJoin
+      .editDistance1Pairs(values.toDF("v"), "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+  }
+
+  /** Driver-side brute force with a plain-Scala Levenshtein. */
+  private def reference(values: Seq[String]): Set[(String, String, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+      d(a.length)(b.length)
+    }
+    val distinct = values.distinct
+    (for {
+      x <- distinct; y <- distinct
+      if x < y && lev(x, y) <= 1
+    } yield (x, y, lev(x, y).toLong)).toSet
+  }
+
+  test("finds substitution, insertion, and deletion pairs; skips distance 2") {
+    val vs = Seq("cat", "bat", "cart", "ca", "dog", "dig", "dg", "xyz", "kitten")
+    assert(pairs(vs) == reference(vs))
+    assert(pairs(vs).contains(("bat", "cat", 1L))) // substitution
+    assert(pairs(vs).contains(("cart", "cat", 1L))) // insertion (code order)
+    assert(pairs(vs).contains(("ca", "cat", 1L))) // deletion
+    assert(!pairs(vs).exists { case (a, b, _) => Set(a, b) == Set("cart", "ca") }) // distance 2
+  }
+
+  test("repeated characters: coinciding deletion keys still yield one pair") {
+    val vs = Seq("aaa", "aa", "aab", "ab")
+    assert(pairs(vs) == reference(vs))
+  }
+
+  test("matches brute force on a randomized near-collision pool") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(40)(rnd.alphanumeric.take(6).mkString)
+    val mutated = base.map { s =>
+      val i = rnd.nextInt(s.length)
+      s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+    }
+    val vs = base ++ mutated
+    assert(pairs(vs) == reference(vs))
+  }
+
+  test("identical strings are deduplicated, not self-paired") {
+    assert(pairs(Seq("same", "same", "same")) == Set.empty)
+  }
+}
