@@ -193,6 +193,64 @@ object Corpus {
                CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
         FROM ch JOIN df USING (g)
         GROUP BY ch.doc_id ORDER BY ch.doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14: collocation extraction — the word2vec phrase-merge score
+    // (Mikolov et al. 2013, "Distributed Representations of Words and
+    // Phrases": score(a,b) = (c_ab − δ)·N / (c_a·c_b), δ = 5) over
+    // corpus-wide bigram/unigram counts, deciding which adjacent pairs
+    // fuse into phrase tokens before embedding training. The score is
+    // emitted ×1e6 under INTEGER division, so both engines truncate
+    // identically and the distributed result hash-matches exactly
+    // (int64 headroom holds to ~1e9-token corpora at these counts; a
+    // web-scale run would widen to DECIMAL(38,0)). The unigram and
+    // total tables are tiny aggregates — they reach the bigram stream
+    // by broadcast, never a shuffle.
+    QueryDef(
+      "q107_collocations",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select("text")
+        val uni = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum("c").as("n"))
+        val bi = docs
+          .select(explode(expr("word_ngrams(text, 2)")).as("g"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") > 5)
+          .withColumn("w1", split(col("g"), " ")(0))
+          .withColumn("w2", split(col("g"), " ")(1))
+        bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+          .crossJoin(broadcast(total))
+          .select(
+            col("g").as("bigram"),
+            col("c_ab"),
+            expr("((c_ab - 5) * 1000000 * n) div (c_a * c_b)").as("score_e6")
+          )
+          .orderBy(desc("score_e6"), asc("bigram"))
+          .limit(50)
+      },
+      Some("""WITH docs AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        uni AS (SELECT w, count(*) AS c
+                FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        bi AS (SELECT ws[i] || ' ' || ws[i+1] AS g, count(*) AS c_ab
+               FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM docs)
+               GROUP BY 1 HAVING count(*) > 5),
+        sc AS (SELECT g AS bigram, c_ab,
+                 ((c_ab - 5) * 1000000 * n) // (u1.c * u2.c) AS score_e6
+               FROM bi CROSS JOIN tot
+               JOIN uni u1 ON u1.w = string_split(g, ' ')[1]
+               JOIN uni u2 ON u2.w = string_split(g, ' ')[2])
+        SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(score_e6 AS BIGINT) AS score_e6
+        FROM sc ORDER BY score_e6 DESC, bigram LIMIT 50""")
     )
   )
 }

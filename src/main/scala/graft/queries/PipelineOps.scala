@@ -233,5 +233,42 @@ object PipelineOps {
                  AS chunk_md5
         FROM k ORDER BY doc_id, chunk_id"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Leakage-safe train/val/test split: assignment is a pure function
+    // of the GROUP key (source), not the row, so every document from
+    // one source lands in the same split — the standard guard against
+    // near-duplicate leakage across splits (train/test contamination
+    // via shared boilerplate). The first md5 hex digit gives 16
+    // deterministic buckets → 12/2/2 ≈ 75%/12.5%/12.5%; both engines
+    // compute identical md5 hex, so the assignment is engine-portable
+    // and stable under re-runs and repartitioning by construction.
+    QueryDef(
+      "q108_grouped_split",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn(
+            "split",
+            expr(
+              "CASE WHEN substring(md5(source), 1, 1) < 'c' THEN 'train' " +
+                "WHEN substring(md5(source), 1, 1) < 'e' THEN 'val' " +
+                "ELSE 'test' END"
+            )
+          )
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(size(split(col("text"), " "))).cast("long").as("n_tokens")
+          )
+          .orderBy("split"),
+      Some("""SELECT CASE WHEN substr(md5(source), 1, 1) < 'c' THEN 'train'
+                     WHEN substr(md5(source), 1, 1) < 'e' THEN 'val'
+                     ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1 ORDER BY 1""")
+    ),
   )
 }

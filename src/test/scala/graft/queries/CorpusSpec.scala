@@ -77,4 +77,27 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got == want)
   }
+
+  test("q107 collocation scores equal the integer word2vec formula recomputed in Scala") {
+    val uni = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bi = texts.values
+      .flatMap(ws => ws.sliding(2).collect { case Array(a, b) => s"$a $b" })
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val want = bi.toSeq
+      .collect { case (g, cab) if cab > 5 =>
+        val Array(a, b) = g.split(" ")
+        (g, cab, ((cab - 5) * 1000000L * n) / (uni(a) * uni(b)))
+      }
+      .sortBy { case (g, _, s) => (-s, g) }
+      .take(50)
+    val got = run("q107_collocations")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == want)
+  }
 }

@@ -118,4 +118,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("q108: split assignment is a pure function of source; totals cover the corpus") {
+    val out = SparkEntry.queries("q108_grouped_split")(spark, sf).collect()
+    val bySplit = out.map(r => r.getString(0) -> r).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // a grouped split is leakage-safe iff no source spans two splits:
+    // per-split distinct-source counts must sum to the corpus total
+    val docs = Tables(spark, sf, "documents")
+    val nSources = docs.select("source").distinct().count()
+    assert(out.map(_.getAs[Long]("n_sources")).sum === nSources)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // recompute the assignment per source with the same md5 rule
+    val assign = docs
+      .select(col("source"), expr("substring(md5(source), 1, 1)").as("d"))
+      .distinct()
+      .collect()
+      .map { r =>
+        val d = r.getString(1)
+        r.getString(0) -> (if (d < "c") "train" else if (d < "e") "val" else "test")
+      }
+      .toMap
+    val wantDocs = docs
+      .collect()
+      .groupBy(r => assign(r.getAs[String]("source")))
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    out.foreach(r => assert(r.getAs[Long]("n_docs") === wantDocs(r.getString(0))))
+  }
 }
