@@ -20,6 +20,32 @@ object StreamGate {
     * belongs to its (stopped) streaming query — never reuse one. */
   private val sinkSeq = new AtomicInteger(0)
 
+  /** Session clone with streaming-right-sized shuffle partitions.
+    *
+    * Stateful-operator commit cost scales with the partition count —
+    * one state-store file commit per partition per stateful operator
+    * per micro-batch (a stream-stream join carries FOUR stores per
+    * partition), and the trailing watermark-finalization batch pays it
+    * all again. The gate replays hold megabytes of state, so 32
+    * partitions meant ~128 file commits per batch for ~8 MB of join
+    * state — q103 spent more time committing state than joining.
+    * Partition count is pure physical sizing (results are identical);
+    * a production deployment with gigabytes of state per operator
+    * raises it back. The clone shares the SparkContext; only its
+    * session-local conf differs.
+    */
+  private val gateSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def gateSession(s: SparkSession): SparkSession =
+    gateSessions.computeIfAbsent(
+      s,
+      base => {
+        val s2 = base.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        s2
+      }
+    )
+
   /** The events table replayed as a file-source stream (the file source
     * takes a directory; the glob pins it to the one table). `ts` is
     * INT64 nanos read as long under nanosAsLong — apply the same micros
@@ -60,6 +86,8 @@ object StreamGate {
       .start()
     try q.awaitTermination()
     finally {
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(s"[stream-progress] $p"))
       q.stop()
       org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
     }
@@ -107,12 +135,14 @@ object StreamGate {
     // you run append + checkpoints on an unbounded source).
     QueryDef(
       "q88_stream_tumbling",
-      (s, dir) =>
+      (s, dir) => {
+        val gs = gateSession(s)
         drainToTable(
-          s,
-          graft.streaming.EventStreams.windowedCounts(eventsStream(s, dir)),
+          gs,
+          graft.streaming.EventStreams.windowedCounts(eventsStream(gs, dir)),
           "complete"
-        ).orderBy("bucket_start", "event_type"),
+        ).orderBy("bucket_start", "event_type")
+      },
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
             event_type, count(*) AS n
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
@@ -127,12 +157,14 @@ object StreamGate {
     // this one pins stream==batch==oracle three ways.
     QueryDef(
       "q95_stream_sliding",
-      (s, dir) =>
+      (s, dir) => {
+        val gs = gateSession(s)
         drainToTable(
-          s,
-          graft.streaming.EventStreams.slidingCounts(eventsStream(s, dir)),
+          gs,
+          graft.streaming.EventStreams.slidingCounts(eventsStream(gs, dir)),
           "complete"
-        ).orderBy("bucket_start", "event_type"),
+        ).orderBy("bucket_start", "event_type")
+      },
       Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
               AS bucket_start, event_type, count(*) AS n
           FROM events, (SELECT unnest(range(4)) AS k)
@@ -153,16 +185,18 @@ object StreamGate {
     // nondeterministic by contract), the key set is not.
     QueryDef(
       "q101_stream_dedup",
-      (s, dir) =>
+      (s, dir) => {
+        val gs = gateSession(s)
         drainToTable(
-          s,
+          gs,
           graft.streaming.EventStreams
-            .dedupWithinWatermark(eventsStream(s, dir))
+            .dedupWithinWatermark(eventsStream(gs, dir))
             .select("user_id", "event_type"),
           "append"
         ).groupBy("event_type")
           .agg(count(lit(1)).as("n_distinct_users"))
-          .orderBy("event_type"),
+          .orderBy("event_type")
+      },
       Some("""SELECT event_type, count(*) AS n_distinct_users
           FROM (SELECT DISTINCT user_id, event_type FROM events)
           GROUP BY 1 ORDER BY 1""")
@@ -181,12 +215,13 @@ object StreamGate {
     // (q25) so the double `amount` sums exactly in both engines.
     QueryDef(
       "q103_stream_join",
-      (s, dir) =>
+      (s, dir) => {
+        val gs = gateSession(s)
         drainToTable(
-          s,
+          gs,
           graft.streaming.EventStreams.clickAttribution(
-            eventsStream(s, dir).filter(col("event_type") === "click"),
-            eventsStream(s, dir).filter(col("event_type") === "purchase")
+            eventsStream(gs, dir).filter(col("event_type") === "click"),
+            eventsStream(gs, dir).filter(col("event_type") === "purchase")
           ),
           "append"
         ).groupBy("user_id")
@@ -194,7 +229,8 @@ object StreamGate {
             count(lit(1)).as("n_attributed"),
             sum(round(col("amount") * 1000, 0).cast("long")).as("amount_milli")
           )
-          .orderBy("user_id"),
+          .orderBy("user_id")
+      },
       Some("""SELECT c.user_id, count(*) AS n_attributed,
             CAST(sum(CAST(round(p.value*1000) AS BIGINT)) AS BIGINT) AS amount_milli
           FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c

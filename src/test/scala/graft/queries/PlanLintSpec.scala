@@ -22,7 +22,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q46_ann_ivf", // 16-row broadcast centroid table
     "q21_range_join", // 5-row literal band table, non-equi by design
     "q81_freq_items", // 1-row broadcast total-count scalar
-    "q93_corpus_mix" // 1-row broadcast grand-total scalar
+    "q93_corpus_mix", // 1-row broadcast grand-total scalar
+    "q107_collocations" // 1-row broadcast corpus-token-total scalar
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
