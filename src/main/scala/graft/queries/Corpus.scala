@@ -251,6 +251,58 @@ object Corpus {
         SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
                CAST(score_e6 AS BIGINT) AS score_e6
         FROM sc ORDER BY score_e6 DESC, bigram LIMIT 50""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11/E12: repeated-substring screen at STRIDE 1 — every
+    // overlapping 20-token window, flagged when its exact text recurs
+    // in ≥2 distinct documents. This is the bounded-window
+    // approximation of suffix-array exact-substring dedup (Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): q94's disjoint chunks catch aligned duplication only;
+    // stride-1 windows catch duplicated passages at ANY offset. The
+    // window stream comes from the native word_ngrams codegen
+    // expression (20-grams are exactly the overlapping windows); the
+    // hot-window set (nd ≥ 2) is the only table that joins back, and
+    // corpus-wide duplication bounds its size.
+    QueryDef(
+      "q110_substring_dedup",
+      (s, dir) => {
+        val wins = Tables(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 20)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(expr("word_ngrams(text, 20)")).as("g"))
+        val hot = wins
+          .select("doc_id", "g")
+          .distinct()
+          .groupBy("g")
+          .agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("g"), lit(1L).as("dup"))
+        wins
+          .join(hot, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_windows"),
+            sum(coalesce(col("dup"), lit(0L))).as("dup_windows")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 20
+        ), win AS (
+          SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 18)) AS i FROM tok)
+        ), hot AS (
+          SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM win GROUP BY g)
+          WHERE nd >= 2
+        )
+        SELECT w.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN hot.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_windows
+        FROM win w LEFT JOIN hot ON w.g = hot.g
+        GROUP BY 1 ORDER BY 1""")
     )
   )
 }

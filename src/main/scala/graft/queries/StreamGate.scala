@@ -239,6 +239,34 @@ object StreamGate {
             ON p.user_id = c.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
           GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, session windows): the events replay through
+    // EventStreams.sessionCounts — merging session-window state is the
+    // remaining live window shape (tumbling q88, sliding q95); with
+    // this one every streaming window family runs through the oracle
+    // gate. Oracle = q26's gaps-and-islands restatement per user.
+    QueryDef(
+      "q109_stream_session",
+      (s, dir) => {
+        val gs = gateSession(s)
+        drainToTable(
+          gs,
+          graft.streaming.EventStreams.sessionCounts(eventsStream(gs, dir)),
+          "complete"
+        ).select(col("user_id"), col("session_start"), col("n"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""SELECT user_id, min(ts) AS session_start, count(*) AS n
+        FROM (SELECT user_id, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts >= INTERVAL '5 minutes' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+              FROM (SELECT user_id, ts, event_id,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+        GROUP BY user_id, grp ORDER BY user_id, session_start""")
     )
   )
 }

@@ -100,4 +100,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .toSeq
     assert(got == want)
   }
+
+  test("q110 stride-1 window dedup equals a plain-Scala recompute on every doc") {
+    val wins = texts.collect {
+      case (id, ws) if ws.length >= 20 =>
+        id -> ws.sliding(20).map(_.mkString(" ")).toSeq
+    }
+    val docFreq = wins.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = wins.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(docFreq(_) >= 2).toLong)
+    }
+    val got = run("q110_substring_dedup")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
 }

@@ -117,6 +117,16 @@ class GateSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("q109 live session-window stream equals its batch twin (q26 shape)") {
+    val stream = run("q109_stream_session")
+    val batch = Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+    assert(stream.collect().toSeq == batch.collect().toSeq && stream.count() > 0)
+  }
+
   test("q103 live stream-stream join equals the batch interval join") {
     val stream = run("q103_stream_join")
     val ev = Tables(spark, dir, "events")
