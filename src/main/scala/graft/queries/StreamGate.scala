@@ -267,6 +267,124 @@ object StreamGate {
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                     FROM events))
         GROUP BY user_id, grp ORDER BY user_id, session_start""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, stream-static join): the events replay enriched
+    // against the STATIC customer table (EventStreams.enrichedCounts:
+    // broadcast dimension join inside the stream, then windowed counts
+    // per market segment) — the standard "stream joins a slowly
+    // refreshed dimension" shape, live through the gate.
+    QueryDef(
+      "q111_stream_enrich",
+      (s, dir) => {
+        val gs = gateSession(s)
+        drainToTable(
+          gs,
+          graft.streaming.EventStreams.enrichedCounts(
+            eventsStream(gs, dir),
+            Tables(gs, dir, "customer").select("c_custkey", "c_mktsegment")
+          ),
+          "complete"
+        ).orderBy("bucket_start", "c_mktsegment")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', e.ts) AS bucket_start,
+            c.c_mktsegment, count(*) AS n
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming write path): the events replay lands in parquet
+    // through the idempotent foreachBatch sink (one batch_id=<n>
+    // directory per micro-batch, overwrite mode — the exactly-once
+    // file-sink recipe; EventStreams.writeBatch), then the written
+    // files are read BACK and aggregated. The oracle aggregates the
+    // original table, so a lost, duplicated, or corrupted row in the
+    // write→read round-trip breaks the hash. Fresh out/checkpoint dirs
+    // per run: a retained checkpoint would mark the input files
+    // already-processed and write nothing on rerun.
+    QueryDef(
+      "q112_stream_sink",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val run = sinkSeq.incrementAndGet()
+        val out = new java.io.File(s"target/graft_scratch/stream_sink_$run").getAbsolutePath
+        // the counter is per-JVM: an earlier process may have left the
+        // same-numbered scratch dirs, and a leftover CHECKPOINT pins
+        // the old run's source path and offsets — always start clean
+        def wipe(p: String): Unit = {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+            f.delete(): Unit
+          }
+          rec(new java.io.File(p))
+        }
+        wipe(out)
+        wipe(s"${out}_ck")
+        val q = graft.streaming.EventStreams
+          .toIdempotentParquet(
+            eventsStream(gs, dir).select("event_id", "event_type", "value"),
+            out
+          )
+          .option("checkpointLocation", s"${out}_ck")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally {
+          q.stop()
+          org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+        }
+        gs.read
+          .parquet(out)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 1000, 0).cast("long")).as("value_milli")
+          )
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli
+          FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming, transformWithState): the events replay through
+    // the typed arbitrary-state API (EventStreams.RunningTotals:
+    // ValueState per user on the RocksDB provider — required by the
+    // API and the at-scale store choice). Update mode on a bounded
+    // single-batch replay emits one (user_id, n) row per user; the
+    // oracle states the same count per user. Only the integer event
+    // COUNT goes through the gate: the processor's running double
+    // total sums in state-iteration order (order-dependent low bits —
+    // pinned by the MemoryStream spec instead). Dedicated session
+    // clone: the RocksDB provider conf must not leak into the other
+    // gate replays.
+    QueryDef(
+      "q113_stream_typed_state",
+      (s, dir) => {
+        val gs = s.newSession()
+        gs.conf.set("spark.sql.shuffle.partitions", "8")
+        gs.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        import gs.implicits._
+        val ev = eventsStream(gs, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Event]
+        drainToTable(
+          gs,
+          graft.streaming.EventStreams
+            .runningTotals(ev)
+            .toDF("user_id", "n", "total")
+            .select("user_id", "n"),
+          "update"
+        ).orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1 ORDER BY 1""")
     )
   )
 }

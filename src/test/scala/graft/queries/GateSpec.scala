@@ -127,6 +127,43 @@ class GateSpec extends AnyFunSuite with SparkSpec {
     assert(stream.collect().toSeq == batch.collect().toSeq && stream.count() > 0)
   }
 
+  test("q111 live stream-static enrichment equals the batch join+window") {
+    val stream = run("q111_stream_enrich")
+    val batch = Tables(spark, dir, "events")
+      .join(
+        Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("user_id") === col("c_custkey")
+      )
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("c_mktsegment"), col("n"))
+      .orderBy("bucket_start", "c_mktsegment")
+    assert(stream.collect().toSeq == batch.collect().toSeq && stream.count() > 0)
+  }
+
+  test("q112 streaming idempotent sink round-trip equals the direct aggregate; rerunnable") {
+    val direct = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1000, 0).cast("long")).as("value_milli")
+      )
+      .orderBy("event_type")
+    assert(run("q112_stream_sink").collect().toSeq == direct.collect().toSeq)
+    // fresh out/checkpoint dirs per run — a second run must not see the
+    // first run's offsets and write nothing
+    assert(run("q112_stream_sink").collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("q113 live transformWithState run equals batch per-user counts") {
+    val stream = run("q113_stream_typed_state")
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+    assert(stream.collect().toSeq == batch.collect().toSeq && stream.count() > 0)
+  }
+
   test("q103 live stream-stream join equals the batch interval join") {
     val stream = run("q103_stream_join")
     val ev = Tables(spark, dir, "events")
