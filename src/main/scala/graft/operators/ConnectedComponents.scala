@@ -44,11 +44,8 @@ object ConnectedComponents {
     // localCheckpoint + record which RDD blocks it pinned, so each
     // round can free the previous round's labels instead of leaving
     // maxIter persisted copies behind for the session's lifetime
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    // (ids read from the checkpointed plan — see CheckpointTracking)
+    import CheckpointTracking.checkpointTracked
 
     // Checkpoint the RAW pair stream first: the union below references
     // `e` twice (forward + reversed), and without a materialization the
@@ -141,12 +138,7 @@ object ConnectedComponents {
     */
   def labelStar(pairs: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    import CheckpointTracking.checkpointTracked
 
     // canonical undirected edges, self-loops dropped
     val (e0, e0Ids) = checkpointTracked(

@@ -59,11 +59,7 @@ object FuzzyJoin {
     a.join(b, col("a.k") === col("b.k") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct() // two strings can share several keys; one verdict per pair
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select(
-        col("name_a"),
-        col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist")
-      )
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
   }
 }

@@ -47,13 +47,7 @@ object PageRank {
     *         rounds (damping 0.85)
     */
   def ranks(edges: DataFrame, src: String, dst: String, iters: Int = 3): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    import CheckpointTracking.checkpointTracked
 
     // Degree-annotated edges in ONE pass: repartition by src, then a
     // partition-only window count — no separate degree table, no
@@ -97,7 +91,7 @@ object PageRank {
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank_e12")
         )
       val (ck, blocks) = checkpointTracked(next)
-      prevBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      CheckpointTracking.free(ck, prevBlocks)
       rank = ck
       prevBlocks = blocks
     }

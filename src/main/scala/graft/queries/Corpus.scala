@@ -202,9 +202,12 @@ object Corpus {
     // corpus-wide bigram/unigram counts, deciding which adjacent pairs
     // fuse into phrase tokens before embedding training. The score is
     // emitted ×1e6 under INTEGER division, so both engines truncate
-    // identically and the distributed result hash-matches exactly
-    // (int64 headroom holds to ~1e9-token corpora at these counts; a
-    // web-scale run would widen to DECIMAL(38,0)). The unigram and
+    // identically and the distributed result hash-matches exactly.
+    // int64 headroom: the numerator needs (c_ab − 5) · N ≲ 9.2e12, so
+    // a bigram with 1e5 occurrences is safe to N ≈ 1e8 tokens — beyond
+    // that, widen the numerator to DECIMAL(38,0) in both engines
+    // (under ANSI mode the overflow fails loudly, never silently).
+    // The unigram and
     // total tables are tiny aggregates — they reach the bigram stream
     // by broadcast, never a shuffle.
     QueryDef(

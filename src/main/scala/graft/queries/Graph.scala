@@ -86,12 +86,12 @@ object Graph {
                LEFT JOIN (SELECT ed.dst, sum(r2.rank_e12 // ed.outdeg) AS s
                           FROM ed JOIN r2 ON r2.node = ed.src GROUP BY 1) c
                  ON c.dst = nodes.node),
-        top AS (SELECT node, rank_e12 FROM r3
+        top AS (SELECT node AS nid, rank_e12 FROM r3
                 ORDER BY rank_e12 DESC, node LIMIT 100)
-        SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
-                    ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+        SELECT CASE WHEN nid % 2 = 0 THEN 'c' || CAST(nid // 2 AS VARCHAR)
+                    ELSE 's' || CAST(nid // 2 AS VARCHAR) END AS node,
                rank_e12
-        FROM top ORDER BY rank_e12 DESC, node""")
+        FROM top ORDER BY rank_e12 DESC, nid""")
     )
   )
 }

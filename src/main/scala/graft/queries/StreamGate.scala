@@ -35,13 +35,23 @@ object StreamGate {
     * session-local conf differs.
     */
   private val gateSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def gateSession(s: SparkSession): SparkSession =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), SparkSession]()
+
+  /** @param rocksdb also pin the RocksDB state-store provider (its own
+    *                cached clone, so the provider conf never leaks into
+    *                the other gate replays)
+    */
+  private def gateSession(s: SparkSession, rocksdb: Boolean = false): SparkSession =
     gateSessions.computeIfAbsent(
-      s,
-      base => {
+      (s, rocksdb),
+      { case (base, rocks) =>
         val s2 = base.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", "8")
+        if (rocks)
+          s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          )
         s2
       }
     )
@@ -76,8 +86,19 @@ object StreamGate {
     * streams are active in the session they reload their stores on the
     * next batch — a reload, not a correctness event.)
     */
+  /** Last memory-sink view per session: a memory sink pins its full
+    * result rows on the driver heap for as long as the temp view
+    * exists, and the bench replays the gate queries repeatedly — drop
+    * the previous run's view when the next run starts (by which point
+    * its consumer has read it; we can't drop on return because the
+    * returned DataFrame reads the view lazily). */
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   private def drainToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    Option(lastSink.get(s)).foreach(s.catalog.dropTempView(_): Unit)
     val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
+    lastSink.put(s, sink)
     val q = out.writeStream
       .format("memory")
       .queryName(sink)
@@ -364,12 +385,7 @@ object StreamGate {
     QueryDef(
       "q113_stream_typed_state",
       (s, dir) => {
-        val gs = s.newSession()
-        gs.conf.set("spark.sql.shuffle.partitions", "8")
-        gs.conf.set(
-          "spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-        )
+        val gs = gateSession(s, rocksdb = true)
         import gs.implicits._
         val ev = eventsStream(gs, dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
