@@ -63,4 +63,10 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
   test("identical strings are deduplicated, not self-paired") {
     assert(pairs(Seq("same", "same", "same")) == Set.empty)
   }
+
+  test("empty input and empty strings are handled") {
+    assert(pairs(Seq.empty) == Set.empty)
+    // "" pairs with every 1-char string (one insertion)
+    assert(pairs(Seq("", "a", "b", "xy")) == reference(Seq("", "a", "b", "xy")))
+  }
 }

@@ -64,4 +64,8 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
   test("deterministic across runs") {
     assert(run(star, 3) == run(star, 3))
   }
+
+  test("empty edge table yields an empty rank table, no division by zero") {
+    assert(run(Seq.empty, 3).isEmpty)
+  }
 }
