@@ -62,11 +62,7 @@ object Bench {
     // lets the ContextCleaner reclaim dead shuffle files / broadcasts
     // NOW instead of letting tens of GB pile up and evict the page
     // cache (r3 recorded 57s for a query that runs in 2.6s standalone).
-    def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-    }
+    def sweep(): Unit = HarnessUtil.sweep(spark)
 
     val results: Seq[(String, Either[String, Seq[Double]])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -64,9 +64,7 @@ object RunOne {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           println(f"noop-exec[$i] ${(System.nanoTime() - t0) / 1e9}%.3f s")
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-          System.gc()
+          HarnessUtil.sweep(spark)
         }
     }
     spark.stop()

@@ -26,16 +26,8 @@ object VerifySome {
         .mode("overwrite")
         .parquet(s"$outDir/$name")
     }
-    // same JSON escaping rules as Verify (control chars included)
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
+    // same JSON escaping rules as Verify — one shared implementation
+    def q(s: String): String = HarnessUtil.jsonQuote(s)
     val json = SparkEntry.oracleSql
       .filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }

@@ -46,21 +46,22 @@ case class DistinctUpTo(
 ) extends TypedImperativeAggregate[DistinctUpTo.Buf]
     with BinaryLike[Expression] {
 
-  private lazy val cap: Int = right match {
-    case Literal(v: Int, IntegerType) => v
-    case other =>
-      throw new IllegalArgumentException(
-        s"distinct_up_to cap must be an INT literal, got $other"
-      )
-  }
+  // evaluated, not pattern-matched: a foldable non-Literal (1+2 — the
+  // analyzer runs before constant folding) or a NULL literal must fail
+  // type-check cleanly, never throw out of analysis
+  private lazy val capOpt: Option[Int] =
+    if (right.foldable && right.dataType == IntegerType)
+      Option(right.eval()).map(_.asInstanceOf[Int])
+    else None
+  private lazy val cap: Int = capOpt.get
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"distinct_up_to requires a BIGINT value, got ${left.dataType.simpleString}"
       )
-    else if (!right.foldable || right.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("distinct_up_to cap must be an INT literal")
+    else if (!right.foldable || right.dataType != IntegerType || capOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure("distinct_up_to cap must be a non-NULL INT literal")
     else if (cap < 1)
       TypeCheckResult.TypeCheckFailure(s"distinct_up_to cap must be >= 1, got $cap")
     else TypeCheckResult.TypeCheckSuccess

@@ -28,19 +28,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class CharNgrams(left: Expression, right: Expression) extends BinaryExpression {
 
-  private lazy val n: Int = right match {
-    case Literal(v: Int, IntegerType) => v
-    case other =>
-      throw new IllegalArgumentException(s"char_ngrams n must be an INT literal, got $other")
-  }
+  // evaluated, not pattern-matched: a foldable non-Literal (1+2 — the
+  // analyzer runs before constant folding) or a NULL literal must fail
+  // type-check cleanly, never throw out of analysis
+  private lazy val nOpt: Option[Int] =
+    if (right.foldable && right.dataType == IntegerType)
+      Option(right.eval()).map(_.asInstanceOf[Int])
+    else None
+  private lazy val n: Int = nOpt.get
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"char_ngrams requires a STRING argument, got ${left.dataType.simpleString}"
       )
-    else if (!right.foldable || right.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("char_ngrams n must be an INT literal")
+    else if (!right.foldable || right.dataType != IntegerType || nOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure("char_ngrams n must be a non-NULL INT literal")
     else if (n < 1)
       TypeCheckResult.TypeCheckFailure(s"char_ngrams n must be >= 1, got $n")
     else TypeCheckResult.TypeCheckSuccess

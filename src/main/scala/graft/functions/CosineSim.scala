@@ -22,10 +22,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Corner cases deliberately DIVERGE from the HOF toward safety:
   * mismatched lengths → NULL (a truncated score would mask embedding
-  * corruption; zip_with would null-poison the fold anyway) and zero
-  * norm → NULL rather than NaN (cosine is undefined there, and NaN
-  * sorts ABOVE every real score in a descending Spark window — a
-  * corrupt row would top every top-k).
+  * corruption; zip_with would null-poison the fold anyway), a NULL
+  * element in either array → NULL (matching the HOF, whose fold
+  * null-poisons — reading the slot as 0.0 would admit a
+  * plausible-but-wrong score for a corrupt row), and zero norm → NULL
+  * rather than NaN (cosine is undefined there, and NaN sorts ABOVE
+  * every real score in a descending Spark window — a corrupt row would
+  * top every top-k).
   *
   * Registered as SQL function `cosine_sim` via SparkSessionExtensions
   * (GraftSession) — preference order (b) of the build brief: a custom
@@ -61,6 +64,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -92,11 +96,12 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         |  int $n = $a.numElements();
         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |    double $xi = $a.getDouble($i);
         |    double $yi = $b.getDouble($i);
         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         |  }
-        |  if ($nx == 0.0 || $ny == 0.0) {
+        |  if (${ev.isNull} || $nx == 0.0 || $ny == 0.0) {
         |    ${ev.isNull} = true;
         |  } else {
         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -90,7 +90,7 @@ case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Array[Int]]
+) extends TypedImperativeAggregate[Array[Long]]
     with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -104,9 +104,12 @@ case class SimHashAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "simhash_agg"
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  // Long counters: a single group can exceed 2^31 rows at the design
+  // scale, and an Int vote counter would wrap silently and flip bits
+  // of the signature; the buffer is 64 slots, so the cost is nil
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
@@ -119,13 +122,13 @@ case class SimHashAgg(
     buf
   }
 
-  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 64) { b1(i) += b2(i); i += 1 }
     b1
   }
 
-  override def eval(buf: Array[Int]): Any = {
+  override def eval(buf: Array[Long]): Any = {
     var sig = 0L
     var i = 0
     while (i < 64) {
@@ -135,18 +138,18 @@ case class SimHashAgg(
     sig
   }
 
-  override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(64 * 4)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
     var i = 0
-    while (i < 64) { bb.putInt(buf(i)); i += 1 }
+    while (i < 64) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Int](64)
+    val buf = new Array[Long](64)
     var i = 0
-    while (i < 64) { buf(i) = bb.getInt(); i += 1 }
+    while (i < 64) { buf(i) = bb.getLong(); i += 1 }
     buf
   }
 

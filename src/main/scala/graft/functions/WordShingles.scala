@@ -35,19 +35,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
 
-  private lazy val n: Int = right match {
-    case Literal(v: Int, IntegerType) => v
-    case other =>
-      throw new IllegalArgumentException(s"word_shingles n must be an INT literal, got $other")
-  }
+  // evaluated, not pattern-matched: a foldable non-Literal (1+2 — the
+  // analyzer runs before constant folding) or a NULL literal must fail
+  // type-check cleanly, never throw out of analysis
+  private lazy val nOpt: Option[Int] =
+    if (right.foldable && right.dataType == IntegerType)
+      Option(right.eval()).map(_.asInstanceOf[Int])
+    else None
+  private lazy val n: Int = nOpt.get
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"word_shingles requires a STRING argument, got ${left.dataType.simpleString}"
       )
-    else if (!right.foldable || right.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("word_shingles n must be an INT literal")
+    else if (!right.foldable || right.dataType != IntegerType || nOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure("word_shingles n must be a non-NULL INT literal")
     else if (n < 1)
       TypeCheckResult.TypeCheckFailure(s"word_shingles n must be >= 1, got $n")
     else TypeCheckResult.TypeCheckSuccess
@@ -174,19 +177,20 @@ object WordShingles {
   * survive. */
 case class WordNgrams(left: Expression, right: Expression) extends BinaryExpression {
 
-  private lazy val n: Int = right match {
-    case Literal(v: Int, IntegerType) => v
-    case other =>
-      throw new IllegalArgumentException(s"word_ngrams n must be an INT literal, got $other")
-  }
+  // see WordShingles.nOpt: evaluated, not pattern-matched
+  private lazy val nOpt: Option[Int] =
+    if (right.foldable && right.dataType == IntegerType)
+      Option(right.eval()).map(_.asInstanceOf[Int])
+    else None
+  private lazy val n: Int = nOpt.get
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"word_ngrams requires a STRING argument, got ${left.dataType.simpleString}"
       )
-    else if (!right.foldable || right.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("word_ngrams n must be an INT literal")
+    else if (!right.foldable || right.dataType != IntegerType || nOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure("word_ngrams n must be a non-NULL INT literal")
     else if (n < 1)
       TypeCheckResult.TypeCheckFailure(s"word_ngrams n must be >= 1, got $n")
     else TypeCheckResult.TypeCheckSuccess

@@ -58,12 +58,17 @@ object ConnectedComponents {
     val (e, eIds) = checkpointTracked(
       pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     )
-    // symmetrize once; edges are re-joined every round, so materialize
+    // symmetrize once; edges are re-joined every round, so materialize.
+    // Repartition by the join side (b) BEFORE the checkpoint:
+    // localCheckpoint preserves the partitioning, so each round's
+    // equi-join on b reshuffles only the narrow (id, label) side — the
+    // edge table crosses the network once for the whole run, not once
+    // per round (same pattern as PageRank's edge table).
     val (sym, symIds) = checkpointTracked(
-      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct().repartition(col("b"))
     )
     // the symmetrized table is the only consumer of the raw pairs
-    eIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    CheckpointTracking.free(e, eIds)
     var (labels, labelIds) = checkpointTracked(
       sym
         .select(col("a").as("id"))
@@ -90,21 +95,20 @@ object ConnectedComponents {
         next.filter(col("label") =!= col("old_label")).limit(1).count()
       // previous round's blocks are unreferenced once `labels` is
       // reassigned — free them now rather than at session end
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      CheckpointTracking.free(next, labelIds)
       labels = next.select("id", "label")
       labelIds = nextIds
       iter += 1
     }
     if (changedNodes > 0) {
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      symIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      CheckpointTracking.free(labels, labelIds ++ symIds)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
           "component diameter exceeds the iteration budget; raise maxIter " +
           "or switch to a large-star/small-star formulation"
       )
     }
-    symIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    CheckpointTracking.free(labels, symIds)
     labels
   }
 
@@ -200,13 +204,13 @@ object ConnectedComponents {
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
-      edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      CheckpointTracking.free(next, edgeIds)
       edges = next
       edgeIds = nextIds
       iter += 1
     }
     if (!converged) {
-      (edgeIds ++ e0Ids ++ nodeIds).foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      CheckpointTracking.free(edges, edgeIds ++ e0Ids ++ nodeIds)
       throw new IllegalStateException(
         s"large-star/small-star did not converge in $maxIter rounds"
       )
@@ -217,7 +221,7 @@ object ConnectedComponents {
     val out = nodes
       .join(edges.select(col("hi").as("id"), col("lo").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-    e0Ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    CheckpointTracking.free(out, e0Ids)
     out
   }
 }

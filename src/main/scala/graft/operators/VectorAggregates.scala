@@ -20,8 +20,18 @@ object VectorAggregates {
     override def zero: MeanBuf = MeanBuf(new Array[Double](dim), 0L)
 
     override def reduce(b: MeanBuf, v: Seq[Double]): MeanBuf = {
+      // NULL vectors are skipped like avg() skips NULL scalars; a
+      // wrong-dimension vector fails loudly — silently zero-padding or
+      // truncating it would skew the centroid while masking embedding
+      // corruption (same philosophy as cosine_sim's NULL on mismatch,
+      // but an aggregate has no per-row NULL to emit)
+      if (v == null) return b
+      require(
+        v.length == dim,
+        s"ArrayMean(dim=$dim) got a vector of length ${v.length}"
+      )
       var i = 0
-      while (i < dim && i < v.length) { b.sums(i) += v(i); i += 1 }
+      while (i < dim) { b.sums(i) += v(i); i += 1 }
       MeanBuf(b.sums, b.n + 1)
     }
 

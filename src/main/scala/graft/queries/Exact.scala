@@ -15,6 +15,9 @@ object Exact {
   /** dollars.cc → exact integer cents */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** 3-decimal fixed point → exact integer millis (events.value) */
+  def milli(c: Column): Column = round(c * 1000, 0).cast("long")
+
   /** 6-decimal fixed point → exact integer micros */
   def e6(c: Column): Column = round(c * 1000000L, 0).cast("long")
 }

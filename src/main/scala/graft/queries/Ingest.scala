@@ -111,7 +111,7 @@ object Ingest {
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents")
+            sum(Exact.cents(col("o_totalprice"))).as("revenue_cents")
           )
           .orderBy("month")
       },
@@ -147,7 +147,7 @@ object Ingest {
             count(lit(1)).as("n"),
             min(col("s_name")).as("first_name"),
             sum(col("s_suppkey")).cast("long").as("key_sum"),
-            sum(round(col("s_acctbal") * 100, 0).cast("long")).as("acctbal_cents")
+            sum(Exact.cents(col("s_acctbal"))).as("acctbal_cents")
           )
           .orderBy("s_nationkey")
       },

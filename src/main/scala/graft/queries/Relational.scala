@@ -574,7 +574,7 @@ object Relational {
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            sum(round(col("value") * 1000, 0).cast("long")).as("value_milli"),
+            sum(Exact.milli(col("value"))).as("value_milli"),
             min("value").as("min_v"),
             max("value").as("max_v")
           )

@@ -86,19 +86,8 @@ object StreamGate {
     * streams are active in the session they reload their stores on the
     * next batch — a reload, not a correctness event.)
     */
-  /** Last memory-sink view per session: a memory sink pins its full
-    * result rows on the driver heap for as long as the temp view
-    * exists, and the bench replays the gate queries repeatedly — drop
-    * the previous run's view when the next run starts (by which point
-    * its consumer has read it; we can't drop on return because the
-    * returned DataFrame reads the view lazily). */
-  private val lastSink =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
-
   private def drainToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
-    Option(lastSink.get(s)).foreach(s.catalog.dropTempView(_): Unit)
     val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
-    lastSink.put(s, sink)
     val q = out.writeStream
       .format("memory")
       .queryName(sink)
@@ -112,7 +101,18 @@ object StreamGate {
       q.stop()
       org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
     }
-    s.table(sink)
+    // The memory sink pins its rows on the driver heap for as long as
+    // its temp view exists, and the replay is bounded — so move the
+    // rows out and drop the view NOW. (A lazy `s.table(sink)` +
+    // deferred drop breaks build-several-then-consume callers and
+    // leaks one result table per replay.) The localized collect is the
+    // result table of a bounded gate run — the same driver-resident
+    // rows the memory sink already holds, not a data-path collect.
+    val tbl = s.table(sink)
+    val rows = java.util.Arrays.asList(tbl.collect(): _*)
+    val schema = tbl.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(rows, schema)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -248,7 +248,7 @@ object StreamGate {
         ).groupBy("user_id")
           .agg(
             count(lit(1)).as("n_attributed"),
-            sum(round(col("amount") * 1000, 0).cast("long")).as("amount_milli")
+            sum(Exact.milli(col("amount"))).as("amount_milli")
           )
           .orderBy("user_id")
       },
@@ -361,7 +361,7 @@ object StreamGate {
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
-            sum(round(col("value") * 1000, 0).cast("long")).as("value_milli")
+            sum(Exact.milli(col("value"))).as("value_milli")
           )
           .orderBy("event_type")
       },

@@ -80,4 +80,22 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
       assert(rows.isNullAt(0) && rows.isNullAt(1))
     } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
   }
+
+  test("a NULL element yields NULL, matching the HOF's null-poisoned fold") {
+    // reading the slot as 0.0 would admit a plausible-but-wrong score
+    // for a corrupt row — exactly what the zero-norm rule exists to stop
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS a,
+                cosine_sim(array(1.0d, 2.0d), array(CAST(NULL AS DOUBLE), 2.0d)) AS b
+         FROM range(1)""").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = spark.sql(
+        """SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS a
+           FROM range(1)""").collect().head
+      assert(gen.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
 }

@@ -82,4 +82,22 @@ class ShinglesSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).isNullAt(0))
     assert(!out(1).isNullAt(0))
   }
+
+  test("foldable non-Literal n is accepted; NULL n fails analysis cleanly") {
+    // 1+2 is foldable IntegerType at analysis time but NOT a Literal
+    // (constant folding runs in the optimizer) — it must evaluate, not
+    // crash analysis
+    val r = spark.sql("SELECT word_shingles('a b c d', 1 + 2) AS s").collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // a NULL n must be an AnalysisException, not a MatchError
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles('a b c', CAST(NULL AS INT))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_ngrams('a b c', CAST(NULL AS INT))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_ngrams('abc', CAST(NULL AS INT))").collect()
+    }
+  }
 }

@@ -32,6 +32,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ArrayMean skips NULL vectors like avg(); wrong dimension fails loudly") {
+    val sess = spark
+    import sess.implicits._
+    val mean = udaf(new VectorAggregates.ArrayMean(2))
+    val withNull = Seq(
+      (1, Some(Seq(1.0, 3.0))),
+      (1, None),
+      (1, Some(Seq(3.0, 5.0)))
+    ).toDF("k", "v")
+    val got = withNull.groupBy("k").agg(mean(col("v")).as("m")).collect().head
+    assert(got.getAs[scala.collection.Seq[Double]]("m") == Seq(2.0, 4.0))
+    // a mismatched-dimension vector must not be zero-padded/truncated
+    // into the centroid silently
+    val bad = Seq((1, Seq(1.0, 2.0, 3.0))).toDF("k", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("k").agg(mean(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("E14 MLlib pipeline: tokenizer/stopwords/tfidf/ngram shapes") {
     val out = TextPipeline.featureSummary(spark, dir).collect()
     val nDocs = Tables(spark, dir, "documents").count()
