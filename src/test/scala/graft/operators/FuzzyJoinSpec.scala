@@ -69,4 +69,31 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     // "" pairs with every 1-char string (one insertion)
     assert(pairs(Seq("", "a", "b", "xy")) == reference(Seq("", "a", "b", "xy")))
   }
+
+  test("unicode: deletion keys and levenshtein both count CODE POINTS, astral plane included") {
+    // 🦀 is a surrogate pair in UTF-16: a char-based deletion would
+    // split it and a char-based distance would count it as 2 edits;
+    // Spark's substring/length/levenshtein are all code-point based,
+    // so the blocking and the verify must agree on that unit
+    def cpLev(a: String, b: String): Int = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1)
+        )
+      d(x.length)(y.length)
+    }
+    val vs = Seq("café", "cafe", "caf", "🦀ab", "🦀b", "ab", "xé", "xz")
+    val want = (for {
+      a <- vs.distinct; b <- vs.distinct
+      if a < b && cpLev(a, b) <= 1
+    } yield (a, b, cpLev(a, b).toLong)).toSet
+    assert(pairs(vs) == want)
+    // the astral-plane pair is present iff both units are code points
+    assert(pairs(vs).contains(("🦀ab", "🦀b", 1L)))
+  }
 }
