@@ -59,13 +59,16 @@ object ConnectedComponents {
       pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     )
     // symmetrize once; edges are re-joined every round, so materialize.
-    // Repartition by the join side (b) BEFORE the checkpoint:
-    // localCheckpoint preserves the partitioning, so each round's
-    // equi-join on b reshuffles only the narrow (id, label) side — the
-    // edge table crosses the network once for the whole run, not once
-    // per round (same pattern as PageRank's edge table).
+    // Plain checkpoint, NOT checkpointHashPartitioned: the label table
+    // (one row per node) broadcasts at runtime via AQE, which beats a
+    // pinned one-side-shuffle sort-merge join until node count outgrows
+    // the broadcast threshold — same trade-off as PageRank's edge
+    // table (see the comment there). Near-dup label tables are node-
+    // sized and stay broadcast-able far longer than the edge table
+    // grows; checkpointHashPartitioned(…, Seq("b"), Seq("b")) is the
+    // one-line switch if they don't.
     val (sym, symIds) = checkpointTracked(
-      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct().repartition(col("b"))
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     )
     // the symmetrized table is the only consumer of the raw pairs
     CheckpointTracking.free(e, eIds)

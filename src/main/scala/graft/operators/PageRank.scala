@@ -49,18 +49,25 @@ object PageRank {
   def ranks(edges: DataFrame, src: String, dst: String, iters: Int = 3): DataFrame = {
     import CheckpointTracking.checkpointTracked
 
-    // Degree-annotated edges in ONE pass: repartition by src, then a
-    // partition-only window count — no separate degree table, no
-    // degree join, one shuffle of the edge table for the whole run.
-    // localCheckpoint preserves both the hash partitioning and the
-    // within-partition sort on src, so every iteration's equi-join on
-    // src sees the big edge side pre-distributed AND pre-sorted and
-    // only shuffles the narrow (node, rank) side.
+    // Degree-annotated edges in ONE pass: the window's own exchange
+    // hash-distributes by src and its sort orders within partitions —
+    // no separate degree table, no degree join, one shuffle of the
+    // edge table for the whole run.
+    //
+    // Deliberately NOT CheckpointTracking.checkpointHashPartitioned:
+    // re-stating the edge layout pins the per-iteration join to a
+    // sort-merge shape, which suppresses AQE's runtime broadcast of
+    // the rank side — and the rank table (one row per NODE) is orders
+    // of magnitude smaller than the edge table, so broadcasting it is
+    // the better plan until node count itself outgrows the broadcast
+    // threshold (measured here: the pinned-SMJ variant was ~2× slower
+    // at sf0.1). If ranks ever get that big — 100M+ domains — switch
+    // this call to checkpointHashPartitioned(…, Seq("src"), Seq("src"))
+    // and iterations shuffle only the rank side.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val (edgesWithDeg, _) = checkpointTracked(
       edges
         .select(col(src).as("src"), col(dst).as("dst"))
-        .repartition(col("src"))
         .withColumn("outdeg", count(lit(1)).over(w))
     )
     val (nodes, _) = checkpointTracked(

@@ -68,4 +68,41 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
   test("empty edge table yields an empty rank table, no division by zero") {
     assert(run(Seq.empty, 3).isEmpty)
   }
+
+  test("checkpointHashPartitioned keeps the layout visible; a naked localCheckpoint does NOT") {
+    // The iteration-join reuse in PageRank/ConnectedComponents depends
+    // on the checkpointed edge table keeping its hash layout visible to
+    // the planner. Under AQE a naked localCheckpoint claims
+    // UnknownPartitioning (the adaptive plan hides its final
+    // partitioning), so the join re-shuffles BOTH sides; the
+    // partitioning-retaining checkpoint must bring it back to one.
+    // Broadcast is disabled so the join can't sidestep the check;
+    // results must also be identical either way.
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val small = spark.range(10).toDF("id2")
+      def exchanges(joined: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(joined.queryExecution.executedPlan.toString)
+          .size
+
+      val naked = spark.range(1000).toDF("id").repartition(n, col("id")).localCheckpoint()
+      assert(exchanges(naked.join(small, col("id") === col("id2"))) == 2)
+
+      val (kept, _) = CheckpointTracking.checkpointHashPartitioned(
+        spark.range(1000).toDF("id"),
+        cols = Seq("id"),
+        sortedBy = Seq("id")
+      )
+      val joined = kept.join(small, col("id") === col("id2"))
+      assert(exchanges(joined) == 1, joined.queryExecution.executedPlan.toString)
+      assert(
+        joined.collect().map(_.getLong(0)).sorted.toSeq ==
+          naked.join(small, col("id") === col("id2")).collect().map(_.getLong(0)).sorted.toSeq
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
