@@ -11,11 +11,16 @@ import graft.Tables
   * in per executor without changing the schema, partitioning, or the
   * surrounding plan.
   *
-  * The decode step itself is a STUB — this container ships no image/audio
-  * codecs — replaced by a deterministic byte-histogram "feature
-  * extractor" so the Spark-side contract (binary column in, fixed-dim
-  * FLOAT vector + checksum out, batched per partition) is real and
-  * tested.
+  * The IMAGE path is a real codec: [[syntheticImages]] encodes a
+  * deterministic PNG per document and [[decodeImageFeatures]] decodes it
+  * back with `javax.imageio` (JDK-standard, no external deps) and
+  * reduces pixels to exact integer channel sums — oracle-checkable
+  * because PNG is lossless, so the decoded pixels equal the generating
+  * formula the oracle restates. [[extractFeatures]] remains the
+  * generic-binary featurizer (byte histogram) standing in for codecs the
+  * JDK does not ship (audio/video); its per-partition batching, fixed
+  * feature dim, and binary-in/vector-out schema are the production
+  * shape.
   *
   * Scale posture: `mapPartitions` keeps decode calls batched per
   * partition (amortizing codec init), payload bytes never hit the
@@ -78,6 +83,89 @@ object Multimodal {
         val feats = counts.map(_ / n)
         val checksum = m.payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
         MediaFeatures(m.media_id, m.media_type, dim, feats, checksum)
+      }
+    }
+
+  /** Exact per-channel pixel sums of one decoded image. */
+  final case class ImageFeatures(
+      media_id: Long,
+      decode_ok: Boolean,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long
+  )
+
+  implicit private val imgEnc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** One deterministic PNG payload per document: a w×h RGB image
+    * (8 ≤ w,h ≤ 16, sized by doc_id) whose channel at (x, y) is a fixed
+    * modular form of (x, y, doc_id) — encoded with the real
+    * `javax.imageio` PNG writer inside `mapPartitions`. At 100 TB the
+    * payload column comes from parquet BINARY written by ingestion; the
+    * generator stands in for the scan, the codec work is real.
+    */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // codec init: in-memory streams, no tmp-file cache
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          val img =
+            new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((3L * x + 5L * y + id) % 251L).toInt
+              val g = ((7L * x + 11L * y + 2L * id) % 251L).toInt
+              val b = ((13L * x + 17L * y + 3L * id) % 251L).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray, bos.size().toLong)
+        }
+      }
+
+  /** REAL decode: `javax.imageio` reads each payload back into pixels
+    * and reduces them to exact integer channel sums. Undecodable
+    * payloads yield a `decode_ok = false` row (schema-stable error
+    * channel) instead of failing the partition — at scale a corrupt
+    * object must cost one row, not a stage retry loop.
+    */
+  def decodeImageFeatures(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] =
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageFeatures(m.media_id, decode_ok = false, -1, -1, -1L, -1L, -1L)
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(m.media_id, decode_ok = true, img.getWidth, img.getHeight, sr, sg, sb)
+        }
       }
     }
 

@@ -42,11 +42,20 @@ object PageRank {
     * @param src   source node id column name (any orderable type)
     * @param dst   destination node id column name
     * @param iters number of power iterations (fixed, ≥ 0)
+    * @param pinEdgePartitioning keep the edge table's hash layout (on
+    *              src) visible through the checkpoint — the 100M+-node
+    *              regime switch (see the layout comment below)
     * @return (node, rank_e12): every node that appears as a source or
     *         destination, with its fixed-point rank after `iters`
     *         rounds (damping 0.85)
     */
-  def ranks(edges: DataFrame, src: String, dst: String, iters: Int = 3): DataFrame = {
+  def ranks(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iters: Int = 3,
+      pinEdgePartitioning: Boolean = false
+  ): DataFrame = {
     import CheckpointTracking.checkpointTracked
 
     // Degree-annotated edges in ONE pass: the window's own exchange
@@ -54,23 +63,29 @@ object PageRank {
     // no separate degree table, no degree join, one shuffle of the
     // edge table for the whole run.
     //
-    // Deliberately NOT CheckpointTracking.checkpointHashPartitioned:
+    // Default layout: deliberately NOT checkpointHashPartitioned —
     // re-stating the edge layout pins the per-iteration join to a
     // sort-merge shape, which suppresses AQE's runtime broadcast of
     // the rank side — and the rank table (one row per NODE) is orders
     // of magnitude smaller than the edge table, so broadcasting it is
     // the better plan until node count itself outgrows the broadcast
     // threshold (measured here: the pinned-SMJ variant was ~2× slower
-    // at sf0.1). If ranks ever get that big — 100M+ domains — switch
-    // this call to checkpointHashPartitioned(…, Seq("src"), Seq("src"))
-    // and iterations shuffle only the rank side.
+    // at sf0.1). When ranks get that big — 100M+ domains —
+    // `pinEdgePartitioning = true` checkpoints the edge table
+    // hash-partitioned AND sorted on src, so each iteration's
+    // sort-merge join neither re-shuffles nor re-sorts the edge side:
+    // only the narrow (node, rank) table moves per round
+    // (q115_pagerank_smj registers this path; PageRankSpec asserts the
+    // single-exchange plan).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    val (edgesWithDeg, _) = checkpointTracked(
-      edges
-        .select(col(src).as("src"), col(dst).as("dst"))
-        .withColumn("outdeg", count(lit(1)).over(w))
-    )
-    val (nodes, _) = checkpointTracked(
+    val annotated = edges
+      .select(col(src).as("src"), col(dst).as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(w))
+    val (edgesWithDeg, edgeBlocks) =
+      if (pinEdgePartitioning)
+        CheckpointTracking.checkpointHashPartitioned(annotated, Seq("src"), Seq("src"))
+      else checkpointTracked(annotated)
+    val (nodes, nodeBlocks) = checkpointTracked(
       edgesWithDeg
         .select(col("src").as("node"))
         .union(edgesWithDeg.select(col("dst").as("node")))
@@ -102,6 +117,11 @@ object PageRank {
       rank = ck
       prevBlocks = blocks
     }
+    // the returned rank is itself checkpointed (lineage truncated), so
+    // the edge/node scaffolding blocks are no longer reachable from it —
+    // free them here instead of leaking one edge-table-sized persisted
+    // copy per ranks() call in long-lived library callers
+    CheckpointTracking.free(rank, edgeBlocks ++ nodeBlocks)
     rank
   }
 }

@@ -680,6 +680,39 @@ object Extras {
                           ELSE CAST(floor(n_chars / 200) AS BIGINT) + 1 END AS bucket,
                count(*) AS n_docs
         FROM documents GROUP BY 1 ORDER BY bucket""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E3 (skew mitigation): the manual salted join — operators/SkewJoin
+    // — registered through the gate (this also backfills the q106
+    // numbering gap the round-6 audit flagged). The large side gets a
+    // position-derived salt in [0,8), the small side is replicated 8×,
+    // and the join keys on (key, salt), spreading any hot part key over
+    // 8 reducer partitions. Salting is pure physical re-layout, so the
+    // aggregate must equal the plain join's — which is exactly what the
+    // oracle states (a wrong/degenerate salt would double or drop rows
+    // and break count and sum alike).
+    QueryDef(
+      "q106_salted_join",
+      (s, dir) =>
+        graft.operators.SkewJoin
+          .saltedJoin(
+            Tables(s, dir, "lineitem").select("l_partkey", "l_extendedprice"),
+            Tables(s, dir, "part").select("p_partkey", "p_brand"),
+            "l_partkey",
+            "p_partkey",
+            salts = 8
+          )
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(Exact.cents(col("l_extendedprice"))).as("price_cents")
+          )
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_items,
+            CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -14,6 +14,38 @@ import graft.operators.PageRank
   */
 object Graph {
 
+  /** Symmetrized customer↔supplier purchase graph. Internal node ids
+    * are numeric (customer 2k, supplier 2k+1): longs shuffle, sort, and
+    * hash several times faster than strings across the iterations; the
+    * readable c<id>/s<id> label is applied only to the 100 output rows.
+    */
+  private def purchaseGraph(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val fwd = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")
+      )
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def top100(ranked: org.apache.spark.sql.DataFrame) =
+    ranked
+      .orderBy(desc("rank_e12"), asc("node"))
+      .limit(100)
+      .select(
+        expr(
+          "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node DIV 2 AS STRING) " +
+            "ELSE 's' || CAST(node DIV 2 AS STRING) END"
+        ).as("node"),
+        col("rank_e12")
+      )
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Fixed-point integer PageRank (operators/PageRank): 3 power
@@ -25,36 +57,41 @@ object Graph {
     // purchase pairs, symmetrized so rank flows both ways.
     QueryDef(
       "q104_pagerank",
+      (s, dir) => top100(PageRank.ranks(purchaseGraph(s, dir), "src", "dst", iters = 3)),
+      Some(pagerankOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // The SAME PageRank in the both-sides-big regime (100M+-node
+    // posture): broadcast is disabled in a session clone — standing in
+    // for a rank table past any broadcast threshold — and the edge
+    // table is checkpointed hash-partitioned + sorted on src
+    // (CheckpointTracking.checkpointHashPartitioned via the
+    // PartitionedCheckpoint shim), so each iteration's sort-merge join
+    // re-shuffles ONLY the narrow (node, rank) side. Bit-identical
+    // output to q104 by construction (integer arithmetic is
+    // layout-independent), so the same oracle hash-checks that the
+    // physical-plan switch changes nothing semantically.
+    QueryDef(
+      "q115_pagerank_smj",
       (s, dir) => {
-        // internal node ids are numeric (customer 2k, supplier 2k+1):
-        // longs shuffle, sort, and hash several times faster than
-        // strings across the iterations; the readable c<id>/s<id> label
-        // is applied only to the 100 output rows
-        val fwd = Tables(s, dir, "orders")
-          .select("o_orderkey", "o_custkey")
-          .join(
-            Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey")
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        top100(
+          PageRank.ranks(
+            purchaseGraph(s2, dir),
+            "src",
+            "dst",
+            iters = 3,
+            pinEdgePartitioning = true
           )
-          .select(
-            (col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst")
-          )
-          .distinct()
-        val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank
-          .ranks(sym, "src", "dst", iters = 3)
-          .orderBy(desc("rank_e12"), asc("node"))
-          .limit(100)
-          .select(
-            expr(
-              "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node DIV 2 AS STRING) " +
-                "ELSE 's' || CAST(node DIV 2 AS STRING) END"
-            ).as("node"),
-            col("rank_e12")
-          )
+        )
       },
-      Some("""WITH fwd AS (
+      Some(pagerankOracle)
+    )
+  )
+
+  private lazy val pagerankOracle = """WITH fwd AS (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         sym AS (SELECT src, dst FROM fwd
@@ -91,7 +128,5 @@ object Graph {
         SELECT CASE WHEN nid % 2 = 0 THEN 'c' || CAST(nid // 2 AS VARCHAR)
                     ELSE 's' || CAST(nid // 2 AS VARCHAR) END AS node,
                rank_e12
-        FROM top ORDER BY rank_e12 DESC, nid""")
-    )
-  )
+        FROM top ORDER BY rank_e12 DESC, nid"""
 }

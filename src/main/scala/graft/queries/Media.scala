@@ -9,7 +9,10 @@ import graft.operators.Multimodal
   * resize (q62/q63) are deterministic byte decimations over ASCII
   * payloads, so DuckDB reproduces them with substring arithmetic and
   * they hash-compare exactly even though the Spark side runs the real
-  * typed-Dataset binary plumbing.
+  * typed-Dataset binary plumbing. q114 closes the round-6 codec gap:
+  * a REAL `javax.imageio` PNG encode→decode round trip whose exact
+  * pixel sums the oracle restates analytically — a lost bit anywhere in
+  * the codec path breaks the hash.
   */
 object Media {
   val defs: Seq[QueryDef] = Seq(
@@ -57,6 +60,35 @@ object Media {
             list_transform(range(0, (n + step - 1) // step),
                            i -> substring(text, CAST(i*step + 1 AS INTEGER), 1)), '') AS resized_text
         FROM d ORDER BY media_id""")
+    ),
+    // real-codec image decode: per-document synthetic PNG (pixel (x,y)
+    // of image id is a fixed modular form) encoded AND decoded with
+    // javax.imageio; the query emits the decoded width/height and exact
+    // per-channel pixel sums. The oracle computes the same sums from
+    // the generating formula over a 16×16 spine filtered to each
+    // image's true size — PNG is lossless, so codec-correct ⟺ hash
+    // match. decode_ok rows are filtered (then dropped) so a corrupt
+    // decode surfaces as a row-count mismatch, not a silent skew.
+    QueryDef(
+      "q114_image_decode",
+      (s, dir) =>
+        Multimodal
+          .decodeImageFeatures(Multimodal.syntheticImages(s, dir))
+          .toDF()
+          .filter(col("decode_ok"))
+          .select("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+          .orderBy("media_id"),
+      Some("""WITH px AS (SELECT a.x, b.y FROM (SELECT unnest(range(16)) AS x) a,
+                   (SELECT unnest(range(16)) AS y) b)
+        SELECT doc_id AS media_id,
+          CAST(8 + doc_id % 9 AS INTEGER) AS width,
+          CAST(8 + (doc_id // 9) % 9 AS INTEGER) AS height,
+          CAST(sum((3*x + 5*y + doc_id) % 251) AS BIGINT) AS sum_r,
+          CAST(sum((7*x + 11*y + 2*doc_id) % 251) AS BIGINT) AS sum_g,
+          CAST(sum((13*x + 17*y + 3*doc_id) % 251) AS BIGINT) AS sum_b
+        FROM documents, px
+        WHERE x < 8 + doc_id % 9 AND y < 8 + (doc_id // 9) % 9
+        GROUP BY doc_id ORDER BY media_id""")
     )
   )
 }

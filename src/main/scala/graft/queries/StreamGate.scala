@@ -41,7 +41,14 @@ object StreamGate {
     *                cached clone, so the provider conf never leaks into
     *                the other gate replays)
     */
-  private def gateSession(s: SparkSession, rocksdb: Boolean = false): SparkSession =
+  private def gateSession(s: SparkSession, rocksdb: Boolean = false): SparkSession = {
+    // this map is JVM-global and the harness is not its only caller:
+    // evict clones whose base session has been stopped, so contexts that
+    // create many SparkSessions over a JVM's lifetime (per-suite
+    // sessions) don't accumulate dead (base → clone) pairs forever
+    gateSessions.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) gateSessions.remove(k): Unit
+    }
     gateSessions.computeIfAbsent(
       (s, rocksdb),
       { case (base, rocks) =>
@@ -55,6 +62,7 @@ object StreamGate {
         s2
       }
     )
+  }
 
   /** The events table replayed as a file-source stream (the file source
     * takes a directory; the glob pins it to the one table). `ts` is

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, max}
 import graft.SparkSpec
 
 class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
@@ -68,6 +69,73 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(Seq.empty) == Set.empty)
     // "" pairs with every 1-char string (one insertion)
     assert(pairs(Seq("", "a", "b", "xy")) == reference(Seq("", "a", "b", "xy")))
+  }
+
+  test("maxKeyDf is a no-op when every key is under the cap") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(40)(rnd.alphanumeric.take(6).mkString)
+    val vs = base ++ base.map { s =>
+      val i = rnd.nextInt(s.length)
+      s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+    }
+    val df = vs.toDF("v")
+    val capped = FuzzyJoin
+      .editDistance1Pairs(df, "v", maxKeyDf = Some(50))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(capped == pairs(vs))
+    assert(capped == reference(vs))
+  }
+
+  test("maxKeyDf bounds a 10^4-string hot deletion key and keeps cold-key pairs exact") {
+    val sess = spark
+    import sess.implicits._
+    // Skew fixture: every hot string is `core` with ONE char inserted.
+    // core cycles 'a'..'j' (no repeated runs), insert chars are CJK —
+    // disjoint alphabets, so any two hot strings share EXACTLY one
+    // deletion key: core itself (deleting the insert from each). That
+    // one key has multiplicity 10^4 — the uncapped self-join would
+    // expand C(10^4, 2) ≈ 5·10^7 candidates and verify each with a
+    // 60-char levenshtein; the cap drops the key before the join.
+    val core = (0 until 60).map(i => ('a' + i % 10).toChar).mkString
+    val hot = for {
+      p <- 0 to core.length // 61 insert positions
+      c <- (0 until 165).map(i => (0x4e00 + i).toChar) // 165 insert chars
+    } yield core.substring(0, p) + c + core.substring(p)
+    assert(hot.size == 10065 && hot.distinct.size == hot.size)
+    // Planted cold-key pairs: each base+digit pair shares only its own
+    // df=2 deletion key, far under the cap — these must survive intact.
+    val planted = Seq("zebraQ", "quartz", "marble", "copper", "silver")
+      .flatMap(b => Seq(b + "1", b + "2"))
+    val df = (hot ++ planted).toDF("v")
+
+    // the cap's structural guarantee: after pruning, no key's
+    // multiplicity exceeds the cap, so candidates per key ≤ C(cap, 2)
+    val names = df.select(col("v").cast("string").as("name")).distinct()
+    val dfs = FuzzyJoin
+      .deletionNeighborhood(names)
+      .groupBy("k")
+      .count()
+    assert(dfs.agg(max("count")).head.getLong(0) == hot.size.toLong) // core key is hot
+    assert(
+      dfs.filter(col("count") <= 50).agg(max("count")).head.getLong(0) <= 2L
+    ) // every cold key in this fixture has df ≤ 2
+
+    val got = FuzzyJoin
+      .editDistance1Pairs(df, "v", maxKeyDf = Some(50))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val wantPlanted = Seq("zebraQ", "quartz", "marble", "copper", "silver")
+      .map(b => (b + "1", b + "2", 1L))
+      .toSet
+    // cold-key pairs exact; hot-key-only pairs (same-position insert
+    // substitutions, whose ONLY shared key is core) are the documented
+    // miss the cap trades for boundedness
+    assert(got == wantPlanted)
   }
 
   test("unicode: deletion keys and levenshtein both count CODE POINTS, astral plane included") {

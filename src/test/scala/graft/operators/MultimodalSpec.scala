@@ -51,6 +51,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("image codec: real PNG encode→decode round-trips exact pixel sums") {
+    val imgs = Multimodal.syntheticImages(spark, dir)
+    val sample = imgs.take(5)
+    // payloads are genuine PNG files (magic bytes), not a fake container
+    assert(sample.forall(m =>
+      (m.payload(0) & 0xff) == 0x89 && m.payload(1) == 'P' && m.payload(2) == 'N' && m.payload(3) == 'G'))
+    assert(sample.forall(_.media_type == "image/png"))
+
+    val feats = Multimodal.decodeImageFeatures(imgs).collect()
+    assert(feats.nonEmpty && feats.forall(_.decode_ok))
+    // decoded sums equal the generating formula — the codec lost nothing
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.width == (8 + id % 9).toInt && f.height == (8 + (id / 9) % 9).toInt)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until f.height; x <- 0 until f.width) {
+        sr += (3L * x + 5L * y + id) % 251L
+        sg += (7L * x + 11L * y + 2L * id) % 251L
+        sb += (13L * x + 17L * y + 3L * id) % 251L
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) == ((sr, sg, sb)))
+    }
+  }
+
+  test("image codec: corrupt payloads become decode_ok=false rows, not failures") {
+    val sess = spark
+    import sess.implicits._
+    val good = Multimodal.syntheticImages(spark, dir).take(1).head
+    val corrupt = Seq(
+      Multimodal.MediaRecord(900001L, "image/png", Array[Byte](1, 2, 3, 4), 4L),
+      Multimodal.MediaRecord(900002L, "image/png", good.payload.take(10), 10L),
+      good
+    ).toDS()
+    val out = Multimodal.decodeImageFeatures(corrupt).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    assert(out.count(_.decode_ok) == 1)
+    assert(out.filter(!_.decode_ok).forall(f => f.width == -1 && f.sum_r == -1L))
+  }
+
   test("resize decimates to at most targetBytes+1 samples, preserving content order") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, targetBytes = 16).collect()

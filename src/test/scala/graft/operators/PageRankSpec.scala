@@ -69,6 +69,45 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(run(Seq.empty, 3).isEmpty)
   }
 
+  test("pinEdgePartitioning yields bit-identical ranks with broadcast disabled") {
+    val sess = spark
+    import sess.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = PageRank
+        .ranks(chain.toDF("src", "dst"), "src", "dst", 3, pinEdgePartitioning = true)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      assert(pinned == reference(chain, 3))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pinned iteration join re-shuffles ONLY the rank side (one exchange, no edge re-sort)") {
+    // the exact join shape ranks() runs per iteration, on the pinned
+    // edge layout: the edge side must contribute NO exchange and NO
+    // sort — the one hashpartitioning exchange (+ sort) belongs to the
+    // narrow rank side
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      val annotated = spark
+        .range(1000)
+        .selectExpr("id % 100 AS src", "(id * 7) % 100 AS dst")
+        .withColumn("outdeg", count(lit(1)).over(w))
+      val (edgesWithDeg, _) =
+        CheckpointTracking.checkpointHashPartitioned(annotated, Seq("src"), Seq("src"))
+      val rank = spark.range(100).selectExpr("id AS node", "id * 10 AS rank_e12")
+      val joined = edgesWithDeg.join(rank, edgesWithDeg("src") === rank("node"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("checkpointHashPartitioned keeps the layout visible; a naked localCheckpoint does NOT") {
     // The iteration-join reuse in PageRank/ConnectedComponents depends
     // on the checkpointed edge table keeping its hash layout visible to
