@@ -35,13 +35,20 @@ object StreamGate {
     * session-local conf differs.
     */
   private val gateSessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean, Int), SparkSession]()
 
-  /** @param rocksdb also pin the RocksDB state-store provider (its own
-    *                cached clone, so the provider conf never leaks into
-    *                the other gate replays)
+  /** @param rocksdb    also pin the RocksDB state-store provider (its
+    *                   own cached clone, so the provider conf never
+    *                   leaks into the other gate replays)
+    * @param partitions shuffle-partition count for this gate's stateful
+    *                   operators (commit cost is per-partition-per-
+    *                   operator-per-batch — see class doc)
     */
-  private def gateSession(s: SparkSession, rocksdb: Boolean = false): SparkSession = {
+  private def gateSession(
+      s: SparkSession,
+      rocksdb: Boolean = false,
+      partitions: Int = 8
+  ): SparkSession = {
     // this map is JVM-global and the harness is not its only caller:
     // evict clones whose base session has been stopped, so contexts that
     // create many SparkSessions over a JVM's lifetime (per-suite
@@ -50,10 +57,10 @@ object StreamGate {
       if (k._1.sparkContext.isStopped) gateSessions.remove(k): Unit
     }
     gateSessions.computeIfAbsent(
-      (s, rocksdb),
-      { case (base, rocks) =>
+      (s, rocksdb, partitions),
+      { case (base, rocks, parts) =>
         val s2 = base.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
         if (rocks)
           s2.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
@@ -245,7 +252,21 @@ object StreamGate {
     QueryDef(
       "q103_stream_join",
       (s, dir) => {
-        val gs = gateSession(s)
+        // 2 partitions, measured at sf0.1: the stream-stream join
+        // carries FOUR state stores per partition and replays ≥2
+        // batches (data + watermark finalization), so commit count
+        // dominates: 8 parts = 3.0s, 4 = 2.8s, 2 = 2.4s, 1 = 2.6s
+        // (commit floor beats lost parallelism until the join itself
+        // is single-threaded). RocksDB measured slower still (3.5s —
+        // native store init per store per batch at ~8 MB of state).
+        val gs = gateSession(s, partitions = 2)
+        // collapse the trailing watermark-finalization batch: an inner
+        // stream-stream join in append mode emits every match in the
+        // DATA batch — the no-data batch only advances the watermark to
+        // evict state, which a bounded replay that stops right after
+        // does not need. Skipping it saves one full state-commit round
+        // (4 stores × partitions). Session-local; the clone is q103's.
+        gs.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         drainToTable(
           gs,
           graft.streaming.EventStreams.clickAttribution(
