@@ -449,6 +449,69 @@ object Dedup {
         WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
         GROUP BY t.doc_id
         ORDER BY t.doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11 (incremental ingest): dedup a NEW batch against the fingerprint
+    // index of the corpus already ingested — the shape every rolling
+    // crawl pipeline runs (nobody re-dedups 100 TB per batch; the batch
+    // anti-joins the index). Here doc_id % 3 == 0 stands in for the new
+    // batch, the rest for the indexed corpus; fingerprint = md5(text).
+    // A new doc is dropped if its fingerprint is already indexed
+    // (dup_old), kept once per fingerprint within the batch (smallest
+    // doc_id wins; the rest are dup_new). Per-lang counts partition the
+    // batch exactly: n_new = kept + dup_old + dup_new — an oracle-checked
+    // conservation law. Plan: the index is a narrow distinct fingerprint
+    // column; the batch LEFT-joins it on fp (shuffle or broadcast by
+    // size — AQE decides) and a window-min over fp settles within-batch
+    // winners. Nothing wide ever shuffles.
+    QueryDef(
+      "q118_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+        val indexed = docs.filter(col("doc_id") % 3 =!= 0).select("fp").distinct()
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val flagged = batch
+          .join(indexed.withColumn("in_index", lit(1)), Seq("fp"), "left")
+          .withColumn(
+            "min_id",
+            min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp"))
+          )
+          .withColumn(
+            "status",
+            when(col("in_index").isNotNull, "dup_old")
+              .when(col("doc_id") =!= col("min_id"), "dup_new")
+              .otherwise("kept")
+          )
+        flagged
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("status") === "dup_old", 1L).otherwise(0L)).as("n_dup_old"),
+            sum(when(col("status") === "dup_new", 1L).otherwise(0L)).as("n_dup_new")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, lang, md5(text) AS fp FROM documents
+        ), idx AS (
+          SELECT DISTINCT fp FROM docs WHERE doc_id % 3 <> 0
+        ), batch AS (
+          SELECT d.doc_id, d.lang, d.fp,
+                 (i.fp IS NOT NULL) AS in_index,
+                 min(d.doc_id) OVER (PARTITION BY d.fp) AS min_id
+          FROM docs d LEFT JOIN idx i ON d.fp = i.fp
+          WHERE d.doc_id % 3 = 0
+        )
+        SELECT lang, count(*) AS n_new,
+               CAST(sum(CASE WHEN NOT in_index AND doc_id = min_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN in_index THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+               CAST(sum(CASE WHEN NOT in_index AND doc_id <> min_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_new
+        FROM batch GROUP BY 1 ORDER BY 1""")
     )
   )
 }

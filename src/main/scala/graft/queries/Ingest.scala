@@ -155,6 +155,52 @@ object Ingest {
             CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
             CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
           FROM supplier GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1/E3 (bucketed write → co-located join): both fact tables are
+    // written bucketed AND sorted on the join key, then joined with
+    // broadcast disabled — the layout investment that makes repeated
+    // fact-fact joins affordable at 100 TB (each join reads bucket i
+    // against bucket i: ZERO shuffle, ZERO sort on either input;
+    // BucketingSpec asserts that plan property on the same layout).
+    // Fresh table names + scratch path per run (the in-memory catalog
+    // is session-scoped, but bench repeats share a session). The
+    // oracle is the plain join aggregate, so the bucketed round-trip
+    // must preserve every row and value exactly.
+    QueryDef(
+      "q120_bucketed_join",
+      (s, dir) => {
+        val run = bucketRun.incrementAndGet()
+        val (ot, lt) = (s"graft_orders_b$run", s"graft_lineitem_b$run")
+        val base = scratch(s"bucketed_$run")
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("path", s"$base/$ot")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").option("path", s"$base/$lt")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        val s2 = s.newSession() // broadcast off ONLY here; tables are catalog-shared
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.table(lt)
+          .join(s2.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(Exact.cents(col("l_extendedprice"))).as("price_cents"),
+            sum(Exact.cents(col("o_totalprice"))).as("order_cents")
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+            CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS order_cents
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY 1 ORDER BY 1""")
     )
   )
+
+  private val bucketRun = new java.util.concurrent.atomic.AtomicInteger(0)
 }

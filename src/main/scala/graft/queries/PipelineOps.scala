@@ -270,5 +270,42 @@ object PipelineOps {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
           FROM documents GROUP BY 1 ORDER BY 1""")
     ),
+
+    // ------------------------------------------------------------------
+    // Deterministic weighted sampling — the corpus-rebalancing step
+    // that turns a mixture design (q97) into an actual materialized
+    // sample: downsample the dominant language (en keeps 1/2, de 3/4,
+    // the rest keep all) by comparing a 32-bit md5 prefix of the doc id
+    // against an EXACT RATIONAL threshold in integer arithmetic — no
+    // RNG, no floats. At 100 TB this is the only sampling shape that
+    // survives task retries and re-runs: membership is a pure function
+    // of the row, so a re-executed partition keeps exactly the same
+    // docs (rand(seed) does not — it is per-task-attempt), and both
+    // engines compute identical md5 hex, so the oracle checks the
+    // sample itself, not just its size. Map-side filter → one
+    // aggregation; nothing shuffles but the 5-row result.
+    QueryDef(
+      "q116_weighted_sample",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn(
+            "h32",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+          )
+          .withColumn("keep_num", expr("CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 ELSE 4 END"))
+          .filter(col("h32") * 4 < col("keep_num") * lit(4294967296L))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("long").as("n_tokens")
+          )
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 4
+                < (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 ELSE 4 END) * 4294967296
+          GROUP BY 1 ORDER BY 1""")
+    ),
   )
 }

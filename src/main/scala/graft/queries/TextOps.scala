@@ -19,6 +19,32 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
   val PhoneRe = "[0-9]{3}-[0-9]{4}"
 
+  /** The q32 quality score — shared with q117's per-source cap so the
+    * two can never drift: 0.3·min(tokens/50, 1) + 0.4·(1 − stopword
+    * ratio) + 0.3·min(avg token len/8, 1). Both engines execute the
+    * identical sequence of correctly-rounded double ops, so the values
+    * (and any ordering on them) are bit-identical.
+    */
+  private def qualityExpr: org.apache.spark.sql.Column = {
+    val nTok = size(split(col("text"), " "))
+    val stopCnt =
+      size(filter(split(col("text"), " "), t => t.isin("the", "a", "of", "and", "to")))
+    val avgLen = length(expr("replace(text, ' ', '')")).cast("double") / nTok
+    least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - stopCnt.cast("double") / nTok) * 0.4 +
+      least(avgLen / 8.0, lit(1.0)) * 0.3
+  }
+
+  /** The DuckDB restatement of [[qualityExpr]] — single source for the
+    * q32 and q117 oracles. */
+  private val QualitySql =
+    """least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3
+        + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 0.4
+        + least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3"""
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // E14: per-doc token statistics (whitespace tokenization).
@@ -71,28 +97,11 @@ object TextOps {
     // ordered identically on both sides so doubles agree exactly.
     QueryDef(
       "q32_quality_score",
-      (s, dir) => {
-        val nTok = size(split(col("text"), " "))
-        val stopCnt =
-          size(filter(split(col("text"), " "), t => t.isin("the", "a", "of", "and", "to")))
-        val avgLen = length(expr("replace(text, ' ', '')")).cast("double") / nTok
+      (s, dir) =>
         Tables(s, dir, "documents")
-          .select(
-            col("doc_id"),
-            col("lang"),
-            (least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
-              (lit(1.0) - stopCnt.cast("double") / nTok) * 0.4 +
-              least(avgLen / 8.0, lit(1.0)) * 0.3).as("quality")
-          )
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id, lang,
-        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3
-        + (1.0 - CAST(len(list_filter(string_split(text, ' '),
-                                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                 / len(string_split(text, ' '))) * 0.4
-        + least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3 AS quality
+          .select(col("doc_id"), col("lang"), qualityExpr.as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, $QualitySql AS quality
         FROM documents ORDER BY doc_id""")
     ),
 
@@ -424,6 +433,39 @@ object TextOps {
                CASE WHEN len(clean) >= 30 THEN right(clean, 30)
                     ELSE clean END AS clean_tail
         FROM cleaned ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Per-entity cap — the curation step that stops any single source
+    // from dominating the corpus: rank each source's documents by the
+    // q32 quality score (shared expression, so the two can't drift)
+    // and keep the top 3, emitting the KEPT SET itself (source, rank,
+    // doc, quality) rather than a summary — so the oracle pins exactly
+    // which documents survive. Deterministic tie-break on doc_id makes
+    // the ranking total; both engines compute bit-identical doubles
+    // (see qualityExpr), so ORDER BY quality agrees everywhere. Plan:
+    // one hash exchange on source, rank inside the partition, filter —
+    // the 100 TB shape for "N per key" (never a global sort).
+    QueryDef(
+      "q117_source_cap",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
+          .withColumn(
+            "rn",
+            row_number()
+              .over(Window.partitionBy("source").orderBy(desc("quality"), asc("doc_id")))
+              .cast("long")
+          )
+          .filter(col("rn") <= 3)
+          .select("source", "rn", "doc_id", "quality")
+          .orderBy("source", "rn"),
+      Some(s"""SELECT source, rn, doc_id, quality FROM (
+          SELECT source, doc_id, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM (SELECT doc_id, source, $QualitySql AS quality FROM documents))
+        WHERE rn <= 3 ORDER BY source, rn""")
     )
   )
 }

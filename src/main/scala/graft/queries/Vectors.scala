@@ -30,6 +30,63 @@ object Vectors {
           .orderBy("label")
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // int8 symmetric quantization of the embedding column — the
+    // ANN-serving prep step (4× memory cut before index build): each
+    // vector is scaled by 127 / max|x| and rounded to [-127, 127]. The
+    // query emits INTEGER per-vector reductions (first element, sum,
+    // min, max, saturated count), so the oracle is exact: both engines
+    // compute the identical float64 scale and apply the same
+    // round-half-away-from-zero, hence identical int8 codes. Plan: pure
+    // map over the vectors (one projection, no shuffle but the sorted
+    // 10-row-per-label output); at 100 TB this runs as a scan-rewrite
+    // into a quantized copy of the index shards.
+    QueryDef(
+      "q119_embedding_quantize",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .withColumn(
+            "mx",
+            greatest(
+              expr("aggregate(embedding, cast(0 AS double), (a, x) -> greatest(a, abs(cast(x AS double))))"),
+              lit(1e-30)
+            )
+          )
+          .withColumn(
+            "q",
+            expr("transform(embedding, x -> cast(round(cast(x AS double) * 127 / mx) AS int))")
+          )
+          .select(
+            col("vec_id"),
+            col("label"),
+            element_at(col("q"), 1).as("q0"),
+            expr("aggregate(q, 0, (a, x) -> a + x)").as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"),
+            expr("size(filter(q, x -> abs(x) = 127))").as("n_sat")
+          )
+          .orderBy("vec_id"),
+      Some("""WITH scaled AS (
+          SELECT vec_id, label,
+                 greatest(list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS mx,
+                 embedding
+          FROM embeddings
+        ), quant AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INTEGER)) AS q
+          FROM scaled
+        )
+        SELECT vec_id, CAST(label AS INTEGER) AS label,
+               q[1] AS q0,
+               CAST(list_sum(q) AS INTEGER) AS q_sum,
+               list_min(q) AS q_min,
+               list_max(q) AS q_max,
+               CAST(len(list_filter(q, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+        FROM quant ORDER BY vec_id""")
     )
   )
 }
