@@ -713,6 +713,101 @@ object Extras {
             CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
           FROM lineitem JOIN part ON p_partkey = l_partkey
           GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Deterministic fixed-n stratified sample — the exact-oracle
+    // counterpart to q76's sampleBy (which is honest RNG → rows-only):
+    // EXACTLY min(20, |stratum|) docs per language, chosen by md5 order
+    // with a doc_id tie-break so the "random" 20 are a pure function of
+    // the data. This is the eval-set construction shape (fixed-size
+    // per-slice samples that must be reproducible run-over-run and
+    // engine-over-engine). One hash exchange on lang, rank within the
+    // partition, filter — N-per-key at 100 TB, never a global sort;
+    // emits the chosen set itself so the oracle pins membership, not
+    // just counts.
+    QueryDef(
+      "q121_stratified_exact",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .withColumn(
+            "rn",
+            row_number()
+              .over(Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id")))
+              .cast("long")
+          )
+          .filter(col("rn") <= 20)
+          .select("lang", "rn", "doc_id")
+          .orderBy("lang", "rn"),
+      Some("""SELECT lang, rn, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 20 ORDER BY lang, rn""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Winsorized robust statistics — the outlier-trimming step of data
+    // cleaning: per language, clamp document token counts to the
+    // stratum's exact [p05, p95] rank quantiles and report mean token
+    // mass before/after. Quantiles are RANK-BASED on integers (the
+    // value at row_number ceil(q·n), ties broken by doc_id), not an
+    // interpolating percentile — identical by construction in both
+    // engines, so clamped sums stay integer-exact. Two window passes
+    // over one exchange on lang (rank + count), then a broadcast-sized
+    // 5-row quantile table joins back.
+    QueryDef(
+      "q122_winsorize",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+        val w = Window.partitionBy("lang")
+        val ranked = toks
+          .withColumn("rn", row_number().over(w.orderBy(asc("nt"), asc("doc_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val bounds = ranked
+          .filter(col("rn") === ceil(col("n") * 0.05) || col("rn") === ceil(col("n") * 0.95))
+          .groupBy("lang")
+          .agg(min("nt").as("p05"), max("nt").as("p95"))
+        toks
+          .join(broadcast(bounds), Seq("lang"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nt").as("tok_sum"),
+            sum(greatest(least(col("nt"), col("p95")), col("p05"))).as("tok_sum_winsorized"),
+            sum(when(col("nt") > col("p95"), 1L).otherwise(0L)).as("n_clamped_hi"),
+            sum(when(col("nt") < col("p05"), 1L).otherwise(0L)).as("n_clamped_lo")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+          FROM documents
+        ), ranked AS (
+          SELECT lang, nt,
+                 row_number() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM toks
+        ), bounds AS (
+          SELECT lang, min(nt) AS p05, max(nt) AS p95
+          FROM ranked
+          WHERE rn = CAST(ceil(n * 0.05) AS BIGINT) OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+          GROUP BY 1
+        )
+        SELECT t.lang, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS tok_sum,
+               CAST(sum(greatest(least(nt, p95), p05)) AS BIGINT) AS tok_sum_winsorized,
+               CAST(sum(CASE WHEN nt > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+               CAST(sum(CASE WHEN nt < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo
+        FROM toks t JOIN bounds b ON t.lang = b.lang
+        GROUP BY 1 ORDER BY 1""")
     )
   )
 }
