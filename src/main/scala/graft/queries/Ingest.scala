@@ -199,6 +199,88 @@ object Ingest {
             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS order_cents
           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
           GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1 (schema evolution): two ingest batches with DRIFTED schemas —
+    // batch 1 lacks a column batch 2 carries (n_chars), batch 2 renames
+    // nothing but adds batch_id — read back as ONE table with
+    // mergeSchema, the missing column NULL-filled. This is the
+    // unavoidable 100 TB ingestion reality (upstream producers add
+    // fields mid-crawl); the explicit-schema rule is relaxed HERE only
+    // because schema reconciliation is the operation under test. The
+    // oracle restates the union with typed NULLs, so a mis-merged or
+    // mis-filled column breaks the hash.
+    QueryDef(
+      "q123_schema_evolution",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val base = scratch("schema_evo")
+        docs
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$base/batch=0")
+        docs
+          .filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/batch=1")
+        s.read
+          .option("mergeSchema", "true")
+          .parquet(base)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_nullfilled"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("chars_sum"),
+            sum(col("batch").cast("long")).as("batch_sum")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH merged AS (
+          SELECT doc_id, lang, NULL::BIGINT AS n_chars, 0 AS batch
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars, 1 AS batch
+          FROM documents WHERE doc_id % 2 <> 0)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nullfilled,
+               CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS chars_sum,
+               CAST(sum(batch) AS BIGINT) AS batch_sum
+        FROM merged GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E1 (compaction): the small-file problem — ingest leaves the events
+    // table shattered across 64 files (a few hundred KB each); compaction
+    // rewrites them into 4 near-target-size files. At 100 TB this is the
+    // scheduled OPTIMIZE job that keeps scan task counts sane (a
+    // million 1 MB files = a million scheduler rounds). The oracle
+    // aggregates the original table, so compaction must preserve every
+    // row and value; the 4-vs-64 file property itself is asserted in
+    // OperatorsSpec (engine-side observable, not SQL-restatable).
+    QueryDef(
+      "q124_compaction",
+      (s, dir) => {
+        val base = scratch("compaction")
+        val ev = Tables(s, dir, "events").select("event_id", "event_type", "value")
+        ev.repartition(64).write.mode("overwrite").parquet(s"$base/shattered")
+        s.read
+          .parquet(s"$base/shattered")
+          .repartition(4) // round-robin: near-equal target sizes
+          .write.mode("overwrite").parquet(s"$base/compacted")
+        s.read
+          .parquet(s"$base/compacted")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(Exact.milli(col("value"))).as("value_milli")
+          )
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_milli
+          FROM events GROUP BY 1 ORDER BY 1""")
     )
   )
 

@@ -204,4 +204,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(back.schema == emb.schema)
     assert(back.collect().toSeq == emb.collect().toSeq)
   }
+
+  test("E1 compaction (q124 shape): 64 shattered files become 4, rows preserved") {
+    // the file-count property the q124 oracle cannot state in SQL:
+    // compaction actually consolidates (4 data files, not 64) and the
+    // round-robin repartition keeps sizes near-equal
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/shattered")
+    spark.read
+      .parquet(s"$tmp/shattered")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/compacted")
+    def dataFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$tmp/shattered").length == 64)
+    val compacted = dataFiles(s"$tmp/compacted")
+    assert(compacted.length == 4)
+    val sizes = compacted.map(_.length().toDouble)
+    assert(sizes.max / sizes.min < 1.5, s"round-robin sizes skewed: ${sizes.toSeq}")
+    assert(
+      spark.read.parquet(s"$tmp/compacted").count() ==
+        spark.read.parquet(s"$tmp/shattered").count()
+    )
+  }
 }
