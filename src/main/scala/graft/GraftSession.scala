@@ -38,6 +38,7 @@ object GraftSession {
       .withExtensions(graft.functions.DistinctUpTo.install)
       .withExtensions(graft.functions.WordShingles.install)
       .withExtensions(graft.functions.CharNgrams.install)
+      .withExtensions(graft.functions.Int8QuantizeStats.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

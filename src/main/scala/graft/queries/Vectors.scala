@@ -39,33 +39,27 @@ object Vectors {
     // query emits INTEGER per-vector reductions (first element, sum,
     // min, max, saturated count), so the oracle is exact: both engines
     // compute the identical float64 scale and apply the same
-    // round-half-away-from-zero, hence identical int8 codes. Plan: pure
-    // map over the vectors (one projection, no shuffle but the sorted
-    // 10-row-per-label output); at 100 TB this runs as a scan-rewrite
-    // into a quantized copy of the index shards.
+    // round-half-away-from-zero, hence identical int8 codes. The
+    // quantization runs as the native codegen expression
+    // `int8_quantize_stats` (functions/Int8Quantize — two fused passes,
+    // no intermediate code array; Int8QuantizeSpec pins bit-equality to
+    // the five-HOF formulation it replaces). Plan: pure map over the
+    // vectors (one projection, no shuffle but the sorted output); at
+    // 100 TB this runs as a scan-rewrite into a quantized copy of the
+    // index shards.
     QueryDef(
       "q119_embedding_quantize",
       (s, dir) =>
         Tables(s, dir, "embeddings")
-          .withColumn(
-            "mx",
-            greatest(
-              expr("aggregate(embedding, cast(0 AS double), (a, x) -> greatest(a, abs(cast(x AS double))))"),
-              lit(1e-30)
-            )
-          )
-          .withColumn(
-            "q",
-            expr("transform(embedding, x -> cast(round(cast(x AS double) * 127 / mx) AS int))")
-          )
+          .withColumn("st", expr("int8_quantize_stats(embedding)"))
           .select(
             col("vec_id"),
             col("label"),
-            element_at(col("q"), 1).as("q0"),
-            expr("aggregate(q, 0, (a, x) -> a + x)").as("q_sum"),
-            array_min(col("q")).as("q_min"),
-            array_max(col("q")).as("q_max"),
-            expr("size(filter(q, x -> abs(x) = 127))").as("n_sat")
+            col("st.q0").as("q0"),
+            col("st.q_sum").as("q_sum"),
+            col("st.q_min").as("q_min"),
+            col("st.q_max").as("q_max"),
+            col("st.n_sat").as("n_sat")
           )
           .orderBy("vec_id"),
       Some("""WITH scaled AS (
