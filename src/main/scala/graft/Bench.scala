@@ -35,9 +35,10 @@ import scala.jdk.CollectionConverters._
   *
   * Drift gate, institutionalized in the harness itself: after the
   * forked parts report, any query whose median exceeds
-  * max(1.5 × warm-up, warm-up + 0.3 s) — the inversion signature — is
-  * RE-RUN in one final fresh JVM and its re-measured runs replace the
-  * contaminated ones; queries still inverted after the re-run are
+  * warm-up + max(0.3 s, 15% of warm-up) — the inversion signature — is
+  * RE-RUN in a final fresh JVM (streaming suspects in their own, so the
+  * gate isolation survives the re-run) and its re-measured runs replace
+  * the contaminated ones; queries still inverted after the re-run are
   * flagged `"inverted":true` in BENCH_detail.json rather than silently
   * reported.
   *
@@ -90,7 +91,10 @@ object Bench {
   // fragment (name \t RUNS \t r1,r2,... | name \t ERROR \t kind)
   // ------------------------------------------------------------------
 
-  private def measure(names: Seq[String]): Seq[(String, Either[String, Seq[Double]])] = {
+  private def measure(
+      names: Seq[String],
+      onResult: (String, Either[String, Seq[Double]]) => Unit = (_, _) => ()
+  ): Seq[(String, Either[String, Seq[Double]])] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     // warm up codegen/classloading, parquet footers, AND the page cache:
@@ -123,18 +127,34 @@ object Bench {
         HarnessUtil.sweep(spark)
         i += 1
       }
-      name -> err.toLeft(runs.toSeq)
+      val out = name -> err.toLeft(runs.toSeq)
+      onResult(out._1, out._2)
+      out
     }
     spark.stop()
     results
   }
 
+  /** One fragment line per query, flushed AS EACH QUERY FINISHES — a
+    * child killed mid-part (OOM, SIGKILL) still reports everything it
+    * completed; only the in-flight query falls back to the parent's
+    * child_rc marker.
+    */
   private def runChild(outFile: String, names: Seq[String]): Unit = {
-    val lines = measure(names).map {
-      case (n, Right(rs)) => s"$n\tRUNS\t${rs.map(r3).mkString(",")}"
-      case (n, Left(e))   => s"$n\tERROR\t$e"
-    }
-    Files.writeString(Paths.get(outFile), lines.mkString("", "\n", "\n"))
+    val w = new java.io.PrintWriter(
+      new java.io.FileWriter(outFile, /* append = */ false),
+      /* autoFlush = */ true
+    )
+    def errName(e: String) = if (e.isEmpty) "Unknown" else e
+    try
+      measure(
+        names,
+        {
+          case (n, Right(rs)) => w.println(s"$n\tRUNS\t${rs.map(r3).mkString(",")}")
+          case (n, Left(e))   => w.println(s"$n\tERROR\t${errName(e)}")
+        }
+      ): Unit
+    finally w.close()
   }
 
   /** SPARK_GRAFT_BENCH_INPROC escape hatch: the round-6 single-JVM
@@ -174,12 +194,20 @@ object Bench {
     val rc = pb.start().waitFor()
     System.err.println(
       f"[bench] part $idx (${names.size} queries) rc=$rc in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    // a SIGKILLed child can truncate its last line mid-write — parse
+    // defensively, dropping any malformed line rather than losing the
+    // whole part to a MatchError/NumberFormatException in the parent
     val parsed: Map[String, Either[String, Seq[Double]]] =
       if (frag.exists())
-        Files.readAllLines(frag.toPath).asScala.filter(_.nonEmpty).map { line =>
-          val Array(n, kind, payload) = line.split('\t')
-          n -> (if (kind == "RUNS") Right(payload.split(',').toSeq.map(_.toDouble))
-                else Left(payload))
+        Files.readAllLines(frag.toPath).asScala.filter(_.nonEmpty).flatMap { line =>
+          line.split('\t') match {
+            case Array(n, "RUNS", payload) =>
+              scala.util.Try(payload.split(',').toSeq.map(_.toDouble)).toOption
+                .filter(_.size == RunsPerQuery)
+                .map(n -> Right(_))
+            case Array(n, "ERROR", payload) => Some(n -> Left(payload))
+            case _                          => None
+          }
         }.toMap
       else Map.empty
     // a child that crashed mid-part reports what it finished; the rest
@@ -209,11 +237,18 @@ object Bench {
     var merged = Map.empty[String, Either[String, Seq[Double]]]
     parts.zipWithIndex.foreach { case (names, i) => merged ++= forkPart(i.toString, names) }
 
-    // drift gate: re-measure inverted queries in one final fresh JVM
+    // drift gate: re-measure inverted queries in fresh JVMs (streaming
+    // suspects separately, preserving the gate isolation). A rerun that
+    // itself fails must NOT overwrite real-if-inflated measurements —
+    // keep the original runs (flagged "inverted" in the detail file).
     val suspects = all.filter(n => merged(n).exists(inverted))
     if (suspects.nonEmpty) {
       System.err.println(s"[bench] drift gate: re-running inverted ${suspects.mkString(", ")}")
-      merged ++= forkPart("rerun", suspects)
+      val (streamSus, batchSus) = suspects.partition(StreamingGates)
+      val rerun =
+        (if (batchSus.nonEmpty) forkPart("rerun", batchSus) else Map.empty) ++
+          (if (streamSus.nonEmpty) forkPart("rerun_stream", streamSus) else Map.empty)
+      merged ++= rerun.filter(_._2.isRight)
     }
     report(merged, all, suspects, isolation = "fork_per_part")
   }

@@ -32,7 +32,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * would raise on `element_at(q, 1)` under ANSI — NULL is the
   * data-cleaning-friendly answer), NULL element → NULL (the HOF fold
   * null-poisons; a silent 0 would admit a plausible-but-wrong code for
-  * a corrupt row).
+  * a corrupt row), NaN/Infinity element → NULL (the HOF chain under
+  * ANSI would FAIL the whole job at the NaN→int cast, and
+  * `BigDecimal.valueOf` would throw here — a corrupt vector must cost
+  * one row, never the query).
   *
   * Registered as SQL function `int8_quantize_stats` via
   * SparkSessionExtensions (GraftSession) — preference order (b) of the
@@ -71,6 +74,7 @@ case class Int8QuantizeStats(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (a.isNullAt(i)) return null
       val v = math.abs(a.getFloat(i).toDouble)
+      if (v.isNaN || v.isInfinite) return null
       if (v > mx) mx = v
       i += 1
     }
@@ -118,6 +122,9 @@ case class Int8QuantizeStats(child: Expression) extends UnaryExpression {
         |  for (int $i = 0; $i < $n; $i++) {
         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
         |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
+        |    if (java.lang.Double.isNaN($v) || java.lang.Double.isInfinite($v)) {
+        |      ${ev.isNull} = true; break;
+        |    }
         |    if ($v > $mx) $mx = $v;
         |  }
         |  if (!${ev.isNull}) {

@@ -146,9 +146,13 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       it.map { m =>
+        // NonFatal, not just IOException: the JDK image readers throw
+        // RuntimeExceptions (IllegalArgument, NegativeArraySize, …) on
+        // malformed-but-recognized payloads — any of them must cost one
+        // row, never a stage retry loop
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) ImageFeatures(m.media_id, decode_ok = false, -1, -1, -1L, -1L, -1L)
         else {
           var (sr, sg, sb) = (0L, 0L, 0L)

@@ -35,19 +35,26 @@ object StreamGate {
     * session-local conf differs.
     */
   private val gateSessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean, Int), SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean, Int, Boolean), SparkSession]()
 
-  /** @param rocksdb    also pin the RocksDB state-store provider (its
-    *                   own cached clone, so the provider conf never
-    *                   leaks into the other gate replays)
-    * @param partitions shuffle-partition count for this gate's stateful
-    *                   operators (commit cost is per-partition-per-
-    *                   operator-per-batch — see class doc)
+  /** @param rocksdb       also pin the RocksDB state-store provider
+    *                      (its own cached clone, so the provider conf
+    *                      never leaks into the other gate replays)
+    * @param partitions    shuffle-partition count for this gate's
+    *                      stateful operators (commit cost is per-
+    *                      partition-per-operator-per-batch — class doc)
+    * @param noDataBatches whether the trailing no-data micro-batch
+    *                      runs. Part of the CACHE KEY, never mutated on
+    *                      a shared clone: a complete/update-mode gate
+    *                      NEEDS the finalization batch to emit
+    *                      watermark-closed results — only q103's
+    *                      append-mode inner join may skip it
     */
   private def gateSession(
       s: SparkSession,
       rocksdb: Boolean = false,
-      partitions: Int = 8
+      partitions: Int = 8,
+      noDataBatches: Boolean = true
   ): SparkSession = {
     // this map is JVM-global and the harness is not its only caller:
     // evict clones whose base session has been stopped, so contexts that
@@ -57,8 +64,8 @@ object StreamGate {
       if (k._1.sparkContext.isStopped) gateSessions.remove(k): Unit
     }
     gateSessions.computeIfAbsent(
-      (s, rocksdb, partitions),
-      { case (base, rocks, parts) =>
+      (s, rocksdb, partitions, noDataBatches),
+      { case (base, rocks, parts, noData) =>
         val s2 = base.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
         if (rocks)
@@ -66,6 +73,8 @@ object StreamGate {
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
           )
+        if (!noData)
+          s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         s2
       }
     )
@@ -259,14 +268,15 @@ object StreamGate {
         // (commit floor beats lost parallelism until the join itself
         // is single-threaded). RocksDB measured slower still (3.5s —
         // native store init per store per batch at ~8 MB of state).
-        val gs = gateSession(s, partitions = 2)
-        // collapse the trailing watermark-finalization batch: an inner
-        // stream-stream join in append mode emits every match in the
-        // DATA batch — the no-data batch only advances the watermark to
-        // evict state, which a bounded replay that stops right after
-        // does not need. Skipping it saves one full state-commit round
-        // (4 stores × partitions). Session-local; the clone is q103's.
-        gs.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // noDataBatches=false collapses the trailing watermark-
+        // finalization batch: an inner stream-stream join in append
+        // mode emits every match in the DATA batch — the no-data batch
+        // only advances the watermark to evict state, which a bounded
+        // replay that stops right after does not need. Skipping it
+        // saves one full state-commit round (4 stores × partitions).
+        // The conf is part of the clone's cache key, so no other gate
+        // can inherit it.
+        val gs = gateSession(s, partitions = 2, noDataBatches = false)
         drainToTable(
           gs,
           graft.streaming.EventStreams.clickAttribution(
