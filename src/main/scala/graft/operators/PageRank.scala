@@ -85,12 +85,20 @@ object PageRank {
       if (pinEdgePartitioning)
         CheckpointTracking.checkpointHashPartitioned(annotated, Seq("src"), Seq("src"))
       else checkpointTracked(annotated)
-    val (nodes, nodeBlocks) = checkpointTracked(
-      edgesWithDeg
-        .select(col("src").as("node"))
-        .union(edgesWithDeg.select(col("dst").as("node")))
-        .distinct()
-    )
+    // In pinned mode the node universe is ALSO checkpointed
+    // hash-partitioned (on node): the per-iteration teleport left-join
+    // (nodes ⋈ contribs on node = dst) then shuffles only the contribs
+    // stream — without it the node table re-shuffles every round, which
+    // at 100M+ nodes is exactly the cost the pinned regime exists to
+    // avoid.
+    val nodeUniverse = edgesWithDeg
+      .select(col("src").as("node"))
+      .union(edgesWithDeg.select(col("dst").as("node")))
+      .distinct()
+    val (nodes, nodeBlocks) =
+      if (pinEdgePartitioning)
+        CheckpointTracking.checkpointHashPartitioned(nodeUniverse, Seq("node"), Seq("node"))
+      else checkpointTracked(nodeUniverse)
 
     val n = nodes.count() // one scalar action; the node count is a constant of the run
     val base = (15L * Scale) / (100L * math.max(n, 1L))

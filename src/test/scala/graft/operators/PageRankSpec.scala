@@ -108,6 +108,33 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pinned teleport join: the node universe contributes no exchange either") {
+    // the second per-iteration join (nodes ⋈ aggregated contribs on
+    // node = dst): with the node table checkpointed hash-partitioned
+    // (pinEdgePartitioning mode) the join costs 2 exchanges (the
+    // contribs path), where a naked checkpoint costs 4 — at 100M+
+    // nodes the removed pair is a full node-table shuffle per round
+    import org.apache.spark.sql.functions.{col, sum}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        "Exchange hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      }
+      val contribs = spark
+        .range(500)
+        .selectExpr("id % 100 AS dst", "id AS contrib")
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+      val (pinned, _) = CheckpointTracking.checkpointHashPartitioned(
+        spark.range(100).toDF("node"), Seq("node"), Seq("node"))
+      assert(exchanges(pinned.join(contribs, pinned("node") === contribs("dst"), "left")) == 2)
+      val naked = spark.range(100).toDF("node").localCheckpoint()
+      assert(exchanges(naked.join(contribs, naked("node") === contribs("dst"), "left")) == 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("checkpointHashPartitioned keeps the layout visible; a naked localCheckpoint does NOT") {
     // The iteration-join reuse in PageRank/ConnectedComponents depends
     // on the checkpointed edge table keeping its hash layout visible to
