@@ -808,6 +808,131 @@ object Extras {
                CAST(sum(CASE WHEN nt < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo
         FROM toks t JOIN bounds b ON t.lang = b.lang
         GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Table reconciliation — the migration-validation op this whole
+    // engine's correctness gate is an instance of: two versions of a
+    // table (here: orders vs a deterministically perturbed copy — 2%
+    // of rows dropped, 3% with a changed o_comment, keyed by md5 so
+    // both engines derive the identical perturbation) are full-outer
+    // joined on the key and each row is classified by comparing a
+    // whole-row fingerprint. Per-status counts pin exactly how the
+    // versions differ. At 100 TB: one co-partitioned full-outer join
+    // on the key; fingerprints are computed scan-side so only (key,
+    // 32-byte md5) ever shuffles — never the row payload.
+    QueryDef(
+      "q125_table_reconcile",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        def fp(c: String) =
+          md5(concat_ws("|", col("o_orderstatus"), col("o_totalprice").cast("string"),
+            col("o_orderdate").cast("string"), col(c)))
+        val h2 = conv(substring(md5(concat(lit("v2"), col("o_orderkey").cast("string"))), 1, 4), 16, 10)
+          .cast("long") // 16 bits: 0..65535
+        val v2 = orders
+          .withColumn("h2", h2)
+          .filter(col("h2") % 50 =!= 0) // drop 2%
+          .withColumn(
+            "prio2",
+            when(col("h2") % 33 === 1, concat(col("o_orderpriority"), lit(" [amended]")))
+              .otherwise(col("o_orderpriority"))
+          )
+        val left = orders.select(col("o_orderkey").as("k"), fp("o_orderpriority").as("fp1"))
+        val right = v2.select(col("o_orderkey").as("k"), fp("prio2").as("fp2"))
+        left
+          .join(right, Seq("k"), "full_outer")
+          .select(
+            when(col("fp2").isNull, "only_v1")
+              .when(col("fp1").isNull, "only_v2")
+              .when(col("fp1") === col("fp2"), "match")
+              .otherwise("changed")
+              .as("status")
+          )
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH v2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN h2 % 33 = 1 THEN o_orderpriority || ' [amended]'
+                      ELSE o_orderpriority END AS prio2,
+                 o_orderstatus, o_totalprice, o_orderdate
+          FROM (SELECT *, CAST(('0x' || substr(md5('v2' || CAST(o_orderkey AS VARCHAR)), 1, 4))
+                               AS BIGINT) AS h2
+                FROM orders)
+          WHERE h2 % 50 <> 0
+        ), l AS (
+          SELECT o_orderkey AS k,
+                 md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR) || '|'
+                     || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority) AS fp1
+          FROM orders
+        ), r AS (
+          SELECT o_orderkey AS k,
+                 md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR) || '|'
+                     || CAST(o_orderdate AS VARCHAR) || '|' || prio2) AS fp2
+          FROM v2
+        )
+        SELECT CASE WHEN fp2 IS NULL THEN 'only_v1'
+                    WHEN fp1 IS NULL THEN 'only_v2'
+                    WHEN fp1 = fp2 THEN 'match'
+                    ELSE 'changed' END AS status,
+               count(*) AS n
+        FROM l FULL OUTER JOIN r USING (k)
+        GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Key-skew diagnostic — the report that decides WHEN the salted
+    // join (q106) or AQE skew handling is needed: per-key frequencies
+    // of lineitem.l_partkey reduced to exact integer statistics (key
+    // count, max/mean frequency in 1e6 fixed point, rank-based p99,
+    // and the share of rows on the top-10 keys in ppm). Two keyed
+    // aggregations (map-side combinable) and rank windows over the
+    // NARROW (key, freq) table — the wide table is touched once.
+    QueryDef(
+      "q126_skew_report",
+      (s, dir) => {
+        val freqs = Tables(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("f"))
+        val ranked = freqs
+          .withColumn("rk", row_number().over(Window.orderBy(desc("f"), asc("l_partkey"))))
+          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+        ranked
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum("f").as("n_rows"),
+            max("f").as("max_f"),
+            max(when(col("rk") === ceil(col("nk") * 0.01), col("f"))).as("p99_f"),
+            sum(when(col("rk") <= 10, col("f")).otherwise(0L)).as("top10_rows")
+          )
+          // integer `div`, not `/`: the ratios must stay exact BIGINTs
+          .selectExpr(
+            "n_keys",
+            "n_rows",
+            "max_f",
+            "(n_rows * 1000000) div n_keys AS mean_f_e6",
+            "p99_f",
+            "(top10_rows * 1000000) div n_rows AS top10_ppm"
+          )
+      },
+      Some("""WITH freqs AS (
+          SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1
+        ), ranked AS (
+          SELECT f, row_number() OVER (ORDER BY f DESC, l_partkey) AS rk,
+                 count(*) OVER () AS nk
+          FROM freqs
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(f) AS BIGINT) AS n_rows,
+               CAST(max(f) AS BIGINT) AS max_f,
+               CAST(sum(f) * 1000000 // count(*) AS BIGINT) AS mean_f_e6,
+               CAST(max(CASE WHEN rk = CAST(ceil(nk * 0.01) AS BIGINT)
+                             THEN f END) AS BIGINT) AS p99_f,
+               CAST(sum(CASE WHEN rk <= 10 THEN f ELSE 0 END) * 1000000
+                    // sum(f) AS BIGINT) AS top10_ppm
+        FROM ranked""")
     )
   )
 }
