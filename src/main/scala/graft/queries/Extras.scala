@@ -838,8 +838,23 @@ object Extras {
             when(col("h2") % 33 === 1, concat(col("o_orderpriority"), lit(" [amended]")))
               .otherwise(col("o_orderpriority"))
           )
+        // ~2.5% synthesized INSERTS (re-keyed far above any real key) so
+        // the only_v2 branch is reachable — without them v2 ⊆ v1 on keys
+        // and a swapped only_v1/only_v2 classification would pass the gate
+        val inserts = orders
+          .withColumn("h2", h2)
+          .filter(col("h2") % 40 === 2)
+          .select(
+            (col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority").as("prio2")
+          )
         val left = orders.select(col("o_orderkey").as("k"), fp("o_orderpriority").as("fp1"))
-        val right = v2.select(col("o_orderkey").as("k"), fp("prio2").as("fp2"))
+        val right = v2
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("prio2"))
+          .unionByName(inserts)
+          .select(col("o_orderkey").as("k"), fp("prio2").as("fp2"))
         left
           .join(right, Seq("k"), "full_outer")
           .select(
@@ -853,15 +868,20 @@ object Extras {
           .agg(count(lit(1)).as("n"))
           .orderBy("status")
       },
-      Some("""WITH v2 AS (
+      Some("""WITH h AS (
+          SELECT *, CAST(('0x' || substr(md5('v2' || CAST(o_orderkey AS VARCHAR)), 1, 4))
+                         AS BIGINT) AS h2
+          FROM orders
+        ), v2 AS (
           SELECT o_orderkey,
                  CASE WHEN h2 % 33 = 1 THEN o_orderpriority || ' [amended]'
                       ELSE o_orderpriority END AS prio2,
                  o_orderstatus, o_totalprice, o_orderdate
-          FROM (SELECT *, CAST(('0x' || substr(md5('v2' || CAST(o_orderkey AS VARCHAR)), 1, 4))
-                               AS BIGINT) AS h2
-                FROM orders)
-          WHERE h2 % 50 <> 0
+          FROM h WHERE h2 % 50 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000000 AS o_orderkey,
+                 o_orderpriority AS prio2, o_orderstatus, o_totalprice, o_orderdate
+          FROM h WHERE h2 % 40 = 2
         ), l AS (
           SELECT o_orderkey AS k,
                  md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR) || '|'
@@ -887,26 +907,41 @@ object Extras {
     // join (q106) or AQE skew handling is needed: per-key frequencies
     // of lineitem.l_partkey reduced to exact integer statistics (key
     // count, max/mean frequency in 1e6 fixed point, rank-based p99,
-    // and the share of rows on the top-10 keys in ppm). Two keyed
-    // aggregations (map-side combinable) and rank windows over the
-    // NARROW (key, freq) table — the wide table is touched once.
+    // and the share of rows on the top-10 keys in ppm). Every stage is
+    // scale-safe: the wide table is touched once (keyed count,
+    // map-side combinable); top-10 is TakeOrderedAndProject; p99 comes
+    // from the FREQUENCY-OF-FREQUENCIES table — the value at rank
+    // ceil(0.01·nk) from the top equals max{f : #keys with freq ≥ f ≥
+    // that rank}, and the cumulative count runs over DISTINCT
+    // frequency values, a domain bounded by max multiplicity (dozens),
+    // never a global sort of all keys. The three 1-row pieces
+    // broadcast-join back together.
     QueryDef(
       "q126_skew_report",
       (s, dir) => {
         val freqs = Tables(s, dir, "lineitem")
           .groupBy("l_partkey")
           .agg(count(lit(1)).as("f"))
-        val ranked = freqs
-          .withColumn("rk", row_number().over(Window.orderBy(desc("f"), asc("l_partkey"))))
-          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
-        ranked
-          .agg(
-            count(lit(1)).as("n_keys"),
-            sum("f").as("n_rows"),
-            max("f").as("max_f"),
-            max(when(col("rk") === ceil(col("nk") * 0.01), col("f"))).as("p99_f"),
-            sum(when(col("rk") <= 10, col("f")).otherwise(0L)).as("top10_rows")
-          )
+        val base = freqs.agg(
+          count(lit(1)).as("n_keys"),
+          sum("f").as("n_rows"),
+          max("f").as("max_f")
+        )
+        val top10 = freqs
+          .orderBy(desc("f"), asc("l_partkey"))
+          .limit(10)
+          .agg(sum("f").as("top10_rows"))
+        val ff = freqs
+          .groupBy("f")
+          .agg(count(lit(1)).as("nf"))
+          .withColumn("cum", sum("nf").over(Window.orderBy(desc("f"))))
+        val p99 = ff
+          .join(broadcast(base.select(col("n_keys").as("nk"))))
+          .filter(col("cum") >= ceil(col("nk") * 0.01))
+          .agg(max("f").as("p99_f"))
+        base
+          .join(broadcast(top10))
+          .join(broadcast(p99))
           // integer `div`, not `/`: the ratios must stay exact BIGINTs
           .selectExpr(
             "n_keys",

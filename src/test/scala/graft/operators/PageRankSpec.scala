@@ -114,7 +114,7 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     // (pinEdgePartitioning mode) the join costs 2 exchanges (the
     // contribs path), where a naked checkpoint costs 4 — at 100M+
     // nodes the removed pair is a full node-table shuffle per round
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.sum
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

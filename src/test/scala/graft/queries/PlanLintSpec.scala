@@ -23,7 +23,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q21_range_join", // 5-row literal band table, non-equi by design
     "q81_freq_items", // 1-row broadcast total-count scalar
     "q93_corpus_mix", // 1-row broadcast grand-total scalar
-    "q107_collocations" // 1-row broadcast corpus-token-total scalar
+    "q107_collocations", // 1-row broadcast corpus-token-total scalar
+    "q126_skew_report" // three 1-row broadcast stat pieces joined back
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
