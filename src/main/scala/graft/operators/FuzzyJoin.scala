@@ -46,35 +46,58 @@ object FuzzyJoin {
     *                 from candidate generation (see class doc)
     * @return (name_a, name_b, dist) with name_a < name_b
     */
-  /** D0 ∪ D1 neighborhood of a `name` column: the string plus each
-    * single-code-point deletion, one (name, k) row per key. (substring
-    * is code-point based in Spark, so astral-plane text deletes whole
-    * characters, matching levenshtein's unit.) Package-visible so specs
-    * can assert key-multiplicity bounds on skewed fixtures.
+  /** The single-deletion transform over a string-typed SQL expression
+    * (code-point based: `substring` counts code points in Spark, so
+    * astral-plane text deletes whole characters, matching levenshtein's
+    * unit). */
+  private def d1Of(e: String): String =
+    s"transform(sequence(1, length($e)), " +
+      s"i -> concat(substring($e, 1, i - 1), substring($e, i + 1, length($e))))"
+
+  /** D0 ∪ … ∪ D`depth` neighborhood of a `name` column, one (name, k)
+    * row per distinct key. depth 1 is classic FastSS-1; depth 2 adds
+    * every two-deletion variant (keys per string ≈ 1 + L + C(L, 2)).
+    * Package-visible so specs can assert key-multiplicity bounds on
+    * skewed fixtures.
     */
-  private[graft] def deletionNeighborhood(names: DataFrame): DataFrame =
+  private[graft] def deletionNeighborhood(names: DataFrame, depth: Int = 1): DataFrame = {
+    require(depth == 1 || depth == 2, s"deletion depth must be 1 or 2, got $depth")
+    val parts = Seq(
+      "array(name)",
+      d1Of("name")
+    ) ++ (if (depth == 2) Seq(s"flatten(transform(${d1Of("name")}, s -> ${d1Of("s")}))")
+          else Nil)
     names.select(
       col("name"),
-      explode(
-        array_distinct(
-          concat(
-            array(col("name")),
-            expr(
-              "transform(sequence(1, length(name)), " +
-                "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))"
-            )
-          )
-        )
-      ).as("k")
+      explode(expr(s"array_distinct(concat(${parts.mkString(", ")}))")).as("k")
     )
+  }
 
   def editDistance1Pairs(
       df: DataFrame,
       column: String,
       maxKeyDf: Option[Int] = None
+  ): DataFrame = editDistancePairs(df, column, maxDist = 1, maxKeyDf)
+
+  /** All unordered pairs of distinct values of `column` within
+    * Levenshtein distance `maxDist` (1 or 2) — FastSS at deletion depth
+    * `maxDist`: ed(s₁, s₂) ≤ k ⟺ the depth-k deletion neighborhoods
+    * intersect (Bocek et al., Lemma 4.2 generalized), so the key
+    * equi-join is a COMPLETE blocking and the exact `levenshtein`
+    * verification only prunes. Depth 2 multiplies keys per string
+    * (≈ C(L, 2)) and key multiplicities, so the d2 variant is where
+    * `maxKeyDf` earns its keep on low-entropy corpora.
+    *
+    * @return (name_a, name_b, dist) with name_a < name_b
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      column: String,
+      maxDist: Int,
+      maxKeyDf: Option[Int] = None
   ): DataFrame = {
     val names = df.select(col(column).cast("string").as("name")).distinct()
-    val keyed = deletionNeighborhood(names)
+    val keyed = deletionNeighborhood(names, depth = maxDist)
     // Hot-key guard: count key multiplicity with a window over the same
     // hash layout the join shuffles on (one exchange, no extra join)
     // and drop rows carrying a hot key. The hot rows still shuffle once
@@ -93,6 +116,6 @@ object FuzzyJoin {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct() // two strings can share several keys; one verdict per pair
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
   }
 }

@@ -71,6 +71,41 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(Seq("", "a", "b", "xy")) == reference(Seq("", "a", "b", "xy")))
   }
 
+  test("depth-2: matches brute force at distance <= 2, including unicode") {
+    val sess = spark
+    import sess.implicits._
+    def cpLev(a: String, b: String): Int = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1)
+        )
+      d(x.length)(y.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(30)(rnd.alphanumeric.take(7).mkString)
+    val twoEdits = base.map { s =>
+      val (i, j) = (rnd.nextInt(s.length), rnd.nextInt(s.length))
+      s.updated(i, ('a' + rnd.nextInt(26)).toChar).updated(j, ('a' + rnd.nextInt(26)).toChar)
+    }
+    val vs = (base ++ twoEdits ++ Seq("ab", "ba", "🦀ab", "ab🦀", "café", "cage")).distinct
+    val got = FuzzyJoin
+      .editDistancePairs(vs.toDF("v"), "v", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val want = (for {
+      a <- vs; b <- vs
+      if a < b && cpLev(a, b) <= 2
+    } yield (a, b, cpLev(a, b).toLong)).toSet
+    assert(got == want)
+    assert(got.contains(("ab", "ba", 2L))) // transposition = 2 edits, shares depth-2 keys
+  }
+
   test("maxKeyDf is a no-op when every key is under the cap") {
     val sess = spark
     import sess.implicits._
