@@ -37,6 +37,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `BigDecimal.valueOf` would throw here — a corrupt vector must cost
   * one row, never the query).
   *
+  * Bound: `q_sum` accumulates int8 codes (|q| ≤ 127) in a 32-bit Int —
+  * deliberately matching the HOF chain's `aggregate(q, 0, ...)` for
+  * bit-compatibility — so it wraps silently for vectors longer than
+  * ~2^24 (~16.9M) elements. Embedding dims are orders of magnitude
+  * below that; widening to Long would desynchronize the oracle and is
+  * only worth doing alongside it.
+  *
   * Registered as SQL function `int8_quantize_stats` via
   * SparkSessionExtensions (GraftSession) — preference order (b) of the
   * build brief.

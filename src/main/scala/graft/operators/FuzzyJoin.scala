@@ -81,10 +81,12 @@ object FuzzyJoin {
 
   /** All unordered pairs of distinct values of `column` within
     * Levenshtein distance `maxDist` (1 or 2) — FastSS at deletion depth
-    * `maxDist`: ed(s₁, s₂) ≤ k ⟺ the depth-k deletion neighborhoods
-    * intersect (Bocek et al., Lemma 4.2 generalized), so the key
-    * equi-join is a COMPLETE blocking and the exact `levenshtein`
-    * verification only prunes. Depth 2 multiplies keys per string
+    * `maxDist`: ed(s₁, s₂) ≤ k ⟹ the depth-k deletion neighborhoods
+    * intersect (Bocek et al.; only the forward implication holds — e.g.
+    * "ab"/"ba" share depth-1 keys {a, b} yet ed = 2), so the key
+    * equi-join is a complete SUPERSET blocking and the exact
+    * `levenshtein` verification is REQUIRED for correctness, not just a
+    * prune. Depth 2 multiplies keys per string
     * (≈ C(L, 2)) and key multiplicities, so the d2 variant is where
     * `maxKeyDf` earns its keep on low-entropy corpora.
     *

@@ -47,4 +47,15 @@ class BenchProtocolSpec extends AnyFunSuite {
     // on a shuffle-heavy query, not the contamination signature
     assert(!Bench.inverted(Seq(3.0, 3.2, 3.1, 3.3)))
   }
+
+  test("host-contention spread (>3x across runs) triggers best-of-2 escalation") {
+    // the r7 driver-machine profiles the escalation was built for:
+    // q33 [7.9, 1.8, 16.1, 3.4] and q110 [4.8, 24.9, 3.6, 2.5]
+    assert(Bench.spreadOver3x(Seq(7.9, 1.8, 16.1, 3.4)))
+    assert(Bench.spreadOver3x(Seq(4.8, 24.9, 3.6, 2.5)))
+    // a healthy cold-warm profile (3x warm-up exactly) does not
+    assert(!Bench.spreadOver3x(Seq(3.0, 1.0, 1.1, 1.05)))
+    // sub-100ms jitter never trips the 0.05s floor
+    assert(!Bench.spreadOver3x(Seq(0.04, 0.01, 0.012, 0.011)))
+  }
 }
