@@ -244,6 +244,25 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 corpus×corpus: top-k ANN SELF-join — every vector gets its
+    // approximate top-5 neighbors via IVF-cell blocking (see
+    // operators/KnnJoin for the plan shape and the cell-cap skew
+    // guard). nprobe=10 of 16 cells: this synthetic corpus is isotropic
+    // (best neighbor cos≈0.37, no planted clusters — measured recall is
+    // 0.89 at nprobe=8, 0.95 at nprobe=10), so recall≥0.9 vs exact
+    // requires probing over half the cells — on a real near-dup corpus
+    // the same recall needs nprobe≈2 because true neighbors share the
+    // query's own cell. KnnJoinSpec pins recall, determinism, and the
+    // cap guard. Rows-only: KMeans cells are implementation-defined.
+    QueryDef(
+      "q128_knn_join",
+      (s, dir) =>
+        graft.operators.KnnJoin
+          .knnSelfJoin(emb(s, dir), k = 5, kCells = 16, nprobe = 10, cellCap = 1024),
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts
