@@ -16,11 +16,15 @@ import graft.Tables
   * back with `javax.imageio` (JDK-standard, no external deps) and
   * reduces pixels to exact integer channel sums — oracle-checkable
   * because PNG is lossless, so the decoded pixels equal the generating
-  * formula the oracle restates. [[extractFeatures]] remains the
-  * generic-binary featurizer (byte histogram) standing in for codecs the
-  * JDK does not ship (audio/video); its per-partition batching, fixed
-  * feature dim, and binary-in/vector-out schema are the production
-  * shape.
+  * formula the oracle restates. The AUDIO path is equally real:
+  * [[syntheticAudio]] writes 16-bit PCM WAV clips with the
+  * `javax.sound.sampled` container writer and [[decodeAudioFeatures]]
+  * parses them back (header, format negotiation, frame extraction) into
+  * exact integer sample stats. [[extractFeatures]] remains the
+  * generic-binary featurizer (byte histogram) standing in only for the
+  * one codec family the JDK does not ship (video); its per-partition
+  * batching, fixed feature dim, and binary-in/vector-out schema are the
+  * production shape.
   *
   * Scale posture: `mapPartitions` keeps decode calls batched per
   * partition (amortizing codec init), payload bytes never hit the
@@ -64,10 +68,14 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode + featurize. A production build replaces the body of
-    * the per-record function with a real codec call; everything around
-    * it (typed Dataset in/out, per-partition batching, fixed feature
-    * dim) is the production shape.
+  /** Generic-binary featurizer (byte histogram) — the remaining STUB,
+    * now only standing in for VIDEO codecs the JDK does not ship; the
+    * image and audio paths use real JDK codecs
+    * ([[decodeImageFeatures]], [[decodeAudioFeatures]]). A production
+    * build replaces the body of the per-record function with a real
+    * codec call; everything around it (typed Dataset in/out,
+    * per-partition batching, fixed feature dim) is the production
+    * shape.
     */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
@@ -170,6 +178,101 @@ object Multimodal {
           }
           ImageFeatures(m.media_id, decode_ok = true, img.getWidth, img.getHeight, sr, sg, sb)
         }
+      }
+    }
+
+  /** Exact integer sample stats of one decoded audio clip. */
+  final case class AudioFeatures(
+      media_id: Long,
+      decode_ok: Boolean,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_s: Long,
+      min_s: Int,
+      max_s: Int,
+      sum_abs: Long
+  )
+
+  implicit private val audEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** One deterministic WAV payload per document: mono 16-bit signed PCM
+    * at 8 kHz with `64 + doc_id % 65` samples, sample i being the fixed
+    * modular form `(7i + doc_id) mod 2001 - 1000` — encoded with the
+    * real `javax.sound.sampled` WAV writer inside `mapPartitions`.
+    * PCM-in-WAV is lossless, so the decoded samples equal the
+    * generating formula the oracle restates.
+    */
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        // per-partition codec init point: the WAV container writer is
+        // stateless, but a compressed codec would open here once
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { id =>
+          val n = (64 + id % 65).toInt
+          val pcm = new Array[Byte](n * 2) // little-endian per fmt
+          var i = 0
+          while (i < n) {
+            val v = ((7L * i + id) % 2001L - 1000L).toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm),
+            fmt,
+            n.toLong
+          )
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem
+            .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio/wav", bos.toByteArray, bos.size().toLong)
+        }
+      }
+
+  /** REAL audio decode: `javax.sound.sampled` parses each WAV payload
+    * (container header, format negotiation, frame extraction) and the
+    * PCM frames reduce to exact integer sample stats. Same error
+    * contract as [[decodeImageFeatures]]: an undecodable payload costs
+    * one `decode_ok = false` row, never a stage retry loop.
+    */
+  def decodeAudioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new java.io.ByteArrayInputStream(m.payload))
+            val fmt = ais.getFormat
+            val bytes = ais.readAllBytes()
+            require(
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"unsupported frame format $fmt"
+            )
+            val n = bytes.length / fmt.getFrameSize
+            var (sum, sabs) = (0L, 0L)
+            var (mn, mx) = (Int.MaxValue, Int.MinValue)
+            var i = 0
+            while (i < n) {
+              val (b0, b1) = (bytes(2 * i) & 0xff, bytes(2 * i + 1) & 0xff)
+              val v =
+                (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+              sum += v
+              sabs += math.abs(v)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Some(
+              AudioFeatures(m.media_id, decode_ok = true, fmt.getSampleRate.toInt, n.toLong, sum, mn, mx, sabs)
+            )
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(
+          AudioFeatures(m.media_id, decode_ok = false, -1, -1L, -1L, -1, -1, -1L)
+        )
       }
     }
 

@@ -19,9 +19,14 @@ object Graph {
     * hash several times faster than strings across the iterations; the
     * readable c<id>/s<id> label is applied only to the 100 output rows.
     */
-  private def purchaseGraph(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def purchaseGraph(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      orderMod: Long = 1L
+  ) = {
     val fwd = Tables(s, dir, "orders")
       .select("o_orderkey", "o_custkey")
+      .filter(col("o_orderkey") % orderMod === 0)
       .join(
         Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey")
@@ -58,7 +63,7 @@ object Graph {
     QueryDef(
       "q104_pagerank",
       (s, dir) => top100(PageRank.ranks(purchaseGraph(s, dir), "src", "dst", iters = 3)),
-      Some(pagerankOracle)
+      Some(pagerankOracle())
     ),
 
     // ------------------------------------------------------------------
@@ -68,10 +73,15 @@ object Graph {
     // table is checkpointed hash-partitioned + sorted on src
     // (CheckpointTracking.checkpointHashPartitioned via the
     // PartitionedCheckpoint shim), so each iteration's sort-merge join
-    // re-shuffles ONLY the narrow (node, rank) side. Bit-identical
-    // output to q104 by construction (integer arithmetic is
-    // layout-independent), so the same oracle hash-checks that the
-    // physical-plan switch changes nothing semantically.
+    // re-shuffles ONLY the narrow (node, rank) side. Integer arithmetic
+    // is layout-independent, so the oracle hash-checks that the
+    // physical-plan switch changes nothing semantically. The gate runs
+    // on the quarter graph (o_orderkey % 4 = 0): the pinned-SMJ plan
+    // SHAPE is what this query certifies — PageRankSpec asserts the
+    // single-exchange iteration and pinned-teleport plans directly, and
+    // the full-graph broadcast regime is already q104's bench row — so
+    // measuring the checkpoint+SMJ machinery on 4× the edges bought no
+    // extra evidence for ~10% of the whole bench (round-7 verdict #5).
     QueryDef(
       "q115_pagerank_smj",
       (s, dir) => {
@@ -79,7 +89,7 @@ object Graph {
         s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         top100(
           PageRank.ranks(
-            purchaseGraph(s2, dir),
+            purchaseGraph(s2, dir, orderMod = 4L),
             "src",
             "dst",
             iters = 3,
@@ -87,13 +97,13 @@ object Graph {
           )
         )
       },
-      Some(pagerankOracle)
+      Some(pagerankOracle("WHERE o_orderkey % 4 = 0"))
     )
   )
 
-  private lazy val pagerankOracle = """WITH fwd AS (
+  private def pagerankOracle(fwdFilter: String = ""): String = s"""WITH fwd AS (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey $fwdFilter),
         sym AS (SELECT src, dst FROM fwd
                 UNION ALL SELECT dst AS src, src AS dst FROM fwd),
         nodes AS (SELECT DISTINCT node FROM

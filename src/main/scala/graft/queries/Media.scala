@@ -12,7 +12,9 @@ import graft.operators.Multimodal
   * typed-Dataset binary plumbing. q114 closes the round-6 codec gap:
   * a REAL `javax.imageio` PNG encode→decode round trip whose exact
   * pixel sums the oracle restates analytically — a lost bit anywhere in
-  * the codec path breaks the hash.
+  * the codec path breaks the hash. q129 does the same for audio: a REAL
+  * `javax.sound.sampled` WAV encode→decode round trip with an exact
+  * integer sample-sum oracle.
   */
 object Media {
   val defs: Seq[QueryDef] = Seq(
@@ -88,6 +90,35 @@ object Media {
           CAST(sum((13*x + 17*y + 3*doc_id) % 251) AS BIGINT) AS sum_b
         FROM documents, px
         WHERE x < 8 + doc_id % 9 AND y < 8 + (doc_id // 9) % 9
+        GROUP BY doc_id ORDER BY media_id""")
+    ),
+    // real-codec audio decode: per-document synthetic WAV (mono 16-bit
+    // PCM, sample i of clip id is a fixed modular form) encoded AND
+    // decoded with javax.sound.sampled; the query emits the decoded
+    // sample rate, count, and exact integer sample sums. PCM-in-WAV is
+    // lossless, so the oracle restates the generating formula over a
+    // 128-sample spine filtered to each clip's true length —
+    // codec-correct ⟺ hash match. decode_ok rows are filtered (then
+    // dropped) so a corrupt decode surfaces as a row-count mismatch.
+    QueryDef(
+      "q129_audio_decode",
+      (s, dir) =>
+        Multimodal
+          .decodeAudioFeatures(Multimodal.syntheticAudio(s, dir))
+          .toDF()
+          .filter(col("decode_ok"))
+          .select("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s", "sum_abs")
+          .orderBy("media_id"),
+      Some("""WITH sp AS (SELECT unnest(range(128)) AS i)
+        SELECT doc_id AS media_id,
+          CAST(8000 AS INTEGER) AS sample_rate,
+          CAST(64 + doc_id % 65 AS BIGINT) AS n_samples,
+          CAST(sum((7*i + doc_id) % 2001 - 1000) AS BIGINT) AS sum_s,
+          CAST(min((7*i + doc_id) % 2001 - 1000) AS INTEGER) AS min_s,
+          CAST(max((7*i + doc_id) % 2001 - 1000) AS INTEGER) AS max_s,
+          CAST(sum(abs((7*i + doc_id) % 2001 - 1000)) AS BIGINT) AS sum_abs
+        FROM documents, sp
+        WHERE i < 64 + doc_id % 65
         GROUP BY doc_id ORDER BY media_id""")
     )
   )

@@ -90,6 +90,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(!_.decode_ok).forall(f => f.width == -1 && f.sum_r == -1L))
   }
 
+  test("audio codec: real WAV encode→decode round-trips exact sample stats") {
+    val clips = Multimodal.syntheticAudio(spark, dir)
+    val sample = clips.take(5)
+    // payloads are genuine RIFF/WAVE containers, not a fake format
+    assert(sample.forall(m =>
+      m.payload(0) == 'R' && m.payload(1) == 'I' && m.payload(2) == 'F' && m.payload(3) == 'F' &&
+        m.payload(8) == 'W' && m.payload(9) == 'A' && m.payload(10) == 'V' && m.payload(11) == 'E'))
+    assert(sample.forall(_.media_type == "audio/wav"))
+
+    val feats = Multimodal.decodeAudioFeatures(clips).collect()
+    assert(feats.nonEmpty && feats.forall(_.decode_ok))
+    assert(feats.forall(_.sample_rate == 8000))
+    // decoded stats equal the generating formula — the codec lost nothing
+    feats.foreach { f =>
+      val id = f.media_id
+      val n = (64 + id % 65).toInt
+      assert(f.n_samples == n.toLong)
+      val samples = (0 until n).map(i => ((7L * i + id) % 2001L - 1000L).toInt)
+      assert(f.sum_s == samples.map(_.toLong).sum)
+      assert(f.sum_abs == samples.map(v => math.abs(v).toLong).sum)
+      assert(f.min_s == samples.min && f.max_s == samples.max)
+    }
+  }
+
+  test("audio codec: corrupt payloads become decode_ok=false rows, not failures") {
+    val sess = spark
+    import sess.implicits._
+    val good = Multimodal.syntheticAudio(spark, dir).take(1).head
+    val corrupt = Seq(
+      Multimodal.MediaRecord(900001L, "audio/wav", Array[Byte](1, 2, 3, 4), 4L),
+      Multimodal.MediaRecord(900002L, "audio/wav", good.payload.take(12), 12L),
+      good
+    ).toDS()
+    val out = Multimodal.decodeAudioFeatures(corrupt).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    assert(out.count(_.decode_ok) == 1)
+    assert(out.filter(!_.decode_ok).forall(f => f.sample_rate == -1 && f.sum_s == -1L))
+  }
+
   test("resize decimates to at most targetBytes+1 samples, preserving content order") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, targetBytes = 16).collect()
