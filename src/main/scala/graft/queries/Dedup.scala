@@ -165,6 +165,113 @@ object Dedup {
     Tables(s, dir, "documents")
       .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
 
+  /** The q36 MinHash-LSH candidate chain with exact-Jaccard
+    * verification — shared by the pair query and the q130 pipeline so
+    * both consume the identical pair graph. Band buckets are capped at
+    * 100 docs (hot non-discriminative keys dropped); survivors are
+    * verified with exact Jaccard on the full shingle sets, so the
+    * output has NO false positives — only (deterministic,
+    * hash-family-dependent) misses relative to q35's exact graph.
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    // eager materialization: `sets` is joined on BOTH sides of the
+    // candidate verification (d1 and d2) — as two lazy plan
+    // branches the tokenize+shingle scan would run twice
+    val sets = shingleSets(s, dir).localCheckpoint()
+    val sig = shingleRows(s, dir)
+      .groupBy("doc_id")
+      .agg(expr("minhash_sig(xxhash64(g))").as("sig"))
+    // candidate pairs in ONE exchange of the band table:
+    // distinct_up_to collects each bucket's doc list (sorted, NULL
+    // past 100 docs = the hot-bucket cap), and the in-group
+    // expansion replaces the bucket-count + semi-join + self-join
+    // chain — a straight-line pipeline from signature to pairs
+    val cand = sig
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
+        ).as("bucket")
+      )
+      .groupBy("bucket")
+      .agg(expr("distinct_up_to(doc_id, 100)").as("docs"))
+      .filter(col("docs").isNotNull && size(col("docs")) >= 2)
+      .select(explode(expr(PairExpand)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      // materialize the intersection size once — referencing
+      // array_intersect twice in one projection evaluates it twice
+      .select(
+        col("d1"),
+        col("d2"),
+        size(col("sh1")).as("n1"),
+        size(col("sh2")).as("n2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter")
+      )
+      .select(
+        col("d1"),
+        col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard")
+      )
+      // same near-dup threshold as the exact pair graph, so q36's
+      // recall spec compares like against like
+      .filter(col("jaccard") >= PairMinJaccard)
+  }
+
+  /** End-to-end dedup pipeline, stage 3+4: verified near-dup pairs →
+    * connected components (large-star/small-star — diameter-proof round
+    * count) → ONE canonical doc per cluster by the shared q32 quality
+    * score (tie-break asc doc_id, so the pick is total) → union with
+    * the untouched singletons. Output is the KEPT-document set itself —
+    * the thing a curation pipeline writes — with provenance: the
+    * cluster the doc won (cluster_id = component min-label; the doc's
+    * own id for singletons), how many docs it displaced, and its score.
+    *
+    * 100 TB shape: `labels` is cluster-member-sized (≪ corpus), so both
+    * the quality join and the singleton anti-join are broadcast-able by
+    * AQE; the canonical pick is one hash exchange on cluster_id + an
+    * in-partition window — never a global sort; the quality table is
+    * materialized once and read by both branches.
+    */
+  private[queries] def keepSet(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one pass over the corpus computes quality; localCheckpoint (not
+    // cache) because the two consumers below are concurrent AQE jobs —
+    // see the materialization-ownership note in the object scaladoc
+    val qual = docs
+      .select(col("doc_id"), TextOps.qualityExpr.as("quality"))
+      .localCheckpoint()
+    val labels = graft.operators.ConnectedComponents
+      .labelStar(pairs, "d1", "d2")
+      .select(col("id"), col("label").as("cluster_id"))
+    val clustered = labels
+      .join(qual, labels("id") === qual("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
+    val csize = clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val canon = clustered
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("cluster_id").orderBy(desc("quality"), asc("doc_id"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .join(csize, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("quality"))
+    val singles = qual
+      .join(labels, qual("doc_id") === labels("id"), "left_anti")
+      .select(
+        col("doc_id"),
+        col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"),
+        col("quality")
+      )
+    canon.unionByName(singles).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // E12 (exact variant): n-gram Jaccard near-dup detection, candidate
@@ -207,54 +314,7 @@ object Dedup {
     // keys whose join groups grow quadratically.
     QueryDef(
       "q36_minhash_lsh",
-      (s, dir) => {
-        // eager materialization: `sets` is joined on BOTH sides of the
-        // candidate verification (d1 and d2) — as two lazy plan
-        // branches the tokenize+shingle scan would run twice
-        val sets = shingleSets(s, dir).localCheckpoint()
-        val sig = shingleRows(s, dir)
-          .groupBy("doc_id")
-          .agg(expr("minhash_sig(xxhash64(g))").as("sig"))
-        // candidate pairs in ONE exchange of the band table:
-        // distinct_up_to collects each bucket's doc list (sorted, NULL
-        // past 100 docs = the hot-bucket cap), and the in-group
-        // expansion replaces the bucket-count + semi-join + self-join
-        // chain — a straight-line pipeline from signature to pairs
-        val cand = sig
-          .select(
-            col("doc_id"),
-            explode(
-              expr("transform(sequence(0, 7), b -> struct(b AS band, slice(sig, b*4 + 1, 4) AS key))")
-            ).as("bucket")
-          )
-          .groupBy("bucket")
-          .agg(expr("distinct_up_to(doc_id, 100)").as("docs"))
-          .filter(col("docs").isNotNull && size(col("docs")) >= 2)
-          .select(explode(expr(PairExpand)).as("p"))
-          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .distinct()
-        cand
-          .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-          .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-          // materialize the intersection size once — referencing
-          // array_intersect twice in one projection evaluates it twice
-          .select(
-            col("d1"),
-            col("d2"),
-            size(col("sh1")).as("n1"),
-            size(col("sh2")).as("n2"),
-            size(array_intersect(col("sh1"), col("sh2"))).as("inter")
-          )
-          .select(
-            col("d1"),
-            col("d2"),
-            (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard")
-          )
-          // same near-dup threshold as the exact pair graph, so q36's
-          // recall spec compares like against like
-          .filter(col("jaccard") >= PairMinJaccard)
-          .orderBy("d1", "d2")
-      },
+      (s, dir) => minhashVerifiedPairs(s, dir).orderBy("d1", "d2"),
       None
     ),
 
@@ -512,6 +572,68 @@ object Dedup {
                CAST(sum(CASE WHEN NOT in_index AND doc_id <> min_id
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_new
         FROM batch GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E12 (end-to-end): the dedup pipeline users actually run, as ONE
+    // query — MinHash-LSH candidates → exact-Jaccard verification
+    // (minhashVerifiedPairs: q36's graph, shared so the two cannot
+    // drift) → connected-components clustering (labelStar) → one
+    // canonical doc per cluster by the shared q32 quality score →
+    // union with the untouched singletons = the KEPT-document set.
+    // Rows-only (the MinHash hash family is engine-defined, so the
+    // pair graph — hence the clusters — is not SQL-restatable);
+    // DedupPipelineSpec pins the composition on a hand-computed
+    // fixture and recomputes this corpus result from the registered
+    // q36 pairs with a plain-Scala union-find + canonical pick.
+    QueryDef(
+      "q130_dedup_pipeline",
+      (s, dir) => keepSet(docsWide(s, dir), minhashVerifiedPairs(s, dir)),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // The SAME pipeline over the exact-Jaccard pair graph (q35's,
+    // shared via jaccardPairs) — deterministic all the way down, so the
+    // whole chain is oracle-checked: pair graph (pairSql CTEs) →
+    // transitive closure (recursive CTE min-reachable-label) → quality
+    // (QualitySql) → canonical pick (window) → singleton union. One
+    // hash-exact row set certifies candidates, verification,
+    // clustering, canonical selection, and the keep/drop partition in
+    // a single gate entry.
+    QueryDef(
+      "q131_dedup_pipeline_exact",
+      (s, dir) => keepSet(docsWide(s, dir), jaccardPairs(s, dir, PairMinJaccard)),
+      Some(s"""WITH RECURSIVE $pairSql, edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL
+          SELECT d2 AS a, d1 AS b FROM pairs
+        ), reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+        ), lab AS (
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        ), qual AS (
+          SELECT doc_id, ${TextOps.QualitySql} AS quality FROM documents
+        ), csz AS (
+          SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+        ), canon AS (
+          SELECT l.doc_id, l.cluster_id, c.cluster_size, q.quality,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.quality DESC, l.doc_id) AS rn
+          FROM lab l
+          JOIN qual q ON q.doc_id = l.doc_id
+          JOIN csz c ON c.cluster_id = l.cluster_id
+        )
+        SELECT doc_id, cluster_id, cluster_size, quality
+        FROM canon WHERE rn = 1
+        UNION ALL
+        SELECT q.doc_id, q.doc_id AS cluster_id,
+               CAST(1 AS BIGINT) AS cluster_size, q.quality
+        FROM qual q LEFT JOIN lab ON lab.doc_id = q.doc_id
+        WHERE lab.doc_id IS NULL
+        ORDER BY doc_id""")
     )
   )
 }

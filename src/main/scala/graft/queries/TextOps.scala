@@ -19,13 +19,14 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
   val PhoneRe = "[0-9]{3}-[0-9]{4}"
 
-  /** The q32 quality score — shared with q117's per-source cap so the
-    * two can never drift: 0.3·min(tokens/50, 1) + 0.4·(1 − stopword
-    * ratio) + 0.3·min(avg token len/8, 1). Both engines execute the
-    * identical sequence of correctly-rounded double ops, so the values
-    * (and any ordering on them) are bit-identical.
+  /** The q32 quality score — shared with q117's per-source cap and
+    * q130/q131's canonical-doc selection so the consumers can never
+    * drift: 0.3·min(tokens/50, 1) + 0.4·(1 − stopword ratio) +
+    * 0.3·min(avg token len/8, 1). Both engines execute the identical
+    * sequence of correctly-rounded double ops, so the values (and any
+    * ordering on them) are bit-identical.
     */
-  private def qualityExpr: org.apache.spark.sql.Column = {
+  private[queries] def qualityExpr: org.apache.spark.sql.Column = {
     val nTok = size(split(col("text"), " "))
     val stopCnt =
       size(filter(split(col("text"), " "), t => t.isin("the", "a", "of", "and", "to")))
@@ -36,8 +37,8 @@ object TextOps {
   }
 
   /** The DuckDB restatement of [[qualityExpr]] — single source for the
-    * q32 and q117 oracles. */
-  private val QualitySql =
+    * q32, q117, and q131 oracles. */
+  private[queries] val QualitySql =
     """least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3
         + (1.0 - CAST(len(list_filter(string_split(text, ' '),
                                       x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
