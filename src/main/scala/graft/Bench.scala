@@ -123,7 +123,7 @@ object Bench {
   private val StreamingGates = Set(
     "q88_stream_tumbling", "q95_stream_sliding", "q101_stream_dedup",
     "q103_stream_join", "q109_stream_session", "q111_stream_enrich",
-    "q112_stream_sink", "q113_stream_typed_state"
+    "q112_stream_sink", "q113_stream_typed_state", "q132_stream_metrics"
   )
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -110,7 +110,21 @@ object StreamGate {
     * streams are active in the session they reload their stores on the
     * next batch — a reload, not a correctness event.)
     */
-  private def drainToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+  private def drainToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame =
+    drainWithProgress(s, out, mode)._1
+
+  /** [[drainToTable]] plus the run's `StreamingQueryProgress` entries —
+    * the per-micro-batch metrics (input rows, rows/sec, batch duration,
+    * state-store rows) users size clusters from. Captured AFTER
+    * termination from `recentProgress`, so the array covers the whole
+    * bounded replay (the default retention of 100 progress updates far
+    * exceeds a gate run's batch count).
+    */
+  private def drainWithProgress(
+      s: SparkSession,
+      out: DataFrame,
+      mode: String
+  ): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val sink = s"graft_stream_gate_${sinkSeq.incrementAndGet()}"
     val q = out.writeStream
       .format("memory")
@@ -136,7 +150,47 @@ object StreamGate {
     val rows = java.util.Arrays.asList(tbl.collect(): _*)
     val schema = tbl.schema
     s.catalog.dropTempView(sink)
-    s.createDataFrame(rows, schema)
+    (s.createDataFrame(rows, schema), q.recentProgress.toSeq)
+  }
+
+  /** One metrics row per micro-batch of a gate replay. Throughput and
+    * duration fields are measurements (rows-only by nature); the volume
+    * and state fields are deterministic replays of the input — the spec
+    * pins `num_input_rows` against the table count and
+    * `state_rows_total` against the batch group count. */
+  private def progressTable(
+      s: SparkSession,
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]
+  ): DataFrame = {
+    import s.implicits._
+    progress
+      .map { p =>
+        (
+          p.batchId,
+          p.numInputRows,
+          // NaN for batches the source reports no timing for — keep,
+          // don't invent zeros
+          p.inputRowsPerSecond,
+          p.processedRowsPerSecond,
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L),
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsUpdated).sum,
+          p.stateOperators.length,
+          Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+        )
+      }
+      .toDF(
+        "batch_id",
+        "num_input_rows",
+        "input_rows_per_sec",
+        "processed_rows_per_sec",
+        "batch_duration_ms",
+        "state_rows_total",
+        "state_rows_updated",
+        "n_state_operators",
+        "sink_output_rows"
+      )
+      .orderBy("batch_id")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -440,6 +494,29 @@ object StreamGate {
       },
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 (streaming observability): the per-micro-batch
+    // StreamingQueryProgress metrics of the q88 tumbling-window gate
+    // replay, AS A QUERYABLE TABLE — rows/sec, batch duration, and
+    // state-store row counts are what users size clusters and
+    // watermarks from. Rows-only (durations and rates are
+    // measurements); StreamMetricsSpec pins the deterministic columns
+    // (input-row conservation, state rows == open window groups, one
+    // stateful operator) and asserts the batch-duration budget.
+    QueryDef(
+      "q132_stream_metrics",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val (_, progress) = drainWithProgress(
+          gs,
+          graft.streaming.EventStreams.windowedCounts(eventsStream(gs, dir)),
+          "complete"
+        )
+        progressTable(gs, progress)
+      },
+      None
     )
   )
 }
