@@ -23,6 +23,11 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
+  /** Unique index-scratch dirs: the q133 build can run several times in
+    * one session (bench repeats); a retained dir from a previous run
+    * must never be read by the next. */
+  private val indexSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Embeddings with double-precision vectors and L2 norms.
     * Deliberately NOT repartitioned (unlike Dedup.docsWide): the heavy
     * consumers here are iterative (KMeans fit) or broadcast-shaped
@@ -259,6 +264,43 @@ object Similarity {
       (s, dir) =>
         graft.operators.KnnJoin
           .knnSelfJoin(emb(s, dir), k = 5, kCells = 16, nprobe = 10, cellCap = 1024),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (persistent index, build-once/probe-many): the IVF quantizer
+    // fitted ONCE and written as a parquet layout partitioned by cell
+    // (operators/IvfIndex) — then probed through a fresh read: each of
+    // the 10 query vectors ranks the PERSISTED centroids, and the
+    // probe's broadcast cell join carries a dynamic-partition-pruning
+    // subquery into the data scan, so only nprobe/k of the directories
+    // are read (IvfIndexSpec asserts the pruning filter in the plan).
+    // Same seed/k/nprobe as q46, and parquet round-trips doubles
+    // exactly — so the result is bit-identical to the in-memory IVF
+    // (spec-pinned). Rows-only: cells are implementation-defined.
+    QueryDef(
+      "q133_ivf_persist",
+      (s, dir) => {
+        val run = indexSeq.incrementAndGet()
+        val idx = new java.io.File(s"target/graft_scratch/ivf_index_$run").getAbsolutePath
+        // per-JVM counter: an earlier process may have left the same-
+        // numbered dir — always start clean (q112's scratch rule)
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(): Unit
+        }
+        wipe(new java.io.File(idx))
+        val e = emb(s, dir)
+        graft.operators.IvfIndex.build(e, idx, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.probe(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+          nprobe = 2,
+          topK = 5
+        )
+      },
       None
     ),
 
