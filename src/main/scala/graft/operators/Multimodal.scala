@@ -20,11 +20,15 @@ import graft.Tables
   * [[syntheticAudio]] writes 16-bit PCM WAV clips with the
   * `javax.sound.sampled` container writer and [[decodeAudioFeatures]]
   * parses them back (header, format negotiation, frame extraction) into
-  * exact integer sample stats. [[extractFeatures]] remains the
-  * generic-binary featurizer (byte histogram) standing in only for the
-  * one codec family the JDK does not ship (video); its per-partition
-  * batching, fixed feature dim, and binary-in/vector-out schema are the
-  * production shape.
+  * exact integer sample stats. The VIDEO path is real too:
+  * [[syntheticVideos]] packs length-prefixed PNG frames behind a
+  * container header and [[decodeVideoFeatures]] walks the container,
+  * stride-samples frames by seeking over skipped length prefixes, and
+  * decodes the kept frames with the real `javax.imageio` codec.
+  * [[extractFeatures]] remains as the codec-free generic-binary
+  * featurizer (byte histogram) for payloads with no registered codec;
+  * its per-partition batching, fixed feature dim, and
+  * binary-in/vector-out schema are the production shape.
   *
   * Scale posture: `mapPartitions` keeps decode calls batched per
   * partition (amortizing codec init), payload bytes never hit the
@@ -68,14 +72,14 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Generic-binary featurizer (byte histogram) — the remaining STUB,
-    * now only standing in for VIDEO codecs the JDK does not ship; the
-    * image and audio paths use real JDK codecs
-    * ([[decodeImageFeatures]], [[decodeAudioFeatures]]). A production
-    * build replaces the body of the per-record function with a real
-    * codec call; everything around it (typed Dataset in/out,
-    * per-partition batching, fixed feature dim) is the production
-    * shape.
+  /** Generic-binary featurizer (byte histogram): the fallback for
+    * payloads whose codec is not registered — image, audio, AND video
+    * all have real JDK codec paths now ([[decodeImageFeatures]],
+    * [[decodeAudioFeatures]], [[decodeVideoFeatures]]). A production
+    * build replaces the body of the per-record function with whatever
+    * proprietary codec the payload needs; everything around it (typed
+    * Dataset in/out, per-partition batching, fixed feature dim) is the
+    * production shape.
     */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { it =>
@@ -273,6 +277,147 @@ object Multimodal {
         decoded.getOrElse(
           AudioFeatures(m.media_id, decode_ok = false, -1, -1L, -1L, -1, -1, -1L)
         )
+      }
+    }
+
+  /** Exact per-channel pixel sums over the sampled frames of one video. */
+  final case class VideoFeatures(
+      media_id: Long,
+      decode_ok: Boolean,
+      n_frames: Int,
+      n_sampled: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long
+  )
+
+  implicit private val vidEnc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
+
+  /** Container magic for the frame-packed video format: 4 ASCII bytes,
+    * then a big-endian int32 frame count, then per frame a big-endian
+    * int32 byte length followed by that many bytes of a REAL PNG
+    * payload. Length-prefixed frame packing is the shape of every
+    * production video container (an MP4 `mdat` holds length-prefixed
+    * NAL units); the per-frame codec here is the JDK's PNG instead of
+    * H.264 only because the JDK ships no video codec — the container
+    * parse, frame walk, stride sampling, and per-frame decode are the
+    * production video path, and every stage is real code.
+    */
+  private val VideoMagic: Array[Byte] = "GFV1".getBytes("US-ASCII")
+
+  /** One deterministic frame-packed video per document: `2 + id % 3`
+    * frames of a w×h RGB PNG (8 ≤ w,h ≤ 12, sized by doc_id), pixel
+    * (x, y) of frame f being a fixed modular form of (x, y, f, id) —
+    * each frame encoded with the real `javax.imageio` PNG writer, then
+    * packed length-prefixed behind the [[VideoMagic]] header. PNG is
+    * lossless, so the decoded pixels equal the generating formula the
+    * oracle restates.
+    */
+  def syntheticVideos(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // codec init: in-memory streams
+        it.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (8 + (id / 5) % 5).toInt
+          val nFrames = (2 + id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.write(VideoMagic)
+          out.writeInt(nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val img =
+              new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((3L * x + 5L * y + 19L * f + id) % 251L).toInt
+                val g = ((7L * x + 11L * y + 23L * f + 2L * id) % 251L).toInt
+                val b = ((13L * x + 17L * y + 29L * f + 3L * id) % 251L).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val frameBos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", frameBos)
+            out.writeInt(frameBos.size())
+            frameBos.writeTo(out)
+            f += 1
+          }
+          out.flush()
+          MediaRecord(id, "video/gfv1", bos.toByteArray, bos.size().toLong)
+        }
+      }
+
+  /** REAL video decode: walk the length-prefixed container, decode every
+    * `stride`-th frame with `javax.imageio`, and reduce the sampled
+    * frames to exact integer channel sums. Frame sampling happens at the
+    * CONTAINER level — skipped frames are seeked over by their length
+    * prefix and never handed to the pixel codec, which is the whole
+    * point of stride sampling at 100 TB (decode cost scales with frames
+    * kept, not frames stored). Same error contract as the other codecs:
+    * a malformed container or frame costs one `decode_ok = false` row,
+    * never a stage retry loop.
+    */
+  def decodeVideoFeatures(ds: Dataset[MediaRecord], stride: Int = 2): Dataset[VideoFeatures] =
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { m =>
+        try {
+          val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(m.payload))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          require(java.util.Arrays.equals(magic, VideoMagic), "bad container magic")
+          val nFrames = in.readInt()
+          require(nFrames >= 0, "negative frame count")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var (w, h) = (-1, -1)
+          var sampled = 0
+          var f = 0
+          while (f < nFrames) {
+            val len = in.readInt()
+            require(len >= 0, "negative frame length")
+            if (f % stride == 0) {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              require(img != null, "undecodable frame")
+              require(
+                w == -1 || (w == img.getWidth && h == img.getHeight),
+                "frame size drift within one video"
+              )
+              w = img.getWidth
+              h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              sampled += 1
+            } else {
+              in.skipNBytes(len.toLong) // container-level seek: codec never sees this frame
+            }
+            f += 1
+          }
+          VideoFeatures(m.media_id, decode_ok = true, nFrames, sampled, w, h, sr, sg, sb)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            VideoFeatures(m.media_id, decode_ok = false, -1, -1, -1, -1, -1L, -1L, -1L)
+        }
       }
     }
 

@@ -120,6 +120,44 @@ object Media {
         FROM documents, sp
         WHERE i < 64 + doc_id % 65
         GROUP BY doc_id ORDER BY media_id""")
+    ),
+    // real-codec video decode: per-document frame-packed container
+    // (length-prefixed REAL PNG frames behind a magic header; pixel
+    // (x, y) of frame f is a fixed modular form), decoded by walking
+    // the container and handing every 2nd frame to javax.imageio while
+    // SEEKING over skipped frames via their length prefix — decode cost
+    // scales with frames kept, not frames stored. The oracle restates
+    // the generating formula over a 12×12×{0,2} spine filtered to each
+    // video's true (width, height, frame count) — PNG frames are
+    // lossless, so container-walk-and-codec-correct ⟺ hash match.
+    // decode_ok rows are filtered (then dropped) so a corrupt decode
+    // surfaces as a row-count mismatch, not a silent skew.
+    QueryDef(
+      "q134_video_decode",
+      (s, dir) =>
+        Multimodal
+          .decodeVideoFeatures(Multimodal.syntheticVideos(s, dir))
+          .toDF()
+          .filter(col("decode_ok"))
+          .select("media_id", "n_frames", "n_sampled", "width", "height", "sum_r", "sum_g", "sum_b")
+          .orderBy("media_id"),
+      Some("""WITH px AS (SELECT a.x, b.y, c.f
+                FROM (SELECT unnest(range(12)) AS x) a,
+                     (SELECT unnest(range(12)) AS y) b,
+                     (SELECT unnest([0, 2]) AS f) c)
+        SELECT doc_id AS media_id,
+          CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+          CAST((3 + doc_id % 3) // 2 AS INTEGER) AS n_sampled,
+          CAST(8 + doc_id % 5 AS INTEGER) AS width,
+          CAST(8 + (doc_id // 5) % 5 AS INTEGER) AS height,
+          CAST(sum((3*x + 5*y + 19*f + doc_id) % 251) AS BIGINT) AS sum_r,
+          CAST(sum((7*x + 11*y + 23*f + 2*doc_id) % 251) AS BIGINT) AS sum_g,
+          CAST(sum((13*x + 17*y + 29*f + 3*doc_id) % 251) AS BIGINT) AS sum_b
+        FROM documents, px
+        WHERE x < 8 + doc_id % 5
+          AND y < 8 + (doc_id // 5) % 5
+          AND f < 2 + doc_id % 3
+        GROUP BY doc_id ORDER BY media_id""")
     )
   )
 }

@@ -129,6 +129,76 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(!_.decode_ok).forall(f => f.sample_rate == -1 && f.sum_s == -1L))
   }
 
+  test("video codec: container of real PNG frames round-trips exact sampled-pixel sums") {
+    val vids = Multimodal.syntheticVideos(spark, dir)
+    val sample = vids.take(5)
+    // payloads are the documented container: magic, frame count, then
+    // length-prefixed genuine PNG frames
+    sample.foreach { m =>
+      assert(new String(m.payload.take(4), "US-ASCII") == "GFV1")
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(m.payload.drop(4)))
+      val nFrames = in.readInt()
+      assert(nFrames == (2 + m.media_id % 3).toInt)
+      for (_ <- 0 until nFrames) {
+        val len = in.readInt()
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        assert((frame(0) & 0xff) == 0x89 && frame(1) == 'P' && frame(2) == 'N' && frame(3) == 'G')
+      }
+      assert(in.read() == -1) // no trailing bytes
+    }
+
+    val feats = Multimodal.decodeVideoFeatures(vids, stride = 2).collect()
+    assert(feats.nonEmpty && feats.forall(_.decode_ok))
+    feats.foreach { f =>
+      val id = f.media_id
+      val (w, h) = ((8 + id % 5).toInt, (8 + (id / 5) % 5).toInt)
+      val nFrames = (2 + id % 3).toInt
+      assert(f.width == w && f.height == h)
+      assert(f.n_frames == nFrames && f.n_sampled == (nFrames + 1) / 2)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (fr <- 0 until nFrames by 2; y <- 0 until h; x <- 0 until w) {
+        sr += (3L * x + 5L * y + 19L * fr + id) % 251L
+        sg += (7L * x + 11L * y + 23L * fr + 2L * id) % 251L
+        sb += (13L * x + 17L * y + 29L * fr + 3L * id) % 251L
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) == ((sr, sg, sb)))
+    }
+  }
+
+  test("video codec: stride sampling skips frames at the container level") {
+    val vids = Multimodal.syntheticVideos(spark, dir)
+    val all = Multimodal.decodeVideoFeatures(vids, stride = 1).collect()
+      .map(f => f.media_id -> f).toMap
+    val sampled = Multimodal.decodeVideoFeatures(vids, stride = 2).collect()
+    sampled.foreach { f =>
+      val full = all(f.media_id)
+      assert(full.n_sampled == full.n_frames)
+      assert(f.n_sampled == (f.n_frames + 1) / 2)
+      // a 3+-frame video has strictly more pixels at stride 1 — the
+      // stride-2 decode really skipped frame payloads
+      if (f.n_frames > 1) assert(full.sum_r + full.sum_g + full.sum_b >
+        f.sum_r + f.sum_g + f.sum_b)
+    }
+  }
+
+  test("video codec: corrupt containers become decode_ok=false rows, not failures") {
+    val sess = spark
+    import sess.implicits._
+    val good = Multimodal.syntheticVideos(spark, dir).take(1).head
+    val badMagic = good.payload.clone(); badMagic(0) = 'X'
+    val corrupt = Seq(
+      Multimodal.MediaRecord(900001L, "video/gfv1", Array[Byte](1, 2, 3), 3L),
+      Multimodal.MediaRecord(900002L, "video/gfv1", badMagic, badMagic.length.toLong),
+      Multimodal.MediaRecord(900003L, "video/gfv1", good.payload.take(20), 20L),
+      good
+    ).toDS()
+    val out = Multimodal.decodeVideoFeatures(corrupt).collect().sortBy(_.media_id)
+    assert(out.length == 4)
+    assert(out.count(_.decode_ok) == 1)
+    assert(out.filter(!_.decode_ok).forall(f => f.width == -1 && f.sum_r == -1L))
+  }
+
   test("resize decimates to at most targetBytes+1 samples, preserving content order") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, targetBytes = 16).collect()

@@ -24,7 +24,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q81_freq_items", // 1-row broadcast total-count scalar
     "q93_corpus_mix", // 1-row broadcast grand-total scalar
     "q107_collocations", // 1-row broadcast corpus-token-total scalar
-    "q126_skew_report" // three 1-row broadcast stat pieces joined back
+    "q126_skew_report", // three 1-row broadcast stat pieces joined back
+    "q133_ivf_persist" // 16-row broadcast centroid table (same shape as q46)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
