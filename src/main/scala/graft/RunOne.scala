@@ -53,6 +53,19 @@ object RunOne {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"noop-exec ${(System.nanoTime() - t0) / 1e9}%.3f s (build $buildSec%.3f s)")
+      // dump the result + this query's oracle SQL the way Verify does,
+      // for a single-query DuckDB compare with check.py
+      case m if m.startsWith("dump:") =>
+        val out = m.drop(5)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val sql = SparkEntry.oracleSql.get(name).fold("{}") { q =>
+          s"""{"$name": ${mapper.writeValueAsString(q)}}"""
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+          sql.getBytes("UTF-8")
+        ): Unit
       // noopN (e.g. noop3): repeat the full build+exec cycle N times with
       // the bench harness's inter-run cleanup — separates cold-JIT cost
       // (run 1) from the steady-state cost a warm multi-query session

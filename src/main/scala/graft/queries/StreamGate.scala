@@ -356,6 +356,64 @@ object StreamGate {
     ),
 
     // ------------------------------------------------------------------
+    // E15 (streaming, stream-stream LEFT OUTER join): q103's attribution
+    // with the unmatched clicks KEPT — the join family's hard half,
+    // because a null-extended row may only emit once the watermark
+    // proves no future purchase can match. The emitted set on a bounded
+    // replay is therefore: every match, plus every unmatched click
+    // whose join window closed before the final watermark
+    // (min(max click ts, max purchase ts) - 10 min). The oracle
+    // restates exactly that rule in SQL — a batch LEFT JOIN filtered to
+    // (matched) OR (window closed before the final watermark) — so the
+    // hash pins Spark's outer-join eviction semantics, not just the
+    // match set. noDataBatches stays ON (q103 turns it off): the
+    // trailing watermark-finalization batch is what flushes the
+    // null-extended rows; without it every orphan click would be
+    // missing.
+    QueryDef(
+      "q135_stream_outer_join",
+      (s, dir) => {
+        // same commit-cost sizing as q103 (four state stores per
+        // partition), but the finalization batch must run — see above
+        val gs = gateSession(s, partitions = 2)
+        drainToTable(
+          gs,
+          graft.streaming.EventStreams.clickAttributionOuter(
+            eventsStream(gs, dir).filter(col("event_type") === "click"),
+            eventsStream(gs, dir).filter(col("event_type") === "purchase")
+          ),
+          "append"
+        ).groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_clicks_emitted"),
+            count(col("buy_id")).as("n_attributed"),
+            sum(when(col("buy_id").isNull, 1L).otherwise(0L)).as("n_orphan"),
+            sum(Exact.milli(col("amount"))).as("amount_milli")
+          )
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'purchase'),
+             wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                           - INTERVAL '10 minutes' AS w),
+             j AS (SELECT c.user_id, c.ts AS click_ts, c.event_id AS click_id,
+                          p.event_id AS buy_id, p.value
+                   FROM c LEFT JOIN p
+                     ON p.user_id = c.user_id
+                    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+        SELECT user_id,
+               count(*) AS n_clicks_emitted,
+               count(buy_id) AS n_attributed,
+               CAST(sum(CASE WHEN buy_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+               sum(CAST(round(value*1000) AS BIGINT)) AS amount_milli
+        FROM j
+        WHERE buy_id IS NOT NULL
+           OR click_ts + INTERVAL '10 minutes' < (SELECT w FROM wm)
+        GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
     // E15 (streaming, session windows): the events replay through
     // EventStreams.sessionCounts — merging session-window state is the
     // remaining live window shape (tumbling q88, sliding q95); with

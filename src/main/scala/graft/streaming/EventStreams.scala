@@ -118,6 +118,46 @@ object EventStreams {
     ).select(col("buy_user").as("user_id"), col("click_id"), col("buy_id"), col("amount"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[clickAttribution]],
+    * but clicks that attract no purchase within the window are ALSO
+    * emitted (null-extended) — the "which impressions converted, which
+    * didn't" shape. The engine can only declare a click unmatched once
+    * no future purchase could still join it, so null-extended rows emit
+    * when the watermark passes `click_ts + interval`; on a bounded
+    * replay the final watermark is `min(max click ts, max purchase ts)
+    * - delay`, which makes the emitted set exactly: every match, plus
+    * every unmatched click whose full join window closed before that
+    * final watermark. That rule is deterministic and the q135 oracle
+    * restates it in SQL — trailing unmatched clicks whose window is
+    * still open when the replay ends are (correctly) absent.
+    * user_id comes from the CLICK side: the purchase side is NULL on
+    * exactly the rows this variant exists to keep.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("user_id").as("click_user"),
+        col("ts").as("click_ts"),
+        col("event_id").as("click_id")
+      )
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"),
+        col("value").as("amount")
+      )
+    c.join(
+      p,
+      col("click_user") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter"
+    ).select(col("click_user").as("user_id"), col("click_id"), col("buy_id"), col("amount"))
+  }
+
   /** Idempotent per-batch parquet writer: each micro-batch lands in its
     * own `batch_id=<id>` directory with overwrite mode, so replaying a
     * batch after a failure rewrites the same directory instead of

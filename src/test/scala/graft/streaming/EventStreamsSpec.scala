@@ -266,6 +266,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits orphans only after the watermark closes their window") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStreams
+      .clickAttributionOuter(clicks.toDF, buys.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("attr_outer")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01T00:00:00Z", 1, "click"), // matched by buy 100
+        ev(11, "2024-01-01T00:30:00Z", 2, "click")  // never matched — future orphan
+      )
+      buys.addData(ev(100, "2024-01-01T00:05:00Z", 1, "purchase"))
+      q.processAllAvailable()
+      val rows1 = spark.table("attr_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      // the match emits immediately; click 11's window (ends 00:40) is
+      // still ahead of the watermark, so NO orphan row yet
+      assert(rows1 == Set((1L, 10L, Some(100L))))
+
+      // advance BOTH event-time watermarks past 00:40 + delay
+      clicks.addData(ev(12, "2024-01-01T02:00:00Z", 3, "click"))
+      buys.addData(ev(101, "2024-01-01T02:00:00Z", 4, "purchase"))
+      q.processAllAvailable()
+      val rows2 = spark.table("attr_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      // click 11 is now provably unmatched → null-extended row; click 12
+      // (window still open) and purchase 101 (wrong side) emit nothing
+      assert(rows2 == Set((1L, 10L, Some(100L)), (2L, 11L, None)))
+    } finally q.stop()
+  }
+
   test("transformWithState keeps typed per-key running totals across batches") {
     val sess = spark
     import sess.implicits._
