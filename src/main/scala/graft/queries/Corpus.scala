@@ -306,6 +306,72 @@ object Corpus {
                  AS dup_windows
         FROM win w LEFT JOIN hot ON w.g = hot.g
         GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E14 (corpus health report): the per-source go/no-go summary a
+    // curation run emits before training — doc counts, exact-dup share,
+    // PII incidence, and mean quality — complementing q93's token-mix
+    // report (which this deliberately does not repeat). One partial-
+    // aggregated exchange keyed by source; the distinct-text count rides
+    // the same shuffle as an md5 fingerprint (16-byte key, not the
+    // document body — at 100 TB the exchange width is what matters).
+    // Quality doubles are summed as exact micros (Exact.e6) so the
+    // aggregate is reduction-order independent; ratios are integer ppm.
+    QueryDef(
+      "q138_corpus_health",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(
+            col("source"),
+            col("lang"),
+            md5(col("text")).as("fp"),
+            graft.queries.Exact.e6(TextOps.qualityExpr).as("q_e6"),
+            when(
+              regexp_count(col("text"), lit(TextOps.EmailRe)) +
+                regexp_count(col("text"), lit(TextOps.PhoneRe)) > 0,
+              1L
+            ).otherwise(0L).as("has_pii")
+          )
+        docs
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_unique_texts"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("q_e6")).as("q_sum_e6"),
+            sum(col("has_pii")).as("n_pii_docs")
+          )
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_unique_texts"),
+            col("n_langs"),
+            expr("q_sum_e6 DIV n_docs").as("quality_mean_e6"),
+            expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs").as("dup_ppm"),
+            expr("n_pii_docs * 1000000 DIV n_docs").as("pii_ppm")
+          )
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 count(DISTINCT md5(text)) AS n_unique_texts,
+                 count(DISTINCT lang) AS n_langs,
+                 sum(CAST(round((${TextOps.QualitySql}) * 1000000) AS BIGINT)) AS q_sum_e6,
+                 sum(CASE WHEN len(regexp_extract_all(text, '${TextOps.EmailRe}'))
+                            + len(regexp_extract_all(text, '${TextOps.PhoneRe}')) > 0
+                          THEN 1 ELSE 0 END) AS n_pii_docs
+          FROM documents GROUP BY 1
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+               CAST(n_langs AS BIGINT) AS n_langs,
+               CAST(q_sum_e6 // n_docs AS BIGINT) AS quality_mean_e6,
+               CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+               CAST(n_pii_docs * 1000000 // n_docs AS BIGINT) AS pii_ppm
+        FROM per ORDER BY source""")
     )
   )
 }

@@ -119,4 +119,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("q138 corpus health satisfies its own accounting identities") {
+    val rows = run("q138_corpus_health").collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == texts.size)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_unique_texts") >= 1 && r.getAs[Long]("n_unique_texts") <= n)
+      assert(r.getAs[Long]("n_langs") >= 1)
+      // quality is a convex combination of [0,1] terms -> mean micros in range
+      val q = r.getAs[Long]("quality_mean_e6")
+      assert(q >= 0L && q <= 1000000L)
+      assert(r.getAs[Long]("dup_ppm") >= 0L && r.getAs[Long]("dup_ppm") < 1000000L)
+      assert(r.getAs[Long]("pii_ppm") >= 0L && r.getAs[Long]("pii_ppm") <= 1000000L)
+    }
+  }
 }
