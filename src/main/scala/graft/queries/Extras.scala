@@ -968,6 +968,104 @@ object Extras {
                CAST(sum(CASE WHEN rk <= 10 THEN f ELSE 0 END) * 1000000
                     // sum(f) AS BIGINT) AS top10_ppm
         FROM ranked""")
+    ),
+
+    // ------------------------------------------------------------------
+    // SCD2 snapshot merge — the slowly-changing-dimension history build
+    // every warehouse runs nightly: given two snapshots of a dimension,
+    // emit one row per (key, version-run) with [valid_from, valid_to)
+    // effective snapshot ids and an is_current flag. The two snapshots
+    // are derived deterministically from `customer` (v1 drops keys
+    // divisible by 97 — later "inserts"; v2 drops keys divisible by 89
+    // — "deletes" — and bumps acctbal by 100 on keys divisible by 7 —
+    // "updates"), so inserts, deletes, updates, and no-ops all occur.
+    // Shape: UNION the stamped snapshots (no shuffle), ONE hash
+    // exchange on the key for the per-key window, then change-point
+    // detection via lag() with null-safe comparison (`<=>`, IS
+    // DISTINCT FROM in the oracle — no fingerprint strings, so double
+    // equality is bitwise and engine-independent). valid_to comes from
+    // lead() over surviving change points; a key whose last sighting
+    // predates the newest snapshot closes at that snapshot (delete).
+    // At 100 TB this is the plan you want: snapshots stream through a
+    // single keyed exchange, no join, no global sort except the
+    // display ORDER BY the oracle needs.
+    QueryDef(
+      "q137_scd2_merge",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val v1 = cust
+          .filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("v", lit(1L))
+        val v2 = cust
+          .filter(col("c_custkey") % 89 =!= 0)
+          .withColumn(
+            "c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal"))
+          )
+          .withColumn("v", lit(2L))
+        val w = Window.partitionBy("c_custkey").orderBy("v")
+        val stamped = v1
+          .unionByName(v2)
+          .withColumn("last_seen", max(col("v")).over(Window.partitionBy("c_custkey")))
+          .withColumn(
+            "changed",
+            lag(col("v"), 1).over(w).isNull ||
+              !(col("c_mktsegment") <=> lag(col("c_mktsegment"), 1).over(w)) ||
+              !(col("c_acctbal") <=> lag(col("c_acctbal"), 1).over(w))
+          )
+        val runs = stamped.filter(col("changed"))
+        val w2 = Window.partitionBy("c_custkey").orderBy("v")
+        runs
+          .withColumn(
+            "valid_to",
+            coalesce(
+              lead(col("v"), 1).over(w2),
+              when(col("last_seen") === 2L, lit(null).cast("long")).otherwise(lit(2L))
+            )
+          )
+          .select(
+            col("c_custkey"),
+            col("c_mktsegment"),
+            col("c_acctbal"),
+            col("v").as("valid_from"),
+            col("valid_to"),
+            (col("valid_to").isNull).as("is_current")
+          )
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH v1 AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, CAST(1 AS BIGINT) AS v
+          FROM customer WHERE c_custkey % 97 <> 0
+        ), v2 AS (
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal,
+                 CAST(2 AS BIGINT) AS v
+          FROM customer WHERE c_custkey % 89 <> 0
+        ), stamped AS (
+          SELECT *,
+                 max(v) OVER (PARTITION BY c_custkey) AS last_seen,
+                 (lag(v) OVER (PARTITION BY c_custkey ORDER BY v) IS NULL
+                  OR c_mktsegment IS DISTINCT FROM
+                     lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY v)
+                  OR c_acctbal IS DISTINCT FROM
+                     lag(c_acctbal) OVER (PARTITION BY c_custkey ORDER BY v))
+                   AS changed
+          FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        ), runs AS (
+          SELECT * FROM stamped WHERE changed
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               v AS valid_from,
+               coalesce(lead(v) OVER (PARTITION BY c_custkey ORDER BY v),
+                        CASE WHEN last_seen = 2 THEN NULL
+                             ELSE CAST(2 AS BIGINT) END) AS valid_to,
+               (coalesce(lead(v) OVER (PARTITION BY c_custkey ORDER BY v),
+                         CASE WHEN last_seen = 2 THEN NULL
+                              ELSE CAST(2 AS BIGINT) END) IS NULL) AS is_current
+        FROM runs ORDER BY c_custkey, valid_from""")
     )
   )
 }

@@ -467,6 +467,51 @@ object TextOps {
                                     ORDER BY quality DESC, doc_id) AS rn
           FROM (SELECT doc_id, source, $QualitySql AS quality FROM documents))
         WHERE rn <= 3 ORDER BY source, rn""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BPE merge statistics — the first iteration of byte-pair-encoding
+    // tokenizer training (Sennrich et al. 2016), the one corpus scan a
+    // tokenizer build runs before anything else: for every within-word
+    // adjacent symbol pair, its total occurrence count and the number
+    // of distinct word types containing it. The top pair IS the first
+    // BPE merge; re-running this scan after each merge is the whole
+    // algorithm, so the registered query is the per-iteration workhorse
+    // shape. Pairs come from the native `char_ngrams` codegen walk
+    // (graft.functions.CharNgrams — no interpreted splits); word
+    // tokenization is the same lowercase-alpha split the corpus stats
+    // queries use. Plan at 100 TB: explode is map-side; the pair
+    // aggregate partial-aggregates before its single hash exchange
+    // (count + distinct-word count share one expand); top-40 is
+    // TakeOrderedAndProject, never a global sort. All-integer counts
+    // with a (cnt DESC, pair) total order keep the oracle hash-exact.
+    QueryDef(
+      "q136_bpe_pairs",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(col("w"), explode(expr("char_ngrams(w, 2)")).as("pair"))
+          .groupBy("pair")
+          .agg(
+            count(lit(1)).as("cnt"),
+            countDistinct(col("w")).as("n_word_types")
+          )
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(40)
+      },
+      Some("""WITH words AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) >= 2
+        ), pairs AS (
+          SELECT w, substring(w, i, 2) AS pair
+          FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words)
+        )
+        SELECT pair, count(*) AS cnt, count(DISTINCT w) AS n_word_types
+        FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 40""")
     )
   )
 }
