@@ -149,9 +149,17 @@ object Bench {
     // a full scan of every input table once, so the first query touching
     // a table doesn't absorb its cold-disk read into the measured time
     spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
+    // per-table try/catch: one broken loader (e.g. a testdata
+    // regeneration changing a physical type) must cost only the queries
+    // that touch that table, never the whole bench run (round-8 lesson:
+    // an unguarded warm-up crash here zeroed out all 151 timings)
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
                   "lineitem", "events", "documents", "embeddings"))
-      Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up scan of $t failed: ${e.getMessage}")
+      }
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -66,11 +66,13 @@ object GraftSession {
       // spill path remains the safety net, so memory stays bounded on
       // adversarial key cardinalities.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
-      // events.ts is physically INT64 TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects by default. Engine-wide we surface it as a
-      // long and truncate to micros in Tables.events — the same coercion
-      // DuckDB applies, so oracle comparisons line up exactly. Set here
-      // (not in the loader) so building a plan never mutates session state.
+      // Some testdata generations store events.ts as INT64
+      // TIMESTAMP(NANOS), which Spark's parquet reader rejects by
+      // default. With this flag the scan surfaces nanos as a long and
+      // Tables.events truncates to micros (schema-adaptive — current
+      // generations store TIMESTAMP(US) and skip the conversion). Set
+      // here (not in the loader) so building a plan never mutates
+      // session state; harmless when no nanos column exists.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(): SparkSession = {

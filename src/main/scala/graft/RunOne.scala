@@ -13,13 +13,12 @@ object RunOne {
     val mode = if (args.length > 2) args(2) else "show"
     val spark = GraftSession.get()
     if (name == "stream") {
-      import org.apache.spark.sql.functions._
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val events = spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val events = Tables.normalizeEventsTs(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet") // file source needs a dir
+          .parquet(sfDir))
       val q = graft.streaming.EventStreams
         .windowedCounts(events)
         .writeStream

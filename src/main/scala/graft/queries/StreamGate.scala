@@ -82,16 +82,17 @@ object StreamGate {
 
   /** The events table replayed as a file-source stream (the file source
     * takes a directory; the glob pins it to the one table). `ts` is
-    * INT64 nanos read as long under nanosAsLong — apply the same micros
-    * truncation as Tables.events so batch and stream rows are identical.
+    * normalized with the same schema-adaptive coercion as Tables.events
+    * so batch and stream rows are identical whatever the parquet's
+    * physical timestamp encoding.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeEventsTs(
+      s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Drain a bounded streaming transform into a fresh memory sink with
