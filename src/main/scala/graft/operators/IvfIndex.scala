@@ -73,6 +73,100 @@ object IvfIndex {
       .parquet(s"$indexDir/centroids")
   }
 
+  // ------------------------------------------------------------------
+  // Incremental maintenance: fit-once / assign-anywhere. Real serving
+  // corpora grow; re-clustering 100 TB per ingest batch is not an
+  // option, so a new batch is assigned to the EXISTING cells and
+  // appended into the partitioned layout — cost ∝ batch size, not
+  // corpus size, and the quantizer never moves under the probes.
+  // ------------------------------------------------------------------
+
+  /** Fit only the coarse quantizer (no layout write); returns
+    * (cell, centroid) pairs. Kept separate from [[build]] so an index
+    * can be laid out — and later appended to — with one shared
+    * assignment code path ([[assignCells]]), guaranteeing a vector
+    * gets the same cell whether it arrived in the initial layout or in
+    * a later batch.
+    */
+  def fitCentroids(
+      fitEmb: DataFrame,
+      k: Int = 16,
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans()
+      .setK(k)
+      .setSeed(seed)
+      .setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(fitEmb.select(array_to_vector(col("v")).as("features")))
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+  }
+
+  /** Nearest-centroid assignment as a PURE PROJECTION: each centroid is
+    * a top-level array literal (KnnJoin's trick), the argmin is a
+    * struct array_min ordered by (d2, cell) — no join, no shuffle, no
+    * model object. This is the map-side-only shape incremental ingest
+    * needs: a batch streams through, picks its directory, and is
+    * written, with per-row cost k·dims multiply-adds.
+    */
+  def assignCells(emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cellScores = centroids.map { case (i, c) =>
+      val cv = typedlit(c)
+      struct(
+        aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+          .as("d2"),
+        lit(i).as("cell")
+      )
+    }
+    emb.withColumn("cell", array_min(array(cellScores: _*)).getField("cell"))
+  }
+
+  /** Lay out `corpus` under an index dir using already-fitted
+    * centroids (assignment via [[assignCells]]). */
+  def writeLayout(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      indexDir: String
+  ): Unit = {
+    val s = corpus.sparkSession
+    assignCells(corpus, centroids)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/data")
+    import s.implicits._
+    centroids.toDF("cell", "cv").write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Append a new embedding batch to an existing index: read the
+    * persisted centroids (tiny — k rows; collected driver-side to fold
+    * into the assignment projection as literals), assign, and `append`
+    * into the partitioned layout — new files land inside the existing
+    * cell directories, so probes (and their dynamic partition pruning)
+    * see the grown corpus with no other change. No KMeans refit, no
+    * shuffle: IvfAppendSpec asserts the assignment plan is
+    * exchange-free.
+    */
+  def append(newEmb: DataFrame, indexDir: String): Unit = {
+    val s = newEmb.sparkSession
+    val centroids = s.read
+      .parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    assignCells(newEmb, centroids)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write
+      .mode("append")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/data")
+  }
+
   /** Probe the persisted index: each query row (q_id, qv, qn) ranks
     * the stored centroids by euclidean distance, keeps its `nprobe`
     * nearest cells, and exact-cosine re-ranks only those cells'

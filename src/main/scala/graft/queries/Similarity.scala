@@ -23,10 +23,24 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Unique index-scratch dirs: the q133 build can run several times in
-    * one session (bench repeats); a retained dir from a previous run
-    * must never be read by the next. */
+  /** Unique index-scratch dirs: the q133/q139 builds can run several
+    * times in one session (bench repeats); a retained dir from a
+    * previous run must never be read by the next. */
   private val indexSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh absolute scratch path, pre-wiped: a per-JVM counter can
+    * collide with a dir an earlier PROCESS left behind (q112's scratch
+    * rule) — always start clean. */
+  private[queries] def freshIndexDir(prefix: String): String = {
+    val run = indexSeq.incrementAndGet()
+    val idx = new java.io.File(s"target/graft_scratch/${prefix}_$run").getAbsolutePath
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(idx))
+    idx
+  }
 
   /** Embeddings with double-precision vectors and L2 norms.
     * Deliberately NOT repartitioned (unlike Dedup.docsWide): the heavy
@@ -281,17 +295,45 @@ object Similarity {
     QueryDef(
       "q133_ivf_persist",
       (s, dir) => {
-        val run = indexSeq.incrementAndGet()
-        val idx = new java.io.File(s"target/graft_scratch/ivf_index_$run").getAbsolutePath
-        // per-JVM counter: an earlier process may have left the same-
-        // numbered dir — always start clean (q112's scratch rule)
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
-          f.delete(): Unit
-        }
-        wipe(new java.io.File(idx))
+        val idx = freshIndexDir("ivf_index")
         val e = emb(s, dir)
         graft.operators.IvfIndex.build(e, idx, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.probe(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+          nprobe = 2,
+          topK = 5
+        )
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (incremental index maintenance): the streaming analogue of
+    // q118's incremental dedup, for the serving index. The quantizer is
+    // fitted ONCE on the base corpus (3/4 of the vectors); the
+    // remaining 1/4 arrives later as an ingest batch and is APPENDED —
+    // nearest-centroid assignment as a pure projection (centroid
+    // literals, no join/shuffle; IvfAppendSpec asserts exchange-free),
+    // new files landing inside the existing cell directories. Probes
+    // then serve the grown corpus unchanged. The spec pins the
+    // equivalence that makes this safe: post-append probe results are
+    // bit-identical to a full relayout of the union corpus under the
+    // same centroids — so incremental ingest loses nothing vs rebuild
+    // while doing O(batch) work instead of O(corpus). Rows-only:
+    // KMeans cells are implementation-defined.
+    QueryDef(
+      "q139_ivf_append",
+      (s, dir) => {
+        val idx = freshIndexDir("ivf_append")
+        val e = emb(s, dir)
+        val base = e.filter(col("vec_id") % 4 =!= 3)
+        val batch = e.filter(col("vec_id") % 4 === 3)
+        val cents = graft.operators.IvfIndex.fitCentroids(base, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.writeLayout(base, cents, idx)
+        graft.operators.IvfIndex.append(batch, idx)
         graft.operators.IvfIndex.probe(
           s,
           idx,
