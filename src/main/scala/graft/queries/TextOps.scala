@@ -512,6 +512,134 @@ object TextOps {
         )
         SELECT pair, count(*) AS cnt, count(DISTINCT w) AS n_word_types
         FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 40""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BPE tokenizer training, THREE merge iterations deep — the
+    // iterate-on-derived-vocab shape (each round's pair counts depend
+    // on the previous round's merge having been APPLIED), the way
+    // PageRank exercises iterate-on-rank. Output: each step's top-5
+    // pair-count table (rank 1 is the merge learned that step), so the
+    // oracle pins not just the chosen merges but the evolving count
+    // tables around them.
+    //
+    // The working set is the word-TYPE histogram (types ≪ tokens —
+    // Sennrich et al. 2016 train on exactly this), localCheckpointed
+    // once so the three iterations re-fold a small materialized table
+    // instead of re-scanning the corpus per step. The greedy
+    // left-to-right merge is a string-accumulator fold (`aggregate`):
+    // append the next symbol, or — when the accumulator's LAST symbol
+    // is `ma` and the incoming one is `mb` — splice them; because the
+    // merged symbol no longer equals `ma`, overlapping runs resolve
+    // exactly as canonical greedy BPE ("aaaa" → "aa aa"). The chosen
+    // pair enters the plan as a broadcast 1-row cross join, so the
+    // whole 3-deep program is one DAG — no driver-side collect of
+    // anything data-sized. DuckDB mirrors the fold with list_reduce
+    // and an identical CASE, making every count integer-exact.
+    // Plan at 100 TB: one corpus scan + one hash exchange build the
+    // histogram; each iteration is then histogram-sized (map-side fold
+    // + one pair-count exchange + TakeOrdered top-5).
+    QueryDef(
+      "q140_bpe_train",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("sym", split(col("w"), ""))
+          .localCheckpoint()
+
+        def pairCounts(df: org.apache.spark.sql.DataFrame) =
+          df.filter(size(col("sym")) >= 2) // fully-merged words carry no pairs
+            .select(
+              col("c"),
+              explode(
+                expr("transform(sequence(1, size(sym)-1), i -> struct(element_at(sym, i) AS a, element_at(sym, i+1) AS b))")
+              ).as("p")
+            )
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("c").as("cnt"))
+
+        def top5(step: Int, df: org.apache.spark.sql.DataFrame) =
+          pairCounts(df)
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(5)
+            .withColumn("step", lit(step.toLong))
+            .withColumn(
+              "rk",
+              row_number()
+                .over(Window.orderBy(col("cnt").desc, col("a"), col("b")))
+                .cast("long")
+            )
+
+        def applyMerge(df: org.apache.spark.sql.DataFrame, best: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(broadcast(best.filter(col("rk") === 1).select(col("a").as("ma"), col("b").as("mb"))))
+            .withColumn(
+              "seq",
+              expr("""aggregate(slice(sym, 2, size(sym)-1), element_at(sym, 1),
+                     (acc, x) -> CASE
+                       WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = concat(' ', ma))
+                       THEN concat(left(acc, length(acc)-length(ma)), ma, mb)
+                       ELSE concat(acc, ' ', x) END)""")
+            )
+            .select(col("w"), col("c"), split(col("seq"), " ").as("sym"))
+
+        val t1 = top5(1, words)
+        val s1 = applyMerge(words, t1)
+        val t2 = top5(2, s1)
+        val s2 = applyMerge(s1, t2)
+        val t3 = top5(3, s2)
+        t1.unionByName(t2)
+          .unionByName(t3)
+          .select("step", "rk", "a", "b", "cnt")
+          .orderBy("step", "rk")
+      },
+      Some("""WITH words AS (
+          SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ), s0 AS (SELECT w, c, string_split(w, '') AS sym FROM words),
+        pc1 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s0)
+          GROUP BY 1, 2),
+        t1 AS (SELECT CAST(1 AS BIGINT) AS step,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk,
+                      a, b, cnt
+               FROM pc1 ORDER BY cnt DESC, a, b LIMIT 5),
+        s1 AS (SELECT w, c,
+                      string_split(list_reduce(sym, (acc, x) -> CASE
+                        WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = ' ' || ma)
+                        THEN left(acc, length(acc)-length(ma)) || ma || mb
+                        ELSE acc || ' ' || x END), ' ') AS sym
+               FROM s0 CROSS JOIN (SELECT a AS ma, b AS mb FROM t1 WHERE rk = 1)),
+        pc2 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s1)
+          GROUP BY 1, 2),
+        t2 AS (SELECT CAST(2 AS BIGINT) AS step,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk,
+                      a, b, cnt
+               FROM pc2 ORDER BY cnt DESC, a, b LIMIT 5),
+        s2 AS (SELECT w, c,
+                      string_split(list_reduce(sym, (acc, x) -> CASE
+                        WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = ' ' || ma)
+                        THEN left(acc, length(acc)-length(ma)) || ma || mb
+                        ELSE acc || ' ' || x END), ' ') AS sym
+               FROM s1 CROSS JOIN (SELECT a AS ma, b AS mb FROM t2 WHERE rk = 1)),
+        pc3 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s2)
+          GROUP BY 1, 2),
+        t3 AS (SELECT CAST(3 AS BIGINT) AS step,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rk,
+                      a, b, cnt
+               FROM pc3 ORDER BY cnt DESC, a, b LIMIT 5)
+        SELECT step, rk, a, b, cnt
+        FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+        ORDER BY step, rk""")
     )
   )
 }

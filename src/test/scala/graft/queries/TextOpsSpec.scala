@@ -68,6 +68,51 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     counts.sliding(2).foreach { case Array(a, b) => assert(a >= b, s"funnel grew: $a -> $b") }
   }
 
+  test("q140 BPE training: full (step, rank) grid, merges actually applied, deterministic") {
+    val run = () =>
+      SparkEntry
+        .queries("q140_bpe_train")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+    val rows = run()
+    // 3 steps × top-5: the exact grid, positive counts
+    assert(rows.map(r => (r._1, r._2)) == (for (s <- 1L to 3L; k <- 1L to 5L) yield (s, k)))
+    assert(rows.forall(_._5 > 0))
+    // the merge learned in step N can never survive as an adjacent pair
+    // into step N+1 (the greedy fold merges every (ma, mb) adjacency,
+    // and a merged symbol no longer equals ma) — so the winning pair
+    // must be absent from all later count tables
+    for (step <- 1L to 2L) {
+      val (ma, mb) = rows.collectFirst { case (`step`, 1L, a, b, _) => (a, b) }.get
+      assert(
+        !rows.exists(r => r._1 > step && r._3 == ma && r._4 == mb),
+        s"step-$step merge ($ma,$mb) reappeared later"
+      )
+    }
+    assert(run() == rows)
+  }
+
+  test("greedy BPE fold resolves overlapping runs canonically (aaaa -> aa aa)") {
+    // the q140 merge fold, applied to adversarial symbol runs: because
+    // a merged symbol no longer equals ma, "aaaa" must become "aa aa"
+    // (canonical greedy), never "aa a a"
+    val sess = spark
+    import sess.implicits._
+    val out = Seq("aaaa", "aaa", "ababab", "ba")
+      .toDF("w")
+      .selectExpr("w", "split(w, '') AS sym", "'a' AS ma", "'a' AS mb")
+      .selectExpr("""aggregate(slice(sym, 2, size(sym)-1), element_at(sym, 1),
+          (acc, x) -> CASE
+            WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = concat(' ', ma))
+            THEN concat(left(acc, length(acc)-length(ma)), ma, mb)
+            ELSE concat(acc, ' ', x) END) AS seq""")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    assert(out == Seq("aa aa", "aa a", "a b a b a b", "b a"))
+  }
+
   test("q75 date spine is dense: consecutive days, zero-filled gaps") {
     val rows = SparkEntry
       .queries("q75_date_spine")(spark, dir)
