@@ -576,6 +576,69 @@ object StreamGate {
         progressTable(gs, progress)
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E13 (streaming index ingest): a live embedding stream
+    // lands in the PERSISTENT IVF index — each micro-batch is assigned
+    // to the existing cells and appended into the partitioned layout
+    // via IvfIndex.append (a pure projection + append write; no refit,
+    // no shuffle), which is exactly how a serving index tracks a
+    // growing corpus: the quantizer never moves under the probes, and
+    // ingest cost is O(batch). After the drain, the probe serves the
+    // grown corpus — IvfStreamSpec pins the result bit-identical to
+    // q139's batch append (same assignment path, same data).
+    // Exactly-once caveat, stated plainly: append into the shared cell
+    // directories is idempotent only at micro-batch granularity (the
+    // checkpoint won't re-run a COMMITTED batch, but a mid-batch crash
+    // could leave a partial append). A production deployment lands
+    // each batch in its own staging directory (the q112 idempotent
+    // recipe) and folds it into the cell layout with the q124-style
+    // compaction job, or writes through a transactional table format.
+    // Rows-only: KMeans cells are implementation-defined.
+    QueryDef(
+      "q141_stream_ivf_ingest",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val idx = Similarity.freshIndexDir("ivf_stream")
+        val ck = Similarity.freshIndexDir("ivf_stream_ck")
+        def emb(df: DataFrame) =
+          df.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        val e = emb(gs.read.parquet(s"$dir/embeddings.parquet"))
+        val base = e.filter(col("vec_id") % 4 =!= 3)
+        val cents = graft.operators.IvfIndex.fitCentroids(base, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.writeLayout(base, cents, idx)
+
+        val schema = gs.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = emb(
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(dir)
+        ).filter(col("vec_id") % 4 === 3)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.operators.IvfIndex.append(batch, idx)
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally {
+          q.stop()
+          org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+        }
+        graft.operators.IvfIndex.probe(
+          gs,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+          nprobe = 2,
+          topK = 5
+        )
+      },
+      None
     )
   )
 }

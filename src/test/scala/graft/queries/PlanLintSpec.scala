@@ -25,7 +25,10 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q93_corpus_mix", // 1-row broadcast grand-total scalar
     "q107_collocations", // 1-row broadcast corpus-token-total scalar
     "q126_skew_report", // three 1-row broadcast stat pieces joined back
-    "q133_ivf_persist" // 16-row broadcast centroid table (same shape as q46)
+    "q133_ivf_persist", // 16-row broadcast centroid table (same shape as q46)
+    "q139_ivf_append", // 16-row broadcast centroid table (probe, same as q133)
+    "q140_bpe_train", // 1-row broadcast learned-merge pair per iteration
+    "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
