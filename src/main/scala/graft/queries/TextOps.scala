@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -45,6 +46,82 @@ object TextOps {
                  / len(string_split(text, ' '))) * 0.4
         + least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3"""
+
+  // ------------------------------------------------------------------
+  // BPE machinery shared by q140 (train) and q142 (encode) — one
+  // implementation so the tokenizer the corpus is encoded with can
+  // never drift from the one training learned.
+  // ------------------------------------------------------------------
+
+  /** The BPE working set: word-TYPE histogram (types ≪ tokens —
+    * Sennrich et al. 2016 train on exactly this), localCheckpointed
+    * once so the merge iterations re-fold a small materialized table
+    * instead of re-scanning the corpus per step.
+    */
+  private def bpeWordHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("sym", split(col("w"), ""))
+      .localCheckpoint()
+
+  /** Within-word adjacent symbol pair counts, weighted by word
+    * frequency — map-side explode, one partial-agg'd hash exchange. */
+  private def bpePairCounts(df: DataFrame): DataFrame =
+    df.filter(size(col("sym")) >= 2) // fully-merged words carry no pairs
+      .select(
+        col("c"),
+        explode(
+          expr("transform(sequence(1, size(sym)-1), i -> struct(element_at(sym, i) AS a, element_at(sym, i+1) AS b))")
+        ).as("p")
+      )
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("c").as("cnt"))
+
+  /** One training step's top-5 count table; rank 1 is the learned
+    * merge. TakeOrdered top-5, then rank over the 5 surviving rows. */
+  private def bpeTop5(step: Int, df: DataFrame): DataFrame =
+    bpePairCounts(df)
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(5)
+      .withColumn("step", lit(step.toLong))
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.orderBy(col("cnt").desc, col("a"), col("b")))
+          .cast("long")
+      )
+
+  /** Apply a learned merge greedily left-to-right: a string-accumulator
+    * fold — append the next symbol, or splice when the accumulator's
+    * LAST symbol is `ma` and the incoming one is `mb`. Because the
+    * merged symbol no longer equals `ma`, overlapping runs resolve
+    * exactly as canonical greedy BPE ("aaaa" → "aa aa"); DuckDB mirrors
+    * the fold with `list_reduce` and an identical CASE. The learned
+    * pair enters as a broadcast 1-row cross join, keeping the whole
+    * program one DAG with no driver-side data collect.
+    */
+  private def bpeApplyMerge(df: DataFrame, best: DataFrame): DataFrame =
+    df.crossJoin(broadcast(best.filter(col("rk") === 1).select(col("a").as("ma"), col("b").as("mb"))))
+      .withColumn(
+        "seq",
+        expr("""aggregate(slice(sym, 2, size(sym)-1), element_at(sym, 1),
+               (acc, x) -> CASE
+                 WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = concat(' ', ma))
+                 THEN concat(left(acc, length(acc)-length(ma)), ma, mb)
+                 ELSE concat(acc, ' ', x) END)""")
+      )
+      .select(col("w"), col("c"), split(col("seq"), " ").as("sym"))
+
+  /** The corpus after all three learned merges are applied, in order. */
+  private def bpeEncoded(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWordHistogram(s, dir)
+    val s1 = bpeApplyMerge(words, bpeTop5(1, words))
+    val s2 = bpeApplyMerge(s1, bpeTop5(2, s1))
+    bpeApplyMerge(s2, bpeTop5(3, s2))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -542,54 +619,12 @@ object TextOps {
     QueryDef(
       "q140_bpe_train",
       (s, dir) => {
-        val words = Tables(s, dir, "documents")
-          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy("w")
-          .agg(count(lit(1)).as("c"))
-          .withColumn("sym", split(col("w"), ""))
-          .localCheckpoint()
-
-        def pairCounts(df: org.apache.spark.sql.DataFrame) =
-          df.filter(size(col("sym")) >= 2) // fully-merged words carry no pairs
-            .select(
-              col("c"),
-              explode(
-                expr("transform(sequence(1, size(sym)-1), i -> struct(element_at(sym, i) AS a, element_at(sym, i+1) AS b))")
-              ).as("p")
-            )
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("c").as("cnt"))
-
-        def top5(step: Int, df: org.apache.spark.sql.DataFrame) =
-          pairCounts(df)
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(5)
-            .withColumn("step", lit(step.toLong))
-            .withColumn(
-              "rk",
-              row_number()
-                .over(Window.orderBy(col("cnt").desc, col("a"), col("b")))
-                .cast("long")
-            )
-
-        def applyMerge(df: org.apache.spark.sql.DataFrame, best: org.apache.spark.sql.DataFrame) =
-          df.crossJoin(broadcast(best.filter(col("rk") === 1).select(col("a").as("ma"), col("b").as("mb"))))
-            .withColumn(
-              "seq",
-              expr("""aggregate(slice(sym, 2, size(sym)-1), element_at(sym, 1),
-                     (acc, x) -> CASE
-                       WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = concat(' ', ma))
-                       THEN concat(left(acc, length(acc)-length(ma)), ma, mb)
-                       ELSE concat(acc, ' ', x) END)""")
-            )
-            .select(col("w"), col("c"), split(col("seq"), " ").as("sym"))
-
-        val t1 = top5(1, words)
-        val s1 = applyMerge(words, t1)
-        val t2 = top5(2, s1)
-        val s2 = applyMerge(s1, t2)
-        val t3 = top5(3, s2)
+        val words = bpeWordHistogram(s, dir)
+        val t1 = bpeTop5(1, words)
+        val s1 = bpeApplyMerge(words, t1)
+        val t2 = bpeTop5(2, s1)
+        val s2 = bpeApplyMerge(s1, t2)
+        val t3 = bpeTop5(3, s2)
         t1.unionByName(t2)
           .unionByName(t3)
           .select("step", "rk", "a", "b", "cnt")
@@ -640,6 +675,75 @@ object TextOps {
         SELECT step, rk, a, b, cnt
         FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
         ORDER BY step, rk""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BPE ENCODE — the other half of the tokenizer lifecycle: apply
+    // the three merges q140 learned (same shared machinery, so the
+    // applied tokenizer can never drift from the trained one) to the
+    // whole word histogram and emit the resulting symbol vocabulary —
+    // per-symbol corpus frequency and distinct word types, top 30.
+    // Merged symbols ("er", "in", …) surface with the counts their
+    // constituent pairs had, and single chars keep only their unmerged
+    // residue — so the oracle (the q140 CTE extended one apply step
+    // and an unnest/count) pins that every merge was applied, in
+    // order, with the canonical greedy fold. Encoding is the map-side
+    // fold only — at 100 TB this is the per-document tokenize pass;
+    // the symbol count here is its auditable corpus-level summary.
+    QueryDef(
+      "q142_bpe_encode",
+      (s, dir) =>
+        bpeEncoded(s, dir)
+          .select(col("w"), col("c"), explode(col("sym")).as("sym_"))
+          .groupBy(col("sym_").as("sym"))
+          .agg(sum("c").as("cnt"), countDistinct(col("w")).as("n_word_types"))
+          .orderBy(col("cnt").desc, col("sym"))
+          .limit(30),
+      Some("""WITH words AS (
+          SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ), s0 AS (SELECT w, c, string_split(w, '') AS sym FROM words),
+        pc1 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s0)
+          GROUP BY 1, 2),
+        m1 AS (SELECT a AS ma, b AS mb FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        s1 AS (SELECT w, c,
+                      string_split(list_reduce(sym, (acc, x) -> CASE
+                        WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = ' ' || ma)
+                        THEN left(acc, length(acc)-length(ma)) || ma || mb
+                        ELSE acc || ' ' || x END), ' ') AS sym
+               FROM s0 CROSS JOIN m1),
+        pc2 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s1)
+          GROUP BY 1, 2),
+        m2 AS (SELECT a AS ma, b AS mb FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+        s2 AS (SELECT w, c,
+                      string_split(list_reduce(sym, (acc, x) -> CASE
+                        WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = ' ' || ma)
+                        THEN left(acc, length(acc)-length(ma)) || ma || mb
+                        ELSE acc || ' ' || x END), ' ') AS sym
+               FROM s1 CROSS JOIN m2),
+        pc3 AS (
+          SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s2)
+          GROUP BY 1, 2),
+        m3 AS (SELECT a AS ma, b AS mb FROM pc3 ORDER BY cnt DESC, a, b LIMIT 1),
+        s3 AS (SELECT w, c,
+                      string_split(list_reduce(sym, (acc, x) -> CASE
+                        WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = ' ' || ma)
+                        THEN left(acc, length(acc)-length(ma)) || ma || mb
+                        ELSE acc || ' ' || x END), ' ') AS sym
+               FROM s2 CROSS JOIN m3)
+        SELECT sym, cnt, n_word_types FROM (
+          SELECT sym_ AS sym, CAST(sum(c) AS BIGINT) AS cnt,
+                 CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+          FROM (SELECT w, c, unnest(sym) AS sym_ FROM s3)
+          GROUP BY 1)
+        ORDER BY cnt DESC, sym LIMIT 30""")
     )
   )
 }

@@ -28,6 +28,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q133_ivf_persist", // 16-row broadcast centroid table (same shape as q46)
     "q139_ivf_append", // 16-row broadcast centroid table (probe, same as q133)
     "q140_bpe_train", // 1-row broadcast learned-merge pair per iteration
+    "q142_bpe_encode", // same 1-row learned-merge broadcasts (shared machinery)
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 

@@ -93,6 +93,36 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run() == rows)
   }
 
+  test("q142 BPE encode: vocabulary complete, characters conserved, learned merges present") {
+    val out = SparkEntry
+      .queries("q142_bpe_encode")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // the alphabet is [a-z] and 3 merges add ≤3 symbols, so ≤29 distinct
+    // symbols exist and the LIMIT 30 is provably un-truncated — the
+    // output IS the whole vocabulary
+    assert(out.nonEmpty && out.size <= 29)
+    // character conservation: encoding regroups characters into symbols
+    // but never creates or destroys one — Σ cnt·len(sym) must equal the
+    // corpus' total within-word character count
+    val symChars = out.map { case (sym, cnt, _) => cnt * sym.length }.sum
+    val corpusChars = graft.Tables(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w"))))
+      .collect()(0)
+      .getLong(0)
+    assert(symChars == corpusChars, s"$symChars chars in symbols vs $corpusChars in corpus")
+    // the three learned merges must surface as multi-char symbols
+    val learned = SparkEntry
+      .queries("q140_bpe_train")(spark, dir)
+      .collect()
+      .collect { case r if r.getLong(1) == 1L => r.getString(2) + r.getString(3) }
+    assert(learned.length == 3)
+    learned.foreach(m => assert(out.exists(_._1 == m), s"merge $m missing from vocabulary"))
+  }
+
   test("greedy BPE fold resolves overlapping runs canonically (aaaa -> aa aa)") {
     // the q140 merge fold, applied to adversarial symbol runs: because
     // a merged symbol no longer equals ma, "aaaa" must become "aa aa"
