@@ -307,5 +307,69 @@ object PipelineOps {
                 < (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 ELSE 4 END) * 4294967296
           GROUP BY 1 ORDER BY 1""")
     ),
+
+    // ------------------------------------------------------------------
+    // Token-budget corpus selection — "fill a 20%-of-corpus token
+    // budget with the best documents": the curation step that turns a
+    // quality score into an actual training set under a token cap.
+    // Selection order is (quality bucket DESC, doc_id ASC) — quality is
+    // bucketed to 1/1000ths precisely so the plan can be TWO-PASS
+    // instead of a global per-doc sort: (1) per-bucket token sums roll
+    // up map-side into a ≤1001-row table whose running sum (the only
+    // partition-less window here — bounded by CONSTRUCTION, not data)
+    // yields each bucket's tokens-above prefix; (2) docs join their
+    // bucket's prefix by broadcast and a PARTITIONED running-sum window
+    // (by bucket) decides the partial bucket at the cutoff. No
+    // data-scaled single-task stage anywhere; the 100 TB caveat is
+    // quality-skew (many docs in one bucket) — the fix is more bucket
+    // digits, the same knob as any histogram. Budget arithmetic is
+    // integer (total DIV 5) and quality is the shared bit-identical
+    // qualityExpr, so the kept SET is oracle-exact.
+    QueryDef(
+      "q143_token_budget",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            TextOps.qualityExpr.as("quality")
+          )
+          .withColumn("bucket", floor(col("quality") * lit(1000)).cast("long"))
+        val budget = docs.agg((sum("n_tokens").cast("long")).as("t")).select(expr("t DIV 5").as("budget"))
+        val wB = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = docs
+          .groupBy("bucket")
+          .agg(sum("n_tokens").as("btok"))
+          .withColumn("above", coalesce(sum("btok").over(wB), lit(0L)))
+          .select("bucket", "above")
+        val wD = Window.partitionBy("bucket").orderBy("doc_id")
+        docs
+          .join(broadcast(bpre), Seq("bucket"))
+          .crossJoin(broadcast(budget))
+          .withColumn("cum_in", sum("n_tokens").over(wD))
+          .filter(col("above") + col("cum_in") <= col("budget"))
+          .select("doc_id", "bucket", "n_tokens", "quality")
+          .orderBy(col("bucket").desc, col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 ${TextOps.QualitySql} AS quality
+          FROM documents),
+        db AS (SELECT *, CAST(floor(quality * 1000) AS BIGINT) AS bucket FROM d),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 5 AS budget FROM db),
+        bk AS (SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS btok FROM db GROUP BY 1),
+        bp AS (SELECT bucket,
+                      COALESCE(CAST(sum(btok) OVER (ORDER BY bucket DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS above
+               FROM bk),
+        k AS (SELECT db.doc_id, db.bucket, db.n_tokens, db.quality, bp.above,
+                     CAST(sum(db.n_tokens) OVER (PARTITION BY db.bucket
+                       ORDER BY db.doc_id) AS BIGINT) AS cum_in
+              FROM db JOIN bp USING (bucket))
+        SELECT doc_id, bucket, n_tokens, quality
+        FROM k, tot WHERE above + cum_in <= budget
+        ORDER BY bucket DESC, doc_id""")
+    )
   )
 }

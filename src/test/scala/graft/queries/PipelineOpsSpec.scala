@@ -14,6 +14,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("q143: kept set fits the budget and is greedily maximal in (bucket desc, doc_id) order") {
+    val kept = SparkEntry
+      .queries("q143_token_budget")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[Long]("n_tokens")))
+    assert(kept.nonEmpty)
+    // recompute the universe + budget independently
+    val all = Tables(spark, sf, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        floor(TextOps.qualityExpr * lit(1000)).cast("long").as("bucket")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val budget = all.map(_._3).sum / 5
+    val keptTokens = kept.map(_._3).sum
+    assert(keptTokens <= budget, s"kept $keptTokens > budget $budget")
+    // maximality: walking the selection order, the FIRST unkept doc
+    // must not fit — and everything kept must be a prefix of that walk
+    val keptIds = kept.map(_._1).toSet
+    val ordered = all.sortBy { case (id, b, _) => (-b, id) }
+    val prefix = ordered.takeWhile { case (id, _, _) => keptIds(id) }
+    assert(prefix.length == kept.length, "kept set is not a prefix of the selection order")
+    ordered.drop(prefix.length).headOption.foreach { case (_, _, t) =>
+      assert(keptTokens + t > budget, "next candidate would still fit — selection stopped early")
+    }
+  }
+
   test("q96: bins partition the corpus; every bin except a stratum's last is >= budget-64 full") {
     val out = SparkEntry.queries("q96_sequence_pack")(spark, sf).collect()
     val docsTotal = Tables(spark, sf, "documents").count()

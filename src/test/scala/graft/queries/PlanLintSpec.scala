@@ -29,6 +29,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q139_ivf_append", // 16-row broadcast centroid table (probe, same as q133)
     "q140_bpe_train", // 1-row broadcast learned-merge pair per iteration
     "q142_bpe_encode", // same 1-row learned-merge broadcasts (shared machinery)
+    "q143_token_budget", // 1-row broadcast token-budget scalar
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
