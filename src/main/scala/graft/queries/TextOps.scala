@@ -678,6 +678,61 @@ object TextOps {
     ),
 
     // ------------------------------------------------------------------
+    // Distributional typicality scoring — an INTEGER-EXACT perplexity
+    // proxy: score each document by the average corpus frequency of
+    // its within-word character bigrams (typical text is made of
+    // typical bigrams; boilerplate, mojibake, and language outliers
+    // score low). A true LM perplexity needs log-probabilities, whose
+    // libm low bits differ across engines — the fixed-point mean
+    // frequency ((Σ freq)·10⁶ DIV n) ranks documents the same way and
+    // hashes identically. Emits the 25 LEAST typical documents — the
+    // review queue a curation pass actually reads. Plan: the bigram
+    // occurrence stream is map-side (native char_ngrams walk); corpus
+    // counts are one partial-agg'd exchange into a charset²-bounded
+    // table that broadcast-joins back onto the stream (the stream is
+    // recomputed, not cached — at 100 TB you'd persist the TINY count
+    // table, never the occurrences); per-doc sums are one doc-keyed
+    // exchange; top-25 is TakeOrdered.
+    QueryDef(
+      "q144_typicality",
+      (s, dir) => {
+        def occurrences =
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+            .filter(length(col("w")) >= 2)
+            .select(col("doc_id"), explode(expr("char_ngrams(w, 2)")).as("pair"))
+        val counts = occurrences.groupBy("pair").agg(count(lit(1)).as("freq"))
+        occurrences
+          .join(broadcast(counts), Seq("pair"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("sum_freq"))
+          // documented headroom bound (same discipline as Int8Quantize's
+          // q_sum): the ×10⁶ scaling overflows BIGINT only when a single
+          // document's Σ freq exceeds 2^63/10⁶ ≈ 9.2·10¹² — i.e. ~10³
+          // bigrams each seen ~10¹⁰ times corpus-wide; raise the scale
+          // divisor or drop to ×10³ before a corpus that large
+          .withColumn("avg_freq_micros", expr("sum_freq * 1000000L DIV n_bigrams"))
+          .orderBy(col("avg_freq_micros").asc, col("doc_id"))
+          .limit(25)
+          .select("doc_id", "n_bigrams", "sum_freq", "avg_freq_micros")
+      },
+      Some("""WITH occ AS (
+          SELECT doc_id, substring(w, i, 2) AS pair
+          FROM (SELECT doc_id, w, unnest(range(1, length(w))) AS i
+                FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                      FROM documents)
+                WHERE length(w) >= 2)),
+        cnt AS (SELECT pair, count(*) AS freq FROM occ GROUP BY 1),
+        scored AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(freq) AS BIGINT) AS sum_freq
+          FROM occ JOIN cnt USING (pair) GROUP BY 1)
+        SELECT doc_id, n_bigrams, sum_freq,
+               (sum_freq * 1000000) // n_bigrams AS avg_freq_micros
+        FROM scored ORDER BY avg_freq_micros, doc_id LIMIT 25""")
+    ),
+
+    // ------------------------------------------------------------------
     // BPE ENCODE — the other half of the tokenizer lifecycle: apply
     // the three merges q140 learned (same shared machinery, so the
     // applied tokenizer can never drift from the trained one) to the

@@ -123,6 +123,35 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     learned.foreach(m => assert(out.exists(_._1 == m), s"merge $m missing from vocabulary"))
   }
 
+  test("q144 typicality scores equal a plain-Scala recompute; output is the global bottom-25") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // recompute: within-word char bigrams, corpus frequencies, per-doc mean
+    def bigrams(text: String): Seq[String] =
+      text.toLowerCase
+        .split("[^a-z]+")
+        .filter(_.length >= 2)
+        .flatMap(w => w.sliding(2))
+        .toSeq
+    val freq = docs.flatMap { case (_, t) => bigrams(t) }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = docs.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val sumF = bs.map(freq).sum
+        Some((id, bs.length.toLong, sumF, sumF * 1000000L / bs.length))
+      }
+    }.sortBy { case (id, _, _, avg) => (avg, id) }.take(25).toSeq
+    val got = SparkEntry
+      .queries("q144_typicality")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
   test("greedy BPE fold resolves overlapping runs canonically (aaaa -> aa aa)") {
     // the q140 merge fold, applied to adversarial symbol runs: because
     // a merged symbol no longer equals ma, "aaaa" must become "aa aa"
