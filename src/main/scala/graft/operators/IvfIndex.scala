@@ -167,13 +167,58 @@ object IvfIndex {
       .parquet(s"$indexDir/data")
   }
 
+  /** Record vectors as deleted WITHOUT touching the cell layout: ids
+    * append into a tombstone table beside the data, and [[probe]]
+    * anti-joins them out at query time. This is the only delete shape
+    * that works at serving scale — rewriting cell files per delete
+    * request is a compaction-sized job, not a request-sized one. The
+    * tombstone side stays tiny relative to the corpus (it is reset by
+    * every [[compact]]), so the anti-join broadcasts; a deployment that
+    * lets tombstones grow past broadcast size is overdue for
+    * compaction, not a bigger join.
+    */
+  def delete(ids: DataFrame, indexDir: String): Unit =
+    ids
+      .select(col("vec_id"))
+      .write
+      .mode("append")
+      .parquet(s"$indexDir/tombstones")
+
+  /** Fold accumulated tombstones into the layout: rewrite the cell
+    * directories without the deleted rows and clear the tombstone
+    * table. Probe results are unchanged by construction (the anti-join
+    * already hid those rows) — IvfDeleteSpec pins probe-before ==
+    * probe-after bit-identically; only the physical files shrink. The
+    * cell assignment of surviving rows is kept, not recomputed, so
+    * compaction never moves a vector between directories.
+    */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val survivors = s.read
+      .parquet(s"$indexDir/data")
+      .join(s.read.parquet(s"$indexDir/tombstones"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "v", "norm", "cell")
+    // stage the rewrite next to the live layout, then swap: a rewrite
+    // in place would read and overwrite the same directories
+    val staged = s"$indexDir/data_compacted"
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$indexDir/data"))
+    new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/data")): Unit
+    rm(new java.io.File(s"$indexDir/tombstones"))
+  }
+
   /** Probe the persisted index: each query row (q_id, qv, qn) ranks
     * the stored centroids by euclidean distance, keeps its `nprobe`
     * nearest cells, and exact-cosine re-ranks only those cells'
     * vectors to its top `topK`. The probed-cell set is broadcast, so
     * the equi-join on the PARTITION column carries a dynamic-pruning
     * subquery into the data scan — cells outside the probe set are
-    * skipped at directory level.
+    * skipped at directory level. If a tombstone table exists (see
+    * [[delete]]), its ids are broadcast-anti-joined out of the
+    * candidate stream before re-ranking.
     */
   def probe(
       s: SparkSession,
@@ -196,7 +241,11 @@ object IvfIndex {
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("cell"))
 
-    val data = s.read.parquet(s"$indexDir/data")
+    val raw = s.read.parquet(s"$indexDir/data")
+    val data =
+      if (new java.io.File(s"$indexDir/tombstones").exists())
+        raw.join(broadcast(s.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
+      else raw
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     data
       .join(broadcast(probed), Seq("cell"))

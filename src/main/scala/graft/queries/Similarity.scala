@@ -347,6 +347,40 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 (index deletion — the GDPR/right-to-be-forgotten shape that
+    // completes the persistent index lifecycle: build q133, append
+    // q139/q141, DELETE here): forget-requests append vec_ids into a
+    // tombstone table beside the layout; probes broadcast-anti-join
+    // them out of the candidate stream, so a delete costs one tiny
+    // append — never a cell-file rewrite on the request path. The
+    // physical rewrite is IvfIndex.compact, a separately-scheduled
+    // q124-style maintenance job; IvfDeleteSpec pins (a) the
+    // tombstoned probe bit-identical to an index built without the
+    // deleted vectors, (b) probe-before == probe-after compaction with
+    // the files actually shrunk, and (c) dynamic partition pruning
+    // surviving the tombstone anti-join. Rows-only: cells are
+    // implementation-defined.
+    QueryDef(
+      "q145_ivf_delete",
+      (s, dir) => {
+        val idx = freshIndexDir("ivf_delete")
+        val e = emb(s, dir)
+        val cents = graft.operators.IvfIndex.fitCentroids(e, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.writeLayout(e, cents, idx)
+        graft.operators.IvfIndex.delete(e.filter(col("vec_id") % 7 === 0).select("vec_id"), idx)
+        graft.operators.IvfIndex.probe(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+          nprobe = 2,
+          topK = 5
+        )
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts
