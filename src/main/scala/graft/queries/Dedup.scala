@@ -634,6 +634,59 @@ object Dedup {
         FROM qual q LEFT JOIN lab ON lab.doc_id = q.doc_id
         WHERE lab.doc_id IS NULL
         ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E12 (incremental near-dup admission — q118's incremental shape
+    // for SIMILARITY instead of exact hashes): a new crawl batch
+    // (doc_id % 5 == 4) is checked against the EXISTING corpus — for
+    // each new doc, its near-duplicate matches among the old docs at
+    // the same exact-Jaccard ≥ 0.5 / rare-shingle definition as q35.
+    // The plan is the admission-control shape, not a corpus self-join:
+    // the shingle-keyed equi-join pairs NEW rows against OLD rows
+    // only, so per-batch cost is O(batch × df-capped fanout) — the
+    // corpus side never pairs with itself. At 100 TB the old side's
+    // (g, doc_id) rows and per-doc sizes ARE the persisted shingle
+    // index (recomputed here for a self-contained oracle, exactly as
+    // q118 recomputes its fingerprint index); the df ∈ [2, 50] cap is
+    // computed over the union so admission agrees with what a full
+    // q35 re-run would say — the spec pins that equivalence.
+    QueryDef(
+      "q146_incremental_neardup",
+      (s, dir) => {
+        val all = shingleRows(s, dir)
+        val rare = all
+          .groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 50)
+          .select("g")
+        // feeds the size table and both join sides — materialize once
+        // (jaccardPairs' localCheckpoint rationale)
+        val shr = all.join(rare, Seq("g")).localCheckpoint()
+        val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val newSide = shr.filter(col("doc_id") % 5 === 4).select(col("doc_id").as("d_new"), col("g"))
+        val oldSide = shr.filter(col("doc_id") % 5 =!= 4).select(col("doc_id").as("d_old"), col("g"))
+        newSide
+          .join(oldSide, Seq("g"))
+          .groupBy("d_new", "d_old")
+          .agg(count(lit(1)).as("shared"))
+          .join(sz.as("s1"), col("d_new") === col("s1.doc_id"))
+          .join(sz.as("s2"), col("d_old") === col("s2.doc_id"))
+          .select(
+            col("d_new"),
+            col("d_old"),
+            (col("shared").cast("double") / (col("s1.n") + col("s2.n") - col("shared")))
+              .as("jaccard")
+          )
+          .filter(col("jaccard") >= PairMinJaccard)
+          .orderBy("d_new", "d_old")
+      },
+      Some(s"""WITH $pairSql
+        SELECT CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS d_new,
+               CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END AS d_old,
+               jaccard
+        FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
+        ORDER BY d_new, d_old""")
     )
   )
 }

@@ -114,4 +114,25 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
       .toSeq
     assert(got == exact)
   }
+
+  test("q146 incremental admission equals the full q35 pair graph restricted to cross-set pairs") {
+    // the incremental plan (new-batch shingles joined only against the
+    // old corpus) must admit EXACTLY the pairs a full self-join re-run
+    // finds between the two sets — no recall loss from incrementality
+    val full = SparkEntry
+      .queries("q35_ngram_jaccard")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (d1, d2, _) => (d1 % 5 == 4) != (d2 % 5 == 4) }
+      .map { case (d1, d2, j) => if (d1 % 5 == 4) (d1, d2, j) else (d2, d1, j) }
+      .sortBy { case (dn, dq, _) => (dn, dq) }
+      .toSeq
+    val incr = SparkEntry
+      .queries("q146_incremental_neardup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(incr == full)
+    assert(incr.nonEmpty || full.isEmpty)
+  }
 }
