@@ -381,6 +381,89 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 × q119 (scalar-quantized ANN scan): the serving pattern int8
+    // quantization exists FOR — candidates come from an INTEGER
+    // dot-product scan over the 4×-smaller code vectors (the pass that
+    // runs SIMD-wide and cache-resident at scale), exact cosine
+    // re-ranks only the top-20 survivors. Codes use q119's exact
+    // formula (per-vector symmetric scale, HALF_UP rounding — the same
+    // in both engines, which is what makes this whole query
+    // ORACLE-EXACT, unusual for an ANN path: integer candidate scores
+    // have no float drift, and the re-rank doubles are the
+    // bit-identical q40 cosine). Deterministic ties: (dot DESC,
+    // vec_id). The candidate cut is the accuracy/speed knob; recall vs
+    // exact is pinned by SimilaritySpec at 100% on this corpus.
+    QueryDef(
+      "q147_int8_ann",
+      (s, dir) => {
+        val coded = Tables(s, dir, "embeddings")
+          .withColumn(
+            "mx",
+            greatest(
+              expr("aggregate(embedding, cast(0 AS double), (a, x) -> greatest(a, abs(cast(x AS double))))"),
+              lit(1e-30)
+            )
+          )
+          .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+          .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+          .withColumn("qc", expr("transform(embedding, x -> cast(round(cast(x AS double) * 127 / mx) AS int))"))
+          .select("vec_id", "v", "norm", "qc")
+        val probes = coded
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"), col("qc").as("qqc"))
+        val wDot = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+        val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        coded
+          .crossJoin(broadcast(probes))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("dot", expr("aggregate(zip_with(qqc, qc, (a, b) -> cast(a AS long) * b), cast(0 AS long), (acc, x) -> acc + x)"))
+          .withColumn("crk", row_number().over(wDot))
+          .filter(col("crk") <= 20)
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .withColumn("rank", row_number().over(wCos).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "vec_id", "cos", "dot")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 greatest(list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS mx
+          FROM embeddings),
+        coded AS (
+          SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm,
+                 list_transform(v, x -> CAST(round(x * 127 / mx) AS BIGINT)) AS qc
+          FROM base),
+        probes AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, qc AS qqc
+                   FROM coded WHERE vec_id < 10),
+        scanned AS (
+          SELECT q_id, vec_id, qv, qn, v, norm,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(qqc)+1), i -> qqc[i]*qc[i])), (a,b) -> a+b) AS dot
+          FROM coded CROSS JOIN probes WHERE q_id <> vec_id),
+        cand AS (
+          SELECT * FROM (
+            SELECT q_id, vec_id, qv, qn, v, norm, dot,
+                   row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS crk
+            FROM scanned)
+          WHERE crk <= 20),
+        reranked AS (
+          SELECT q_id, vec_id, dot,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)
+                   / (qn * norm) AS cos
+          FROM cand)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos, dot FROM (
+          SELECT q_id, vec_id, cos, dot,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM reranked)
+        WHERE rank <= 5 ORDER BY q_id, rank""")
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts

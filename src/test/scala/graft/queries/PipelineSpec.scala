@@ -61,6 +61,22 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q147 int8-quantized scan: recall vs exact q40, integer dots bounded, deterministic") {
+    val brute = run("q40_cosine_topk")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .toSet
+    val quant = run("q147_int8_ann").collect()
+    assert(quant.length == 50)
+    val hits = quant.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).count(brute)
+    // 20 int8 candidates recover the exact top-5 on this corpus: the
+    // quantized dot preserves ranking well past the re-rank margin
+    assert(hits.toDouble / brute.size >= 0.9, s"recall ${hits.toDouble / brute.size}")
+    // |dot| ≤ dims·127² — the documented int64 headroom
+    assert(quant.forall(r => math.abs(r.getAs[Long]("dot")) <= 64L * 127 * 127))
+    assert(run("q147_int8_ann").collect().toSeq == quant.toSeq)
+  }
+
   test("q46 ANN-IVF: probed-cell candidates respect the brute-force quality bound") {
     val brute = run("q40_cosine_topk")
       .filter(col("rank") === 1)

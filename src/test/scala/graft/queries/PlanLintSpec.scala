@@ -31,6 +31,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q142_bpe_encode", // same 1-row learned-merge broadcasts (shared machinery)
     "q143_token_budget", // 1-row broadcast token-budget scalar
     "q145_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
+    "q147_int8_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
