@@ -370,6 +370,61 @@ object PipelineOps {
         SELECT doc_id, bucket, n_tokens, quality
         FROM k, tot WHERE above + cum_in <= budget
         ORDER BY bucket DESC, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Export manifest with content checksums — the handoff artifact
+    // between data-prep and the training job: the corpus is physically
+    // WRITTEN out as md5-assigned shards (q98's assignment rule), the
+    // files are read BACK, and the manifest is computed from the
+    // re-read bytes — per-shard doc count, token count, and an
+    // order-independent XOR of per-doc content fingerprints
+    // (md5 over id:text, engine-independent — the q116/q121 md5
+    // integer trick). The oracle computes the identical manifest from
+    // the SOURCE table, so one lost, duplicated, re-id'd, or
+    // bit-flipped document anywhere in the write→read round trip
+    // breaks the hash. XOR makes the checksum order- and
+    // partitioning-independent — the property a distributed writer
+    // needs (q112 proves sink exactness by re-aggregation; this is
+    // the portable artifact form of the same guarantee). Fresh scratch
+    // dir per run (q112's rule).
+    QueryDef(
+      "q148_export_manifest",
+      (s, dir) => {
+        val out = Similarity.freshIndexDir("export_shards")
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("text"),
+            (instr(lit("0123456789abcdef"), substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+              .cast("long")
+              .as("shard")
+          )
+          .write
+          .partitionBy("shard")
+          .parquet(out)
+        s.read
+          .parquet(out)
+          .select(
+            col("shard").cast("long").as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            expr("cast(conv(substring(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+              .as("fp")
+          )
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            expr("bit_xor(fp)").as("fp_xor")
+          )
+          .orderBy("shard")
+      },
+      Some("""SELECT CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT)) AS fp_xor
+        FROM documents GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -43,6 +43,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q148: re-read manifest equals source-side recompute; checksum is corruption-sensitive") {
+    def sourceManifest = Tables(spark, sf, "documents")
+      .select(
+        col("doc_id"),
+        (instr(lit("0123456789abcdef"), substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+          .cast("long")
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id AS string), ':', text)), 1, 15), 16, 10) AS bigint)")
+          .as("fp")
+      )
+    val fromFiles = SparkEntry
+      .queries("q148_export_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val fromSource = sourceManifest
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"), expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy("shard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // the write→read round trip changed nothing
+    assert(fromFiles == fromSource)
+    assert(fromFiles.map(_._2).sum == Tables(spark, sf, "documents").count())
+    // losing any single document flips its shard's XOR fingerprint:
+    // fp_xor(shard \ doc) == fp_xor(shard) ⊕ fp(doc) ≠ fp_xor(shard)
+    // whenever fp(doc) ≠ 0 — check every doc's fp is nonzero
+    val zeroFps = sourceManifest.filter(col("fp") === 0L).count()
+    assert(zeroFps == 0L)
+  }
+
   test("q96: bins partition the corpus; every bin except a stratum's last is >= budget-64 full") {
     val out = SparkEntry.queries("q96_sequence_pack")(spark, sf).collect()
     val docsTotal = Tables(spark, sf, "documents").count()
