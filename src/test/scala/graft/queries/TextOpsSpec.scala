@@ -152,6 +152,44 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("BPE fold is exhaustively canonical: all {a,b} strings to length 10 x all merge pairs") {
+    // reference greedy left-to-right merge
+    def ref(word: String, ma: String, mb: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      word.foreach { ch =>
+        val s = ch.toString
+        if (out.nonEmpty && out.last == ma && s == mb) out(out.length - 1) = ma + mb
+        else out += s
+      }
+      out.mkString(" ")
+    }
+    val words = (1 to 10).flatMap { n =>
+      (0 until (1 << n)).map { bits =>
+        (0 until n).map(i => if (((bits >> i) & 1) == 0) 'a' else 'b').mkString
+      }
+    }
+    val cases = for {
+      w <- words
+      (ma, mb) <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+    } yield (w, ma, mb, ref(w, ma, mb))
+    val sess = spark
+    import sess.implicits._
+    val got = cases
+      .toDF("w", "ma", "mb", "want")
+      .selectExpr(
+        "want",
+        """aggregate(slice(split(w, ''), 2, size(split(w, '')) - 1), element_at(split(w, ''), 1),
+           (acc, x) -> CASE
+             WHEN x = mb AND (acc = ma OR right(acc, length(ma)+1) = concat(' ', ma))
+             THEN concat(left(acc, length(acc)-length(ma)), ma, mb)
+             ELSE concat(acc, ' ', x) END) AS got"""
+      )
+      .collect()
+    assert(got.length == cases.length)
+    val bad = got.filter(r => r.getString(1) != r.getString(0))
+    assert(bad.isEmpty, s"${bad.length} mismatches, first: ${bad.headOption}")
+  }
+
   test("greedy BPE fold resolves overlapping runs canonically (aaaa -> aa aa)") {
     // the q140 merge fold, applied to adversarial symbol runs: because
     // a merged symbol no longer equals ma, "aaaa" must become "aa aa"
