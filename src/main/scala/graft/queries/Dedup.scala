@@ -126,9 +126,54 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup admission: every (new, old) doc pair at the
+    * q35 exact-Jaccard definition, computed with the admission-control
+    * plan — new-side shingles equi-join only the old side, so per-batch
+    * cost is O(batch × df-capped fanout) and the corpus never pairs
+    * with itself. The rare-shingle df ∈ [2, 50] rule runs over the
+    * UNION so admission agrees with a full q35 re-run
+    * (DedupPipelineSpec pins that equivalence). Shared by q146 (batch)
+    * and q149 (the same check run live per micro-batch).
+    */
+  private[queries] def admissionPairs(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      minJaccard: Double
+  ): DataFrame = {
+    def sh(df: DataFrame, isNew: Boolean) =
+      df.select(col("doc_id"), explode(expr("word_shingles(text, 3)")).as("g"))
+        .withColumn("is_new", lit(isNew))
+    val all = sh(oldDocs, isNew = false).unionByName(sh(newDocs, isNew = true))
+    val rare = all
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+      .select("g")
+    // feeds the size table and both join sides — materialize once
+    // (jaccardPairs' localCheckpoint rationale)
+    val shr = all.join(rare, Seq("g")).localCheckpoint()
+    val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val newSide = shr.filter(col("is_new")).select(col("doc_id").as("d_new"), col("g"))
+    val oldSide = shr.filter(!col("is_new")).select(col("doc_id").as("d_old"), col("g"))
+    newSide
+      .join(oldSide, Seq("g"))
+      .groupBy("d_new", "d_old")
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.as("s1"), col("d_new") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d_old") === col("s2.doc_id"))
+      .select(
+        col("d_new"),
+        col("d_old"),
+        (col("shared").cast("double") / (col("s1.n") + col("s2.n") - col("shared")))
+          .as("jaccard")
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d_new", "d_old")
+  }
+
   /** The Jaccard threshold shared by the pair query, the cluster query,
     * and (interpolated) both DuckDB oracles — one knob, no drift. */
-  private val PairMinJaccard = 0.5
+  private[queries] val PairMinJaccard = 0.5
 
   /** The q35 pair CTE chain as DuckDB SQL — prefix for oracles that
     * consume the pair graph. Threshold interpolated from the same
@@ -654,32 +699,12 @@ object Dedup {
     QueryDef(
       "q146_incremental_neardup",
       (s, dir) => {
-        val all = shingleRows(s, dir)
-        val rare = all
-          .groupBy("g")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 50)
-          .select("g")
-        // feeds the size table and both join sides — materialize once
-        // (jaccardPairs' localCheckpoint rationale)
-        val shr = all.join(rare, Seq("g")).localCheckpoint()
-        val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val newSide = shr.filter(col("doc_id") % 5 === 4).select(col("doc_id").as("d_new"), col("g"))
-        val oldSide = shr.filter(col("doc_id") % 5 =!= 4).select(col("doc_id").as("d_old"), col("g"))
-        newSide
-          .join(oldSide, Seq("g"))
-          .groupBy("d_new", "d_old")
-          .agg(count(lit(1)).as("shared"))
-          .join(sz.as("s1"), col("d_new") === col("s1.doc_id"))
-          .join(sz.as("s2"), col("d_old") === col("s2.doc_id"))
-          .select(
-            col("d_new"),
-            col("d_old"),
-            (col("shared").cast("double") / (col("s1.n") + col("s2.n") - col("shared")))
-              .as("jaccard")
-          )
-          .filter(col("jaccard") >= PairMinJaccard)
-          .orderBy("d_new", "d_old")
+        val docs = docsWide(s, dir)
+        admissionPairs(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docs.filter(col("doc_id") % 5 === 4),
+          PairMinJaccard
+        )
       },
       Some(s"""WITH $pairSql
         SELECT CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS d_new,

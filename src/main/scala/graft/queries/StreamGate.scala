@@ -639,6 +639,56 @@ object StreamGate {
         )
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E12 (streaming admission): q146's incremental near-dup
+    // check run LIVE — each micro-batch of newly crawled documents is
+    // admission-checked against the static corpus via the SAME shared
+    // admissionPairs plan (new-side shingles equi-join the old side
+    // only; O(batch) per micro-batch), and the per-batch verdicts
+    // accumulate into the result. The collected rows are admission
+    // VERDICTS — pair ids + a score, the same driver-resident scale as
+    // every memory-sink gate result, never document bodies.
+    // IvfStreamSpec's dedup sibling (StreamAdmissionSpec) pins the
+    // drained result equal to the batch q146 run. Rows-only here
+    // because the oracle already certifies the shared plan through
+    // q146; the stream adds only micro-batching, which the spec pins.
+    QueryDef(
+      "q149_stream_admission",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val corpus = Tables(gs, dir, "documents")
+          .select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 4)
+        val resultSchema =
+          Dedup.admissionPairs(corpus, corpus.limit(0), Dedup.PairMinJaccard).schema
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        val stream = gs.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 5 === 4)
+          .select("doc_id", "text")
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            Dedup
+              .admissionPairs(corpus, batch, Dedup.PairMinJaccard)
+              .collect()
+              .foreach(rows.add(_): Unit)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally {
+          q.stop()
+          org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+        }
+        gs.createDataFrame(java.util.Arrays.asList(rows.toArray(Array.empty[org.apache.spark.sql.Row]): _*), resultSchema)
+          .orderBy("d_new", "d_old")
+      },
+      None
     )
   )
 }
