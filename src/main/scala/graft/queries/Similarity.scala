@@ -464,6 +464,73 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 (contrastive-training prep): deterministic NEGATIVE sampling —
+    // for each anchor, 8 negatives drawn uniformly-by-hash from the
+    // corpus EXCLUDING the anchor's true top-5 cosine neighbors (a
+    // negative that is secretly a near-neighbor is a false negative
+    // that poisons a contrastive loss — the exclusion is the point).
+    // Sampling order is the md5 integer of "anchor:candidate" (the
+    // q116/q121 engine-independent trick), so the sample is a pure
+    // function of ids — retry-safe, shard-independent, and
+    // ORACLE-EXACT (the oracle recomputes neighbors with the q40 CTE
+    // and ranks the complement by the same md5 integers). Plan: one
+    // broadcast anchor scan (q40's shape) computes cosine + both
+    // windows; at 100 TB the neighbor exclusion would come from the
+    // persisted kNN table (q128's output) instead of inline cosine —
+    // the sampling pass itself stays a hash-ranked window either way.
+    QueryDef(
+      "q150_negative_sample",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val anchors = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+        val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val wHash = Window.partitionBy("q_id").orderBy(col("h").asc, col("vec_id"))
+        e.crossJoin(broadcast(anchors))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .withColumn("nrank", row_number().over(wCos))
+          .filter(col("nrank") > 5) // drop the true neighbors
+          .withColumn(
+            "h",
+            expr("cast(conv(substring(md5(concat(cast(q_id AS string), ':', cast(vec_id AS string))), 1, 15), 16, 10) AS bigint)")
+          )
+          .withColumn("rank", row_number().over(wHash).cast("long"))
+          .filter(col("rank") <= 8)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"), col("h"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x)),
+                      (a,b) -> a+b)) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q_id, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)
+                   / (qn * norm) AS cos
+          FROM n CROSS JOIN q WHERE q_id <> vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS nrank
+          FROM pairs),
+        pool AS (
+          SELECT q_id, vec_id,
+                 CAST(('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM ranked WHERE nrank > 5)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id, h FROM (
+          SELECT q_id, vec_id, h,
+                 row_number() OVER (PARTITION BY q_id ORDER BY h, vec_id) AS rank
+          FROM pool)
+        WHERE rank <= 8 ORDER BY q_id, rank""")
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts

@@ -77,6 +77,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(run("q147_int8_ann").collect().toSeq == quant.toSeq)
   }
 
+  test("q150 negative sampling: 8 per anchor, disjoint from true top-5, deterministic") {
+    val neighbors = run("q40_cosine_topk")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .toSet
+    val negs = run("q150_negative_sample").collect()
+    assert(negs.length == 80) // 10 anchors × 8 negatives
+    val byQ = negs.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 8L))
+      rs.foreach { r =>
+        val neg = r.getAs[Long]("neg_id")
+        assert(neg != q, s"anchor $q sampled itself")
+        assert(!neighbors((q, neg)), s"anchor $q sampled true neighbor $neg as a negative")
+      }
+    }
+    assert(run("q150_negative_sample").collect().toSeq == negs.toSeq)
+  }
+
   test("q46 ANN-IVF: probed-cell candidates respect the brute-force quality bound") {
     val brute = run("q40_cosine_topk")
       .filter(col("rank") === 1)

@@ -32,6 +32,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q143_token_budget", // 1-row broadcast token-budget scalar
     "q145_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
     "q147_int8_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
+    "q150_negative_sample", // ≤10 broadcast anchors scored in one scan (q40's shape)
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
