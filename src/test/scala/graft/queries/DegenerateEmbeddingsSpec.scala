@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Degenerate embedding-corpus robustness, the vector-side sibling of
+  * DegenerateCorpusSpec: the non-clustered similarity queries must
+  * return EMPTY (never throw) on an empty corpus, and behave exactly
+  * on a single-vector corpus (no self-matches, no negatives to draw).
+  * KMeans-backed queries (q46/q128/q133/q139…) are deliberately out of
+  * scope: fitting k=16 cells needs ≥k vectors and MLlib's error for
+  * that is the correct behavior — an index build on a near-empty
+  * corpus is a caller bug, not a case to paper over.
+  */
+class DegenerateEmbeddingsSpec extends AnyFunSuite with SparkSpec {
+
+  private def writeEmb(name: String, rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = new java.io.File(s"target/graft_scratch/degenerate_emb_$name").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val queriesUnderTest = Seq("q40_cosine_topk", "q147_int8_ann", "q150_negative_sample")
+
+  test("empty embedding corpus: brute-force, quantized, and sampling queries return empty") {
+    val dir = writeEmb("empty", Seq.empty)
+    queriesUnderTest.foreach { q =>
+      val out = SparkEntry.queries(q)(spark, dir).collect()
+      assert(out.isEmpty, s"$q returned ${out.length} rows on an empty corpus")
+    }
+  }
+
+  test("single-vector corpus: self-exclusion leaves nothing to match or sample") {
+    val v = Seq.fill(64)(0.5f)
+    val dir = writeEmb("single", Seq((1L, v, 0)))
+    queriesUnderTest.foreach { q =>
+      val out = SparkEntry.queries(q)(spark, dir).collect()
+      assert(out.isEmpty, s"$q matched something on a single-vector corpus")
+    }
+  }
+
+  test("two-vector corpus: exactly one neighbor each, none for the out-of-range anchor") {
+    val dir = writeEmb(
+      "pair",
+      Seq((1L, Seq.tabulate(64)(i => i.toFloat / 64), 0), (2L, Seq.tabulate(64)(i => 1f - i.toFloat / 64), 1))
+    )
+    val rows = SparkEntry.queries("q40_cosine_topk")(spark, dir).collect()
+    // both ids are < 10 so both act as anchors; each finds exactly the other
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet == Set((1L, 2L), (2L, 1L)))
+    rows.foreach(r => assert(r.getAs[Long]("rank") == 1L))
+  }
+}
