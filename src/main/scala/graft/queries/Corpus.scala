@@ -372,6 +372,71 @@ object Corpus {
                CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
                CAST(n_pii_docs * 1000000 // n_docs AS BIGINT) AS pii_ppm
         FROM per ORDER BY source""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Per-source distribution divergence — the drift diagnostic behind
+    // corpus-mixing decisions: how far each source's within-word
+    // char-bigram distribution sits from the corpus-wide one, as TOTAL
+    // VARIATION distance. The integer identity
+    //   TV(s) = Σ_g |c_sg·n − c_g·n_s| / (2·n_s·n)
+    // keeps every term exact (products ≤ n_s·n; the one final division
+    // of two exact longs is a single correctly-rounded IEEE op, so the
+    // double is bit-identical across engines). Bigrams ABSENT from a
+    // source still contribute (|0 − c_g·n_s|) — the per-(source,
+    // bigram) grid is built by crossing the source totals with the
+    // charset²-bounded global bigram table (broadcast; never
+    // data-scaled) and left-joining the observed counts. One corpus
+    // scan feeds all three count tables.
+    QueryDef(
+      "q151_source_divergence",
+      (s, dir) => {
+        val occ = Tables(s, dir, "documents")
+          .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(col("source"), explode(expr("char_ngrams(w, 2)")).as("pair"))
+          .localCheckpoint()
+        val perSrc = occ.groupBy("source", "pair").agg(count(lit(1)).as("c_sg"))
+        val global = occ.groupBy("pair").agg(count(lit(1)).as("c_g"))
+        val nTot = global.agg(sum("c_g").cast("long").as("n"))
+        val nSrc = occ.groupBy("source").agg(count(lit(1)).as("n_s"))
+        nSrc
+          .crossJoin(broadcast(global))
+          .join(perSrc, Seq("source", "pair"), "left")
+          .na
+          .fill(0L, Seq("c_sg"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("term", abs(col("c_sg") * col("n") - col("c_g") * col("n_s")))
+          .groupBy("source", "n_s", "n")
+          .agg(sum("term").as("sum_abs"))
+          .select(
+            col("source"),
+            col("n_s"),
+            col("sum_abs"),
+            (col("sum_abs").cast("double") / (lit(2.0) * col("n_s") * col("n"))).as("tv")
+          )
+          .orderBy("source")
+      },
+      Some("""WITH occ AS (
+          SELECT source, substring(w, i, 2) AS pair
+          FROM (SELECT source, w, unnest(range(1, length(w))) AS i
+                FROM (SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                      FROM documents)
+                WHERE length(w) >= 2)),
+        per_src AS (SELECT source, pair, count(*) AS c_sg FROM occ GROUP BY 1, 2),
+        gcnt AS (SELECT pair, count(*) AS c_g FROM occ GROUP BY 1),
+        n_tot AS (SELECT CAST(sum(c_g) AS BIGINT) AS n FROM gcnt),
+        n_src AS (SELECT source, count(*) AS n_s FROM occ GROUP BY 1),
+        grid AS (
+          SELECT s.source, s.n_s, g.pair, g.c_g, COALESCE(p.c_sg, 0) AS c_sg
+          FROM n_src s CROSS JOIN gcnt g
+          LEFT JOIN per_src p ON p.source = s.source AND p.pair = g.pair)
+        SELECT source,
+               CAST(n_s AS BIGINT) AS n_s,
+               CAST(sum(abs(c_sg * n - c_g * n_s)) AS BIGINT) AS sum_abs,
+               CAST(sum(abs(c_sg * n - c_g * n_s)) AS DOUBLE) / (2.0 * n_s * n) AS tv
+        FROM grid, n_tot
+        GROUP BY source, n_s, n ORDER BY source""")
     )
   )
 }

@@ -33,6 +33,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q145_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
     "q147_int8_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q150_negative_sample", // ≤10 broadcast anchors scored in one scan (q40's shape)
+    "q151_source_divergence", // charset²-bounded bigram grid + 1-row total scalar
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
