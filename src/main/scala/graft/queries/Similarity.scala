@@ -531,6 +531,32 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 (product quantization — operators/PqIndex): the third
+    // compression family beside IVF cells and int8 scalar codes. 8
+    // subspaces × 16 seeded centroids encode each vector as 8 small
+    // codes (32× smaller than the float64 array); the scan evaluates
+    // asymmetric distance (exact query side vs coded corpus side) as
+    // one fused expression over per-subspace codebook literals, keeps
+    // 50 ADC candidates per query, and exact-cosine re-ranks to top-5
+    // — q147's contract with table-lookup distances instead of integer
+    // dots. Rows-only (codebook cells are implementation-defined);
+    // PqIndexSpec pins recall vs exact q40, the 8×[0,16) code shape,
+    // and determinism.
+    QueryDef(
+      "q152_pq_ann",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cb = graft.operators.PqIndex.fitCodebooks(e)
+        val coded = graft.operators.PqIndex.encode(e, cb)
+        val probes = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+        graft.operators.PqIndex.adcTopK(coded, probes, cb, candK = 50, topK = 5)
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts

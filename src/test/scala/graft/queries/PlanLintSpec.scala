@@ -34,6 +34,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q147_int8_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q150_negative_sample", // ≤10 broadcast anchors scored in one scan (q40's shape)
     "q151_source_divergence", // charset²-bounded bigram grid + 1-row total scalar
+    "q152_pq_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
   )
 
