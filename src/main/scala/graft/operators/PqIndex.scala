@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
 object PqIndex {
 
   /** Fit one seeded codebook per subspace. Returns (subspace index,
-    * centroids as (cell, centroid) pairs). */
+    * centroids as (cell, centroid) pairs).
+    *
+    * Training cost control (the fits are the whole build cost; encoding
+    * is a projection): codebooks train on a deterministic quarter
+    * SAMPLE of the corpus (`vec_id % 4 == 0`) — standard PQ practice
+    * (Jégou et al. train on a held-out subset); 16 centroids per 8-dim
+    * subspace saturate long before the full corpus. The sampled
+    * training set is localCheckpointed ONCE and shared, and the eight
+    * independent fits run as CONCURRENT Spark jobs (they contend for
+    * nothing but executor slots) — together ~8× less wall than
+    * sequential full-corpus fits, with the same fixed-seed determinism.
+    */
   def fitCodebooks(
       emb: DataFrame,
       m: Int = 8,
@@ -34,13 +45,19 @@ object PqIndex {
       maxIter: Int = 5,
       seed: Long = 42L
   ): Seq[(Int, Seq[(Int, Seq[Double])])] = {
-    (0 until m).map { sub =>
-      val dSub = emb
-        .select(expr(s"slice(v, ${sub * 8 + 1}, 8)").as("v"))
-      // distinct seed per subspace: identical seeds on near-identical
-      // marginals would correlate the codebooks
-      sub -> IvfIndex.fitCentroids(dSub, k = k, maxIter = maxIter, seed = seed + sub)
+    val sample = emb.filter(col("vec_id") % 4 === 0).select("v").localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { sub =>
+      Future {
+        val dSub = sample.select(expr(s"slice(v, ${sub * 8 + 1}, 8)").as("v"))
+        // distinct seed per subspace: identical seeds on near-identical
+        // marginals would correlate the codebooks
+        sub -> IvfIndex.fitCentroids(dSub, k = k, maxIter = maxIter, seed = seed + sub)
+      }
     }
+    Await.result(Future.sequence(fits), Duration.Inf).toSeq
   }
 
   /** Nearest-centroid code for one subspace as a pure projection
