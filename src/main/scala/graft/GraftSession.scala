@@ -39,6 +39,7 @@ object GraftSession {
       .withExtensions(graft.functions.WordShingles.install)
       .withExtensions(graft.functions.CharNgrams.install)
       .withExtensions(graft.functions.Int8QuantizeStats.install)
+      .withExtensions(graft.functions.TopKStructs.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
