@@ -191,23 +191,40 @@ object IvfIndex {
     * probe-after bit-identically; only the physical files shrink. The
     * cell assignment of surviving rows is kept, not recomputed, so
     * compaction never moves a vector between directories.
+    *
+    * The staged-rewrite swap goes through the Hadoop `FileSystem` API
+    * (resolved from the index path), so the maintenance path works
+    * wherever the layout lives — local disk, HDFS, or an object store
+    * — and every step's result is CHECKED: a failed delete or rename
+    * throws immediately, leaving the staged directory intact for
+    * retry, instead of silently destroying the live index (the
+    * java.io.File version ignored renameTo's boolean). Caveat, stated
+    * plainly: `rename` is atomic on HDFS/POSIX but copy-based on some
+    * object stores — deployments there should point probes at a
+    * manifest (or run compact under a table format) rather than rely
+    * on the directory swap being instantaneous.
     */
   def compact(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val survivors = s.read
       .parquet(s"$indexDir/data")
       .join(s.read.parquet(s"$indexDir/tombstones"), Seq("vec_id"), "left_anti")
       .select("vec_id", "v", "norm", "cell")
     // stage the rewrite next to the live layout, then swap: a rewrite
     // in place would read and overwrite the same directories
-    val staged = s"$indexDir/data_compacted"
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staged)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(s"$indexDir/data"))
-    new java.io.File(staged).renameTo(new java.io.File(s"$indexDir/data")): Unit
-    rm(new java.io.File(s"$indexDir/tombstones"))
+    val staged = new Path(s"$indexDir/data_compacted")
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
+    val fs = staged.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$indexDir/data")
+    val tombs = new Path(s"$indexDir/tombstones")
+    if (!fs.delete(live, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to remove old layout $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"compact: failed to swap $staged into place — staged rewrite preserved at $staged"
+      )
+    if (fs.exists(tombs) && !fs.delete(tombs, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to clear tombstone table $tombs")
   }
 
   /** Probe the persisted index: each query row (q_id, qv, qn) ranks
@@ -219,6 +236,13 @@ object IvfIndex {
     * skipped at directory level. If a tombstone table exists (see
     * [[delete]]), its ids are broadcast-anti-joined out of the
     * candidate stream before re-ranking.
+    *
+    * Top-k shapes by what they scan: cell selection stays a rank
+    * window (its input is queries×k centroids — bounded by
+    * construction, never data-scaled); the re-rank over the pruned
+    * corpus is a `top_k_structs` bounded heap (map-side partial
+    * reduction — the exchange carries ≤topK-entry heaps, not the
+    * probed cells' rows).
     */
   def probe(
       s: SparkSession,
@@ -239,21 +263,28 @@ object IvfIndex {
       )
       .withColumn("rk", row_number().over(wCell))
       .filter(col("rk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+      .select(col("q_id"), col("qv"), col("cell"))
 
     val raw = s.read.parquet(s"$indexDir/data")
+    val tombsPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val data =
-      if (new java.io.File(s"$indexDir/tombstones").exists())
+      if (fs.exists(tombsPath))
         raw.join(broadcast(s.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
       else raw
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     data
       .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select("q_id", "rank", "vec_id", "cos")
+      .groupBy("q_id")
+      .agg(expr(s"top_k_structs(struct(-cos AS nc, vec_id, cos), $topK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.vec_id"),
+        col("col.cos")
+      )
       .orderBy("q_id", "rank")
   }
 }

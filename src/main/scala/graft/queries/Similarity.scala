@@ -87,25 +87,36 @@ object Similarity {
     // ------------------------------------------------------------------
     // E13 baseline: exact top-5 cosine neighbors for the first 10
     // vectors. BroadcastNestedLoopJoin (query side broadcast) → linear
-    // scan of candidates → per-query top-k window. Oracle-exact: both
-    // engines fold dot/norm sums in ascending index order (cosine_sim
-    // accumulates i=0..n; DuckDB list_reduce is a left fold), sqrt and
-    // one division are correctly-rounded IEEE ops — so the doubles are
-    // bit-identical.
+    // scan of candidates → per-query top-k as a bounded HEAP aggregate
+    // (top_k_structs under ObjectHashAggregate): each input partition
+    // reduces to ≤5 rows per query BEFORE the exchange, so the shuffle
+    // carries heaps, never the corpus — the scan needs no sort and no
+    // skew-by-construction ~10-partition window exchange. Descending
+    // cosine = ascending negated cosine (sign flip is exact for IEEE
+    // doubles), vec_id breaks ties exactly as the rank window did.
+    // Oracle-exact: both engines fold dot/norm sums in ascending index
+    // order (cosine_sim accumulates i=0..n; DuckDB list_reduce is a
+    // left fold), sqrt and one division are correctly-rounded IEEE ops
+    // — so the doubles are bit-identical.
     QueryDef(
       "q40_cosine_topk",
       (s, dir) => {
         val e = emb(s, dir)
         val q = e
           .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
         e.crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cos")
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos")
+          )
           .orderBy("q_id", "rank")
       },
       Some("""WITH n AS (
@@ -410,19 +421,33 @@ object Similarity {
           .select("vec_id", "v", "norm", "qc")
         val probes = coded
           .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"), col("qc").as("qqc"))
-        val wDot = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
-        val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("qc").as("qqc"))
+        // two-stage top-k, both stages bounded heap aggregates: stage 1
+        // keeps the 20 best integer dots per query (payload carries the
+        // candidate vector, so re-ranking needs no second corpus scan),
+        // the shuffle moving only ≤20-entry heaps per (partition,
+        // query); stage 2 re-ranks the ≤200 survivors by exact cosine.
+        // Descending dot = ascending -dot (|dot| ≤ 64·127² — no
+        // overflow); ties break by vec_id, identical to the oracle's
+        // rank windows.
         coded
           .crossJoin(broadcast(probes))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("dot", expr("aggregate(zip_with(qqc, qc, (a, b) -> cast(a AS long) * b), cast(0 AS long), (acc, x) -> acc + x)"))
-          .withColumn("crk", row_number().over(wDot))
-          .filter(col("crk") <= 20)
-          .withColumn("cos", expr("cosine_sim(qv, v)"))
-          .withColumn("rank", row_number().over(wCos).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cos", "dot")
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-dot AS nd, vec_id, dot, qv, v), 20)").as("cand"))
+          .select(col("q_id"), explode(col("cand")).as("c"))
+          .withColumn("cos", expr("cosine_sim(c.qv, c.v)"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, c.vec_id AS vec_id, cos, c.dot AS dot), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos"),
+            col("col.dot")
+          )
           .orderBy("q_id", "rank")
       },
       Some("""WITH base AS (
@@ -484,21 +509,40 @@ object Similarity {
         val e = emb(s, dir)
         val anchors = e
           .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
-        val wCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-        val wHash = Window.partitionBy("q_id").orderBy(col("h").asc, col("vec_id"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // one heap-aggregated pass computes BOTH bounded sets per
+        // anchor: the top-5 cosine neighbors (the exclusion set — this
+        // is the filter InferWindowGroupLimit can never optimize, since
+        // `nrank > 5` is an exclusion, not a limit: the old window plan
+        // shuffled the full corpus×anchors stream into ~10 partitions)
+        // and the 13 hash-smallest candidates. At most 5 of those 13
+        // can be true neighbors, so the first 8 survivors of the
+        // array-level subtraction are exactly the oracle's top-8 over
+        // the full complement — all from heaps that reduce map-side.
         e.crossJoin(broadcast(anchors))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
-          .withColumn("nrank", row_number().over(wCos))
-          .filter(col("nrank") > 5) // drop the true neighbors
           .withColumn(
             "h",
             expr("cast(conv(substring(md5(concat(cast(q_id AS string), ':', cast(vec_id AS string))), 1, 15), 16, 10) AS bigint)")
           )
-          .withColumn("rank", row_number().over(wHash).cast("long"))
-          .filter(col("rank") <= 8)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"), col("h"))
+          .groupBy("q_id")
+          .agg(
+            expr("top_k_structs(struct(-cos AS nc, vec_id), 5)").as("excl"),
+            expr("top_k_structs(struct(h, vec_id), 13)").as("cand")
+          )
+          .withColumn("excl_ids", expr("transform(excl, x -> x.vec_id)"))
+          .withColumn(
+            "kept",
+            expr("slice(filter(cand, c -> NOT array_contains(excl_ids, c.vec_id)), 1, 8)")
+          )
+          .select(col("q_id"), posexplode(col("kept")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id").as("neg_id"),
+            col("col.h")
+          )
           .orderBy("q_id", "rank")
       },
       Some("""WITH n AS (
