@@ -206,10 +206,13 @@ object IvfIndex {
     */
   def compact(s: SparkSession, indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
+    // keep EVERY layout column: the plain IVF layout carries
+    // (vec_id, v, norm, cell), the IVFADC layout adds codes — one
+    // compaction path serves both (and any future layout with a
+    // vec_id key and a cell partition column)
     val survivors = s.read
       .parquet(s"$indexDir/data")
       .join(s.read.parquet(s"$indexDir/tombstones"), Seq("vec_id"), "left_anti")
-      .select("vec_id", "v", "norm", "cell")
     // stage the rewrite next to the live layout, then swap: a rewrite
     // in place would read and overwrite the same directories
     val staged = new Path(s"$indexDir/data_compacted")

@@ -135,7 +135,7 @@ object PqIndex {
     * row: sum over subspaces of ||q_sub − C_sub[code]||². Codebook
     * lookup is element_at on a per-subspace nested-array literal —
     * shallow expression tree (one literal object per subspace). */
-  private def adcExpr(codebooks: Seq[(Int, Seq[(Int, Seq[Double])])]): Column = {
+  private[operators] def adcExpr(codebooks: Seq[(Int, Seq[(Int, Seq[Double])])]): Column = {
     val w = widthOf(codebooks)
     codebooks
       .map { case (sub, cents) =>
@@ -191,15 +191,14 @@ object PqIndex {
   // contract for the coded representation.
   // ------------------------------------------------------------------
 
-  /** Persist a fitted PQ index: the codebooks as a tiny parquet table
-    * (sub, cell, cv) under `<dir>/codebooks`, and the coded corpus
-    * (vec_id, v, norm, codes) under `<dir>/data`. */
-  def save(
-      emb: DataFrame,
+  /** Persist just the fitted codebooks as a tiny parquet table
+    * (sub, cell, cv) under `<dir>/codebooks` — the model artifact every
+    * later encode (append batches, IvfAdc probes) reads back. */
+  def saveCodebooks(
+      s: SparkSession,
       codebooks: Seq[(Int, Seq[(Int, Seq[Double])])],
       indexDir: String
   ): Unit = {
-    val s = emb.sparkSession
     import s.implicits._
     codebooks
       .flatMap { case (sub, cents) => cents.map { case (cell, cv) => (sub, cell, cv) } }
@@ -207,6 +206,16 @@ object PqIndex {
       .write
       .mode("overwrite")
       .parquet(s"$indexDir/codebooks")
+  }
+
+  /** Persist a fitted PQ index: the codebooks under `<dir>/codebooks`
+    * and the coded corpus (vec_id, v, norm, codes) under `<dir>/data`. */
+  def save(
+      emb: DataFrame,
+      codebooks: Seq[(Int, Seq[(Int, Seq[Double])])],
+      indexDir: String
+  ): Unit = {
+    saveCodebooks(emb.sparkSession, codebooks, indexDir)
     encode(emb, codebooks)
       .select("vec_id", "v", "norm", "codes")
       .write

@@ -382,7 +382,15 @@ object Corpus {
     //   TV(s) = Σ_g |c_sg·n − c_g·n_s| / (2·n_s·n)
     // keeps every term exact (products ≤ n_s·n; the one final division
     // of two exact longs is a single correctly-rounded IEEE op, so the
-    // double is bit-identical across engines). Bigrams ABSENT from a
+    // double is bit-identical across engines). int64 headroom, stated
+    // like q144's: each |…| term and the per-source sum are bounded by
+    // n_s·n, so exactness holds while n_s·n < 2^63 — with balanced
+    // sources that is n ≲ 6e9 total bigrams (~tens of GB of text), NOT
+    // the full 100 TB posture. Past it, the same identity runs on
+    // DECIMAL(38) (Spark and DuckDB both exact to 38 digits, covering
+    // any physical corpus) or on per-source-scaled counts; the int64
+    // path is kept here because it is the fastest exact kernel at the
+    // scales the oracle certifies. Bigrams ABSENT from a
     // source still contribute (|0 − c_g·n_s|) — the per-(source,
     // bigram) grid is built by crossing the source totals with the
     // charset²-bounded global bigram table (broadcast; never

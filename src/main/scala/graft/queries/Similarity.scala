@@ -31,7 +31,7 @@ object Similarity {
   /** Fresh absolute scratch path, pre-wiped: a per-JVM counter can
     * collide with a dir an earlier PROCESS left behind (q112's scratch
     * rule) — always start clean. */
-  private[queries] def freshIndexDir(prefix: String): String = {
+  private[graft] def freshIndexDir(prefix: String): String = {
     val run = indexSeq.incrementAndGet()
     val idx = new java.io.File(s"target/graft_scratch/${prefix}_$run").getAbsolutePath
     def wipe(f: java.io.File): Unit = {
@@ -596,6 +596,76 @@ object Similarity {
           .filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
         graft.operators.PqIndex.adcTopK(coded, probes, cb, candK = 50, topK = 5)
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (IVFADC — operators/IvfAdc): the composition that serves ANN
+    // at billion-vector scale, assembled from the two persisted index
+    // operators: IVF cells bound WHERE a probe looks (nprobe of kCells
+    // directories, skipped via dynamic partition pruning), PQ codes
+    // bound WHAT it reads per row (the m-byte codes column; raw
+    // vectors stay un-read until the re-rank fetches them for candK
+    // candidates only). Both index models persist as tiny parquet
+    // tables beside the data, so a probe is just three reads — no
+    // driver-resident model object. Rows-only (KMeans cells and
+    // codebooks are implementation-defined); IvfAdcSpec pins recall
+    // ≥0.9 vs the exact q40 scan, the DPP filter, and that every hash
+    // exchange in the probe plan sits above a bounded heap aggregate —
+    // zero corpus-scaled shuffles.
+    QueryDef(
+      "q153_ivfadc",
+      (s, dir) => {
+        val idx = freshIndexDir("ivfadc")
+        val e = emb(s, dir)
+        graft.operators.IvfAdc.build(e, idx)
+        graft.operators.IvfAdc.probe(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          // measured on this corpus (isotropic — the hard case for
+          // non-residual PQ): recall vs exact = 0.74/0.88/0.96 at
+          // candK 64/128/256 with nprobe=10; 256 (a 20% cut of the
+          // probed rows at sf0.01) clears the 0.9 spec floor with
+          // margin. Clustered real corpora need far smaller ratios.
+          nprobe = 10,
+          candK = 256,
+          topK = 5
+        )
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (persistent PQ index — build-once/append-many for the coded
+    // representation, q139's maintenance contract at the PQ layer):
+    // codebooks fit ONCE on the base 3/4 of the corpus and persist as
+    // the model table; the remaining 1/4 arrives later and is APPENDED
+    // — encoded through the SAVED codebooks as a pure projection
+    // (PqPersistSpec asserts exchange-free), so a vector's codes are
+    // bit-identical whether it arrived at build or append time, and
+    // the post-append ADC probe equals a full re-encode of the union
+    // corpus (spec-pinned). The probe itself is q152's two-stage
+    // bounded-heap scan served from the RE-READ persisted codes.
+    // Rows-only: codebook cells are implementation-defined.
+    QueryDef(
+      "q154_pq_persist",
+      (s, dir) => {
+        val idx = freshIndexDir("pq_persist")
+        val e = emb(s, dir)
+        val base = e.filter(col("vec_id") % 4 =!= 3)
+        val batch = e.filter(col("vec_id") % 4 === 3)
+        val cb = graft.operators.PqIndex.fitCodebooks(base)
+        graft.operators.PqIndex.save(base, cb, idx)
+        graft.operators.PqIndex.append(batch, idx)
+        val coded = s.read.parquet(s"$idx/data")
+        val probes = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        graft.operators.PqIndex
+          .adcTopK(coded, probes, graft.operators.PqIndex.loadCodebooks(s, idx), candK = 50, topK = 5)
       },
       None
     ),

@@ -643,17 +643,18 @@ object StreamGate {
 
     // ------------------------------------------------------------------
     // E15 × E12 (streaming admission): q146's incremental near-dup
-    // check run LIVE — each micro-batch of newly crawled documents is
-    // admission-checked against the static corpus via the SAME shared
-    // admissionPairs plan (new-side shingles equi-join the old side
-    // only; O(batch) per micro-batch), and the per-batch verdicts
-    // accumulate into the result. The collected rows are admission
+    // check run LIVE over a stream of newly crawled documents — see
+    // [[runAdmissionStream]] for the micro-batch-independence contract
+    // (arriving docs stage into parquet; verdicts are recomputed over
+    // the staged set each batch, so the drained result equals the
+    // batch q146 run NO MATTER how the source splits into
+    // micro-batches — StreamAdmissionSpec pins that equality under a
+    // forced 3-batch replay). The collected rows are admission
     // VERDICTS — pair ids + a score, the same driver-resident scale as
-    // every memory-sink gate result, never document bodies.
-    // IvfStreamSpec's dedup sibling (StreamAdmissionSpec) pins the
-    // drained result equal to the batch q146 run. Rows-only here
-    // because the oracle already certifies the shared plan through
-    // q146; the stream adds only micro-batching, which the spec pins.
+    // every memory-sink gate result, never document bodies. Rows-only
+    // here because the oracle already certifies the shared plan
+    // through q146; the stream adds only micro-batching, which the
+    // spec pins.
     QueryDef(
       "q149_stream_admission",
       (s, dir) => {
@@ -661,9 +662,6 @@ object StreamGate {
         val corpus = Tables(gs, dir, "documents")
           .select("doc_id", "text")
           .filter(col("doc_id") % 5 =!= 4)
-        val resultSchema =
-          Dedup.admissionPairs(corpus, corpus.limit(0), Dedup.PairMinJaccard).schema
-        val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
         val schema = gs.read.parquet(s"$dir/documents.parquet").schema
         val stream = gs.readStream
           .schema(schema)
@@ -671,13 +669,52 @@ object StreamGate {
           .parquet(dir)
           .filter(col("doc_id") % 5 === 4)
           .select("doc_id", "text")
-        val q = stream.writeStream
+        runAdmissionStream(gs, corpus, stream)
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E13 (streaming index deletes — q141's ingest pattern over
+    // the FORGET side of the lifecycle): a live stream of
+    // forget-request ids lands in the persistent IVF index via
+    // IvfIndex.delete per micro-batch — each batch appends its ids to
+    // the tombstone table (request cost: one tiny write, never a
+    // cell-file rewrite), and probes hide the forgotten set
+    // immediately. This is the GDPR erasure stream a serving
+    // deployment actually runs: deletes arrive continuously, the
+    // physical rewrite stays a separately-scheduled compaction
+    // (IvfIndex.compact, q145). Tombstone appends are naturally
+    // idempotent at the PROBE level (the anti-join ignores duplicate
+    // ids), so a replayed micro-batch cannot change results — a
+    // stronger recovery story than q141's append caveat. Post-drain
+    // probe is spec-pinned bit-identical to the batch q145 delete.
+    // Rows-only: KMeans cells are implementation-defined.
+    QueryDef(
+      "q155_stream_ivf_delete",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val idx = Similarity.freshIndexDir("ivf_stream_delete")
+        val ck = Similarity.freshIndexDir("ivf_stream_delete_ck")
+        def emb(df: DataFrame) =
+          df.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        val e = emb(gs.read.parquet(s"$dir/embeddings.parquet"))
+        val cents = graft.operators.IvfIndex.fitCentroids(e, k = 16, maxIter = 5, seed = 42L)
+        graft.operators.IvfIndex.writeLayout(e, cents, idx)
+
+        val schema = gs.read.parquet(s"$dir/embeddings.parquet").schema
+        val forgets = gs.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+          .filter(col("vec_id") % 7 === 0)
+          .select("vec_id")
+        val q = forgets.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            Dedup
-              .admissionPairs(corpus, batch, Dedup.PairMinJaccard)
-              .collect()
-              .foreach(rows.add(_): Unit)
+            graft.operators.IvfIndex.delete(batch.toDF(), idx)
           }
+          .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow())
           .start()
         try q.awaitTermination()
@@ -685,10 +722,65 @@ object StreamGate {
           q.stop()
           org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
         }
-        gs.createDataFrame(java.util.Arrays.asList(rows.toArray(Array.empty[org.apache.spark.sql.Row]): _*), resultSchema)
-          .orderBy("d_new", "d_old")
+        graft.operators.IvfIndex.probe(
+          gs,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+          nprobe = 2,
+          topK = 5
+        )
       },
       None
     )
   )
+
+  /** Drive an admission-check stream to completion and return the
+    * final verdict table.
+    *
+    * Micro-batch independence, the property that makes this safe to
+    * deploy against ANY source partitioning: q146's verdict definition
+    * (the rare-shingle df ∈ [2,50] rule and the per-doc Jaccard
+    * denominators) is a function of the corpus PLUS THE WHOLE new-doc
+    * set, so verdicts computed batch-by-batch would depend on where
+    * the stream happened to split (two new docs sharing a rare shingle
+    * across a batch boundary would each see a different df). Arriving
+    * batches therefore stage into a parquet side-table and each batch
+    * RECOMPUTES the verdicts over the full staged set — later arrivals
+    * refine earlier verdicts, and the drained result is bit-identical
+    * to the one-shot batch q146 regardless of micro-batching
+    * (StreamAdmissionSpec forces a 3-file/3-batch replay and pins the
+    * equality). Per-batch cost grows with the staged set — the honest
+    * price of exact batch-parity; a production deployment bounds it by
+    * periodically folding admitted docs into the corpus index and
+    * truncating the stage (q118's incremental-corpus pattern).
+    */
+  private[graft] def runAdmissionStream(
+      gs: SparkSession,
+      corpus: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    val staging = Similarity.freshIndexDir("admission_staging")
+    val resultSchema =
+      Dedup.admissionPairs(corpus, corpus.limit(0), Dedup.PairMinJaccard).schema
+    val verdicts =
+      new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.Row]](Seq.empty)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(staging)
+        val allNew = gs.read.parquet(staging)
+        verdicts.set(
+          Dedup.admissionPairs(corpus, allNew, Dedup.PairMinJaccard).collect().toSeq
+        )
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    gs.createDataFrame(java.util.Arrays.asList(verdicts.get(): _*), resultSchema)
+      .orderBy("d_new", "d_old")
+  }
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Pins the IVFADC composition (q153):
+  *
+  *  - recall ≥ 0.9 against the exact q40 scan — the quality floor the
+  *    raw-vector (non-residual) PQ variant must clear at the chosen
+  *    (nprobe, candK);
+  *  - dynamic partition pruning reaches the coded scan — the probe
+  *    physically skips cold cell directories;
+  *  - ZERO corpus-scaled exchanges: every hash exchange whose subtree
+  *    reads the index layout sits directly above a bounded heap
+  *    aggregate (top_k_structs partials) — the shuffles carry heaps,
+  *    never scanned rows;
+  *  - determinism under the fixed seeds.
+  */
+class IvfAdcSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q153 recall >= 0.9 vs exact q40 top-5") {
+    val brute = run("q40_cosine_topk")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .toSet
+    val got = run("q153_ivfadc").collect()
+    assert(got.length == 50)
+    val hits = got.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).count(brute)
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("q153 probe plan: DPP on cell, and no corpus-scaled exchange") {
+    val plan = run("q153_ivfadc").queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan.take(4000))
+
+    // tree-walk the rendered plan: for every hash exchange, if its
+    // subtree scans the index layout (FileScan on .../data), the
+    // exchange's direct child must be the bounded heap aggregate
+    val lines = plan.linesIterator.toVector
+    def depth(l: String): Int = {
+      val i = l.indexOf("- ")
+      if (i < 0) -1 else i
+    }
+    val offenders = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+      .flatMap { case (exLine, i) =>
+        val d = depth(exLine)
+        val subtree = lines
+          .drop(i + 1)
+          .takeWhile(l => depth(l) > d || depth(l) == -1)
+        val scansCorpus =
+          subtree.exists(l => l.contains("FileScan parquet") && l.contains("/data"))
+        val childIsHeap = subtree.headOption.exists(_.contains("ObjectHashAggregate"))
+        if (scansCorpus && !childIsHeap) Some(exLine.trim) else None
+      }
+    assert(offenders.isEmpty, s"corpus-scaled exchanges:\n${offenders.mkString("\n")}\n${plan.take(4000)}")
+  }
+
+  test("q153 is deterministic under fixed seeds") {
+    assert(run("q153_ivfadc").collect().toSeq == run("q153_ivfadc").collect().toSeq)
+  }
+
+  private def emb =
+    graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+
+  private def probes =
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  test("incremental append probes bit-identical to rebuilding on the union corpus") {
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    // build both indexes from the SAME base-fitted models: quantizer
+    // and codebooks come from the base corpus either way — the append
+    // path must add nothing but the rows
+    val idxApp = graft.queries.Similarity.freshIndexDir("ivfadc_append")
+    IvfAdc.build(base, idxApp)
+    IvfAdc.append(batch, idxApp)
+    val appended =
+      IvfAdc.probe(spark, idxApp, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+
+    val cents = IvfIndex.fitCentroids(base, k = 16, maxIter = 5, seed = 42L)
+    val cb = PqIndex.fitCodebooks(base)
+    val idxFull = graft.queries.Similarity.freshIndexDir("ivfadc_rebuild")
+    PqIndex
+      .encode(IvfIndex.assignCells(emb, cents), cb)
+      .select("vec_id", "v", "norm", "codes", "cell")
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$idxFull/data")
+    import spark.implicits._
+    cents.toDF("cell", "cv").write.mode("overwrite").parquet(s"$idxFull/centroids")
+    PqIndex.saveCodebooks(spark, cb, idxFull)
+    val rebuilt =
+      IvfAdc.probe(spark, idxFull, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+
+    assert(appended.nonEmpty)
+    assert(appended == rebuilt)
+  }
+
+  test("delete + compact on the composed layout: probes unchanged, codes column preserved") {
+    val idx = graft.queries.Similarity.freshIndexDir("ivfadc_delete")
+    IvfAdc.build(emb, idx)
+    IvfIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), idx)
+    val before = IvfAdc.probe(spark, idx, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+    IvfIndex.compact(spark, idx)
+    val after = IvfAdc.probe(spark, idx, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+    assert(before.nonEmpty)
+    assert(after == before)
+    // the generalized compaction must carry the coded representation
+    val cols = spark.read.parquet(s"$idx/data").columns.toSet
+    assert(Set("vec_id", "v", "norm", "codes", "cell").subsetOf(cols), cols.toString)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+  }
+}

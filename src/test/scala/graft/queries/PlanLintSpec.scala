@@ -35,8 +35,40 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q150_negative_sample", // ≤10 broadcast anchors scored in one scan (q40's shape)
     "q151_source_divergence", // charset²-bounded bigram grid + 1-row total scalar
     "q152_pq_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
-    "q141_stream_ivf_ingest" // 16-row broadcast centroid table (probe, same as q133)
+    "q141_stream_ivf_ingest", // 16-row broadcast centroid table (probe, same as q133)
+    "q153_ivfadc", // 16-row broadcast centroid table + ≤10 query vectors (q133's shape)
+    "q154_pq_persist", // ≤10 broadcast query vectors scored in one scan (q40's shape)
+    "q155_stream_ivf_delete" // 16-row broadcast centroid table (probe, same as q133)
   )
+
+  /** The ANN scan family: top-k selection must be the bounded
+    * `top_k_structs` heap (map-side partial reduction), NEVER a
+    * corpus-scaled rank window — a `row_number().over(partitionBy(
+    * ~10 anchors))` hashes the full scan stream into ~10 partitions
+    * (skew by construction) and sorts each one. These plans must
+    * contain no window operator at all; q153's probe keeps one bounded
+    * window (queries×centroids cell ranking) and is covered by
+    * IvfAdcSpec's stricter exchange audit instead.
+    */
+  private val heapTopKOnly = Seq(
+    "q40_cosine_topk",
+    "q147_int8_ann",
+    "q150_negative_sample",
+    "q152_pq_ann",
+    "q154_pq_persist"
+  )
+
+  test("ANN scans: bounded heap top-k, never a corpus-scaled window sort") {
+    val offenders = heapTopKOnly.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val windowed = plan.contains("Window [") || plan.contains("WindowGroupLimit")
+      val heap = plan.contains("top_k_structs")
+      if (windowed || !heap)
+        Some(s"$name: ${if (windowed) "window sort present " else ""}${if (!heap) "no heap top-k" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"corpus-scaled top-k shapes:\n${offenders.mkString("\n")}")
+  }
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
