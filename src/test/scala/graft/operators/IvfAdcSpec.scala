@@ -87,18 +87,9 @@ class IvfAdcSpec extends AnyFunSuite with SparkSpec {
       IvfAdc.probe(spark, idxApp, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
 
     val cents = IvfIndex.fitCentroids(base, k = 16, maxIter = 5, seed = 42L)
-    val cb = PqIndex.fitCodebooks(base)
+    val cb = IvfAdc.fitResidualCodebooks(base, cents)
     val idxFull = graft.queries.Similarity.freshIndexDir("ivfadc_rebuild")
-    PqIndex
-      .encode(IvfIndex.assignCells(emb, cents), cb)
-      .select("vec_id", "v", "norm", "codes", "cell")
-      .write
-      .mode("overwrite")
-      .partitionBy("cell")
-      .parquet(s"$idxFull/data")
-    import spark.implicits._
-    cents.toDF("cell", "cv").write.mode("overwrite").parquet(s"$idxFull/centroids")
-    PqIndex.saveCodebooks(spark, cb, idxFull)
+    IvfAdc.writeIndex(emb, cents, cb, idxFull, residual = true)
     val rebuilt =
       IvfAdc.probe(spark, idxFull, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
 
