@@ -712,6 +712,59 @@ object Dedup {
                jaccard
         FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
         ORDER BY d_new, d_old""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E12/E14 (benchmark decontamination): flag every training document
+    // sharing at least one word 8-gram with a held-out evaluation set —
+    // the leakage screen run before any training job (verbatim
+    // benchmark text inside the training corpus inflates eval scores;
+    // the standard mitigation is exact n-gram overlap removal, e.g.
+    // GPT-3 appendix C's 13-gram filter — 8 here to suit the synthetic
+    // docs' length). DISTINCT from near-dup admission (q146): a single
+    // shared n-gram contaminates regardless of document-level
+    // similarity — no df cap, no Jaccard, containment not resemblance.
+    // Plan: the benchmark side is tiny BY CONSTRUCTION (benchmarks are
+    // fixed eval sets, not corpus-scaled), so its shingles BROADCAST
+    // and the training scan streams through one map-side hash join +
+    // one partially-aggregated groupBy — at 100 TB the only exchange
+    // carries per-doc contamination counters. Oracle-exact: shingle
+    // extraction, the equi-join, and the three integer aggregates are
+    // all engine-independent.
+    QueryDef(
+      "q156_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val bench = docs
+          .filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("bench_id"), explode(expr("word_shingles(text, 8)")).as("g"))
+        docs
+          .filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id")
+          .agg(
+            countDistinct("bench_id").as("n_bench_docs"),
+            countDistinct("g").as("n_shared_ngrams"),
+            min("bench_id").as("first_bench_id")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 8
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-6)) AS i FROM tok)
+        )
+        SELECT t.doc_id,
+               count(DISTINCT b.doc_id) AS n_bench_docs,
+               count(DISTINCT t.g) AS n_shared_ngrams,
+               min(b.doc_id) AS first_bench_id
+        FROM (SELECT * FROM sh WHERE doc_id % 11 <> 0) t
+        JOIN (SELECT * FROM sh WHERE doc_id % 11 = 0) b USING (g)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")
     )
   )
 }

@@ -135,4 +135,41 @@ class DedupPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(incr == full)
     assert(incr.nonEmpty || full.isEmpty)
   }
+
+  test("q156 decontamination equals a plain-Scala 8-gram overlap recompute") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 8) Set.empty else ws.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 11 == 0).map { case (id, t) => (id, grams(t)) }
+    val expected = docs
+      .filter(_._1 % 11 != 0)
+      .flatMap { case (id, t) =>
+        val g = grams(t)
+        val hits = bench.filter(_._2.exists(g))
+        if (hits.isEmpty) None
+        else
+          Some(
+            (
+              id,
+              hits.length.toLong,
+              g.count(x => bench.exists(_._2(x))).toLong,
+              hits.map(_._1).min
+            )
+          )
+      }
+      .sortBy(_._1)
+      .toSeq
+    val got = SparkEntry
+      .queries("q156_decontaminate")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
 }
