@@ -673,6 +673,154 @@ object Similarity {
     ),
 
     // ------------------------------------------------------------------
+    // E13 (index-health monitoring): recall@5 of the persisted IVFADC
+    // index against the exact scan, AS A QUERY — the operational
+    // metric a serving deployment watches (append/delete/compact cycles
+    // and corpus drift degrade cell balance and codebook fit; the
+    // mitigation is a re-fit, and THIS number is what triggers it).
+    // One build, one probe over 20 anchor queries, one exact heap scan
+    // of the same anchors, one join — per-anchor hit counts plus
+    // integer recall. Rows-only (cells/codebooks implementation-
+    // defined); IvfAdcSpec pins the aggregate recall floor and
+    // determinism for this report.
+    QueryDef(
+      "q157_index_recall_report",
+      (s, dir) => {
+        val idx = freshIndexDir("ivfadc_recall")
+        val e = emb(s, dir)
+        graft.operators.IvfAdc.build(e, idx)
+        val anchors = e
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val approx = graft.operators.IvfAdc
+          .probe(s, idx, anchors, nprobe = 10, candK = 256, topK = 5)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        val exact = e
+          .crossJoin(broadcast(anchors))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id), 5)").as("top"))
+          .select(col("q_id"), explode(expr("transform(top, t -> t.vec_id)")).as("vec_id"))
+        exact
+          .join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(
+            count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit")
+          )
+          .withColumn("recall_pct", (col("n_hit") * 100 / col("n_true")).cast("long"))
+          .orderBy("q_id")
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 × E14 (hybrid retrieval — the RAG-serving shape): keyword
+    // and vector channels ranked independently, fused with integer
+    // Borda points (11 − rank per channel, missing channel = 0) — the
+    // rank-fusion family (RRF et al.) with integer arithmetic so the
+    // WHOLE fusion is oracle-exact. Channels: shared-distinct-token
+    // count (word_shingles(text,1) = the distinct-word set, equi-join
+    // on token — never doc×doc) and exact cosine (q40's bit-identical
+    // fold), each cut to top-10 per query by bounded heap. The
+    // documents↔embeddings inner join on id is the multimodal-row
+    // pattern: one item carries both its text and its vector. All
+    // three top-k cuts are heap aggregates; the only exchanges carry
+    // heaps and per-(query, candidate) token counts.
+    QueryDef(
+      "q158_hybrid_retrieval",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val e = emb(s, dir)
+        val items = docs
+          .join(e, docs("doc_id") === e("vec_id"))
+          .select(col("doc_id").as("id"), col("text"), col("v"))
+        val qv = items.filter(col("id") < 5).select(col("id").as("q_id"), col("v").as("qv"))
+        val vecRanks = items
+          .select(col("id"), col("v"))
+          .crossJoin(broadcast(qv))
+          .filter(col("q_id") =!= col("id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, id), 10)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("id"), (col("pos") + 1).as("vec_rank"))
+        val tok = items.select(col("id"), explode(expr("word_shingles(text, 1)")).as("w"))
+        val qtok = tok.filter(col("id") < 5).select(col("id").as("q_id"), col("w"))
+        val kwRanks = tok
+          .join(broadcast(qtok), Seq("w"))
+          .filter(col("id") =!= col("q_id"))
+          .groupBy("q_id", "id")
+          .agg(count(lit(1)).as("shared"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-shared AS ns, id), 10)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("id"), (col("pos") + 1).as("kw_rank"))
+        kwRanks
+          .join(vecRanks, Seq("q_id", "id"), "full_outer")
+          .withColumn(
+            "pts",
+            coalesce(lit(11) - col("kw_rank"), lit(0)) + coalesce(lit(11) - col("vec_rank"), lit(0))
+          )
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-pts AS np, id, pts, kw_rank, vec_rank), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("item_id"),
+            col("col.pts").cast("long").as("pts"),
+            col("col.kw_rank").cast("long").as("kw_rank"),
+            col("col.vec_rank").cast("long").as("vec_rank")
+          )
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH items AS (
+          SELECT d.doc_id AS id, d.text,
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        n AS (SELECT id, text, v,
+                     sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                          list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm
+              FROM items),
+        q AS (SELECT id AS q_id, v AS qv, norm AS qn FROM n WHERE id < 5),
+        vec_pairs AS (
+          SELECT q_id, id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)
+                   / (qn * norm) AS cos
+          FROM n CROSS JOIN q WHERE q_id <> id),
+        vr AS (SELECT q_id, id, r FROM (
+                 SELECT q_id, id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS r
+                 FROM vec_pairs) WHERE r <= 10),
+        tok AS (SELECT DISTINCT * FROM
+                  (SELECT id, unnest(string_split(text, ' ')) AS w FROM items)),
+        qt AS (SELECT id AS q_id, w FROM tok WHERE id < 5),
+        shared AS (
+          SELECT qt.q_id, tok.id, count(*) AS shared
+          FROM qt JOIN tok ON qt.w = tok.w AND tok.id <> qt.q_id
+          GROUP BY 1, 2),
+        kr AS (SELECT q_id, id, r FROM (
+                 SELECT q_id, id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY shared DESC, id) AS r
+                 FROM shared) WHERE r <= 10),
+        fused AS (
+          SELECT COALESCE(kr.q_id, vr.q_id) AS q_id, COALESCE(kr.id, vr.id) AS id,
+                 COALESCE(11 - kr.r, 0) + COALESCE(11 - vr.r, 0) AS pts,
+                 kr.r AS kw_rank, vr.r AS vec_rank
+          FROM kr FULL JOIN vr ON kr.q_id = vr.q_id AND kr.id = vr.id)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS item_id,
+               CAST(pts AS BIGINT) AS pts,
+               CAST(kw_rank AS BIGINT) AS kw_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pts DESC, id) AS rank
+              FROM fused)
+        WHERE rank <= 5 ORDER BY q_id, rank""")
+    ),
+
+    // ------------------------------------------------------------------
     // E13/E5 hybrid: per-label centroid stats — demonstrates vector
     // aggregation without collect (element-wise array sums via
     // zip_with-reduce in a declarative agg would shuffle arrays; counts

@@ -74,6 +74,16 @@ class IvfAdcSpec extends AnyFunSuite with SparkSpec {
   private def probes =
     emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
+  test("q157 recall report: aggregate recall >= 0.9 and deterministic") {
+    val rows = run("q157_index_recall_report").collect()
+    assert(rows.length == 20)
+    val nTrue = rows.map(_.getAs[Long]("n_true")).sum
+    val nHit = rows.map(_.getAs[Long]("n_hit")).sum
+    assert(nTrue == 100L)
+    assert(nHit.toDouble / nTrue >= 0.9, s"aggregate recall ${nHit.toDouble / nTrue}")
+    assert(run("q157_index_recall_report").collect().toSeq == rows.toSeq)
+  }
+
   test("incremental append probes bit-identical to rebuilding on the union corpus") {
     val base = emb.filter(col("vec_id") % 4 =!= 3)
     val batch = emb.filter(col("vec_id") % 4 === 3)

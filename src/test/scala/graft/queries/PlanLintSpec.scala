@@ -38,7 +38,9 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q141_stream_ivf_ingest", // 16-row broadcast centroid table (probe, same as q133)
     "q153_ivfadc", // 16-row broadcast centroid table + ≤10 query vectors (q133's shape)
     "q154_pq_persist", // ≤10 broadcast query vectors scored in one scan (q40's shape)
-    "q155_stream_ivf_delete" // 16-row broadcast centroid table (probe, same as q133)
+    "q155_stream_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
+    "q157_index_recall_report", // 16-row centroid table + ≤20 anchors (q153 + q40 shapes)
+    "q158_hybrid_retrieval" // ≤5 broadcast query vectors in the cosine channel (q40's shape)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
@@ -55,7 +57,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q147_int8_ann",
     "q150_negative_sample",
     "q152_pq_ann",
-    "q154_pq_persist"
+    "q154_pq_persist",
+    "q158_hybrid_retrieval"
   )
 
   test("ANN scans: bounded heap top-k, never a corpus-scaled window sort") {
