@@ -279,6 +279,11 @@ object IvfIndex {
       .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
+      // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+      // excluded HERE, explicitly, because NULL sorts FIRST in the
+      // heap's ascending struct order (the replaced DESC window pushed
+      // them last); an undefined score must never enter a neighbor list
+      .filter(col("cos").isNotNull)
       .groupBy("q_id")
       .agg(expr(s"top_k_structs(struct(-cos AS nc, vec_id, cos), $topK)").as("top"))
       .select(col("q_id"), posexplode(col("top")))

@@ -175,6 +175,11 @@ object PqIndex {
       .agg(expr(s"top_k_structs(struct(adc, vec_id, qv, v), $candK)").as("cand"))
       .select(col("q_id"), explode(col("cand")).as("c"))
       .withColumn("cos", expr("cosine_sim(c.qv, c.v)"))
+      // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+      // excluded HERE, explicitly, because NULL sorts FIRST in the
+      // heap's ascending struct order (the replaced DESC window pushed
+      // them last); an undefined score must never enter a neighbor list
+      .filter(col("cos").isNotNull)
       .groupBy("q_id")
       .agg(expr(s"top_k_structs(struct(-cos AS nc, c.vec_id AS vec_id, cos), $topK)").as("top"))
       .select(col("q_id"), posexplode(col("top")))

@@ -108,6 +108,11 @@ object Similarity {
         e.crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
+          // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+          // excluded HERE, explicitly, because NULL sorts FIRST in the
+          // heap's ascending struct order (the replaced DESC window pushed
+          // them last); an undefined score must never enter a neighbor list
+          .filter(col("cos").isNotNull)
           .groupBy("q_id")
           .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -438,6 +443,11 @@ object Similarity {
           .agg(expr("top_k_structs(struct(-dot AS nd, vec_id, dot, qv, v), 20)").as("cand"))
           .select(col("q_id"), explode(col("cand")).as("c"))
           .withColumn("cos", expr("cosine_sim(c.qv, c.v)"))
+          // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+          // excluded HERE, explicitly, because NULL sorts FIRST in the
+          // heap's ascending struct order (the replaced DESC window pushed
+          // them last); an undefined score must never enter a neighbor list
+          .filter(col("cos").isNotNull)
           .groupBy("q_id")
           .agg(expr("top_k_structs(struct(-cos AS nc, c.vec_id AS vec_id, cos, c.dot AS dot), 5)").as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -528,7 +538,12 @@ object Similarity {
           )
           .groupBy("q_id")
           .agg(
-            expr("top_k_structs(struct(-cos AS nc, vec_id), 5)").as("excl"),
+            // undefined (NULL) cosines never enter the EXCLUSION set —
+            // a zero-norm row is not anyone's true neighbor (it stays
+            // an eligible negative in cand, exactly as the replaced
+            // NULLS LAST window ranked it past every defined score)
+            expr("top_k_structs(struct(-cos AS nc, vec_id), 5) FILTER (WHERE cos IS NOT NULL)")
+              .as("excl"),
             expr("top_k_structs(struct(h, vec_id), 13)").as("cand")
           )
           .withColumn("excl_ids", expr("transform(excl, x -> x.vec_id)"))
@@ -699,6 +714,11 @@ object Similarity {
           .crossJoin(broadcast(anchors))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
+          // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+          // excluded HERE, explicitly, because NULL sorts FIRST in the
+          // heap's ascending struct order (the replaced DESC window pushed
+          // them last); an undefined score must never enter a neighbor list
+          .filter(col("cos").isNotNull)
           .groupBy("q_id")
           .agg(expr("top_k_structs(struct(-cos AS nc, vec_id), 5)").as("top"))
           .select(col("q_id"), explode(expr("transform(top, t -> t.vec_id)")).as("vec_id"))
@@ -742,6 +762,11 @@ object Similarity {
           .crossJoin(broadcast(qv))
           .filter(col("q_id") =!= col("id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
+          // zero-norm (corrupt) rows: cosine_sim yields NULL by contract —
+          // excluded HERE, explicitly, because NULL sorts FIRST in the
+          // heap's ascending struct order (the replaced DESC window pushed
+          // them last); an undefined score must never enter a neighbor list
+          .filter(col("cos").isNotNull)
           .groupBy("q_id")
           .agg(expr("top_k_structs(struct(-cos AS nc, id), 10)").as("top"))
           .select(col("q_id"), posexplode(col("top")))

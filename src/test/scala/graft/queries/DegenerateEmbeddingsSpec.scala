@@ -47,6 +47,26 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("zero-norm (corrupt) vectors never enter a neighbor list, as anchor or candidate") {
+    // cosine is undefined against the zero vector: cosine_sim returns
+    // NULL by contract, and every ANN heap site excludes NULL scores
+    // explicitly (NULL would sort FIRST in the heap's ascending struct
+    // order and win the top-k — the pre-rewrite DESC window pushed it
+    // last instead). Corrupt rows must vanish from rankings, not throw
+    // and not rank.
+    val good1 = Seq.tabulate(64)(i => i.toFloat / 64)
+    val good2 = Seq.tabulate(64)(i => 1f - i.toFloat / 64)
+    val dir = writeEmb(
+      "zeronorm",
+      Seq((1L, good1, 0), (2L, good2, 1), (3L, Seq.fill(64)(0f), 0))
+    )
+    val rows = SparkEntry.queries("q40_cosine_topk")(spark, dir).collect()
+    // anchors 1 and 2 each find only each other; anchor 3 (zero) finds
+    // nothing and is found by nobody
+    assert(rows.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet == Set((1L, 2L), (2L, 1L)))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("cos"))))
+  }
+
   test("two-vector corpus: exactly one neighbor each, none for the out-of-range anchor") {
     val dir = writeEmb(
       "pair",
