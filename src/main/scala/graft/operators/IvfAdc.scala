@@ -105,6 +105,10 @@ object IvfAdc {
     PqIndex
       .encode(toCode, cb)
       .select(col("vec_id"), col("vraw").as("v"), col("norm"), col("codes"), col("cell"))
+      // local (exchange-free) sort so each written file carries tight
+      // vec_id row-group stats — what makes the probe's pushed-down
+      // candidate-id filter actually skip stripes in the re-rank scan
+      .sortWithinPartitions("cell", "vec_id")
       .write
       .mode(mode)
       .partitionBy("cell")
@@ -238,22 +242,44 @@ object IvfAdc {
       else df
 
     // ADC pass: reads (vec_id, codes) of the probed directories only —
-    // column pruning keeps the raw vectors out of this scan entirely
+    // column pruning keeps the raw vectors out of this scan entirely.
+    // The candidate set MATERIALIZES here (an eager action during plan
+    // construction, the BFS-closure precedent): it is bounded by
+    // construction at candK × |queries| rows, and collecting it turns
+    // the re-rank fetch into a scan-level predicate instead of a
+    // join-time filter.
     val coded =
       minusTombstones(s.read.parquet(s"$indexDir/data").select("vec_id", "codes", "cell"))
     val scanBase = coded
       .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
     val scan = if (residual) scanBase.withColumn("qv", residualOf("qv", cents)) else scanBase
-    val cand = scan
+    val candRows = scan
       .withColumn("adc", PqIndex.adcExpr(cb))
       .groupBy("q_id")
       .agg(expr(s"top_k_structs(struct(adc, vec_id), $candK)").as("cand"))
       .select(col("q_id"), explode(expr("transform(cand, c -> c.vec_id)")).as("vec_id"))
+      .collect()
+    val sess = s
+    import sess.implicits._
+    val cand = candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("q_id", "vec_id")
+    val candIds = candRows.map(_.getLong(1)).distinct.sorted.toSeq
 
     // re-rank pass: a second scan of the SAME pruned directories, now
-    // reading v, broadcast-semi-joined down to the candidate ids
-    val vecs = s.read.parquet(s"$indexDir/data").select("vec_id", "v", "cell")
+    // reading v — with the candidate ids PUSHED INTO the scan
+    // (`PushedFilters` on vec_id, spec-asserted), so parquet row-group
+    // stats can skip non-candidate stripes instead of the join
+    // discarding rows after the read. Stated plainly for the 100 TB
+    // posture: with ids scattered across cells, stats-based skipping is
+    // partial (Spark folds a large IN into a min/max range past
+    // spark.sql.parquet.pushdown.inFilterThreshold); a deployment
+    // whose re-rank fetch dominates sorts the layout by vec_id within
+    // cells — or serves point lookups from a keyed store — and this
+    // probe keeps the same shape either way.
+    val vecs = s.read
+      .parquet(s"$indexDir/data")
+      .select("vec_id", "v", "cell")
+      .filter(col("vec_id").isin(candIds: _*))
     vecs
       .join(broadcast(probed), Seq("cell"))
       .join(broadcast(cand), Seq("q_id", "vec_id"))

@@ -34,10 +34,13 @@ class IvfAdcSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
-  test("q153 probe plan: DPP on cell, and no corpus-scaled exchange") {
+  test("q153 probe plan: DPP on cell, candidate ids pushed into the re-rank scan, no corpus-scaled exchange") {
     val plan = run("q153_ivfadc").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(4000))
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan.take(4000))
+    // the re-rank fetch must reach parquet as a pushed filter on
+    // vec_id (In or folded min/max range), not as a join-time discard
+    assert("PushedFilters: \\[[^\\]]*vec_id".r.findFirstIn(plan).isDefined, plan.take(4000))
 
     // tree-walk the rendered plan: for every hash exchange, if its
     // subtree scans the index layout (FileScan on .../data), the
