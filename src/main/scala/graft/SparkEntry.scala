@@ -32,7 +32,9 @@ object SparkEntry {
     graft.queries.Corpus.defs,
     graft.queries.PipelineOps.defs,
     graft.queries.Graph.defs,
-    graft.queries.Entity.defs
+    graft.queries.Entity.defs,
+    graft.queries.Sketches.defs,
+    graft.queries.Spectral.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -799,6 +799,132 @@ object TextOps {
           FROM (SELECT w, c, unnest(sym) AS sym_ FROM s3)
           GROUP BY 1)
         ORDER BY cnt DESC, sym LIMIT 30""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Held-out language-model scoring — the LEAKAGE-SAFE form of q144's
+    // typicality proxy: an add-1-smoothed word-BIGRAM model is trained
+    // on an md5-split ~75% of the corpus and scores only the HELD-OUT
+    // 25%, so no document is ever scored by statistics it contributed
+    // to (the difference between a perplexity FILTER and a perplexity
+    // echo chamber). All arithmetic is fixed-point integer — per-bigram
+    // probability (c₂+1)·10⁶ DIV (c₁+V), per-doc mean a second DIV —
+    // so both engines hash identically; a libm-log perplexity would
+    // rank the same but drift in low bits. Headroom: (c₂+1)·10⁶
+    // overflows int64 only past ~9.2·10¹² occurrences of one bigram.
+    // Plan: bigram pairs are a map-side transform of the word array;
+    // model counts are two partial-agg'd exchanges (bigram-type- and
+    // vocab-scaled, never corpus-scaled); scoring joins are equi-joins
+    // on (w1,w2)/(w1) that AQE broadcasts when the model is small; the
+    // per-doc roll-up is one doc-keyed exchange.
+    QueryDef(
+      "q162_bigram_lm",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("ws"),
+            expr(
+              "CASE WHEN substring(md5(cast(doc_id AS string)), 1, 1) < 'c' " +
+                "THEN 'train' ELSE 'heldout' END"
+            ).as("part")
+          )
+          .filter(size(col("ws")) >= 2)
+        val bigrams = docs
+          .select(
+            col("doc_id"),
+            col("part"),
+            explode(
+              expr(
+                "transform(sequence(1, size(ws) - 1), " +
+                  "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+              )
+            ).as("bg")
+          )
+          .select(col("doc_id"), col("part"), col("bg.w1"), col("bg.w2"))
+        val train = bigrams.filter(col("part") === "train")
+        val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = train.agg(countDistinct(col("w2")).as("vv"))
+        bigrams
+          .filter(col("part") === "heldout")
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .withColumn(
+            "pm",
+            expr("(coalesce(c2, 0L) + 1) * 1000000L DIV (coalesce(c1, 0L) + vv)")
+          )
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("pm").as("sum_micros"))
+          .withColumn("avg_micros", expr("sum_micros DIV n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                      THEN 'train' ELSE 'heldout' END AS part
+          FROM documents),
+        bg AS (
+          SELECT doc_id, part, ws[i] AS w1, ws[i+1] AS w2
+          FROM (SELECT doc_id, part, ws, unnest(range(1, len(ws))) AS i
+                FROM docs WHERE len(ws) >= 2)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE part = 'train' GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE part = 'train' GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) AS vv FROM bg WHERE part = 'train'),
+        scored AS (
+          SELECT b.doc_id,
+                 (coalesce(c2.c2, 0) + 1) * 1000000 // (coalesce(c1.c1, 0) + v.vv) AS pm
+          FROM bg b
+          LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          LEFT JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v
+          WHERE b.part = 'heldout')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(pm) AS BIGINT) AS sum_micros,
+               CAST(sum(pm) AS BIGINT) // count(*) AS avg_micros
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Severity-weighted lexicon screen — the wordlist-driven content
+    // filter every corpus pipeline runs before (or instead of) a model
+    // classifier: each lexicon term carries a severity weight, a
+    // document's score is Σ weight over its matching tokens, and docs
+    // at or above the threshold are flagged for exclusion/review. The
+    // lexicon here is tiny and synthetic (terms drawn from the test
+    // vocabulary); the OPERATOR is the real thing — lexicons are
+    // curated small tables (100s–10000s of rows), so the match is a
+    // broadcast equi-join the token stream flows through map-side, and
+    // the per-doc roll-up is the one doc-keyed exchange. Exact-match
+    // tokens, not substrings: "dup" must not flag "dedup" (substring
+    // lexicons are a different operator — q70's regex census covers
+    // patterns). Integer weights ⇒ oracle-exact.
+    QueryDef(
+      "q165_lexicon_screen",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Seq(("slow", 4L), ("dup", 5L), ("big", 2L), ("small", 1L))
+          .toDF("tok", "weight")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .join(broadcast(lex), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("hits"), sum("weight").as("score"))
+          .withColumn("flagged", col("score") >= 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH lex(tok, weight) AS (
+          VALUES ('slow', 4), ('dup', 5), ('big', 2), ('small', 1)),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+               CAST(sum(weight) AS BIGINT) AS score,
+               CAST(sum(weight) AS BIGINT) >= 20 AS flagged
+        FROM toks JOIN lex USING (tok)
+        WHERE len(tok) > 0
+        GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

@@ -40,7 +40,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q154_pq_persist", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q155_stream_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
     "q157_index_recall_report", // 16-row centroid table + ≤20 anchors (q153 + q40 shapes)
-    "q158_hybrid_retrieval" // ≤5 broadcast query vectors in the cosine channel (q40's shape)
+    "q158_hybrid_retrieval", // ≤5 broadcast query vectors in the cosine channel (q40's shape)
+    "q162_bigram_lm" // 1-row broadcast vocabulary-size scalar (q38's shape)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
