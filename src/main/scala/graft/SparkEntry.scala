@@ -34,7 +34,8 @@ object SparkEntry {
     graft.queries.Graph.defs,
     graft.queries.Entity.defs,
     graft.queries.Sketches.defs,
-    graft.queries.Spectral.defs
+    graft.queries.Spectral.defs,
+    graft.queries.Versioned.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

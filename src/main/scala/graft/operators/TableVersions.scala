@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-version table store with time travel and CDC — the lakehouse
+  * transaction-log pattern (Delta/Iceberg-style, reimplemented from
+  * first principles) at the size this engine needs it:
+  *
+  *  - data lives as immutable parquet files under `<dir>/data/b<V>/`,
+  *    one batch directory per commit;
+  *  - the LOG is itself a tiny Spark-readable parquet table under
+  *    `<dir>/_log/`, one row per (version, file, action ∈ add|remove)
+  *    — so "what files make up version V" is an ordinary aggregation,
+  *    not bespoke metadata parsing, and the log scales as O(commits),
+  *    never O(rows);
+  *  - commits are APPEND-ONLY: a delete/update never touches old
+  *    files, it logs `remove` for the files it rewrites (copy-on-write
+  *    of only the AFFECTED files) and `add` for their replacements.
+  *    Old versions stay readable forever — time travel is just
+  *    filtering the log to `version <= v`.
+  *
+  * Writes go through the Hadoop FileSystem API (HDFS/object-store
+  * ready, same discipline as IvfIndex.compact); note object stores
+  * want a conditional-put on the log append for true concurrent
+  * commits — single-writer is assumed here, as in every maintenance
+  * job in this engine.
+  */
+object TableVersions {
+
+  private def fsOf(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def listParquet(s: SparkSession, batchDir: String): Seq[String] = {
+    val fs = fsOf(s, batchDir)
+    fs.listStatus(new Path(batchDir))
+      .toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(_.toUri.getPath)
+      .sorted
+  }
+
+  private def logDir(dir: String) = s"$dir/_log"
+
+  private def appendLog(
+      s: SparkSession,
+      dir: String,
+      version: Long,
+      op: String,
+      adds: Seq[String],
+      removes: Seq[String]
+  ): Unit = {
+    import s.implicits._
+    val actions = adds.map((version, op, _, "add")) ++ removes.map((version, op, _, "remove"))
+    // a no-op commit still writes one marker row — currentVersion is
+    // max(version) over the log, so an empty append would silently
+    // reuse the version number on the next commit
+    val rows = if (actions.nonEmpty) actions else Seq((version, op, "", "noop"))
+    rows
+      .toDF("version", "op", "file", "action")
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(logDir(dir))
+  }
+
+  /** Latest committed version, or -1 for an empty/uninitialized table. */
+  def currentVersion(s: SparkSession, dir: String): Long = {
+    if (!fsOf(s, dir).exists(new Path(logDir(dir)))) return -1L
+    s.read.parquet(logDir(dir)).agg(max("version")).head().getLong(0)
+  }
+
+  /** Files live AT version v: added in some commit ≤ v and not removed
+    * by a later commit ≤ v. Files are immutable and never re-added, so
+    * liveness is simply "has an add and no remove" within the window.
+    */
+  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
+    s.read
+      .parquet(logDir(dir))
+      .filter(col("version") <= v)
+      .groupBy("file")
+      .agg(
+        sum(when(col("action") === "add", 1).otherwise(0)).as("adds"),
+        sum(when(col("action") === "remove", 1).otherwise(0)).as("removes")
+      )
+      .filter(col("adds") > col("removes"))
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+      .sorted
+
+  /** The table as of version v (time travel). */
+  def readVersion(s: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = liveFiles(s, dir, v)
+    require(files.nonEmpty, s"version $v of $dir has no live files")
+    s.read.parquet(files: _*)
+  }
+
+  /** Commit a new batch of rows (version 0 initializes the table). */
+  def commitAppend(df: DataFrame, dir: String): Long = {
+    val s = df.sparkSession
+    val v = currentVersion(s, dir) + 1
+    val batch = s"$dir/data/b$v"
+    df.write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, if (v == 0) "init" else "append", listParquet(s, batch), Nil)
+    v
+  }
+
+  /** Copy-on-write delete: only files that CONTAIN matching rows are
+    * rewritten (their non-matching rows re-land in the new batch);
+    * untouched files stay live, so commit cost scales with the data
+    * actually hit, not the table. `cond` is a SQL predicate string.
+    */
+  def commitDelete(s: SparkSession, dir: String, cond: String): Long =
+    rewriteWhere(s, dir, cond, identity, "delete")
+
+  /** Copy-on-write update: matching rows are transformed, the rest of
+    * each hit file is preserved verbatim. `transform` receives ONLY
+    * the matching rows and must return the same schema.
+    */
+  def commitUpdate(
+      s: SparkSession,
+      dir: String,
+      cond: String,
+      transform: DataFrame => DataFrame
+  ): Long =
+    rewriteWhere(s, dir, cond, transform, "update")
+
+  private def rewriteWhere(
+      s: SparkSession,
+      dir: String,
+      cond: String,
+      transform: DataFrame => DataFrame,
+      op: String
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val v = prev + 1
+    val files = liveFiles(s, dir, prev)
+    val withFile = s.read
+      .parquet(files: _*)
+      .withColumn("__file", input_file_name())
+    // files containing at least one matching row — the rewrite set
+    val hit = withFile
+      .filter(expr(cond))
+      .select("__file")
+      .distinct()
+      .collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath)
+      .toSet
+    if (hit.isEmpty) {
+      // no-op commit: still advances the version (an auditable entry)
+      appendLog(s, dir, v, op, Nil, Nil)
+      return v
+    }
+    val hitDf = s.read.parquet(hit.toSeq.sorted: _*)
+    val keep = hitDf.filter(not(expr(cond)))
+    val replaced = op match {
+      case "delete" => keep
+      case _        => keep.unionByName(transform(hitDf.filter(expr(cond))))
+    }
+    val batch = s"$dir/data/b$v"
+    replaced.write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, op, listParquet(s, batch), hit.toSeq.sorted)
+    v
+  }
+
+  /** CDC between two versions, keyed on `key`: one row per changed key
+    * with change_type ∈ insert | delete | update. Fingerprints are
+    * md5 over all non-key columns (name-sorted for stability), so the
+    * diff shuffles only (key, fp) pairs — the q125 reconciliation
+    * shape driven through the version store.
+    */
+  def changes(
+      s: SparkSession,
+      dir: String,
+      key: String,
+      vOld: Long,
+      vNew: Long
+  ): DataFrame = {
+    def fingerprinted(v: Long) = {
+      val df = readVersion(s, dir, v)
+      val rest = df.columns.filterNot(_ == key).sorted
+      df.select(
+        col(key),
+        md5(concat_ws("", rest.map(c => col(c).cast("string")): _*)).as("fp")
+      )
+    }
+    fingerprinted(vOld)
+      .withColumnRenamed("fp", "fp_old")
+      .join(fingerprinted(vNew).withColumnRenamed("fp", "fp_new"), Seq(key), "full_outer")
+      .withColumn(
+        "change_type",
+        when(col("fp_old").isNull, "insert")
+          .when(col("fp_new").isNull, "delete")
+          .when(col("fp_old") =!= col("fp_new"), "update")
+      )
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+  }
+}

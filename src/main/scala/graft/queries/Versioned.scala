@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.TableVersions
+
+/** Multi-version table store queries (operators/TableVersions): time
+  * travel (q166) and change-data-capture between versions (q167). The
+  * corpus-management reality behind both: a training corpus is not a
+  * static directory, it is a sequence of crawls, deletions (takedown /
+  * erasure), and re-processings — and reproducing LAST month's
+  * training run needs last month's TABLE, while downstream consumers
+  * (indexes, dedup state) want the DELTA, not a re-read.
+  */
+object Versioned {
+
+  /** Build the 4-commit version history every query here reads:
+    * v0 init (doc_id ≡ 0 mod 3) → v1 append (≡ 1) → v2 copy-on-write
+    * delete (lang = 'en') → v3 copy-on-write update (zh docs get
+    * n_chars += 1000). Deterministic content at every version, so the
+    * oracles restate each version as a plain filter of `documents`.
+    */
+  private def buildHistory(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tdir = Similarity.freshIndexDir("versioned_docs")
+    val docs = Tables(s, dir, "documents")
+    TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir)
+    TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), tdir)
+    TableVersions.commitDelete(s, tdir, "lang = 'en'")
+    TableVersions.commitUpdate(
+      s,
+      tdir,
+      "lang = 'zh'",
+      m => m.withColumn("n_chars", col("n_chars") + 1000)
+    )
+    tdir
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Time travel: after init → append → delete → update, read the
+    // table AS OF every version and emit per-version row count, char
+    // mass, and an order-independent XOR of per-doc content
+    // fingerprints (q148's manifest idiom — any row lost, duplicated,
+    // or silently mutated at any version flips that version's hash).
+    // The reads resolve through the parquet transaction log: "files
+    // live at v" is one aggregation over an O(commits) table, and
+    // old versions cost nothing to keep (files are immutable;
+    // copy-on-write rewrote only the files the delete/update HIT).
+    // ORACLE-EXACT because every version's content is a deterministic
+    // function of `documents` the oracle restates as filters.
+    QueryDef(
+      "q166_time_travel",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        (0L to 3L)
+          .map { v =>
+            TableVersions
+              .readVersion(s, tdir, v)
+              .agg(
+                count(lit(1)).as("n_rows"),
+                sum("n_chars").as("sum_chars"),
+                expr(
+                  "bit_xor(cast(conv(substring(md5(concat(cast(doc_id AS string), ':', text, ':', lang, ':', cast(n_chars AS string))), 1, 15), 16, 10) AS bigint))"
+                ).as("fp_xor")
+              )
+              .select(lit(v).as("version"), col("n_rows"), col("sum_chars"), col("fp_xor"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("version")
+      },
+      Some("""WITH v0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        v1 AS (SELECT * FROM documents WHERE doc_id % 3 IN (0, 1)),
+        v2 AS (SELECT * FROM v1 WHERE lang <> 'en'),
+        v3 AS (SELECT doc_id, text, lang, source,
+                      CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+               FROM v2),
+        all_v AS (
+          SELECT 0 AS version, * FROM v0 UNION ALL
+          SELECT 1, * FROM v1 UNION ALL
+          SELECT 2, * FROM v2 UNION ALL
+          SELECT 3, * FROM v3)
+        SELECT CAST(version AS BIGINT) AS version,
+               count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text || ':' || lang || ':' || CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS fp_xor
+        FROM all_v GROUP BY version ORDER BY version""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CDC: the logical delta between the initial commit and the head
+    // version — inserts (appended and still present), deletes (initial
+    // docs the erasure commit removed), updates (initial docs whose
+    // content the update commit changed) — keyed by doc_id with md5
+    // content fingerprints, so the full-outer diff shuffles (key, fp)
+    // pairs only, never document bodies (q125's reconciliation shape,
+    // driven through the version store instead of two ad-hoc reads).
+    // This is what an incremental index maintainer consumes: exactly
+    // the keys to re-embed, tombstone, or admit, regardless of how
+    // many commits happened in between.
+    QueryDef(
+      "q167_version_cdc",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        TableVersions
+          .changes(s, tdir, "doc_id", 0L, 3L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH v0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        v3 AS (SELECT doc_id, text, lang, source,
+                      CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+               FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'en')
+        SELECT doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'insert'
+                    WHEN n.doc_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type
+        FROM (SELECT doc_id FROM v0) o
+        FULL OUTER JOIN (SELECT doc_id, lang FROM v3) n USING (doc_id)
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR n.lang = 'zh'
+        ORDER BY doc_id""")
+    )
+  )
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins the version-store invariants q166/q167's oracles cannot see:
+  * copy-on-write touches only hit files, old versions stay bit-stable
+  * after later commits, and the log stays O(commits).
+  */
+class TableVersionsSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDir() = graft.queries.Similarity.freshIndexDir("tv_spec")
+
+  private def fixture() = {
+    val s = spark
+    import s.implicits._
+    (0L until 80L)
+      .map(i => (i, s"doc$i", if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "body", "par")
+  }
+
+  test("copy-on-write delete rewrites only the files containing matches") {
+    val dir = freshDir()
+    // 4 range-partitioned files: ids 0-19, 20-39, 40-59, 60-79
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
+    val v0files = spark.read.parquet(s"$dir/_log").filter(col("version") === 0)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(v0files.size == 4)
+
+    TableVersions.commitDelete(spark, dir, "id < 15")
+    val log = spark.read.parquet(s"$dir/_log").filter(col("version") === 1).collect()
+    val removed = log.filter(_.getAs[String]("action") == "remove").map(_.getAs[String]("file")).toSet
+    // only the one file holding ids < 15 was rewritten; three survive
+    assert(removed.size == 1, s"expected 1 rewritten file, got ${removed.size}")
+    assert(removed.subsetOf(v0files))
+    val live1 = TableVersions.readVersion(spark, dir, 1)
+    assert(live1.count() == 65)
+    assert(live1.filter(col("id") < 15).count() == 0)
+  }
+
+  test("time travel: earlier versions stay bit-stable through later delete/update commits") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir)
+    val before = TableVersions.readVersion(spark, dir, 0).orderBy("id").collect().toSeq
+    TableVersions.commitDelete(spark, dir, "par = 'odd'")
+    TableVersions.commitUpdate(spark, dir, "id % 10 = 0", _.withColumn("body", lit("rewritten")))
+    val after = TableVersions.readVersion(spark, dir, 0).orderBy("id").collect().toSeq
+    assert(after == before, "version 0 changed under later commits")
+    // head version reflects both commits
+    val head = TableVersions.readVersion(spark, dir, TableVersions.currentVersion(spark, dir))
+    assert(head.filter(col("par") === "odd").count() == 0)
+    assert(head.filter(col("body") === "rewritten").count() == 8) // ids 0,10,...,70 all survive the odd-delete
+  }
+
+  test("update transforms only matching rows; others byte-identical") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir)
+    TableVersions.commitUpdate(spark, dir, "id >= 70", _.withColumn("body", concat(col("body"), lit("!"))))
+    val head = TableVersions.readVersion(spark, dir, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 70L).foreach(i => assert(head(i) == s"doc$i"))
+    (70L until 80L).foreach(i => assert(head(i) == s"doc$i!"))
+  }
+
+  test("no-op commit advances the version without touching files; log stays O(commits)") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().coalesce(2), dir)
+    val v = TableVersions.commitDelete(spark, dir, "id = 99999")
+    assert(v == 1)
+    assert(TableVersions.readVersion(spark, dir, 1).count() == 80)
+    // 2 adds from init + 1 no-op marker (which must still advance
+    // currentVersion, or the next commit would reuse the number)
+    val logRows = spark.read.parquet(s"$dir/_log").count()
+    assert(logRows == 3, s"log grew unexpectedly: $logRows rows")
+    assert(TableVersions.currentVersion(spark, dir) == 1)
+    // CDC across the no-op is empty
+    assert(TableVersions.changes(spark, dir, "id", 0L, 1L).count() == 0)
+  }
+
+  test("changes() classifies insert/delete/update exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir)
+    TableVersions.commitAppend(
+      (100L until 110L).map(i => (i, s"doc$i", "new")).toDF("id", "body", "par"),
+      dir
+    )
+    TableVersions.commitDelete(spark, dir, "id < 5")
+    TableVersions.commitUpdate(spark, dir, "id = 42", _.withColumn("body", lit("changed")))
+    val got = TableVersions
+      .changes(spark, dir, "id", 0L, 3L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val expected =
+      (100L until 110L).map(_ -> "insert").toMap ++
+        (0L until 5L).map(_ -> "delete").toMap + (42L -> "update")
+    assert(got == expected)
+  }
+}
