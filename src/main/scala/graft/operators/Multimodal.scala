@@ -236,6 +236,64 @@ object Multimodal {
         }
       }
 
+  /** 2× audio downsample through the REAL codec — the resample/
+    * feature-extraction shape of a multimodal pipeline (decode →
+    * transform PCM → re-encode), with the simplest resampler whose
+    * output is exactly restatable: boxcar decimation. Each adjacent
+    * sample pair averages to one output sample (floorDiv — exact
+    * integer semantics, trailing odd sample dropped) and the result
+    * re-encodes as WAV at half the rate with the same
+    * `javax.sound.sampled` writer. A production resampler would
+    * window-sinc here; the Spark-side plumbing — binary in, binary
+    * out, codec init per partition, error-as-data — is identical.
+    * Undecodable payloads become `audio/invalid` records (empty
+    * payload), which downstream [[decodeAudioFeatures]] reports as
+    * `decode_ok = false` rows — one bad clip never retries a stage.
+    */
+  def downsampleAudio(ds: Dataset[MediaRecord]): Dataset[MediaRecord] =
+    ds.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          require(
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              !fmt.isBigEndian,
+            s"unsupported frame format $fmt"
+          )
+          val n = bytes.length / fmt.getFrameSize
+          val half = n / 2
+          val out = new Array[Byte](half * 2)
+          var k = 0
+          while (k < half) {
+            val a = (((bytes(4 * k + 1) & 0xff) << 8) | (bytes(4 * k) & 0xff)).toShort.toInt
+            val b = (((bytes(4 * k + 3) & 0xff) << 8) | (bytes(4 * k + 2) & 0xff)).toShort.toInt
+            val v = Math.floorDiv(a + b, 2).toShort
+            out(2 * k) = (v & 0xff).toByte
+            out(2 * k + 1) = ((v >> 8) & 0xff).toByte
+            k += 1
+          }
+          val halfFmt =
+            new javax.sound.sampled.AudioFormat(fmt.getSampleRate / 2, 16, 1, true, false)
+          val outAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out),
+            halfFmt,
+            half.toLong
+          )
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem
+            .write(outAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(m.media_id, "audio/wav", bos.toByteArray, bos.size().toLong)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            MediaRecord(m.media_id, "audio/invalid", Array.emptyByteArray, 0L)
+        }
+      }
+    }
+
   /** REAL audio decode: `javax.sound.sampled` parses each WAV payload
     * (container header, format negotiation, frame extraction) and the
     * PCM frames reduce to exact integer sample stats. Same error

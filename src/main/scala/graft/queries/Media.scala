@@ -121,6 +121,41 @@ object Media {
         WHERE i < 64 + doc_id % 65
         GROUP BY doc_id ORDER BY media_id""")
     ),
+    // real-codec audio downsample: q129's clips decoded, boxcar-
+    // decimated 2× (adjacent pairs floorDiv-averaged, trailing odd
+    // sample dropped), RE-ENCODED as 4 kHz WAV with the same javax
+    // writer, decoded AGAIN, and reduced to exact sample stats — a
+    // full decode→transform→encode→decode round trip, so a defect
+    // anywhere in either codec pass or the resampler breaks the hash.
+    // The oracle restates the decimation analytically over the
+    // generating formula (half-rate spine, floor((s₂ₖ+s₂ₖ₊₁)/2)).
+    QueryDef(
+      "q164_audio_downsample",
+      (s, dir) =>
+        Multimodal
+          .decodeAudioFeatures(
+            Multimodal.downsampleAudio(Multimodal.syntheticAudio(s, dir))
+          )
+          .toDF()
+          .filter(col("decode_ok"))
+          .select("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s", "sum_abs")
+          .orderBy("media_id"),
+      Some("""WITH sp AS (SELECT unnest(range(64)) AS k),
+        dec AS (
+          SELECT doc_id, k,
+            CAST(floor((((7*(2*k) + doc_id) % 2001 - 1000)
+                      + ((7*(2*k+1) + doc_id) % 2001 - 1000)) / 2.0) AS BIGINT) AS v
+          FROM documents, sp
+          WHERE k < (64 + doc_id % 65) // 2)
+        SELECT doc_id AS media_id,
+          CAST(4000 AS INTEGER) AS sample_rate,
+          CAST((64 + doc_id % 65) // 2 AS BIGINT) AS n_samples,
+          CAST(sum(v) AS BIGINT) AS sum_s,
+          CAST(min(v) AS INTEGER) AS min_s,
+          CAST(max(v) AS INTEGER) AS max_s,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        FROM dec GROUP BY doc_id ORDER BY media_id""")
+    ),
     // real-codec video decode: per-document frame-packed container
     // (length-prefixed REAL PNG frames behind a magic header; pixel
     // (x, y) of frame f is a fixed modular form), decoded by walking

@@ -732,6 +732,32 @@ object StreamGate {
         )
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E5 (streaming sketch): q159's count-min sketch maintained
+    // LIVE — each micro-batch of arriving documents reduces to its own
+    // ≤ d·w partial counter table (Sketches.counterTable) appended to
+    // a staging table; the merged sketch is the (j, b)-sum of the
+    // partials. This is the mergeability sketches exist for: partial
+    // counter matrices ADD, so the drained result is bit-identical to
+    // the one-shot batch sketch under ANY micro-batch split —
+    // StreamSketchSpec forces a 3-file/3-batch replay and pins the
+    // equality, and the shared q159 oracle certifies the drained
+    // output end to end. Per-batch cost is O(batch tokens) + one
+    // ≤ d·w write; nothing corpus-scaled ever recomputes.
+    QueryDef(
+      "q168_stream_count_min",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        val stream = gs.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        runSketchStream(gs, Tables(gs, dir, "documents"), stream)
+      },
+      Some(Sketches.cmsOracle)
     )
   )
 
@@ -782,5 +808,41 @@ object StreamGate {
     }
     gs.createDataFrame(java.util.Arrays.asList(verdicts.get(): _*), resultSchema)
       .orderBy("d_new", "d_old")
+  }
+
+  /** Drive a count-min maintenance stream to completion and return the
+    * final estimate table (see q168). Per micro-batch: the batch's
+    * partial counter table appends to `staging`; after the drain the
+    * merged sketch is one (j, b) summation — additive merge, the CMS
+    * property that makes the result independent of how the source
+    * split into batches. Probe keys/exact counts come from `static`
+    * (the same corpus the stream delivers), so the output table is
+    * directly comparable to — and hash-equal with — batch q159.
+    */
+  private[graft] def runSketchStream(
+      gs: SparkSession,
+      static: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    val staging = Similarity.freshIndexDir("cms_staging")
+    val ck = Similarity.freshIndexDir("cms_ck")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sketches
+          .counterTable(Sketches.tokenCounts(batch.toDF()))
+          .write
+          .mode("append")
+          .parquet(staging)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    val merged = gs.read.parquet(staging).groupBy("j", "b").agg(sum("c").as("c"))
+    Sketches.estimateTopK(Sketches.tokenCounts(static), merged)
   }
 }

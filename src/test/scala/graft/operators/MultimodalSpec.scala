@@ -129,6 +129,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(!_.decode_ok).forall(f => f.sample_rate == -1 && f.sum_s == -1L))
   }
 
+  test("audio downsample: boxcar decimation halves rate/count with exact floorDiv averages") {
+    val clips = Multimodal.syntheticAudio(spark, dir)
+    val out = Multimodal.decodeAudioFeatures(Multimodal.downsampleAudio(clips)).collect()
+    assert(out.nonEmpty && out.forall(_.decode_ok))
+    assert(out.forall(_.sample_rate == 4000))
+    out.foreach { f =>
+      val id = f.media_id
+      val n = (64 + id % 65).toInt
+      val orig = (0 until n).map(i => ((7L * i + id) % 2001L - 1000L).toInt)
+      // trailing odd sample dropped; negative sums floor (not truncate)
+      val dec = (0 until n / 2).map(k => Math.floorDiv(orig(2 * k) + orig(2 * k + 1), 2))
+      assert(f.n_samples == (n / 2).toLong)
+      assert(f.sum_s == dec.map(_.toLong).sum)
+      assert(f.sum_abs == dec.map(v => math.abs(v).toLong).sum)
+      assert(f.min_s == dec.min && f.max_s == dec.max)
+    }
+  }
+
+  test("audio downsample: corrupt payloads flow through as decode_ok=false rows") {
+    val sess = spark
+    import sess.implicits._
+    val good = Multimodal.syntheticAudio(spark, dir).take(1).head
+    val mixed = Seq(
+      Multimodal.MediaRecord(900001L, "audio/wav", Array[Byte](9, 9, 9, 9), 4L),
+      good
+    ).toDS()
+    val out = Multimodal
+      .decodeAudioFeatures(Multimodal.downsampleAudio(mixed))
+      .collect()
+      .sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out.count(_.decode_ok) == 1)
+    assert(!out.find(_.media_id == 900001L).get.decode_ok)
+  }
+
   test("video codec: container of real PNG frames round-trips exact sampled-pixel sums") {
     val vids = Multimodal.syntheticVideos(spark, dir)
     val sample = vids.take(5)
