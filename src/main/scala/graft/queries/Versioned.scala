@@ -117,6 +117,81 @@ object Versioned {
         FULL OUTER JOIN (SELECT doc_id, lang FROM v3) n USING (doc_id)
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR n.lang = 'zh'
         ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CDC-driven index maintenance — the consumer loop the version
+    // store exists to feed: the embeddings table goes through init →
+    // append → erasure-delete → re-embed-update commits; an IVF index
+    // built at v0 is then brought up to the head version by consuming
+    // ONLY the CDC delta — inserts append (exchange-free assignment),
+    // deletes tombstone (one tiny write), and updates take the
+    // documented slow path (tombstone + compact + re-append: a
+    // re-appended vec_id would otherwise be hidden by its own
+    // tombstone, so the physical rewrite must clear tombstones before
+    // the new content lands). Nothing corpus-scaled recomputes — the
+    // index never re-reads rows the delta didn't name, except the one
+    // compaction rewrite updates force. CdcSyncSpec pins the synced
+    // probe bit-identical to an index rebuilt from the head version
+    // with the same centroids. Rows-only (KMeans cells are
+    // implementation-defined).
+    QueryDef(
+      "q169_cdc_index_sync",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_emb")
+        val emb = Tables(s, dir, "embeddings")
+        TableVersions.commitAppend(emb.filter(col("vec_id") % 4 =!= 3), tdir) // v0
+        TableVersions.commitAppend(emb.filter(col("vec_id") % 4 === 3), tdir) // v1
+        TableVersions.commitDelete(s, tdir, "vec_id % 7 = 0") // v2: erasure
+        TableVersions.commitUpdate( // v3: re-embedded slice
+          s,
+          tdir,
+          "vec_id % 11 = 5",
+          m => m.withColumn("embedding", expr("transform(embedding, x -> cast(-x AS float))"))
+        )
+        syncedProbe(s, tdir, vOld = 0L, vNew = 3L)._1
+      },
+      None
     )
   )
+
+  /** Build an IVF index at `vOld`, sync it to `vNew` by consuming the
+    * CDC delta, and probe it. Returns (probe result, the fitted
+    * centroids) so the spec can rebuild the reference index with the
+    * identical quantizer.
+    */
+  private[graft] def syncedProbe(
+      s: org.apache.spark.sql.SparkSession,
+      tdir: String,
+      vOld: Long,
+      vNew: Long
+  ): (org.apache.spark.sql.DataFrame, Seq[(Int, Seq[Double])]) = {
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+
+    val idx = Similarity.freshIndexDir("cdc_ivf")
+    val e0 = prep(TableVersions.readVersion(s, tdir, vOld))
+    val cents = graft.operators.IvfIndex.fitCentroids(e0, k = 16, maxIter = 5, seed = 42L)
+    graft.operators.IvfIndex.writeLayout(e0, cents, idx)
+
+    val delta = TableVersions.changes(s, tdir, "vec_id", vOld, vNew)
+    val head = prep(TableVersions.readVersion(s, tdir, vNew))
+    val gone = delta.filter(col("change_type").isin("delete", "update")).select("vec_id")
+    val fresh = head
+      .join(delta.filter(col("change_type").isin("insert", "update")), Seq("vec_id"))
+      .select("vec_id", "v", "norm")
+    graft.operators.IvfIndex.delete(gone, idx)
+    if (!delta.filter(col("change_type") === "update").isEmpty) {
+      // updates re-append ids the tombstone table now hides — fold the
+      // tombstones into the layout first so the new content is visible
+      graft.operators.IvfIndex.compact(s, idx)
+    }
+    graft.operators.IvfIndex.append(fresh, idx)
+
+    val probes = head
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    (graft.operators.IvfIndex.probe(s, idx, probes, nprobe = 2, topK = 5), cents)
+  }
 }
