@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.Entity.defs,
     graft.queries.Sketches.defs,
     graft.queries.Spectral.defs,
-    graft.queries.Versioned.defs
+    graft.queries.Versioned.defs,
+    graft.queries.Retrieval.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

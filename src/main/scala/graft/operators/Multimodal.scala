@@ -148,6 +148,47 @@ object Multimodal {
         }
       }
 
+  /** 2× image downscale through the REAL codec — the image-side twin
+    * of [[downsampleAudio]]: decode PNG → nearest-neighbor resample
+    * (output pixel (x, y) = input pixel (2x, 2y); floor dimensions) →
+    * re-encode PNG. Nearest-neighbor rather than a Graphics2D
+    * interpolation because NN is EXACTLY restatable — interpolated
+    * resamplers are implementation-defined in their rounding, which
+    * would forfeit the oracle; a production thumbnailer swaps the
+    * kernel, the plumbing stays. Undecodable payloads become
+    * `image/invalid` records that downstream decode reports as
+    * `decode_ok = false` rows.
+    */
+  def downscaleImages(ds: Dataset[MediaRecord]): Dataset[MediaRecord] =
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          require(src != null, "no registered reader for payload")
+          val (w, h) = (src.getWidth / 2, src.getHeight / 2)
+          require(w > 0 && h > 0, s"source ${src.getWidth}×${src.getHeight} too small to halve")
+          val out =
+            new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, src.getRGB(2 * x, 2 * y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRecord(m.media_id, "image/png", bos.toByteArray, bos.size().toLong)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            MediaRecord(m.media_id, "image/invalid", Array.emptyByteArray, 0L)
+        }
+      }
+    }
+
   /** REAL decode: `javax.imageio` reads each payload back into pixels
     * and reduces them to exact integer channel sums. Undecodable
     * payloads yield a `decode_ok = false` row (schema-stable error

@@ -98,6 +98,69 @@ object Graph {
         )
       },
       Some(pagerankOracle("WHERE o_orderkey % 4 = 0"))
+    ),
+
+    // ------------------------------------------------------------------
+    // Community detection by determinized mode-label propagation
+    // (operators/LabelPropagation): 3 synchronous sweeps over the same
+    // co-purchase graph, each node adopting its neighbors' most
+    // frequent label (ties → smallest). Distinct from connected
+    // components — bounded sweeps find DENSE regions, the structure a
+    // crawl-graph curation pass weights domains by. The total tie
+    // order makes the sweep a pure function of the graph, so the
+    // oracle unrolls the identical 3 sweeps as CTEs (mode = rank-1
+    // row per node, same (count DESC, label) order as the 1-entry
+    // bounded heap) and hash-matches the top-50 community census.
+    QueryDef(
+      "q171_label_propagation",
+      (s, dir) => {
+        val labels =
+          graft.operators.LabelPropagation.propagate(purchaseGraph(s, dir), iters = 3)
+        labels
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(desc("n_members"), asc("label"))
+          .limit(50)
+          .select(
+            expr(
+              "CASE WHEN label % 2 = 0 THEN 'c' || CAST(label DIV 2 AS STRING) " +
+                "ELSE 's' || CAST(label DIV 2 AS STRING) END"
+            ).as("community"),
+            col("n_members")
+          )
+      },
+      Some("""WITH fwd AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        sym AS (SELECT src, dst FROM fwd
+                UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        l1 AS (SELECT dst AS node, label FROM (
+                 SELECT dst, label,
+                        row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rk
+                 FROM (SELECT e.dst, l.label, count(*) AS cnt
+                       FROM sym e JOIN l0 l ON l.node = e.src GROUP BY 1, 2))
+               WHERE rk = 1),
+        l2 AS (SELECT dst AS node, label FROM (
+                 SELECT dst, label,
+                        row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rk
+                 FROM (SELECT e.dst, l.label, count(*) AS cnt
+                       FROM sym e JOIN l1 l ON l.node = e.src GROUP BY 1, 2))
+               WHERE rk = 1),
+        l3 AS (SELECT dst AS node, label FROM (
+                 SELECT dst, label,
+                        row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rk
+                 FROM (SELECT e.dst, l.label, count(*) AS cnt
+                       FROM sym e JOIN l2 l ON l.node = e.src GROUP BY 1, 2))
+               WHERE rk = 1),
+        sel AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY label
+                ORDER BY n_members DESC, label LIMIT 50)
+        SELECT CASE WHEN label % 2 = 0 THEN 'c' || CAST(label // 2 AS VARCHAR)
+                    ELSE 's' || CAST(label // 2 AS VARCHAR) END AS community,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM sel ORDER BY n_members DESC, label""")
     )
   )
 

@@ -92,6 +92,37 @@ object Media {
         WHERE x < 8 + doc_id % 9 AND y < 8 + (doc_id // 9) % 9
         GROUP BY doc_id ORDER BY media_id""")
     ),
+    // real-codec image downscale: q114's PNGs decoded, nearest-neighbor
+    // resampled 2× (output (x,y) = input (2x,2y), floor dims), PNG
+    // RE-ENCODED, decoded again, reduced to exact channel sums — the
+    // thumbnail pass of a multimodal ingest as a full
+    // decode→transform→encode→decode round trip. The oracle restates
+    // the sampled grid analytically (formula at (2x, 2y) over the
+    // halved spine), so either codec pass or the resampler breaking
+    // breaks the hash.
+    QueryDef(
+      "q172_image_downscale",
+      (s, dir) =>
+        Multimodal
+          .decodeImageFeatures(
+            Multimodal.downscaleImages(Multimodal.syntheticImages(s, dir))
+          )
+          .toDF()
+          .filter(col("decode_ok"))
+          .select("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+          .orderBy("media_id"),
+      Some("""WITH px AS (SELECT a.x, b.y FROM (SELECT unnest(range(8)) AS x) a,
+                   (SELECT unnest(range(8)) AS y) b)
+        SELECT doc_id AS media_id,
+          CAST((8 + doc_id % 9) // 2 AS INTEGER) AS width,
+          CAST((8 + (doc_id // 9) % 9) // 2 AS INTEGER) AS height,
+          CAST(sum((3*(2*x) + 5*(2*y) + doc_id) % 251) AS BIGINT) AS sum_r,
+          CAST(sum((7*(2*x) + 11*(2*y) + 2*doc_id) % 251) AS BIGINT) AS sum_g,
+          CAST(sum((13*(2*x) + 17*(2*y) + 3*doc_id) % 251) AS BIGINT) AS sum_b
+        FROM documents, px
+        WHERE x < (8 + doc_id % 9) // 2 AND y < (8 + (doc_id // 9) % 9) // 2
+        GROUP BY doc_id ORDER BY media_id""")
+    ),
     // real-codec audio decode: per-document synthetic WAV (mono 16-bit
     // PCM, sample i of clip id is a fixed modular form) encoded AND
     // decoded with javax.sound.sampled; the query emits the decoded

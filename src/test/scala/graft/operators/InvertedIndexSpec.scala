@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** Pins the inverted-index properties the q170 oracle can't see: the
+  * lookup plan actually prunes to the queried buckets, and queries
+  * spanning several buckets / missing terms behave exactly.
+  */
+class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fresh(): String = {
+    val idx = graft.queries.Similarity.freshIndexDir("inv_spec")
+    InvertedIndex.build(Tables(spark, dir, "documents"), idx)
+    idx
+  }
+
+  test("lookup scan prunes to the queried terms' bucket directories") {
+    val idx = fresh()
+    val q = InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "join"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition pruning in the lookup scan")
+    assert(plan.contains("bkt"), "bucket column absent from scan filters")
+    // the term predicate reaches the parquet reader
+    assert(plan.contains("PushedFilters") && plan.contains("tok"), "term filter not pushed")
+    // and only the queried buckets' directories are read
+    val bkts = Seq("spark", "join").map(InvertedIndex.bucketOf).distinct.toSet
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case other => other.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a)
+          case l => Seq(l)
+        }
+      }
+    val scanned = leaves(q.queryExecution.executedPlan).flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location
+          .listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.values.getInt(0))
+      case _ => Nil
+    }.toSet
+    assert(scanned == bkts, s"scanned buckets $scanned != queried $bkts")
+  }
+
+  test("conjunctive semantics match a direct computation, across bucket layouts") {
+    val idx = fresh()
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def direct(terms: Seq[String]): Map[Long, Long] =
+      docs
+        .filter { case (_, t) => terms.contains(t) }
+        .groupBy(_._1)
+        .collect {
+          case (id, hits) if hits.map(_._2).distinct.size == terms.size =>
+            id -> hits.size.toLong
+        }
+        .toMap
+    for (terms <- Seq(Seq("spark"), Seq("spark", "join"), Seq("spark", "join", "window"))) {
+      val got = InvertedIndex
+        .conjunctiveQuery(spark, idx, terms)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == direct(terms), s"mismatch for $terms")
+    }
+  }
+
+  test("a term absent from the corpus empties the conjunction") {
+    val idx = fresh()
+    assert(InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "zzzmissing")).isEmpty)
+  }
+
+  test("duplicate query terms do not change the required match count") {
+    val idx = fresh()
+    val a = InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "join")).collect().toSet
+    val b = InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "join", "spark")).collect().toSet
+    assert(a == b)
+  }
+}

@@ -147,6 +147,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("image downscale: nearest-neighbor 2x keeps exactly the even-grid pixels") {
+    val imgs = Multimodal.syntheticImages(spark, dir)
+    val out = Multimodal.decodeImageFeatures(Multimodal.downscaleImages(imgs)).collect()
+    assert(out.nonEmpty && out.forall(_.decode_ok))
+    out.foreach { f =>
+      val id = f.media_id
+      val (w0, h0) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+      assert(f.width == w0 / 2 && f.height == h0 / 2)
+      val pts = for (y <- 0 until h0 / 2; x <- 0 until w0 / 2) yield (2 * x, 2 * y)
+      assert(f.sum_r == pts.map { case (x, y) => (3L * x + 5L * y + id) % 251L }.sum)
+      assert(f.sum_g == pts.map { case (x, y) => (7L * x + 11L * y + 2L * id) % 251L }.sum)
+      assert(f.sum_b == pts.map { case (x, y) => (13L * x + 17L * y + 3L * id) % 251L }.sum)
+    }
+  }
+
+  test("image downscale: corrupt payloads flow through as decode_ok=false rows") {
+    val sess = spark
+    import sess.implicits._
+    val good = Multimodal.syntheticImages(spark, dir).take(1).head
+    val mixed = Seq(
+      Multimodal.MediaRecord(900011L, "image/png", Array[Byte](0, 1, 2, 3), 4L),
+      good
+    ).toDS()
+    val out = Multimodal
+      .decodeImageFeatures(Multimodal.downscaleImages(mixed))
+      .collect()
+      .sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out.count(_.decode_ok) == 1)
+    assert(!out.find(_.media_id == 900011L).get.decode_ok)
+  }
+
   test("audio downsample: corrupt payloads flow through as decode_ok=false rows") {
     val sess = spark
     import sess.implicits._
