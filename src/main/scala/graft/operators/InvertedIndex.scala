@@ -50,6 +50,56 @@ object InvertedIndex {
       .mode("errorifexists")
       .parquet(indexDir)
 
+  /** Disjunctive ranked retrieval with BM25-shaped scoring in EXACT
+    * integer arithmetic: idf_micros(t) = 10⁶·N DIV df(t) (the
+    * rational-idf trick — log idf would rank identically but drift in
+    * libm low bits and forfeit the oracle), tf saturation
+    * tf·(k1+1)/(tf+k1) with k1 = 6/5 cleared to integers as
+    * 11·tf DIV (5·tf+6), per-(query, doc) score the sum of term
+    * scores. Headroom: a term score is ≤ 10⁶·N·11 — int64-safe to
+    * N ≈ 8·10¹¹ docs; scale the idf constant down past that.
+    *
+    * Plan: the scan reads only the queried terms' buckets (same
+    * pruning as [[conjunctiveQuery]]); df(t) comes from the postings
+    * themselves (term-keyed partial agg, vocabulary-bounded); the
+    * per-query top-k is a bounded heap (top_k_structs), never a
+    * corpus-scaled window sort.
+    */
+  def bm25TopK(
+      s: SparkSession,
+      indexDir: String,
+      queries: Seq[(Long, Seq[String])],
+      nDocs: Long,
+      topK: Int = 10
+  ): DataFrame = {
+    require(queries.nonEmpty, "empty query set")
+    import s.implicits._
+    val terms = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+    val qdf = terms.toDF("query_id", "tok")
+    val allTerms = terms.map(_._2).distinct
+    val bkts = allTerms.map(bucketOf).distinct
+    val postings = s.read
+      .parquet(indexDir)
+      .filter(col("bkt").isin(bkts: _*) && col("tok").isin(allTerms: _*))
+    val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(df), Seq("tok"))
+      .join(broadcast(qdf), Seq("tok"))
+      .withColumn("idf_micros", expr(s"(1000000L * ${nDocs}L) DIV df"))
+      .withColumn("term_score", expr("(idf_micros * 11L * tf) DIV (5L * tf + 6L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score"))
+      .groupBy("query_id")
+      .agg(expr(s"top_k_structs(struct(-score AS ns, doc_id, score), $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id"),
+        col("col.score")
+      )
+  }
+
   /** Conjunctive (AND) keyword query: docs containing EVERY term,
     * ranked by summed term frequency. Reads only the queried terms'
     * bucket directories (partition pruning) with the term list pushed

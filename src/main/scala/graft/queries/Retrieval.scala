@@ -41,6 +41,64 @@ object Retrieval {
         FROM toks WHERE tok IN ('spark', 'join')
         GROUP BY doc_id HAVING count(DISTINCT tok) = 2
         ORDER BY score DESC, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BM25-shaped ranked retrieval over the same index — the scoring
+    // layer a keyword serving stack puts above raw postings: rational
+    // idf (10⁶·N DIV df — ranks like log-idf, hashes exactly), tf
+    // saturation 11·tf DIV (5·tf+6) (k1 = 1.2 cleared to integers),
+    // three queries ranked at once, top-10 each via the bounded heap.
+    // The scan touches only the queried terms' buckets; df comes from
+    // the pruned postings themselves. ORACLE-EXACT end to end — rare
+    // for a ranking function, and exactly why the integer forms were
+    // chosen.
+    QueryDef(
+      "q173_bm25_rank",
+      (s, dir) => {
+        val idx = Similarity.freshIndexDir("bm25_idx")
+        InvertedIndex.build(Tables(s, dir, "documents"), idx)
+        val n = Tables(s, dir, "documents").count()
+        InvertedIndex
+          .bm25TopK(
+            s,
+            idx,
+            Seq(
+              1L -> Seq("spark", "join"),
+              2L -> Seq("window", "sort", "merge"),
+              3L -> Seq("slow", "dup")
+            ),
+            nDocs = n,
+            topK = 10
+          )
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2),
+        n AS (SELECT count(*) AS n FROM documents),
+        q(query_id, tok) AS (VALUES (1, 'spark'), (1, 'join'),
+                                    (2, 'window'), (2, 'sort'), (2, 'merge'),
+                                    (3, 'slow'), (3, 'dup')),
+        dfv AS (SELECT tok, count(*) AS dfc FROM toks
+                WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, t.doc_id,
+                 CAST(sum((((1000000 * n.n) // d.dfc) * 11 * t.tf) // (5 * t.tf + 6))
+                      AS BIGINT) AS score
+          FROM toks t
+          JOIN q ON q.tok = t.tok
+          JOIN dfv d ON d.tok = t.tok
+          CROSS JOIN n
+          GROUP BY 1, 2)
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+               doc_id, score
+        FROM (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM scored)
+        WHERE rank <= 10 ORDER BY query_id, rank""")
     )
   )
 }

@@ -77,6 +77,27 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "zzzmissing")).isEmpty)
   }
 
+  test("bm25 ranking: rare terms dominate, scores positive, ranks dense per query") {
+    val idx = fresh()
+    val n = Tables(spark, dir, "documents").count()
+    val got = InvertedIndex
+      .bm25TopK(spark, idx, Seq(1L -> Seq("spark", "join")), nDocs = n, topK = 10)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(3) > 0L))
+    val ranks = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(ranks.map(_._2).toSeq == (1L to ranks.length).toSeq, "ranks not dense")
+    // idf monotonicity: for equal tf, a rarer term scores strictly higher
+    val docs = Tables(spark, dir, "documents").count()
+    val dfs = spark.read.parquet(idx).groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (rare, common) = (dfs.minBy(_._2), dfs.maxBy(_._2))
+    if (rare._2 < common._2) {
+      def idf(df: Long) = (1000000L * docs) / df
+      assert(idf(rare._2) > idf(common._2))
+    }
+  }
+
   test("duplicate query terms do not change the required match count") {
     val idx = fresh()
     val a = InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "join")).collect().toSet

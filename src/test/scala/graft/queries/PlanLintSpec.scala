@@ -41,7 +41,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q155_stream_ivf_delete", // 16-row broadcast centroid table (probe, same as q133)
     "q157_index_recall_report", // 16-row centroid table + ≤20 anchors (q153 + q40 shapes)
     "q158_hybrid_retrieval", // ≤5 broadcast query vectors in the cosine channel (q40's shape)
-    "q162_bigram_lm" // 1-row broadcast vocabulary-size scalar (q38's shape)
+    "q162_bigram_lm", // 1-row broadcast vocabulary-size scalar (q38's shape)
+    "q169_cdc_index_sync" // 16-row broadcast centroid table (probe, same as q133)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
@@ -59,7 +60,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q150_negative_sample",
     "q152_pq_ann",
     "q154_pq_persist",
-    "q158_hybrid_retrieval"
+    "q158_hybrid_retrieval",
+    "q173_bm25_rank"
   )
 
   test("ANN scans: bounded heap top-k, never a corpus-scaled window sort") {
