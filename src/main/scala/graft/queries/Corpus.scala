@@ -445,6 +445,45 @@ object Corpus {
                CAST(sum(abs(c_sg * n - c_g * n_s)) AS DOUBLE) / (2.0 * n_s * n) AS tv
         FROM grid, n_tot
         GROUP BY source, n_s, n ORDER BY source""")
+    ),
+
+    // ------------------------------------------------------------------
+    // k-anonymity screen with a generalization ladder — the release
+    // governance check a corpus publisher runs before shipping
+    // metadata: treating (lang, source) as the quasi-identifier pair,
+    // any combination shared by fewer than k=5 documents risks
+    // re-identification. Rather than binary suppress/keep, the
+    // standard remedy ladder: a small cell first GENERALIZES to its
+    // lang-level group ((lang, *)); only if even that group is under k
+    // does it need suppression. Emits per cell: sizes at both levels
+    // and the resulting disposition. Plan: two partial-agg'd counts
+    // (cell- and lang-keyed) and a lang-keyed join of two tiny tables
+    // — nothing corpus-scaled after the first groupBy. Oracle-exact.
+    QueryDef(
+      "q175_k_anonymity",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val langs = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        cells
+          .join(langs, Seq("lang"))
+          .withColumn(
+            "disposition",
+            when(col("n") >= 5, "exact")
+              .when(col("n_lang") >= 5, "generalize_lang")
+              .otherwise("suppress")
+          )
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+          SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        langs AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1)
+        SELECT c.lang, c.source, c.n, l.n_lang,
+               CASE WHEN c.n >= 5 THEN 'exact'
+                    WHEN l.n_lang >= 5 THEN 'generalize_lang'
+                    ELSE 'suppress' END AS disposition
+        FROM cells c JOIN langs l ON l.lang = c.lang
+        ORDER BY c.lang, c.source""")
     )
   )
 }

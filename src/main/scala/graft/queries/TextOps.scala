@@ -925,6 +925,76 @@ object TextOps {
         FROM toks JOIN lex USING (tok)
         WHERE len(tok) > 0
         GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM tokenizer (operators/UnigramTokenizer) — the OTHER
+    // tokenizer family beside BPE (q140/q142): a piece vocabulary is
+    // derived from the corpus (top-40 multi-char substrings ≤4 chars
+    // by weighted occurrence count, plus every single char so
+    // segmentation is total), then every word type Viterbi-segments
+    // under the determinized integer objective (fewest pieces →
+    // largest score sum → longest-final-piece ties). Emits the
+    // segmented corpus's symbol census — per piece: weighted uses and
+    // distinct word types, top 30 — q142's output shape, so the two
+    // tokenizer families are directly comparable. Plan: vocabulary
+    // derivation is word-TYPE-scaled (substring explode over the
+    // histogram, one partial-agg'd exchange, bounded-heap top-k); the
+    // vocabulary (≤66 entries, model-scaled) broadcasts into a
+    // per-word DP — the mapPartitions niche, like the media codecs;
+    // the census is one more type-scaled exchange. Rows-only: the DP
+    // is not SQL-expressible — UnigramTokenizerSpec pins the full
+    // output against an independent plain-Scala pipeline and the DP
+    // against brute-force enumeration.
+    QueryDef(
+      "q174_unigram_segment",
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w")
+          .agg(count(lit(1)).as("c"))
+        val pieces = words
+          .select(
+            col("c"),
+            explode(
+              expr(
+                "flatten(transform(sequence(1, length(w)), st -> " +
+                  "transform(sequence(st, least(st + 3, length(w))), " +
+                  "en -> substring(w, st, en - st + 1))))"
+              )
+            ).as("piece")
+          )
+          .groupBy("piece")
+          .agg(sum("c").as("score"))
+        val top = pieces
+          .filter(length(col("piece")) >= 2)
+          .groupBy()
+          .agg(expr("top_k_structs(struct(-score AS ns, piece), 40)").as("t"))
+          .select(explode(col("t")).as("e"))
+          .select(col("e.piece").as("piece"), (-col("e.ns")).as("score"))
+        val vocab = top
+          .unionByName(pieces.filter(length(col("piece")) === 1))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .toMap
+        val bc = s.sparkContext.broadcast(vocab)
+        words
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val v = bc.value
+            it.flatMap { case (w, c) =>
+              graft.operators.UnigramTokenizer.segment(w, v, 4).map(p => (w, c, p))
+            }
+          }
+          .toDF("w", "c", "piece")
+          .groupBy("piece")
+          .agg(sum("c").as("n_uses"), countDistinct(col("w")).as("n_word_types"))
+          .orderBy(desc("n_uses"), asc("piece"))
+          .limit(30)
+      },
+      None
     )
   )
 }
