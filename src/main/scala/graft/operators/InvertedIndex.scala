@@ -32,11 +32,7 @@ object InvertedIndex {
     HexDigits.indexOf(HexDigits((h(0) & 0xf0) >> 4))
   }
 
-  /** One pass over the corpus: per-(term, doc) frequencies, bucketed
-    * and laid out `partitionBy(bkt)`. The groupBy is the only
-    * exchange; everything downstream of the build reads prunable
-    * postings. */
-  def build(docs: DataFrame, indexDir: String): Unit =
+  private def postings(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -45,10 +41,41 @@ object InvertedIndex {
       .withColumn("bkt", expr(s"instr('$HexDigits', substring(md5(tok), 1, 1)) - 1"))
       // local sort so row-group min/max stats on tok actually skip
       .sortWithinPartitions("tok", "doc_id")
+
+  /** One pass over the corpus: per-(term, doc) frequencies, bucketed
+    * and laid out `partitionBy(bkt)`. The groupBy is the only
+    * exchange; everything downstream of the build reads prunable
+    * postings. */
+  def build(docs: DataFrame, indexDir: String): Unit =
+    postings(docs).write.partitionBy("bkt").mode("errorifexists").parquet(s"$indexDir/data")
+
+  /** Incremental maintenance, IvfIndex-lifecycle parity: a new crawl
+    * batch's postings append into the bucket layout — cost O(batch
+    * tokens), the existing postings are never re-read (a doc's
+    * postings are disjoint rows from every other doc's, so append
+    * needs no merge). */
+  def append(newDocs: DataFrame, indexDir: String): Unit =
+    postings(newDocs).write.partitionBy("bkt").mode("append").parquet(s"$indexDir/data")
+
+  /** Deletion = doc-id tombstones (one tiny write; the erasure path).
+    * Lookups anti-join the tombstone set out — identical contract to
+    * IvfIndex.delete: request cost never touches the posting layout,
+    * duplicate tombstones are idempotent at lookup. */
+  def delete(docIds: DataFrame, indexDir: String): Unit =
+    docIds
+      .select(col("doc_id"))
       .write
-      .partitionBy("bkt")
-      .mode("errorifexists")
-      .parquet(indexDir)
+      .mode("append")
+      .parquet(s"$indexDir/tombstones")
+
+  private def liveData(s: SparkSession, indexDir: String): DataFrame = {
+    val raw = s.read.parquet(s"$indexDir/data")
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombs))
+      raw.join(broadcast(s.read.parquet(s"$indexDir/tombstones")), Seq("doc_id"), "left_anti")
+    else raw
+  }
 
   /** Disjunctive ranked retrieval with BM25-shaped scoring in EXACT
     * integer arithmetic: idf_micros(t) = 10⁶·N DIV df(t) (the
@@ -78,8 +105,7 @@ object InvertedIndex {
     val qdf = terms.toDF("query_id", "tok")
     val allTerms = terms.map(_._2).distinct
     val bkts = allTerms.map(bucketOf).distinct
-    val postings = s.read
-      .parquet(indexDir)
+    val postings = liveData(s, indexDir)
       .filter(col("bkt").isin(bkts: _*) && col("tok").isin(allTerms: _*))
     val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     postings
@@ -108,8 +134,7 @@ object InvertedIndex {
   def conjunctiveQuery(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty term list")
     val bkts = terms.map(bucketOf).distinct
-    s.read
-      .parquet(indexDir)
+    liveData(s, indexDir)
       .filter(col("bkt").isin(bkts: _*) && col("tok").isin(terms: _*))
       .groupBy("doc_id")
       .agg(countDistinct(col("tok")).as("n_terms"), sum("tf").as("score"))

@@ -1066,6 +1066,79 @@ object Extras {
                          CASE WHEN last_seen = 2 THEN NULL
                               ELSE CAST(2 AS BIGINT) END) IS NULL) AS is_current
         FROM runs ORDER BY c_custkey, valid_from""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Ordered conversion funnel over the event stream — the classic
+    // product-analytics op (first-touch semantics): per user, the
+    // first 'view', the first 'click' STRICTLY AFTER that view, the
+    // first 'purchase' strictly after that click. Emits per step the
+    // surviving user count and its share of step 1 in ppm (integer DIV
+    // — exact). Order-sensitivity is the whole op: a purchase BEFORE
+    // the first view does not convert, which a naive per-type count
+    // gets wrong. Plan: one user-keyed window computes the first-view
+    // time alongside the stream, then two user-keyed conditional
+    // aggregates chain the strictly-after mins — three user-bounded
+    // exchanges, no self-join of the raw stream, no skew (user
+    // cardinality-keyed).
+    QueryDef(
+      "q177_funnel",
+      (s, dir) => {
+        val (n1, n2, n3) =
+          funnelCounts(Tables(s, dir, "events").select("user_id", "event_type", "ts"))
+        import s.implicits._
+        Seq(
+          ("1_view", n1, 1000000L),
+          ("2_click", n2, if (n1 == 0) 0L else n2 * 1000000L / n1),
+          ("3_purchase", n3, if (n1 == 0) 0L else n3 * 1000000L / n1)
+        ).toDF("step", "n_users", "ppm_of_step1").orderBy("step")
+      },
+      Some("""WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 ON t1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 ON t2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+        n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                     (SELECT count(*) FROM t2) AS n2,
+                     (SELECT count(*) FROM t3) AS n3)
+        SELECT step, n_users, ppm_of_step1 FROM (
+          SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+                 CAST(1000000 AS BIGINT) AS ppm_of_step1 FROM n
+          UNION ALL
+          SELECT '2_click', CAST(n2 AS BIGINT),
+                 CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END FROM n
+          UNION ALL
+          SELECT '3_purchase', CAST(n3 AS BIGINT),
+                 CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END FROM n)
+        ORDER BY step""")
     )
   )
+
+  /** q177's funnel core, shared with FunnelSpec's fixtures: users at
+    * each step under strictly-after first-touch semantics. */
+  private[graft] def funnelCounts(ev: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val withT1 = ev.withColumn(
+      "t1",
+      min(when(col("event_type") === "view", col("ts"))).over(w)
+    )
+    val t2 = withT1
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t2"))
+    val t3 = withT1
+      .join(t2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t3"))
+    val n1 = withT1.filter(col("t1").isNotNull).select("user_id").distinct().count()
+    (n1, t2.count(), t3.count())
+  }
 }

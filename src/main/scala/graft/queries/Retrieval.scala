@@ -99,6 +99,42 @@ object Retrieval {
                                         ORDER BY score DESC, doc_id) AS rank
               FROM scored)
         WHERE rank <= 10 ORDER BY query_id, rank""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Incremental inverted-index maintenance — lifecycle parity with
+    // the vector indexes (IvfIndex append/delete): the index builds on
+    // the initial crawl, a later batch APPENDS its postings (cost
+    // O(batch tokens) — doc postings are disjoint rows, so no merge,
+    // no re-read of the existing layout), and an erasure request
+    // tombstones doc ids (one tiny write; lookups anti-join them out,
+    // idempotent under replay). The lookup after the full lifecycle
+    // carries the SAME oracle semantics as q170 restricted to
+    // surviving docs — so build+append+delete correctness is
+    // hash-checked end to end, not just spec-asserted.
+    QueryDef(
+      "q176_inverted_maintain",
+      (s, dir) => {
+        val idx = Similarity.freshIndexDir("inverted_incr")
+        val docs = Tables(s, dir, "documents")
+        InvertedIndex.build(docs.filter(col("doc_id") % 5 =!= 4), idx)
+        InvertedIndex.append(docs.filter(col("doc_id") % 5 === 4), idx)
+        InvertedIndex.delete(
+          docs.filter(col("doc_id") % 13 === 0).select("doc_id"),
+          idx
+        )
+        InvertedIndex
+          .conjunctiveQuery(s, idx, Seq("spark", "join"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 AND doc_id % 13 <> 0 GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+        FROM toks WHERE tok IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+        ORDER BY score DESC, doc_id""")
     )
   )
 }

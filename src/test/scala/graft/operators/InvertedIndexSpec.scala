@@ -89,13 +89,34 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(ranks.map(_._2).toSeq == (1L to ranks.length).toSeq, "ranks not dense")
     // idf monotonicity: for equal tf, a rarer term scores strictly higher
     val docs = Tables(spark, dir, "documents").count()
-    val dfs = spark.read.parquet(idx).groupBy("tok").count().collect()
+    val dfs = spark.read.parquet(s"$idx/data").groupBy("tok").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (rare, common) = (dfs.minBy(_._2), dfs.maxBy(_._2))
     if (rare._2 < common._2) {
       def idf(df: Long) = (1000000L * docs) / df
       assert(idf(rare._2) > idf(common._2))
     }
+  }
+
+  test("append equals a one-shot rebuild; deletes hide docs and are idempotent") {
+    val docs = Tables(spark, dir, "documents")
+    val incr = graft.queries.Similarity.freshIndexDir("inv_incr")
+    InvertedIndex.build(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0), incr)
+    InvertedIndex.append(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), incr)
+    val full = fresh()
+    val terms = Seq("spark", "join")
+    def res(idx: String) =
+      InvertedIndex.conjunctiveQuery(spark, idx, terms).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(incr) == res(full), "append diverged from one-shot build")
+
+    val gone = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 1).select("doc_id")
+    InvertedIndex.delete(gone, incr)
+    val afterOnce = res(incr)
+    assert(afterOnce.keySet.forall(_ % 4 != 1), "deleted doc surfaced")
+    assert(afterOnce == res(full).filter { case (id, _) => id % 4 != 1 })
+    InvertedIndex.delete(gone, incr) // replayed erasure request
+    assert(res(incr) == afterOnce, "duplicate tombstones changed results")
   }
 
   test("duplicate query terms do not change the required match count") {
