@@ -174,6 +174,44 @@ object TableVersions {
     * diff shuffles only (key, fp) pairs — the q125 reconciliation
     * shape driven through the version store.
     */
+  /** CDC with payloads — what incremental VIEW maintenance consumes
+    * (q178): beside the change_type, each row carries the named
+    * columns from BOTH sides (`<col>_old` NULL for inserts,
+    * `<col>_new` NULL for deletes), so a maintainer can subtract the
+    * old contribution and add the new one without re-reading either
+    * version in full. Classification still compares md5 fingerprints
+    * over ALL non-key columns; the payload selection only bounds what
+    * the diff carries.
+    */
+  def changesDetailed(
+      s: SparkSession,
+      dir: String,
+      key: String,
+      vOld: Long,
+      vNew: Long,
+      payload: Seq[String]
+  ): DataFrame = {
+    def side(v: Long, suffix: String) = {
+      val df = readVersion(s, dir, v)
+      val rest = df.columns.filterNot(_ == key).sorted
+      df.select(
+        col(key) +:
+          md5(concat_ws("", rest.map(c => col(c).cast("string")): _*)).as(s"fp$suffix") +:
+          payload.map(c => col(c).as(s"$c$suffix")): _*
+      )
+    }
+    side(vOld, "_old")
+      .join(side(vNew, "_new"), Seq(key), "full_outer")
+      .withColumn(
+        "change_type",
+        when(col("fp_old").isNull, "insert")
+          .when(col("fp_new").isNull, "delete")
+          .when(col("fp_old") =!= col("fp_new"), "update")
+      )
+      .filter(col("change_type").isNotNull)
+      .drop("fp_old", "fp_new")
+  }
+
   def changes(
       s: SparkSession,
       dir: String,

@@ -120,6 +120,64 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // Incremental view maintenance (IVM) — the aggregate-side consumer
+    // of CDC, beside q169's index-side one: a per-lang (doc count,
+    // char mass) view materialized at v0 is brought to the head
+    // version by applying ONLY the delta — each delete/update-old
+    // subtracts its contribution, each insert/update-new adds its own
+    // (a lang-changing update moves mass between groups via two
+    // contributions). Count/sum views are self-maintainable, so the
+    // maintained view must equal the head-version aggregate EXACTLY —
+    // which is precisely what the oracle checks (it computes the view
+    // directly from v3's restated content). Plan: the diff shuffles
+    // (key, fingerprint, 2 payload columns); contributions collapse
+    // group-keyed; the base view never re-reads v0 and the head
+    // version is never aggregated — the whole point of IVM at 100 TB.
+    QueryDef(
+      "q178_incremental_view",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        val base = TableVersions
+          .readVersion(s, tdir, 0L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        val delta =
+          TableVersions.changesDetailed(s, tdir, "doc_id", 0L, 3L, Seq("lang", "n_chars"))
+        val contribs = delta
+          .select(
+            explode(
+              expr(
+                """filter(array(
+                     CASE WHEN change_type IN ('delete', 'update')
+                          THEN struct(lang_old AS lang, -1L AS dn, -n_chars_old AS dc) END,
+                     CASE WHEN change_type IN ('insert', 'update')
+                          THEN struct(lang_new AS lang, 1L AS dn, n_chars_new AS dc) END),
+                   x -> x IS NOT NULL)"""
+              )
+            ).as("c")
+          )
+          .select("c.*")
+          .groupBy("lang")
+          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        base
+          .join(contribs, Seq("lang"), "full_outer")
+          .select(
+            col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+            (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_chars")
+          )
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some("""WITH v3 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'en')
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM v3 GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // CDC-driven index maintenance — the consumer loop the version
     // store exists to feed: the embeddings table goes through init →
     // append → erasure-delete → re-embed-update commits; an IVF index

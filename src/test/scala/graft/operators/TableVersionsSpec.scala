@@ -78,6 +78,34 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(TableVersions.changes(spark, dir, "id", 0L, 1L).count() == 0)
   }
 
+  test("changesDetailed carries both-side payloads; a group-moving update balances") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir)
+    // move ids 0-9 from their parity group into a new group entirely
+    TableVersions.commitUpdate(spark, dir, "id < 10", _.withColumn("par", lit("moved")))
+    val delta = TableVersions
+      .changesDetailed(spark, dir, "id", 0L, 1L, Seq("par"))
+      .collect()
+    assert(delta.length == 10)
+    delta.foreach { r =>
+      assert(r.getAs[String]("change_type") == "update")
+      assert(r.getAs[String]("par_new") == "moved")
+      assert(Set("even", "odd").contains(r.getAs[String]("par_old")))
+    }
+    // IVM over the delta reproduces the head-version group counts
+    val headCounts = TableVersions.readVersion(spark, dir, 1L)
+      .groupBy("par").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = TableVersions.readVersion(spark, dir, 0L)
+      .groupBy("par").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val moved = delta.groupBy(_.getAs[String]("par_old")).view.mapValues(_.length.toLong).toMap
+    val maintained =
+      (base.map { case (g, n) => g -> (n - moved.getOrElse(g, 0L)) } +
+        ("moved" -> delta.length.toLong)).filter(_._2 > 0)
+    assert(maintained == headCounts)
+  }
+
   test("changes() classifies insert/delete/update exactly") {
     val s = spark
     import s.implicits._
