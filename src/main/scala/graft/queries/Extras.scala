@@ -1093,7 +1093,15 @@ object Extras {
           ("3_purchase", n3, if (n1 == 0) 0L else n3 * 1000000L / n1)
         ).toDF("step", "n_users", "ppm_of_step1").orderBy("step")
       },
-      Some("""WITH t1 AS (
+      Some(funnelOracleSql)
+    )
+  )
+
+  /** Shared by q177 and its live twin q179 — the drained stream must
+    * hash-match the same SQL. (lazy: referenced from `defs`, which
+    * initializes before this point in the object body) */
+  private[queries] lazy val funnelOracleSql: String =
+    """WITH t1 AS (
           SELECT user_id, min(ts) AS t1 FROM events
           WHERE event_type = 'view' GROUP BY 1),
         t2 AS (
@@ -1116,9 +1124,7 @@ object Extras {
           UNION ALL
           SELECT '3_purchase', CAST(n3 AS BIGINT),
                  CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END FROM n)
-        ORDER BY step""")
-    )
-  )
+        ORDER BY step"""
 
   /** q177's funnel core, shared with FunnelSpec's fixtures: users at
     * each step under strictly-after first-touch semantics. */

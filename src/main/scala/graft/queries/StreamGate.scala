@@ -758,6 +758,25 @@ object StreamGate {
         runSketchStream(gs, Tables(gs, dir, "documents"), stream)
       },
       Some(Sketches.cmsOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q177 (streaming funnel): the order-sensitive first-touch
+    // funnel maintained live over the event stream. Funnel steps are
+    // a function of each user's WHOLE history (the first view can
+    // arrive after a click that then mustn't count), so this uses the
+    // q149 stage-and-recompute contract: batches stage into parquet,
+    // counts recompute over the staged set per batch — the drained
+    // result equals batch q177 under ANY micro-batch split
+    // (StreamFunnelSpec forces a 3-file/3-batch replay), and the
+    // shared q177 oracle hash-checks the drained output end to end.
+    QueryDef(
+      "q179_stream_funnel",
+      (s, dir) => {
+        val gs = gateSession(s)
+        runFunnelStream(gs, eventsStream(gs, dir))
+      },
+      Some(Extras.funnelOracleSql)
     )
   )
 
@@ -844,5 +863,39 @@ object StreamGate {
     }
     val merged = gs.read.parquet(staging).groupBy("j", "b").agg(sum("c").as("c"))
     Sketches.estimateTopK(Sketches.tokenCounts(static), merged)
+  }
+
+  /** Drive an event stream to completion and return the q177 funnel
+    * table computed over everything that arrived. Stage-and-recompute
+    * (q149's contract): funnel steps depend on each user's WHOLE
+    * history — a view arriving in a later batch than an earlier-timed
+    * click changes that click's eligibility — so batches stage into
+    * parquet and the counts are computed once over the drained set,
+    * making the result independent of micro-batch boundaries.
+    */
+  private[graft] def runFunnelStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("funnel_staging")
+    val ck = Similarity.freshIndexDir("funnel_ck")
+    val q = stream
+      .select("user_id", "event_type", "ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(staging)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    val (n1, n2, n3) = Extras.funnelCounts(gs.read.parquet(staging))
+    import gs.implicits._
+    Seq(
+      ("1_view", n1, 1000000L),
+      ("2_click", n2, if (n1 == 0) 0L else n2 * 1000000L / n1),
+      ("3_purchase", n3, if (n1 == 0) 0L else n3 * 1000000L / n1)
+    ).toDF("step", "n_users", "ppm_of_step1").orderBy("step")
   }
 }
