@@ -68,8 +68,21 @@ object InvertedIndex {
       .mode("append")
       .parquet(s"$indexDir/tombstones")
 
+  /** Explicit schema: an index built from an EMPTY corpus is a valid
+    * index (a partitioned dir with no files), and schema inference
+    * would fail on it — a degenerate-input crash the 100 TB posture
+    * can't afford (DegenerateCorpusSpec pins lookups return empty). */
+  private val postingSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType)
+    )
+  )
+
   private def liveData(s: SparkSession, indexDir: String): DataFrame = {
-    val raw = s.read.parquet(s"$indexDir/data")
+    val raw = s.read.schema(postingSchema).parquet(s"$indexDir/data")
     val tombs = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(tombs))

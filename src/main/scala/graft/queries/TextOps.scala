@@ -851,9 +851,13 @@ object TextOps {
           .join(c2, Seq("w1", "w2"), "left")
           .join(c1, Seq("w1"), "left")
           .crossJoin(broadcast(v))
+          // greatest(vv, 1): with a degenerate EMPTY training split the
+          // vocabulary is 0 and the smoothed denominator would divide by
+          // zero (ANSI mode: a runtime error); any real corpus has vv ≥ 1,
+          // so the guard never changes an oracle-checked result
           .withColumn(
             "pm",
-            expr("(coalesce(c2, 0L) + 1) * 1000000L DIV (coalesce(c1, 0L) + vv)")
+            expr("(coalesce(c2, 0L) + 1) * 1000000L DIV (coalesce(c1, 0L) + greatest(vv, 1L))")
           )
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("pm").as("sum_micros"))

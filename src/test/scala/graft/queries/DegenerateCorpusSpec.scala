@@ -38,7 +38,17 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
   }
 
   private val queriesUnderTest =
-    Seq("q140_bpe_train", "q142_bpe_encode", "q143_token_budget", "q144_typicality", "q35_ngram_jaccard")
+    Seq(
+      "q140_bpe_train", "q142_bpe_encode", "q143_token_budget", "q144_typicality",
+      "q35_ngram_jaccard",
+      // round-10 second-half families: sketch, LM scoring, lexicon,
+      // tokenizer, governance, and the inverted-index build+lookup
+      // (whose empty-corpus index is a partitioned dir with no files —
+      // the explicit-schema read path)
+      "q159_count_min", "q162_bigram_lm", "q165_lexicon_screen",
+      "q174_unigram_segment", "q175_k_anonymity",
+      "q170_inverted_lookup", "q173_bm25_rank"
+    )
 
   test("empty corpus: every query returns empty, none throws") {
     val dir = writeDocs("empty", Seq.empty)
@@ -62,6 +72,20 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries("q143_token_budget")(spark, dir).collect().isEmpty)
     // no pair partner → no near-dups
     assert(SparkEntry.queries("q35_ngram_jaccard")(spark, dir).collect().isEmpty)
+    // bigram LM: the one doc md5-lands in the HELD-OUT split, so the
+    // training side is empty — the vv≥1 guard must keep the smoothed
+    // denominator defined (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    val lm = SparkEntry.queries("q162_bigram_lm")(spark, dir).collect()
+    assert(lm.length == 1 && lm.head.getLong(3) >= 0L)
+    // unigram tokenizer: vocabulary from the one doc still segments it
+    assert(SparkEntry.queries("q174_unigram_segment")(spark, dir).collect().nonEmpty)
+    // count-min: estimates for the doc's own tokens, all exact (no
+    // collisions can undercount; with so few tokens most land alone)
+    val cms = SparkEntry.queries("q159_count_min")(spark, dir).collect()
+    assert(cms.nonEmpty && cms.forall(r => r.getLong(2) >= r.getLong(1)))
+    // k-anonymity: a 1-doc cell generalizes or suppresses, never 'exact'
+    val ka = SparkEntry.queries("q175_k_anonymity")(spark, dir).collect()
+    assert(ka.length == 1 && ka.head.getAs[String]("disposition") == "suppress")
   }
 
   test("100 identical documents: similarity screen defers to exact dedup by design") {
