@@ -10,6 +10,18 @@ import graft.operators.InvertedIndex
   */
 object Retrieval {
 
+  /** log2 rank discounts for nDCG@10, ×10⁶ floored — computed once
+    * here and embedded as identical literals in BOTH engines' plans
+    * (the single irrational ingredient, made engine-independent by
+    * construction). Declared before `defs`, which interpolates them
+    * into the oracle SQL at object init.
+    */
+  private val discMicros: Seq[Long] =
+    (1 to 10).map(i => (1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** The same table as a Spark SQL array literal. */
+  private def discExprSql: String = s"array(${discMicros.mkString("L, ")}L)"
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Inverted-index build + conjunctive lookup: postings land
@@ -135,6 +147,128 @@ object Retrieval {
         FROM toks WHERE tok IN ('spark', 'join')
         GROUP BY doc_id HAVING count(DISTINCT tok) = 2
         ORDER BY score DESC, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Retrieval-quality evaluation harness — the monitoring loop above
+    // q173's ranker (every serving deployment tracks these): P@10, MRR
+    // and nDCG@10 per query, ALL in exact integer arithmetic. Graded
+    // relevance is deterministic (how many of the query's terms the
+    // doc contains); the log2 rank discounts — the one irrational
+    // ingredient of nDCG — are computed ONCE driver-side and embedded
+    // as the SAME integer literals in both the Spark plan and the
+    // oracle SQL, so the whole evaluation is oracle-exact (single
+    // source: `discMicros`). nDCG divides DCG by the ideal ordering of
+    // the same relevance multiset (one final DIV). Plan: q173's
+    // bucket-pruned ranking, a broadcast term join for relevance, and
+    // per-query folds over ≤10 collected rows — nothing beyond the
+    // ranker itself is corpus-scaled.
+    QueryDef(
+      "q181_retrieval_quality",
+      (s, dir) => {
+        import s.implicits._
+        val idx = Similarity.freshIndexDir("rq_idx")
+        InvertedIndex.build(Tables(s, dir, "documents"), idx)
+        val n = Tables(s, dir, "documents").count()
+        val queries = Seq(
+          1L -> Seq("spark", "join"),
+          2L -> Seq("window", "sort", "merge"),
+          3L -> Seq("slow", "dup")
+        )
+        val ranked = InvertedIndex.bm25TopK(s, idx, queries, nDocs = n, topK = 10)
+        val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "tok")
+        val docTok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .distinct()
+        val rel = ranked
+          .join(broadcast(qterms), Seq("query_id"))
+          .join(docTok, Seq("doc_id", "tok"))
+          .groupBy("query_id", "doc_id", "rank")
+          .agg(countDistinct(col("tok")).as("rel"))
+        val graded = ranked
+          .join(rel, Seq("query_id", "doc_id", "rank"), "left")
+          .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        val discArr = array(discMicros.map(lit): _*)
+        graded
+          .groupBy("query_id")
+          .agg(
+            sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+            min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+            sum(expr(s"rel * element_at(${discExprSql}, cast(rank AS int))")).as("dcg_micros"),
+            expr("sort_array(collect_list(rel), false)").as("rels")
+          )
+          .withColumn(
+            "idcg_micros",
+            expr(
+              s"aggregate(zip_with(rels, slice(${discExprSql}, 1, size(rels)), (r, d) -> r * d), 0L, (a, x) -> a + x)"
+            )
+          )
+          .select(
+            col("query_id"),
+            expr("n_rel * 1000000L DIV 10").as("p10_ppm"),
+            coalesce(expr("1000000L DIV first_rel"), lit(0L)).as("mrr_micros"),
+            col("dcg_micros"),
+            col("idcg_micros"),
+            when(col("idcg_micros") > 0, expr("dcg_micros * 1000000L DIV idcg_micros"))
+              .otherwise(0L)
+              .as("ndcg_ppm")
+          )
+          .orderBy("query_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2),
+        n AS (SELECT count(*) AS n FROM documents),
+        q(query_id, tok) AS (VALUES (1, 'spark'), (1, 'join'),
+                                    (2, 'window'), (2, 'sort'), (2, 'merge'),
+                                    (3, 'slow'), (3, 'dup')),
+        dfv AS (SELECT tok, count(*) AS dfc FROM toks
+                WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, t.doc_id,
+                 CAST(sum((((1000000 * n.n) // d.dfc) * 11 * t.tf) // (5 * t.tf + 6))
+                      AS BIGINT) AS score
+          FROM toks t JOIN q ON q.tok = t.tok JOIN dfv d ON d.tok = t.tok CROSS JOIN n
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        disc(rank, d) AS (VALUES ${discMicros.zipWithIndex
+          .map { case (d, i) => s"(${i + 1}, ${d})" }
+          .mkString(", ")}),
+        rels AS (
+          SELECT r.query_id, r.doc_id, r.rank,
+                 (SELECT count(DISTINCT q2.tok) FROM q q2
+                  JOIN toks t2 ON t2.tok = q2.tok AND t2.doc_id = r.doc_id
+                  WHERE q2.query_id = r.query_id) AS rel
+          FROM ranked r),
+        agg AS (
+          SELECT query_id,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+                 min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                 CAST(sum(rel * d.d) AS BIGINT) AS dcg_micros
+          FROM rels JOIN disc d USING (rank) GROUP BY 1),
+        ideal AS (
+          SELECT query_id, CAST(sum(rel * d.d) AS BIGINT) AS idcg_micros
+          FROM (SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, rank) AS irank
+                FROM rels) i
+          JOIN disc d ON d.rank = i.irank GROUP BY 1)
+        SELECT CAST(a.query_id AS BIGINT) AS query_id,
+               (n_rel * 1000000) // 10 AS p10_ppm,
+               COALESCE(1000000 // first_rel, 0) AS mrr_micros,
+               dcg_micros, idcg_micros,
+               CASE WHEN idcg_micros > 0
+                    THEN (dcg_micros * 1000000) // idcg_micros ELSE 0 END AS ndcg_ppm
+        FROM agg a JOIN ideal USING (query_id)
+        ORDER BY query_id""")
     )
   )
+
 }

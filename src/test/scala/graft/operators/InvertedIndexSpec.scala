@@ -119,6 +119,28 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(res(incr) == afterOnce, "duplicate tombstones changed results")
   }
 
+  test("q181 metric identities: dcg <= idcg, ndcg in (0, 1e6], mrr from first relevant rank") {
+    val rows = graft.SparkEntry
+      .queries("q181_retrieval_quality")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (p10, mrr, dcg, idcg, ndcg) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p10 >= 0 && p10 <= 1000000)
+      assert(dcg <= idcg, "DCG exceeded the ideal ordering")
+      assert(ndcg >= 0 && ndcg <= 1000000)
+      if (idcg > 0) {
+        assert(ndcg == dcg * 1000000L / idcg)
+        // a relevant doc exists, so MRR is 1e6/rank for some rank 1..10
+        assert((1 to 10).exists(k => mrr == 1000000L / k), s"mrr $mrr not a valid rank reciprocal")
+      } else assert(mrr == 0L && ndcg == 0L)
+    }
+    // on this corpus every query term matches docs — rankings are
+    // non-degenerate and at least one query achieves a perfect p@10
+    assert(rows.exists(_.getLong(1) == 1000000L))
+  }
+
   test("duplicate query terms do not change the required match count") {
     val idx = fresh()
     val a = InvertedIndex.conjunctiveQuery(spark, idx, Seq("spark", "join")).collect().toSet
