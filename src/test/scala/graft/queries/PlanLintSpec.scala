@@ -42,7 +42,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q157_index_recall_report", // 16-row centroid table + ≤20 anchors (q153 + q40 shapes)
     "q158_hybrid_retrieval", // ≤5 broadcast query vectors in the cosine channel (q40's shape)
     "q162_bigram_lm", // 1-row broadcast vocabulary-size scalar (q38's shape)
-    "q169_cdc_index_sync" // 16-row broadcast centroid table (probe, same as q133)
+    "q169_cdc_index_sync", // 16-row broadcast centroid table (probe, same as q133)
+    "q180_quantizer_eval" // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
