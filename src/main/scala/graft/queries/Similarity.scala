@@ -1055,5 +1055,11 @@ object Similarity {
           aggregate(zip_with(row, col("v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
       )
     ).withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+      // eager materialization: the 64×64 literal-matrix projection is a
+      // large codegen expression, and the 8 per-subspace codebook fits
+      // downstream each submit their own job — a lazy rotation would be
+      // re-evaluated by every one of them (the round-6 lazy-cache
+      // lesson; measured 14.5s → ~5s for q180)
+      .localCheckpoint()
   }
 }
