@@ -47,6 +47,38 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spectral family: empty corpus — moments are zeros, the eigensolve fails LOUDLY") {
+    val dir = writeEmb("spectral_empty", Seq.empty)
+    // q160: the moment aggregate's zero buffer unpacks to 2080 all-zero
+    // cells with n = 0 — a well-defined (and honest) answer
+    val cells = SparkEntry.queries("q160_code_moments")(spark, dir).collect()
+    assert(cells.length == 64 * 65 / 2)
+    cells.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(5) == 0L)
+    }
+    // q161: covariance of an empty corpus is undefined — the operator
+    // must refuse with its documented message, never emit a basis
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q161_pca_project")(spark, dir).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("empty corpus"))
+    // q163: no v1 side → empty drift report, not an error
+    assert(SparkEntry.queries("q163_embedding_drift")(spark, dir).collect().isEmpty)
+  }
+
+  test("spectral family: all-zero vectors — zero covariance, identity basis, zero projections") {
+    val dir = writeEmb("spectral_zeros", (1L to 20L).map(i => (i, Seq.fill(64)(0.0f), (i % 3).toInt)))
+    // Jacobi on the zero matrix converges trivially; projections are 0
+    val proj = SparkEntry.queries("q161_pca_project")(spark, dir).collect()
+    assert(proj.length == 20)
+    proj.foreach { r =>
+      (2 to 5).foreach(i => assert(r.getDouble(i) == 0.0, s"nonzero projection at col $i"))
+    }
+    // drift of identical (zero) distributions is exactly zero
+    val drift = SparkEntry.queries("q163_embedding_drift")(spark, dir).collect()
+    assert(drift.nonEmpty && drift.forall(_.getLong(3) == 0L))
+  }
+
   test("zero-norm (corrupt) vectors never enter a neighbor list, as anchor or candidate") {
     // cosine is undefined against the zero vector: cosine_sim returns
     // NULL by contract, and every ANN heap site excludes NULL scores
