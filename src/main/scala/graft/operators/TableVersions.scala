@@ -92,8 +92,15 @@ object TableVersions {
       .toSeq
       .sorted
 
-  /** The table as of version v (time travel). */
+  /** The table as of version v (time travel). Below the vacuum
+    * horizon the data is physically gone — fail with the boundary,
+    * not a missing-file stack trace. */
   def readVersion(s: SparkSession, dir: String, v: Long): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(
+      v >= horizon,
+      s"version $v of $dir was vacuumed (retention horizon is $horizon)"
+    )
     val files = liveFiles(s, dir, v)
     require(files.nonEmpty, s"version $v of $dir has no live files")
     s.read.parquet(files: _*)
@@ -174,6 +181,56 @@ object TableVersions {
     * diff shuffles only (key, fp) pairs — the q125 reconciliation
     * shape driven through the version store.
     */
+  /** Retention vacuum — the cost side of "old versions stay readable
+    * forever": physically delete every data file whose LAST reference
+    * is a version before `keepFrom` (a file is live at v iff it was
+    * added ≤ v and not removed ≤ v; files are immutable and never
+    * re-added, so exactly the files REMOVED at or before `keepFrom`
+    * are unreachable from any retained version). Deletes go through
+    * the Hadoop FileSystem with checked results (IvfIndex.compact's
+    * discipline), and a `_vacuum` watermark makes later time travel
+    * below the horizon fail LOUDLY with the retention boundary instead
+    * of a confusing missing-file error. Idempotent: re-vacuuming at
+    * the same horizon deletes nothing.
+    */
+  def vacuum(s: SparkSession, dir: String, keepFrom: Long): Seq[String] = {
+    val cur = currentVersion(s, dir)
+    require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom outside [0, $cur]")
+    val doomed = s.read
+      .parquet(logDir(dir))
+      .filter(col("action") === "remove" && col("version") <= keepFrom)
+      .select("file")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+      .sorted
+    val fs = fsOf(s, dir)
+    doomed.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p)) {
+        require(fs.delete(p, false), s"vacuum failed to delete $f")
+      }
+    }
+    val marker = new Path(s"$dir/_vacuum")
+    val out = fs.create(marker, true)
+    out.write(keepFrom.toString.getBytes("UTF-8"))
+    out.close()
+    doomed
+  }
+
+  /** Earliest version still readable (0 when never vacuumed). */
+  def retentionHorizon(s: SparkSession, dir: String): Long = {
+    val marker = new Path(s"$dir/_vacuum")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(marker)) 0L
+    else {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
   /** CDC with payloads — what incremental VIEW maintenance consumes
     * (q178): beside the change_type, each row carries the named
     * columns from BOTH sides (`<col>_old` NULL for inserts,

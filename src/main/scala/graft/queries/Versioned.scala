@@ -178,6 +178,37 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // Retention vacuum — the lifecycle step that makes "every version
+    // readable forever" affordable: after the 4-commit history, all
+    // files whose last reference predates the head version are
+    // physically deleted (checked Hadoop-FS deletes) and a watermark
+    // turns later sub-horizon time travel into a LOUD retention error
+    // instead of a missing-file stack trace. The head read after
+    // vacuuming must be byte-equivalent to before — which is exactly
+    // what the oracle checks (the same per-lang census as q178,
+    // computed from the restated head content). TableVersionsSpec
+    // pins the physical side: doomed files gone, retained files
+    // untouched, sub-horizon reads refused, idempotent re-vacuum.
+    QueryDef(
+      "q182_vacuum",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        TableVersions.vacuum(s, tdir, keepFrom = 3L)
+        TableVersions
+          .readVersion(s, tdir, 3L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH v3 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'en')
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM v3 GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // CDC-driven index maintenance — the consumer loop the version
     // store exists to feed: the embeddings table goes through init →
     // append → erasure-delete → re-embed-update commits; an IVF index

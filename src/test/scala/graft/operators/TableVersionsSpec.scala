@@ -106,6 +106,30 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(maintained == headCounts)
   }
 
+  test("vacuum deletes exactly the sub-horizon files, refuses old reads, stays idempotent") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
+    TableVersions.commitDelete(spark, dir, "id < 15") // v1 rewrites 1 file
+    TableVersions.commitUpdate(spark, dir, "id >= 70", _.withColumn("body", lit("u"))) // v2 rewrites 1
+    val headBefore = TableVersions.readVersion(spark, dir, 2L).orderBy("id").collect().toSeq
+
+    val doomed = TableVersions.vacuum(spark, dir, keepFrom = 2L)
+    // exactly the two rewritten originals are unreachable from v2
+    assert(doomed.size == 2, s"expected 2 doomed files, got ${doomed.size}")
+    doomed.foreach(f => assert(!new java.io.File(f).exists(), s"$f survived vacuum"))
+    // head read byte-equivalent to before
+    assert(TableVersions.readVersion(spark, dir, 2L).orderBy("id").collect().toSeq == headBefore)
+    // sub-horizon time travel fails with the retention boundary
+    val ex = intercept[IllegalArgumentException] {
+      TableVersions.readVersion(spark, dir, 0L)
+    }
+    assert(ex.getMessage.contains("retention horizon is 2"))
+    assert(TableVersions.retentionHorizon(spark, dir) == 2L)
+    // idempotent: nothing left to delete at the same horizon
+    assert(TableVersions.vacuum(spark, dir, keepFrom = 2L).forall(f => !new java.io.File(f).exists()))
+    assert(TableVersions.readVersion(spark, dir, 2L).count() == headBefore.size)
+  }
+
   test("changes() classifies insert/delete/update exactly") {
     val s = spark
     import s.implicits._
