@@ -32,7 +32,14 @@ object LabelPropagation {
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    var labels = nodes.withColumn("label", col("node"))
+    // PageRank's checkpoint discipline (PageRank.ranks): each sweep's
+    // labels are localCheckpointed so the plan stays ONE sweep deep —
+    // without it lineage doubles per iteration (the label table feeds
+    // both the join and the fallback), and Catalyst re-plans the whole
+    // unrolled history every round. The previous sweep's blocks are
+    // freed as soon as the next checkpoint is materialized.
+    var (labels, blocks) =
+      CheckpointTracking.checkpointTracked(nodes.withColumn("label", col("node")))
     (1 to iters).foreach { _ =>
       val adopted = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -41,9 +48,13 @@ object LabelPropagation {
         .groupBy(col("dst"))
         .agg(expr("top_k_structs(struct(-cnt AS nc, label), 1)").as("t"))
         .select(col("dst").as("node"), expr("t[0].label").as("new_label"))
-      labels = labels
+      val next = labels
         .join(adopted, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+      val (ck, ids) = CheckpointTracking.checkpointTracked(next)
+      CheckpointTracking.free(labels, blocks)
+      labels = ck
+      blocks = ids
     }
     labels
   }

@@ -32,13 +32,23 @@ object TableVersions {
   private def fsOf(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Canonical file-path string for the log: the FULLY QUALIFIED URI
+    * (scheme + authority + path) — `toUri.getPath` would strip
+    * `s3a://bucket` down to a bare `/...` and the log would resolve to
+    * wrong paths on any non-local filesystem. Both log writes and the
+    * `input_file_name()` hits in [[rewriteWhere]] normalize through
+    * here so string equality is meaningful.
+    */
+  private def qualified(s: SparkSession, p: Path): String =
+    fsOf(s, p.toString).makeQualified(p).toString
+
   private def listParquet(s: SparkSession, batchDir: String): Seq[String] = {
     val fs = fsOf(s, batchDir)
     fs.listStatus(new Path(batchDir))
       .toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map(_.toUri.getPath)
+      .map(p => qualified(s, p))
       .sorted
   }
 
@@ -150,13 +160,19 @@ object TableVersions {
     val withFile = s.read
       .parquet(files: _*)
       .withColumn("__file", input_file_name())
+    // a row "matches" iff the predicate is TRUE — NULL evaluations
+    // (NULLs in predicate columns) count as non-matching, and the
+    // keep-side must be the exact complement: `not(cond)` alone would
+    // ALSO drop NULL-evaluating rows, silently losing them from the
+    // rewritten file
+    val matches = coalesce(expr(cond), lit(false))
     // files containing at least one matching row — the rewrite set
     val hit = withFile
-      .filter(expr(cond))
+      .filter(matches)
       .select("__file")
       .distinct()
       .collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath)
+      .map(r => qualified(s, new Path(r.getString(0))))
       .toSet
     if (hit.isEmpty) {
       // no-op commit: still advances the version (an auditable entry)
@@ -164,10 +180,10 @@ object TableVersions {
       return v
     }
     val hitDf = s.read.parquet(hit.toSeq.sorted: _*)
-    val keep = hitDf.filter(not(expr(cond)))
+    val keep = hitDf.filter(!matches)
     val replaced = op match {
       case "delete" => keep
-      case _        => keep.unionByName(transform(hitDf.filter(expr(cond))))
+      case _        => keep.unionByName(transform(hitDf.filter(matches)))
     }
     val batch = s"$dir/data/b$v"
     replaced.write.mode("errorifexists").parquet(batch)
@@ -196,6 +212,15 @@ object TableVersions {
   def vacuum(s: SparkSession, dir: String, keepFrom: Long): Seq[String] = {
     val cur = currentVersion(s, dir)
     require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom outside [0, $cur]")
+    // the horizon only moves FORWARD: a lower keepFrom would overwrite
+    // the marker with a smaller value and re-admit versions whose
+    // files a previous vacuum already deleted — exactly the
+    // missing-file failure the watermark exists to prevent
+    val horizon = retentionHorizon(s, dir)
+    require(
+      keepFrom >= horizon,
+      s"keepFrom $keepFrom below the recorded retention horizon $horizon"
+    )
     val doomed = s.read
       .parquet(logDir(dir))
       .filter(col("action") === "remove" && col("version") <= keepFrom)
@@ -231,6 +256,17 @@ object TableVersions {
     }
   }
 
+  /** Row fingerprint over the name-sorted non-key columns, encoded
+    * UNAMBIGUOUSLY as JSON: `concat_ws("")` skipped NULLs and had no
+    * separator, so distinct rows collided — ('ab','c') vs ('a','bc'),
+    * or a value sliding between adjacent columns as the other goes
+    * NULL — and the diff would miss real updates. `to_json(struct(…))`
+    * keeps field names and quotes values, so no two distinct rows
+    * share an encoding.
+    */
+  private def fingerprint(cols: Seq[String]) =
+    md5(to_json(struct(cols.map(col): _*)))
+
   /** CDC with payloads — what incremental VIEW maintenance consumes
     * (q178): beside the change_type, each row carries the named
     * columns from BOTH sides (`<col>_old` NULL for inserts,
@@ -253,7 +289,7 @@ object TableVersions {
       val rest = df.columns.filterNot(_ == key).sorted
       df.select(
         col(key) +:
-          md5(concat_ws("", rest.map(c => col(c).cast("string")): _*)).as(s"fp$suffix") +:
+          fingerprint(rest).as(s"fp$suffix") +:
           payload.map(c => col(c).as(s"$c$suffix")): _*
       )
     }
@@ -279,10 +315,7 @@ object TableVersions {
     def fingerprinted(v: Long) = {
       val df = readVersion(s, dir, v)
       val rest = df.columns.filterNot(_ == key).sorted
-      df.select(
-        col(key),
-        md5(concat_ws("", rest.map(c => col(c).cast("string")): _*)).as("fp")
-      )
+      df.select(col(key), fingerprint(rest).as("fp"))
     }
     fingerprinted(vOld)
       .withColumnRenamed("fp", "fp_old")

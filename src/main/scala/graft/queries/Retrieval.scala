@@ -120,9 +120,12 @@ object Retrieval {
     // O(batch tokens) — doc postings are disjoint rows, so no merge,
     // no re-read of the existing layout), and an erasure request
     // tombstones doc ids (one tiny write; lookups anti-join them out,
-    // idempotent under replay). The lookup after the full lifecycle
+    // idempotent under replay). COMPACTION then folds the tombstones
+    // into the posting layout (checked staged-rewrite swap, same
+    // discipline as IvfIndex.compact) so sustained erasure never grows
+    // the lookup's anti-join side. The lookup after the full lifecycle
     // carries the SAME oracle semantics as q170 restricted to
-    // surviving docs — so build+append+delete correctness is
+    // surviving docs — so build+append+delete+compact correctness is
     // hash-checked end to end, not just spec-asserted.
     QueryDef(
       "q176_inverted_maintain",
@@ -135,6 +138,7 @@ object Retrieval {
           docs.filter(col("doc_id") % 13 === 0).select("doc_id"),
           idx
         )
+        InvertedIndex.compact(s, idx)
         InvertedIndex
           .conjunctiveQuery(s, idx, Seq("spark", "join"))
           .orderBy(col("score").desc, col("doc_id"))
@@ -189,7 +193,6 @@ object Retrieval {
         val graded = ranked
           .join(rel, Seq("query_id", "doc_id", "rank"), "left")
           .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        val discArr = array(discMicros.map(lit): _*)
         graded
           .groupBy("query_id")
           .agg(

@@ -160,12 +160,23 @@ object Similarity {
           .join(broadcast(q), col("bucket") === col("qbucket") && col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("norm"))
           .distinct() // a pair can collide in both tables
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        // bounded-heap candidate cut (top_k_structs): LSH collision
+        // counts are data-scaled, so a per-anchor window sort here is
+        // the same skew-by-construction shape the q40 family shed —
+        // NULL cosines (zero-norm rows) are excluded explicitly because
+        // they would sort FIRST in the heap's ascending struct order
         cand
           .withColumn("cos", expr("cosine_sim(qv, v)"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cos")
+          .filter(col("cos").isNotNull)
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos")
+          )
           .orderBy("q_id", "rank")
       },
       None
@@ -251,8 +262,10 @@ object Similarity {
           .map { case (c, i) => (i, c.toArray.toSeq) }
           .toDF("cell", "cv")
 
-        // nprobe=2 nearest cells per query by euclidean distance
-        val wCell = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
+        // nprobe=2 nearest cells per query by euclidean distance —
+        // a 1-entry-per-query heap over the queries×16-centroid grid
+        // (bounded, but the heap keeps the whole query window-free so
+        // PlanLint can enforce the no-window invariant uniformly)
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
         val probed = q
@@ -261,18 +274,27 @@ object Similarity {
             "d2",
             expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), cast(0 AS double), (a, x) -> a + x)")
           )
-          .withColumn("rk", row_number().over(wCell))
-          .filter(col("rk") <= 2)
-          .select(col("q_id"), col("qv"), col("qn"), col("cell"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(d2, cell), 2)").as("cells"))
+          .select(col("q_id"), explode(col("cells.cell")).as("cell"))
+          .join(broadcast(q), Seq("q_id")) // reattach qv/qn (≤10 rows)
 
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        // candidate cut: nprobe/16 of the CORPUS funnels through here —
+        // bounded heap, never a per-anchor window sort (q40's shape)
         probed
           .join(assigned, Seq("cell"))
           .filter(col("q_id") =!= col("vec_id"))
           .withColumn("cos", expr("cosine_sim(qv, v)"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cos")
+          .filter(col("cos").isNotNull)
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos")
+          )
           .orderBy("q_id", "rank")
       },
       None

@@ -57,6 +57,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     */
   private val heapTopKOnly = Seq(
     "q40_cosine_topk",
+    "q41_ann_lsh",
+    "q46_ann_ivf",
     "q147_int8_ann",
     "q150_negative_sample",
     "q152_pq_ann",
