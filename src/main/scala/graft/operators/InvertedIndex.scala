@@ -68,6 +68,43 @@ object InvertedIndex {
       .mode("append")
       .parquet(s"$indexDir/tombstones")
 
+  /** Fold accumulated doc-id tombstones into the posting layout —
+    * IvfIndex.compact's checked staged-rewrite discipline
+    * (IvfIndex.scala's swap), ported to the bucket layout: without it,
+    * sustained erasure grows the lookup anti-join's broadcast side
+    * forever. Survivor postings are rewritten `partitionBy(bkt)` into
+    * a staging directory NEXT to the live layout, then swapped in with
+    * CHECKED FileSystem operations (a failed delete/rename throws with
+    * the staged directory intact for retry — never a silently
+    * destroyed index), and the tombstone table is cleared last.
+    * No-op (and cheap) when no tombstones exist.
+    */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tombs = new Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombs)) return
+    val survivors = s.read
+      .schema(postingSchema)
+      .parquet(s"$indexDir/data")
+      .join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+      // restore the build-time layout invariant: tok-sorted row groups
+      // inside each bucket so min/max stats keep skipping
+      .repartition(col("bkt"))
+      .sortWithinPartitions("tok", "doc_id")
+    val staged = new Path(s"$indexDir/data_compacted")
+    survivors.write.mode("overwrite").partitionBy("bkt").parquet(staged.toString)
+    val live = new Path(s"$indexDir/data")
+    if (!fs.delete(live, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to remove old layout $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"compact: failed to swap $staged into place — staged rewrite preserved at $staged"
+      )
+    if (!fs.delete(tombs, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to clear tombstone table $tombs")
+  }
+
   /** Explicit schema: an index built from an EMPTY corpus is a valid
     * index (a partitioned dir with no files), and schema inference
     * would fail on it — a degenerate-input crash the 100 TB posture

@@ -57,6 +57,39 @@ object IvfAdc {
     zip_with(col(vCol), element_at(table, col("cell") + 1), (x, c) => x - c)
   }
 
+  /** R·v as a literal-matrix projection (q180's OPQ-style rotation,
+    * Ge et al. CVPR 2013 §4, now a SERVING-path transform): the
+    * orthonormal matrix folds into the plan as a nested-array literal,
+    * so rotating is exchange-free like every other encode step. */
+  private def rotateOf(vCol: String, rot: Seq[Seq[Double]]): Column = {
+    val matLit = array(rot.toIndexedSeq.map(r => array(r.toIndexedSeq.map(lit): _*)): _*)
+    transform(
+      matLit,
+      row => aggregate(zip_with(row, col(vCol), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    )
+  }
+
+  /** Rotate a (…, v, norm) corpus into the index's coding basis. The
+    * rotation is orthonormal, so the norm is unchanged in exact math —
+    * recomputed here anyway so stored norms match stored vectors
+    * bit-for-bit. Eagerly checkpointed when used at build time: the
+    * downstream centroid + m codebook fits each submit their own jobs
+    * and would re-evaluate the 64×64 projection every time.
+    */
+  private def applyRotation(
+      df: DataFrame,
+      rot: Option[Seq[Seq[Double]]],
+      checkpoint: Boolean
+  ): DataFrame =
+    rot match {
+      case None => df
+      case Some(r) =>
+        val rotated = df
+          .withColumn("v", rotateOf("v", r))
+          .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        if (checkpoint) rotated.localCheckpoint() else rotated
+    }
+
   /** Fit PQ codebooks over the per-cell residuals of `emb` under
     * already-fitted centroids — the residual-variant model fit, shared
     * by [[build]] and the spec's rebuild arm. */
@@ -123,19 +156,34 @@ object IvfAdc {
       cents: Seq[(Int, Seq[Double])],
       cb: Seq[(Int, Seq[(Int, Seq[Double])])],
       indexDir: String,
-      residual: Boolean
+      residual: Boolean,
+      rotation: Option[Seq[Seq[Double]]] = None
   ): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
     cents.toDF("cell", "cv").write.mode("overwrite").parquet(s"$indexDir/centroids")
     PqIndex.saveCodebooks(s, cb, indexDir)
-    Seq(residual).toDF("residual").write.mode("overwrite").parquet(s"$indexDir/meta")
+    // meta persists the residual flag AND the coding-basis rotation —
+    // the q180 A/B verdict feeds the serving path through this row:
+    // probes and appends self-configure, so a rotated index is probed
+    // exactly like a plain one
+    Seq((residual, rotation.map(_.map(_.toSeq)).orNull))
+      .toDF("residual", "rotation")
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexDir/meta")
     writeData(corpus, cents, cb, indexDir, residual, mode = "overwrite")
   }
 
   /** Fit both quantizers on `emb` (vec_id, v, norm) and persist the
     * composed index. One corpus pass writes the layout; the fits run
-    * on the same seeded/sampled cost-control paths as q46/q152. */
+    * on the same seeded/sampled cost-control paths as q46/q152.
+    * `rotation` (an orthonormal matrix, e.g. q180's eigenvalue-
+    * allocated PCA basis) moves the whole index — cells, residuals,
+    * codes, stored vectors — into the rotated basis; cosines are
+    * rotation-invariant, so probe results remain directly comparable
+    * to a plain index over the same corpus.
+    */
   def build(
       emb: DataFrame,
       indexDir: String,
@@ -145,14 +193,16 @@ object IvfAdc {
       dim: Int = 64,
       maxIter: Int = 5,
       seed: Long = 42L,
-      residual: Boolean = true
+      residual: Boolean = true,
+      rotation: Option[Seq[Seq[Double]]] = None
   ): Unit = {
-    val cents = IvfIndex.fitCentroids(emb, k = kCells, maxIter = maxIter, seed = seed)
+    val rotated = applyRotation(emb, rotation, checkpoint = true)
+    val cents = IvfIndex.fitCentroids(rotated, k = kCells, maxIter = maxIter, seed = seed)
     val cb =
       if (residual)
-        fitResidualCodebooks(emb, cents, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
-      else PqIndex.fitCodebooks(emb, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
-    writeIndex(emb, cents, cb, indexDir, residual)
+        fitResidualCodebooks(rotated, cents, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
+      else PqIndex.fitCodebooks(rotated, m = m, k = k, dim = dim, maxIter = maxIter, seed = seed)
+    writeIndex(rotated, cents, cb, indexDir, residual, rotation)
   }
 
   private def loadCentroids(s: SparkSession, indexDir: String): Seq[(Int, Seq[Double])] =
@@ -163,8 +213,17 @@ object IvfAdc {
       .sortBy(_._1)
       .toSeq
 
-  private def loadResidualFlag(s: SparkSession, indexDir: String): Boolean =
-    s.read.parquet(s"$indexDir/meta").collect().head.getBoolean(0)
+  /** (residual flag, optional coding-basis rotation). Indexes written
+    * before the rotation column existed read as unrotated. */
+  private def loadMeta(s: SparkSession, indexDir: String): (Boolean, Option[Seq[Seq[Double]]]) = {
+    val df = s.read.parquet(s"$indexDir/meta")
+    val row = df.collect().head
+    val residual = row.getAs[Boolean]("residual")
+    val rot =
+      if (!df.columns.contains("rotation") || row.isNullAt(row.fieldIndex("rotation"))) None
+      else Some(row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("rotation")).map(_.toSeq).toSeq)
+    (residual, rot)
+  }
 
   /** Append a new embedding batch to a persisted IVFADC index: the
     * models (and the residual flag) are read back, the batch flows
@@ -178,12 +237,13 @@ object IvfAdc {
     */
   def append(newEmb: DataFrame, indexDir: String): Unit = {
     val s = newEmb.sparkSession
+    val (residual, rotation) = loadMeta(s, indexDir)
     writeData(
-      newEmb,
+      applyRotation(newEmb, rotation, checkpoint = false),
       loadCentroids(s, indexDir),
       PqIndex.loadCodebooks(s, indexDir),
       indexDir,
-      residual = loadResidualFlag(s, indexDir),
+      residual = residual,
       mode = "append"
     )
   }
@@ -217,10 +277,17 @@ object IvfAdc {
   ): DataFrame = {
     val cb = PqIndex.loadCodebooks(s, indexDir)
     val cents = loadCentroids(s, indexDir)
-    val residual = loadResidualFlag(s, indexDir)
+    val (residual, rotation) = loadMeta(s, indexDir)
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val wCell = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
-    val probed = queries
+    // a rotated index rotates the QUERY once here — centroid ranking,
+    // residual mirror, ADC, and re-rank all run in the coding basis
+    // (cosines are rotation-invariant, so topK semantics are unchanged)
+    val qIn = rotation match {
+      case Some(r) => queries.withColumn("qv", rotateOf("qv", r))
+      case None    => queries
+    }
+    val probed = qIn
       .crossJoin(broadcast(centroids))
       .withColumn(
         "d2",

@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   *  - data lives as immutable parquet files under `<dir>/data/b<V>/`,
   *    one batch directory per commit;
   *  - the LOG is itself a tiny Spark-readable parquet table under
-  *    `<dir>/_log/`, one row per (version, file, action ∈ add|remove)
-  *    — so "what files make up version V" is an ordinary aggregation,
-  *    not bespoke metadata parsing, and the log scales as O(commits),
-  *    never O(rows);
+  *    `<dir>/_log/version=<V>/`, one row per (file, action ∈
+  *    add|remove) — so "what files make up version V" is an ordinary
+  *    aggregation, not bespoke metadata parsing; the hive partitioning
+  *    prunes version-window reads to their directories, and the log
+  *    scales as O(commits), never O(rows);
+  *  - [[checkpoint]] snapshots the live-file set Delta-style so a read
+  *    resolves from ONE checkpoint file plus the log tail — at real
+  *    commit rates the log is thousands of tiny files and re-reading
+  *    all of them per read is the difference between O(commits) and
+  *    O(commits since last checkpoint);
   *  - commits are APPEND-ONLY: a delete/update never touches old
   *    files, it logs `remove` for the files it rewrites (copy-on-write
   *    of only the AFFECTED files) and `add` for their replacements.
@@ -53,6 +59,24 @@ object TableVersions {
   }
 
   private def logDir(dir: String) = s"$dir/_log"
+  private def ckptDir(dir: String) = s"$dir/_ckpt"
+
+  /** The log is HIVE-PARTITIONED by version (`_log/version=<v>/`):
+    * reading a version window prunes to the window's directories at
+    * listing time, so a checkpoint + log-tail read touches O(tail)
+    * files, not every commit file ever written.
+    */
+  private val logSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType)
+    )
+  )
+
+  private def readLog(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(logSchema).parquet(logDir(dir))
 
   private def appendLog(
       s: SparkSession,
@@ -63,44 +87,96 @@ object TableVersions {
       removes: Seq[String]
   ): Unit = {
     import s.implicits._
-    val actions = adds.map((version, op, _, "add")) ++ removes.map((version, op, _, "remove"))
-    // a no-op commit still writes one marker row — currentVersion is
-    // max(version) over the log, so an empty append would silently
-    // reuse the version number on the next commit
-    val rows = if (actions.nonEmpty) actions else Seq((version, op, "", "noop"))
+    val actions = adds.map((op, _, "add")) ++ removes.map((op, _, "remove"))
+    // a no-op commit still writes one marker row — a version's
+    // existence is its log directory, so an empty commit would
+    // silently reuse the version number on the next commit
+    val rows = if (actions.nonEmpty) actions else Seq((op, "", "noop"))
     rows
-      .toDF("version", "op", "file", "action")
+      .toDF("op", "file", "action")
       .coalesce(1)
       .write
-      .mode("append")
-      .parquet(logDir(dir))
+      // errorifexists: the directory IS the commit — a second writer
+      // racing to the same version fails loudly instead of merging
+      .mode("errorifexists")
+      .parquet(s"${logDir(dir)}/version=$version")
   }
 
-  /** Latest committed version, or -1 for an empty/uninitialized table. */
+  /** Numeric suffixes of child directories named `<prefix><N>`. */
+  private def listNumbered(s: SparkSession, parent: String, prefix: String): Seq[Long] = {
+    val p = new Path(parent)
+    val fs = fsOf(s, parent)
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong }
+  }
+
+  /** Latest committed version, or -1 for an empty/uninitialized table.
+    * Pure directory listing — never opens a log file. */
   def currentVersion(s: SparkSession, dir: String): Long = {
-    if (!fsOf(s, dir).exists(new Path(logDir(dir)))) return -1L
-    s.read.parquet(logDir(dir)).agg(max("version")).head().getLong(0)
+    val versions = listNumbered(s, logDir(dir), "version=")
+    if (versions.isEmpty) -1L else versions.max
+  }
+
+  /** Checkpoint versions present under `_ckpt` (ascending). */
+  private def checkpoints(s: SparkSession, dir: String): Seq[Long] =
+    listNumbered(s, ckptDir(dir), "c").sorted
+
+  /** Snapshot the CURRENT version's live-file set into `_ckpt/c<v>/`
+    * (Delta-style log checkpoint): subsequent reads at any version
+    * ≥ the snapshot resolve from the one checkpoint file plus the log
+    * TAIL — O(1 + commits-since-checkpoint) files — instead of
+    * re-aggregating every commit ever written. Old checkpoints are
+    * retained (they are tiny) so time travel BELOW the latest
+    * checkpoint also resolves from the nearest earlier one. Returns
+    * the checkpointed version. Idempotent per version.
+    */
+  def checkpoint(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val target = s"${ckptDir(dir)}/c$v"
+    if (checkpoints(s, dir).contains(v)) return v
+    liveFiles(s, dir, v).toDF("file").coalesce(1).write.mode("errorifexists").parquet(target)
+    v
   }
 
   /** Files live AT version v: added in some commit ≤ v and not removed
-    * by a later commit ≤ v. Files are immutable and never re-added, so
-    * liveness is simply "has an add and no remove" within the window.
+    * by a later commit ≤ v (files are immutable and never re-added).
+    * Resolution starts from the nearest checkpoint ≤ v when one
+    * exists — snapshot ∪ adds(tail) − removes(tail) — and the tail
+    * read prunes to the (ckpt, v] log directories; without a
+    * checkpoint it aggregates the (pruned) log up to v.
     */
-  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
-    s.read
-      .parquet(logDir(dir))
-      .filter(col("version") <= v)
-      .groupBy("file")
-      .agg(
-        sum(when(col("action") === "add", 1).otherwise(0)).as("adds"),
-        sum(when(col("action") === "remove", 1).otherwise(0)).as("removes")
-      )
-      .filter(col("adds") > col("removes"))
-      .select("file")
-      .collect()
-      .map(_.getString(0))
-      .toSeq
-      .sorted
+  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] = {
+    val base = checkpoints(s, dir).filter(_ <= v).lastOption
+    val resolved = base match {
+      case Some(c) =>
+        val snap = s.read.parquet(s"${ckptDir(dir)}/c$c").select("file")
+        if (c == v) snap
+        else {
+          val tail = readLog(s, dir).filter(col("version") > c && col("version") <= v)
+          snap
+            .union(tail.filter(col("action") === "add").select("file"))
+            .except(tail.filter(col("action") === "remove").select("file"))
+        }
+      case None =>
+        readLog(s, dir)
+          .filter(col("version") <= v)
+          .groupBy("file")
+          .agg(
+            sum(when(col("action") === "add", 1).otherwise(0)).as("adds"),
+            sum(when(col("action") === "remove", 1).otherwise(0)).as("removes")
+          )
+          .filter(col("adds") > col("removes") && col("file") =!= "")
+          .select("file")
+    }
+    resolved.collect().map(_.getString(0)).toSeq.sorted
+  }
 
   /** The table as of version v (time travel). Below the vacuum
     * horizon the data is physically gone — fail with the boundary,
@@ -221,8 +297,7 @@ object TableVersions {
       keepFrom >= horizon,
       s"keepFrom $keepFrom below the recorded retention horizon $horizon"
     )
-    val doomed = s.read
-      .parquet(logDir(dir))
+    val doomed = readLog(s, dir)
       .filter(col("action") === "remove" && col("version") <= keepFrom)
       .select("file")
       .distinct()

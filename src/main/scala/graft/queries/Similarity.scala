@@ -1019,6 +1019,33 @@ object Similarity {
       dir: String,
       e: org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame = {
+    val allocated = pcaRotationMatrix(s, dir)
+    val matLit = array(
+      allocated.toIndexedSeq.map(row => array(row.toIndexedSeq.map(lit): _*)): _*
+    )
+    e.withColumn(
+      "v",
+      transform(
+        matLit,
+        row =>
+          aggregate(zip_with(row, col("v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      )
+    ).withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+      // eager materialization: the 64×64 literal-matrix projection is a
+      // large codegen expression, and the 8 per-subspace codebook fits
+      // downstream each submit their own job — a lazy rotation would be
+      // re-evaluated by every one of them (the round-6 lazy-cache
+      // lesson; measured 14.5s → ~5s for q180)
+      .localCheckpoint()
+  }
+
+  /** The eigenvalue-allocated PCA rotation ITSELF (the matrix
+    * [[rotatedByPcaBasis]] applies, q183 persists into a serving
+    * index): orthonormal rows, one row per output dim. */
+  private[graft] def pcaRotationMatrix(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): Seq[Seq[Double]] = {
     val op = udaf(new graft.operators.VectorAggregates.IntOuterProduct(64))
     val m = Tables(s, dir, "embeddings")
       .withColumn(
@@ -1065,23 +1092,6 @@ object Similarity {
       members(sb) ::= k
     }
     val order = (0 until m0).flatMap(sb => members(sb).reverse)
-    val allocated = order.map(basis(_))
-    val matLit = array(
-      allocated.toIndexedSeq.map(row => array(row.toIndexedSeq.map(lit): _*)): _*
-    )
-    e.withColumn(
-      "v",
-      transform(
-        matLit,
-        row =>
-          aggregate(zip_with(row, col("v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-      )
-    ).withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
-      // eager materialization: the 64×64 literal-matrix projection is a
-      // large codegen expression, and the 8 per-subspace codebook fits
-      // downstream each submit their own job — a lazy rotation would be
-      // re-evaluated by every one of them (the round-6 lazy-cache
-      // lesson; measured 14.5s → ~5s for q180)
-      .localCheckpoint()
+    order.map(k => basis(k).toSeq)
   }
 }

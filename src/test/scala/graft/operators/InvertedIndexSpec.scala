@@ -117,6 +117,35 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(afterOnce == res(full).filter { case (id, _) => id % 4 != 1 })
     InvertedIndex.delete(gone, incr) // replayed erasure request
     assert(res(incr) == afterOnce, "duplicate tombstones changed results")
+
+    // compaction folds the tombstones into the layout: lookups are
+    // unchanged, the tombstone table is GONE (the anti-join side no
+    // longer grows), the layout physically dropped the erased docs,
+    // and bucket pruning still works on the rewritten layout
+    InvertedIndex.compact(spark, incr)
+    assert(res(incr) == afterOnce, "compaction changed lookup results")
+    val fs = new org.apache.hadoop.fs.Path(incr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$incr/tombstones")),
+      "tombstone table survived compaction"
+    )
+    val layoutIds = spark.read
+      .parquet(s"$incr/data")
+      .select("doc_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    assert(layoutIds.forall(_ % 4 != 1), "erased docs still physically in the layout")
+    val plan = InvertedIndex
+      .conjunctiveQuery(spark, incr, terms)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"), "pruning lost after compact")
+    // idempotent: compacting a tombstone-free index is a no-op
+    InvertedIndex.compact(spark, incr)
+    assert(res(incr) == afterOnce)
   }
 
   test("q181 metric identities: dcg <= idcg, ndcg in (0, 1e6], mrr from first relevant rank") {

@@ -116,7 +116,10 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     val doomed = TableVersions.vacuum(spark, dir, keepFrom = 2L)
     // exactly the two rewritten originals are unreachable from v2
     assert(doomed.size == 2, s"expected 2 doomed files, got ${doomed.size}")
-    doomed.foreach(f => assert(!new java.io.File(f).exists(), s"$f survived vacuum"))
+    // log paths are fully qualified URIs (object-store ready) — resolve
+    // them through java.net.URI before the local existence check
+    def gone(f: String) = !new java.io.File(new java.net.URI(f)).exists()
+    doomed.foreach(f => assert(gone(f), s"$f survived vacuum"))
     // head read byte-equivalent to before
     assert(TableVersions.readVersion(spark, dir, 2L).orderBy("id").collect().toSeq == headBefore)
     // sub-horizon time travel fails with the retention boundary
@@ -126,8 +129,113 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("retention horizon is 2"))
     assert(TableVersions.retentionHorizon(spark, dir) == 2L)
     // idempotent: nothing left to delete at the same horizon
-    assert(TableVersions.vacuum(spark, dir, keepFrom = 2L).forall(f => !new java.io.File(f).exists()))
+    assert(TableVersions.vacuum(spark, dir, keepFrom = 2L).forall(gone))
     assert(TableVersions.readVersion(spark, dir, 2L).count() == headBefore.size)
+    // and the horizon never moves backwards (it would re-admit
+    // versions whose files are already physically gone)
+    val back = intercept[IllegalArgumentException] {
+      TableVersions.vacuum(spark, dir, keepFrom = 1L)
+    }
+    assert(back.getMessage.contains("below the recorded retention horizon"))
+  }
+
+  test("NULL-evaluating predicate rows survive copy-on-write delete/update") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val withNulls = Seq[(Long, Option[Long], String)](
+      (0L, Some(1L), "a"),
+      (1L, None, "b"), // score IS NULL: 'score < 10' evaluates to NULL
+      (2L, Some(50L), "c"),
+      (3L, None, "d")
+    ).toDF("id", "score", "body")
+    TableVersions.commitAppend(withNulls.coalesce(1), dir)
+    TableVersions.commitDelete(spark, dir, "score < 10")
+    val head = TableVersions.readVersion(spark, dir, 1L).orderBy("id").collect()
+    // only id=0 matched; the NULL-score rows must NOT vanish
+    assert(head.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "NULL rows lost in delete")
+    TableVersions.commitUpdate(spark, dir, "score < 100", _.withColumn("body", lit("u")))
+    val head2 = TableVersions.readVersion(spark, dir, 2L).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(head2 == Map(1L -> "b", 2L -> "u", 3L -> "d"), "NULL rows mangled in update")
+  }
+
+  test("CDC fingerprints distinguish boundary-sliding values and NULL shifts") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // v0: ('ab','c') and (NULL,'x'); v1: ('a','bc') and ('x',NULL) —
+    // the old concat_ws("") encoding collided both pairs and CDC
+    // reported no change
+    TableVersions.commitAppend(
+      Seq((0L, "ab", "c"), (1L, Option.empty[String].orNull, "x")).toDF("id", "u", "w"),
+      dir
+    )
+    TableVersions.commitUpdate(
+      spark,
+      dir,
+      "id >= 0",
+      _.select(
+        col("id"),
+        when(col("id") === 0, "a").otherwise("x").as("u"),
+        when(col("id") === 0, "bc").otherwise(lit(null).cast("string")).as("w")
+      )
+    )
+    val got = TableVersions.changes(spark, dir, "id", 0L, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "update", 1L -> "update"), s"collided fingerprints: $got")
+  }
+
+  test("checkpoint: 50-commit reads resolve from snapshot + tail, byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // 50 commits: appends with interleaved deletes
+    (0L until 50L).foreach { i =>
+      if (i % 7 == 3) TableVersions.commitDelete(spark, dir, s"id % 11 = ${i % 11}")
+      else
+        TableVersions.commitAppend(
+          Seq((i * 10, s"c$i"), (i * 10 + 1, s"c$i")).toDF("id", "body").coalesce(1),
+          dir
+        )
+    }
+    val head = TableVersions.currentVersion(spark, dir)
+    assert(head == 49L)
+    val expectHead = TableVersions.readVersion(spark, dir, head).orderBy("id").collect().toSeq
+    val expectMid = TableVersions.readVersion(spark, dir, 30L).orderBy("id").collect().toSeq
+
+    val ck = TableVersions.checkpoint(spark, dir)
+    assert(ck == head)
+    assert(TableVersions.checkpoint(spark, dir) == head) // idempotent
+
+    // identical results through the checkpointed resolution path
+    assert(TableVersions.readVersion(spark, dir, head).orderBy("id").collect().toSeq == expectHead)
+    // time travel BELOW the checkpoint still resolves (full log path)
+    assert(TableVersions.readVersion(spark, dir, 30L).orderBy("id").collect().toSeq == expectMid)
+
+    // more commits on top: snapshot + TAIL resolution
+    TableVersions.commitAppend(Seq((9000L, "post")).toDF("id", "body").coalesce(1), dir)
+    TableVersions.commitDelete(spark, dir, "id = 10")
+    val v51 = TableVersions.currentVersion(spark, dir)
+    val headNow = TableVersions.readVersion(spark, dir, v51).orderBy("id").collect().toSeq
+    assert(headNow.exists(_.getLong(0) == 9000L))
+    assert(!headNow.exists(_.getLong(0) == 10L))
+
+    // THE point of the checkpoint: reads at/after it never open the
+    // pre-checkpoint log — prove it by destroying those log directories
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L until 49L).foreach { v =>
+      fs.rename(
+        new org.apache.hadoop.fs.Path(s"$dir/_log/version=$v"),
+        new org.apache.hadoop.fs.Path(s"$dir/_log_hidden_v$v")
+      )
+    }
+    assert(
+      TableVersions.readVersion(spark, dir, v51).orderBy("id").collect().toSeq == headNow,
+      "read after checkpoint touched pre-checkpoint log files"
+    )
+    assert(TableVersions.readVersion(spark, dir, 49L).orderBy("id").collect().toSeq == expectHead)
   }
 
   test("changes() classifies insert/delete/update exactly") {
