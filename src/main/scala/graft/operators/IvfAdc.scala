@@ -76,7 +76,7 @@ object IvfAdc {
     * downstream centroid + m codebook fits each submit their own jobs
     * and would re-evaluate the 64×64 projection every time.
     */
-  private def applyRotation(
+  private[graft] def applyRotation(
       df: DataFrame,
       rot: Option[Seq[Seq[Double]]],
       checkpoint: Boolean

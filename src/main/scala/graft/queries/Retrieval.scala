@@ -143,14 +143,7 @@ object Retrieval {
           .conjunctiveQuery(s, idx, Seq("spark", "join"))
           .orderBy(col("score").desc, col("doc_id"))
       },
-      Some("""WITH toks AS (
-          SELECT doc_id, tok, count(*) AS tf
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-          WHERE len(tok) > 0 AND doc_id % 13 <> 0 GROUP BY 1, 2)
-        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
-        FROM toks WHERE tok IN ('spark', 'join')
-        GROUP BY doc_id HAVING count(DISTINCT tok) = 2
-        ORDER BY score DESC, doc_id""")
+      Some(invertedMaintainOracle)
     ),
 
     // ------------------------------------------------------------------
@@ -274,4 +267,16 @@ object Retrieval {
     )
   )
 
+  /** The post-lifecycle lookup semantics shared by batch q176 and the
+    * live q184 gate: conjunctive ('spark' AND 'join') tf-ranked lookup
+    * over the corpus minus the erased (doc_id % 13 = 0) documents. */
+  private[queries] val invertedMaintainOracle: String =
+    """WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 AND doc_id % 13 <> 0 GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+        FROM toks WHERE tok IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+        ORDER BY score DESC, doc_id"""
 }

@@ -1005,6 +1005,41 @@ object Similarity {
           .orderBy("variant")
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (rotated-basis IVFADC serving — the q180 verdict FEEDING the
+    // serving path instead of ending as a report): the index is built
+    // with the eigenvalue-allocated PCA rotation (Ge et al. CVPR 2013
+    // §4) persisted in its meta table, so cells, residuals, codes and
+    // stored vectors all live in the coding basis; a probe
+    // self-configures from meta — it rotates the QUERY once (a 64×64
+    // literal-matrix projection, exchange-free) and then runs q153's
+    // exact plan: DPP cell skip → codes-only ADC scan → bounded heap →
+    // candidate-pruned re-rank. Cosines are rotation-invariant, so the
+    // results are directly comparable to a plain index over the same
+    // corpus, and an operator can adopt the q180 winner by REBUILDING
+    // WITH `rotation=` and changing nothing downstream. Rows-only
+    // (cells/codebooks implementation-defined); IvfAdcSpec pins recall
+    // ≥0.9 vs exact q40, probe-after-append == rebuild on the union
+    // corpus, and the DPP + zero-corpus-exchange plan shape.
+    QueryDef(
+      "q183_rotated_serving",
+      (s, dir) => {
+        val idx = freshIndexDir("ivfadc_rot")
+        val e = emb(s, dir)
+        graft.operators.IvfAdc.build(e, idx, rotation = Some(pcaRotationMatrix(s, dir)))
+        graft.operators.IvfAdc.probe(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          nprobe = 10,
+          candK = 256,
+          topK = 5
+        )
+      },
+      None
     )
   )
 

@@ -777,8 +777,96 @@ object StreamGate {
         runFunnelStream(gs, eventsStream(gs, dir))
       },
       Some(Extras.funnelOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q176 (streaming inverted-index maintenance): the LAST
+    // persisted index gains its live gate — q176's full lifecycle
+    // driven by streams instead of batch calls. Two drains against the
+    // same layout: the crawl stream appends each micro-batch's
+    // postings into the bucket directories (cost O(batch tokens); doc
+    // postings are disjoint rows, so no merge and no re-read — the
+    // exactly-once caveat is q141's, stated there), then the erasure
+    // stream tombstones each batch's doc ids (one tiny write per
+    // batch; duplicate ids are idempotent at lookup, q155's stronger
+    // recovery story). Compaction stays a separately-scheduled batch
+    // maintenance job — exactly how a deployment runs it — folding the
+    // accumulated tombstones into the layout before the final lookup.
+    // The drained lookup carries q176's oracle: build+ingest+erase+
+    // compact is hash-checked end to end, and StreamInvertedSpec pins
+    // drained == batch q176 under a forced 3-file/3-batch replay.
+    QueryDef(
+      "q184_stream_inverted",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        def docStream =
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+        runInvertedMaintenance(
+          gs,
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docStream.filter(col("doc_id") % 5 === 4).select("doc_id", "text"),
+          docStream.filter(col("doc_id") % 13 === 0).select("doc_id")
+        )
+      },
+      Some(Retrieval.invertedMaintainOracle)
     )
   )
+
+  /** Drive q176's inverted-index lifecycle with LIVE streams: build on
+    * `baseDocs`, drain `ingest` appending each micro-batch's postings
+    * (cost O(batch tokens); doc postings are disjoint rows, so no
+    * merge and no re-read of the layout), then drain `forgets`
+    * tombstoning each batch's doc ids (one tiny write per batch;
+    * duplicate ids are idempotent at lookup). Compaction runs once
+    * after the drains — the separately-scheduled batch maintenance
+    * job a deployment actually uses — and the final conjunctive
+    * lookup carries q176's oracle semantics. Micro-batch independence
+    * is structural here (appends are disjoint rows, tombstones a set
+    * union), unlike the stage-and-recompute gates: the drained layout
+    * is the same file set under any source split, which
+    * StreamInvertedSpec pins with a forced 3-file/3-batch replay.
+    */
+  private[graft] def runInvertedMaintenance(
+      gs: SparkSession,
+      baseDocs: DataFrame,
+      ingest: DataFrame,
+      forgets: DataFrame
+  ): DataFrame = {
+    val idx = Similarity.freshIndexDir("inverted_stream")
+    graft.operators.InvertedIndex.build(baseDocs, idx)
+    def drain(src: DataFrame, ckPrefix: String)(
+        sink: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => Unit
+    ): Unit = {
+      val q = src.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            sink(batch)
+        }
+        .option("checkpointLocation", Similarity.freshIndexDir(ckPrefix))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        q.stop()
+        org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+      }
+    }
+    drain(ingest, "inv_ingest_ck") { batch =>
+      graft.operators.InvertedIndex.append(batch.toDF(), idx)
+    }
+    drain(forgets, "inv_forget_ck") { batch =>
+      graft.operators.InvertedIndex.delete(batch.toDF(), idx)
+    }
+    graft.operators.InvertedIndex.compact(gs, idx)
+    graft.operators.InvertedIndex
+      .conjunctiveQuery(gs, idx, Seq("spark", "join"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 
   /** Drive an admission-check stream to completion and return the
     * final verdict table.

@@ -124,4 +124,56 @@ class IvfAdcSpec extends AnyFunSuite with SparkSpec {
     assert(Set("vec_id", "v", "norm", "codes", "cell").subsetOf(cols), cols.toString)
     assert(!new java.io.File(s"$idx/tombstones").exists())
   }
+
+  test("q183 rotated serving: recall >= 0.9 vs exact, DPP plan retained, deterministic") {
+    val brute = run("q40_cosine_topk")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+      .toSet
+    val res = run("q183_rotated_serving")
+    val got = res.collect()
+    assert(got.length == 50)
+    val hits = got.map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).count(brute)
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    // the rotation changes the coding basis, NOT the plan: the probe
+    // through a rotated index keeps the DPP cell skip and the pushed
+    // re-rank candidates
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+    assert("PushedFilters: \\[[^\\]]*vec_id".r.findFirstIn(plan).isDefined, plan.take(4000))
+    assert(run("q183_rotated_serving").collect().toSeq == got.toSeq)
+  }
+
+  test("rotated append probes bit-identical to rebuilding on the union corpus") {
+    val rot = graft.queries.Similarity.pcaRotationMatrix(spark, dir)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val batch = emb.filter(col("vec_id") % 4 === 3)
+    // append self-configures from the persisted meta row: the batch is
+    // rotated through the SAVED matrix, so a vector's codes are
+    // bit-identical whether it arrived at build or append time
+    val idxApp = graft.queries.Similarity.freshIndexDir("ivfadc_rot_append")
+    IvfAdc.build(base, idxApp, rotation = Some(rot))
+    IvfAdc.append(batch, idxApp)
+    val appended =
+      IvfAdc.probe(spark, idxApp, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+
+    val rBase = IvfAdc.applyRotation(base, Some(rot), checkpoint = true)
+    val cents = IvfIndex.fitCentroids(rBase, k = 16, maxIter = 5, seed = 42L)
+    val cb = IvfAdc.fitResidualCodebooks(rBase, cents)
+    val idxFull = graft.queries.Similarity.freshIndexDir("ivfadc_rot_rebuild")
+    IvfAdc.writeIndex(
+      IvfAdc.applyRotation(emb, Some(rot), checkpoint = false),
+      cents,
+      cb,
+      idxFull,
+      residual = true,
+      rotation = Some(rot)
+    )
+    val rebuilt =
+      IvfAdc.probe(spark, idxFull, probes, nprobe = 10, candK = 256, topK = 5).collect().toSeq
+
+    assert(appended.nonEmpty)
+    assert(appended == rebuilt)
+  }
 }

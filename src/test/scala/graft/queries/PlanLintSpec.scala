@@ -43,7 +43,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q158_hybrid_retrieval", // ≤5 broadcast query vectors in the cosine channel (q40's shape)
     "q162_bigram_lm", // 1-row broadcast vocabulary-size scalar (q38's shape)
     "q169_cdc_index_sync", // 16-row broadcast centroid table (probe, same as q133)
-    "q180_quantizer_eval" // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
+    "q180_quantizer_eval", // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
+    "q183_rotated_serving" // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
