@@ -267,6 +267,100 @@ object TableVersions {
     v
   }
 
+  /** MERGE INTO — whole-row upsert keyed on `key`: every source row
+    * REPLACES the target row with its key when one exists (matched →
+    * update) and lands as a new row otherwise (not-matched → insert),
+    * in ONE commit. Copy-on-write discipline as [[commitUpdate]]:
+    * only files CONTAINING matched keys are rewritten (their unmatched
+    * rows re-land in the new batch beside the whole source), so commit
+    * cost scales with the data actually hit plus the source — the
+    * Delta-style "find touched files via join, rewrite only those"
+    * plan. The touched-file probe is a key-only semi join: it shuffles
+    * (key, file) pairs, never row payloads. A source with duplicate
+    * keys is ambiguous (which row wins?) and fails loudly, matching
+    * the standard multiple-rows-matched MERGE error.
+    */
+  def commitMerge(source: DataFrame, dir: String, key: String): Long = {
+    val s = source.sparkSession
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val v = prev + 1
+    val dup = source
+      .agg(count(lit(1)).as("n"), count(col(key)).as("nn"), countDistinct(col(key)).as("k"))
+      .head()
+    // a NULL key can never match anything (SQL join semantics) — an
+    // "upsert" of such a row is a disguised blind insert; fail loudly
+    // rather than guess
+    require(
+      dup.getLong(0) == dup.getLong(1),
+      s"merge source has ${dup.getLong(0) - dup.getLong(1)} NULL $key keys"
+    )
+    require(
+      dup.getLong(1) == dup.getLong(2),
+      s"merge source has duplicate keys: ${dup.getLong(1)} rows, ${dup.getLong(2)} distinct $key"
+    )
+    val files = liveFiles(s, dir, prev)
+    val withFile = s.read.parquet(files: _*).withColumn("__file", input_file_name())
+    val targetCols = withFile.columns.filterNot(_ == "__file").toSeq
+    val srcKeys = source.select(col(key))
+    val hit = withFile
+      .join(srcKeys, Seq(key), "left_semi")
+      .select("__file")
+      .distinct()
+      .collect()
+      .map(r => qualified(s, new Path(r.getString(0))))
+      .toSet
+    // align the source to the target's column order so every data file
+    // in the table carries one physical schema
+    val alignedSource = source.select(targetCols.map(col): _*)
+    val replaced =
+      if (hit.isEmpty) alignedSource
+      else
+        s.read
+          .parquet(hit.toSeq.sorted: _*)
+          .join(srcKeys, Seq(key), "left_anti")
+          .select(targetCols.map(col): _*)
+          .unionByName(alignedSource)
+    val batch = s"$dir/data/b$v"
+    replaced.write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, "merge", listParquet(s, batch), hit.toSeq.sorted)
+    v
+  }
+
+  /** Small-file compaction as a COMMIT (Delta OPTIMIZE): live files
+    * under `smallBytes` are bin-packed into ~`targetBytes` outputs and
+    * swapped in atomically through the log (`remove` the inputs, `add`
+    * the replacements) — a LOGICAL NO-OP, so CDC between the two
+    * versions is empty and reads are byte-equivalent, but the head's
+    * file count drops from O(commits) to O(data/targetBytes). The
+    * storage-reclaim pair of [[checkpoint]]: checkpoint bounds LOG
+    * reads, optimize bounds DATA listings; [[vacuum]] then reclaims
+    * the replaced originals once retention allows. Time travel to
+    * pre-optimize versions is untouched (their files stay live in the
+    * log until vacuumed). Returns the new version, or `prev` untouched
+    * when fewer than two files qualify (nothing to pack).
+    */
+  def optimize(
+      s: SparkSession,
+      dir: String,
+      smallBytes: Long = 128L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+    val sized = liveFiles(s, dir, prev).map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+    val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
+    if (small.size < 2) return prev
+    val v = prev + 1
+    val total = sized.filter(s => small.contains(s._1)).map(_._2).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val batch = s"$dir/data/b$v"
+    s.read.parquet(small: _*).repartition(nOut).write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, "optimize", listParquet(s, batch), small)
+    v
+  }
+
   /** CDC between two versions, keyed on `key`: one row per changed key
     * with change_type ∈ insert | delete | update. Fingerprints are
     * md5 over all non-key columns (name-sorted for stability), so the

@@ -814,8 +814,92 @@ object StreamGate {
         )
       },
       Some(Retrieval.invertedMaintainOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1 (streaming version-store ingest): the lakehouse write
+    // path live — each micro-batch of arriving documents commits as a
+    // table VERSION (one batch directory + one log entry, O(batch);
+    // see [[runVersionedIngest]] for the recovery contract), so the
+    // continuous-ingest table keeps full time travel and CDC over its
+    // live history. ORACLE-EXACT: the drained head must read back as
+    // the base slice plus every streamed document, which the oracle
+    // restates as a plain filter of `documents`; StreamVersionedSpec
+    // pins a forced 3-batch replay content-equal and diffs v0 → head
+    // CDC across the drain.
+    QueryDef(
+      "q186_stream_versioned",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runVersionedIngest(
+          gs,
+          docs.filter(col("doc_id") % 3 === 0),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 === 1)
+        )
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 3 IN (0, 1) ORDER BY doc_id""")
     )
   )
+
+  /** Drive a live document stream INTO the version store: each
+    * micro-batch lands as one `commitAppend` — a new immutable batch
+    * directory plus one log entry, cost O(batch), the existing table
+    * never re-read — which is exactly how continuous ingest meets the
+    * lakehouse contract: every micro-batch is a table version, so time
+    * travel and CDC work over the live history (the spec diffs v0 →
+    * head across the drain). Exactly-once caveat is q141's, one level
+    * stronger here: a COMMITTED batch is never re-run (checkpoint),
+    * and a mid-batch crash leaves at worst an orphaned data directory
+    * whose log entry was never written — invisible to readers, since
+    * reads resolve strictly through the log. The drained head's
+    * CONTENT is split-invariant (append order never affects a table);
+    * version NUMBERS honestly depend on the micro-batching, so the
+    * query returns content keyed by doc_id and the spec pins the
+    * forced 3-batch replay content-equal.
+    */
+  private[graft] def runVersionedIngest(
+      gs: SparkSession,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame =
+    runVersionedIngestInto(gs, Similarity.freshIndexDir("versioned_stream"), base, stream)
+
+  /** [[runVersionedIngest]] against a caller-owned table dir — the
+    * spec drains into a dir it keeps so it can time-travel and CDC
+    * across the drain afterwards. */
+  private[graft] def runVersionedIngestInto(
+      gs: SparkSession,
+      tdir: String,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base, tdir)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TableVersions.commitAppend(batch.toDF(), tdir): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("versioned_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    val head = graft.operators.TableVersions.currentVersion(gs, tdir)
+    graft.operators.TableVersions
+      .readVersion(gs, tdir, head)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 
   /** Drive q176's inverted-index lifecycle with LIVE streams: build on
     * `baseDocs`, drain `ingest` appending each micro-batch's postings

@@ -241,6 +241,80 @@ object Versioned {
         syncedProbe(s, tdir, vOld = 0L, vNew = 3L)._1
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // MERGE INTO — the upsert commit every CDC-consuming pipeline
+    // eventually needs (a re-crawl batch carries both refreshed
+    // versions of known documents AND brand-new ones; two commits
+    // would leave a window where the table holds neither): one
+    // commitMerge keyed on doc_id replaces the matched rows and
+    // inserts the rest. Copy-on-write discipline — the touched-file
+    // probe is a key-only semi join (shuffles (key, file) pairs, never
+    // bodies), only hit files rewrite. ORACLE-EXACT: the merged head
+    // is a deterministic set expression over `documents` (unmatched
+    // target ∪ updated slice ∪ inserted slice) the oracle restates
+    // directly; TableVersionsSpec adds duplicate-key rejection and
+    // rewrite minimality.
+    QueryDef(
+      "q185_merge_upsert",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_merge")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir) // v0
+        val source = docs
+          .filter(col("doc_id") % 6 === 0) // re-crawled: refreshed content
+          .withColumn("lang", lit("xx"))
+          .withColumn("n_chars", col("n_chars") + 7)
+          .unionByName(docs.filter(col("doc_id") % 3 === 1)) // brand-new docs
+        TableVersions.commitMerge(source, tdir, "doc_id")
+        TableVersions
+          .readVersion(s, tdir, 1L)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+          UNION ALL
+          SELECT doc_id, 'xx' AS lang, n_chars + 7 AS n_chars FROM documents
+          WHERE doc_id % 6 = 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 1)
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // OPTIMIZE — small-file compaction as a commit: six trickle
+    // appends (the realistic shape of micro-batch ingest — q186 lands
+    // one batch directory per trigger) leave the head reading six tiny
+    // files; optimize() bin-packs them into ~targetBytes outputs and
+    // swaps them in THROUGH THE LOG, so the rewrite is a logical no-op
+    // (CDC between the versions is empty, spec-pinned) while the
+    // head's file listing drops from O(commits) to O(data/target).
+    // At 100 TB this is the difference between a scan scheduling
+    // thousands of splits and millions: the store's read cost is
+    // governed by file count, and ingest NEVER stops producing small
+    // files — checkpoint bounds the log, optimize bounds the data,
+    // vacuum reclaims both. ORACLE-EXACT: the optimized head must read
+    // back as plain `documents`.
+    QueryDef(
+      "q187_optimize",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_opt")
+        val docs = Tables(s, dir, "documents")
+        (0 to 5).foreach { i =>
+          TableVersions.commitAppend(docs.filter(col("doc_id") % 6 === i).coalesce(1), tdir)
+        }
+        val v = TableVersions.optimize(s, tdir)
+        TableVersions
+          .readVersion(s, tdir, v)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang""")
     )
   )
 

@@ -259,4 +259,93 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
         (0L until 5L).map(_ -> "delete").toMap + (42L -> "update")
     assert(got == expected)
   }
+
+  test("merge replaces matched rows, inserts the rest, and rewrites only hit files") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // two single-file commits: file A holds ids 0-4, file B ids 5-9
+    TableVersions.commitAppend(
+      (0L until 5L).map(i => (i, s"doc$i", "a")).toDF("id", "body", "par").coalesce(1),
+      dir
+    )
+    TableVersions.commitAppend(
+      (5L until 10L).map(i => (i, s"doc$i", "b")).toDF("id", "body", "par").coalesce(1),
+      dir
+    )
+    // source touches ONLY ids in file B, plus brand-new ids
+    val source = Seq(
+      (7L, "updated7", "m"),
+      (9L, "updated9", "m"),
+      (100L, "new100", "m"),
+      (101L, "new101", "m")
+    ).toDF("id", "body", "par")
+    val v = TableVersions.commitMerge(source, dir, "id")
+    assert(v == 2L)
+    val head = TableVersions.readVersion(spark, dir, v).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = (0L until 10L).map {
+      case i @ (7L | 9L) => i -> s"updated$i"
+      case i             => i -> s"doc$i"
+    } ++ Seq(100L -> "new100", 101L -> "new101")
+    assert(head.toSeq == expected)
+    // copy-on-write minimality: the merge removed only file B — file A
+    // (no matched keys) must survive untouched in the live set
+    val log = spark.read.parquet(s"$dir/_log")
+    def filesOf(ver: Long, action: String) = log
+      .filter(col("version") === ver && col("action") === action)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(filesOf(2L, "remove") == filesOf(1L, "add"), "merge rewrote more than the hit file")
+    // old versions stay readable across the merge
+    assert(TableVersions.readVersion(spark, dir, 1L).count() == 10)
+  }
+
+  test("merge rejects duplicate and NULL source keys") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(Seq((0L, "x")).toDF("id", "body"), dir)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "body")
+    val dupEx = intercept[IllegalArgumentException] {
+      TableVersions.commitMerge(dup, dir, "id")
+    }
+    assert(dupEx.getMessage.contains("duplicate keys"))
+    val withNull = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "body")
+    val nullEx = intercept[IllegalArgumentException] {
+      TableVersions.commitMerge(withNull, dir, "id")
+    }
+    assert(nullEx.getMessage.contains("NULL"))
+    // neither attempt may have committed anything
+    assert(TableVersions.currentVersion(spark, dir) == 0L)
+  }
+
+  test("optimize bin-packs small files as a logical no-op; vacuum then reclaims the originals") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // 6 trickle commits, one tiny file each
+    (0L until 6L).foreach { i =>
+      TableVersions.commitAppend(
+        (i * 10 until i * 10 + 10).map(j => (j, s"doc$j")).toDF("id", "body").coalesce(1),
+        dir
+      )
+    }
+    val before = TableVersions.readVersion(spark, dir, 5L).orderBy("id").collect().toSeq
+    val v = TableVersions.optimize(spark, dir)
+    assert(v == 6L)
+    // content byte-equivalent, file count collapsed
+    assert(TableVersions.readVersion(spark, dir, v).orderBy("id").collect().toSeq == before)
+    assert(TableVersions.readVersion(spark, dir, v).inputFiles.length == 1)
+    // a logical no-op: CDC between the versions is EMPTY
+    assert(TableVersions.changes(spark, dir, "id", 5L, v).count() == 0)
+    // pre-optimize time travel untouched
+    assert(TableVersions.readVersion(spark, dir, 3L).count() == 40)
+    // nothing left to pack → no new version
+    assert(TableVersions.optimize(spark, dir) == v)
+    // vacuum at the optimize horizon physically reclaims the 6 originals
+    val doomed = TableVersions.vacuum(spark, dir, keepFrom = v)
+    assert(doomed.size == 6, s"expected 6 reclaimed files, got ${doomed.size}")
+    assert(TableVersions.readVersion(spark, dir, v).orderBy("id").collect().toSeq == before)
+  }
 }
