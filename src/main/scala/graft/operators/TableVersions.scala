@@ -267,6 +267,124 @@ object TableVersions {
     v
   }
 
+  private def statsDir(dir: String) = s"$dir/_stats"
+
+  /** Data-skipping stats (Delta-style per-file min/max): one row per
+    * (file, column) with the column's [lo, hi] range, persisted as a
+    * tiny parquet table beside the log. INCREMENTAL — only live files
+    * not yet in the stats table are scanned (one pass over the new
+    * files; O(new data), never the table), so the natural cadence is
+    * "after every few commits", like [[checkpoint]]. Stats are an
+    * ACCELERATOR with a correctness-safe absence contract: a file
+    * without stats is always read by [[readVersionPruned]], so a
+    * missed refresh can only cost speed, never rows. Numeric columns
+    * only (lo/hi as double — exact for longs to 2⁵³; strings would
+    * need a collation story this engine doesn't owe yet). Returns the
+    * number of files newly indexed.
+    */
+  def refreshStats(s: SparkSession, dir: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "no stats columns named")
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val files = liveFiles(s, dir, v)
+    val fs = fsOf(s, dir)
+    val have: Set[String] =
+      if (!fs.exists(new Path(statsDir(dir)))) Set.empty
+      else
+        s.read
+          .parquet(statsDir(dir))
+          .select("file")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+    val missing = files.filterNot(have)
+    if (missing.isEmpty) return 0L
+    val scanned = s.read
+      .parquet(missing: _*)
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(
+        min(col(cols.head).cast("double")).as(s"__lo_${cols.head}"),
+        max(col(cols.head).cast("double")).as(s"__hi_${cols.head}") +:
+          cols.tail.flatMap(c =>
+            Seq(
+              min(col(c).cast("double")).as(s"__lo_$c"),
+              max(col(c).cast("double")).as(s"__hi_$c")
+            )
+          ): _*
+      )
+    // melt the wide per-file row into (file, col, lo, hi) — the stats
+    // table's schema is then independent of WHICH columns are indexed
+    val stacked = cols
+      .map(c =>
+        scanned.select(
+          col("__file").as("file"),
+          lit(c).as("col"),
+          col(s"__lo_$c").as("lo"),
+          col(s"__hi_$c").as("hi")
+        )
+      )
+      .reduce(_ unionByName _)
+      // canonicalize to the log's path form (file:///x → file:/x) with
+      // pure Path string logic — executor-safe (no FS/conf capture),
+      // and this runs on metadata-scale rows (one per file), never data
+      .withColumn("file", udf((f: String) => new Path(f).toString).apply(col("file")))
+    stacked.coalesce(1).write.mode("append").parquet(statsDir(dir))
+    missing.size.toLong
+  }
+
+  /** [[readVersion]] restricted by the stats table to files whose
+    * [lo, hi] range for `c` can intersect [lo, hi] — the data-skipping
+    * read. The range filter is ALSO applied to the surviving rows, so
+    * the result equals `readVersion(v).filter(c between lo and hi)`
+    * exactly; pruning only bounds which files the scan schedules.
+    * Skipping decisions: a file with no stats row is READ (absence is
+    * never wrong); a file whose stats are NULL (all-NULL column) is
+    * SKIPPED — correct for a range predicate, which no NULL satisfies.
+    */
+  def readVersionPruned(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      c: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
+    val files = liveFiles(s, dir, v)
+    require(files.nonEmpty, s"version $v of $dir has no live files")
+    val fs = fsOf(s, dir)
+    val ranges: Map[String, (Option[Double], Option[Double])] =
+      if (!fs.exists(new Path(statsDir(dir)))) Map.empty
+      else
+        s.read
+          .parquet(statsDir(dir))
+          .filter(col("col") === c)
+          .collect()
+          .map(r =>
+            r.getString(0) -> (
+              (if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+              (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+            )
+          )
+          .toMap
+    val candidates = files.filter { f =>
+      ranges.get(f) match {
+        case None                           => true // no stats — must read
+        case Some((Some(flo), Some(fhi)))   => fhi >= lo && flo <= hi
+        case Some(_)                        => false // all-NULL column: no row matches a range
+      }
+    }
+    val pred = col(c) >= lo && col(c) <= hi
+    if (candidates.isEmpty)
+      // nothing can match; keep the schema (and correctness) by
+      // filtering an arbitrary live file down to zero rows
+      s.read.parquet(files.head).filter(pred).filter(lit(false))
+    else s.read.parquet(candidates: _*).filter(pred)
+  }
+
   /** MERGE INTO — whole-row upsert keyed on `key`: every source row
     * REPLACES the target row with its key when one exists (matched →
     * update) and lands as a new row otherwise (not-matched → insert),

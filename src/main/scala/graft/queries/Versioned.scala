@@ -315,6 +315,33 @@ object Versioned {
       },
       Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Data-skipping stats index — the read-side accelerator the store
+    // was missing: a commit laid out `repartitionByRange(8)` leaves
+    // each file holding a tight doc_id range; `refreshStats` scans the
+    // (new) files ONCE into a per-(file, column) [lo, hi] table, and a
+    // range read then schedules only the files whose range intersects
+    // the predicate — at 100 TB this is the difference between a point
+    // lookup scanning the table and scanning one file. Absence is
+    // correctness-safe (unstatted files are always read, spec-pinned),
+    // so stats refresh at maintenance cadence like checkpoint/optimize.
+    // ORACLE-EXACT: the pruned read must equal the plain filter.
+    QueryDef(
+      "q188_stats_pruned_read",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_stats")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.repartitionByRange(8, col("doc_id")), tdir)
+        TableVersions.refreshStats(s, tdir, Seq("doc_id", "n_chars"))
+        TableVersions
+          .readVersionPruned(s, tdir, 0L, "doc_id", 10d, 30d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id BETWEEN 10 AND 30 ORDER BY doc_id""")
     )
   )
 

@@ -348,4 +348,45 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(doomed.size == 6, s"expected 6 reclaimed files, got ${doomed.size}")
     assert(TableVersions.readVersion(spark, dir, v).orderBy("id").collect().toSeq == before)
   }
+
+  test("stats-pruned reads skip files, fall back safely without stats, and skip all-NULL files") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // 8 range-partitioned files over ids 0-79: tight disjoint ranges
+    TableVersions.commitAppend(fixture().repartitionByRange(8, col("id")), dir)
+    assert(TableVersions.refreshStats(spark, dir, Seq("id")) == 8L)
+    assert(TableVersions.refreshStats(spark, dir, Seq("id")) == 0L) // incremental: nothing new
+
+    val pruned = TableVersions.readVersionPruned(spark, dir, 0L, "id", 22d, 27d)
+    val full = TableVersions.readVersion(spark, dir, 0L).filter(col("id").between(22, 27))
+    assert(pruned.orderBy("id").collect().toSeq == full.orderBy("id").collect().toSeq)
+    // the skip actually happened: one 10-id file covers [22, 27]
+    assert(pruned.inputFiles.length == 1, s"read ${pruned.inputFiles.length} files")
+
+    // an UNSTATTED later commit must still be read (absence is safe)
+    TableVersions.commitAppend(
+      Seq((25L, "late25", "x")).toDF("id", "body", "par").coalesce(1),
+      dir
+    )
+    val after = TableVersions.readVersionPruned(spark, dir, 1L, "id", 22d, 27d)
+    assert(after.count() == full.count() + 1, "unstatted file was wrongly skipped")
+    assert(after.filter(col("body") === "late25").count() == 1)
+
+    // an all-NULL column file is skipped — no NULL satisfies a range
+    val dir2 = freshDir()
+    TableVersions.commitAppend(
+      Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2")).toDF("id", "body").coalesce(1),
+      dir2
+    )
+    TableVersions.commitAppend(Seq((Some(5L), "v5")).toDF("id", "body").coalesce(1), dir2)
+    TableVersions.refreshStats(spark, dir2, Seq("id"))
+    val p2 = TableVersions.readVersionPruned(spark, dir2, 1L, "id", 0d, 10d)
+    assert(p2.collect().map(_.getString(1)).toSeq == Seq("v5"))
+    assert(p2.inputFiles.length == 1, "all-NULL file was not skipped")
+    // and a range matching nothing returns empty with the right schema
+    val none = TableVersions.readVersionPruned(spark, dir2, 1L, "id", 100d, 200d)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "body"))
+  }
 }
