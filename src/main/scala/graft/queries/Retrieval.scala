@@ -270,7 +270,7 @@ object Retrieval {
   /** The post-lifecycle lookup semantics shared by batch q176 and the
     * live q184 gate: conjunctive ('spark' AND 'join') tf-ranked lookup
     * over the corpus minus the erased (doc_id % 13 = 0) documents. */
-  private[queries] val invertedMaintainOracle: String =
+  private[queries] lazy val invertedMaintainOracle: String =
     """WITH toks AS (
           SELECT doc_id, tok, count(*) AS tf
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -845,8 +845,79 @@ object StreamGate {
       },
       Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 3 IN (0, 1) ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1 (streaming CDC apply): the OTHER half of the lakehouse
+    // write path — q186 lands append-only batches; this gate lands an
+    // UPSERT stream (a re-crawl feed carrying refreshed versions of
+    // known documents interleaved with brand-new ones) as one
+    // `commitMerge` per micro-batch, the standard CDC-apply loop.
+    // Copy-on-write per batch: each merge's touched-file probe is a
+    // key-only semi join and only hit files rewrite, so per-batch cost
+    // scales with the keys the batch actually names. Batches apply in
+    // arrival order — a later batch's version of a key replaces an
+    // earlier one's, which is exactly CDC semantics; the fixture's
+    // batches carry disjoint keys, so the drained head is
+    // split-invariant and shares q185's oracle (StreamMergeSpec pins
+    // drained == batch q185 under a forced 3-batch replay).
+    QueryDef(
+      "q189_stream_merge",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        val src = gs.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        runMergeStream(
+          gs,
+          Similarity.freshIndexDir("versioned_merge_stream"),
+          docs.filter(col("doc_id") % 3 === 0),
+          src
+            .filter(col("doc_id") % 6 === 0)
+            .withColumn("lang", lit("xx"))
+            .withColumn("n_chars", col("n_chars") + 7)
+            .unionByName(src.filter(col("doc_id") % 3 === 1))
+        )
+      },
+      Some(Versioned.mergeOracle)
     )
   )
+
+  /** Drive an upsert stream into the version store: one
+    * [[graft.operators.TableVersions.commitMerge]] per micro-batch
+    * against the caller's table dir, then the projected head. Each
+    * batch must carry distinct keys (commitMerge enforces it); across
+    * batches, later versions of a key replace earlier ones in arrival
+    * order — CDC-apply semantics.
+    */
+  private[graft] def runMergeStream(
+      gs: SparkSession,
+      tdir: String,
+      base: DataFrame,
+      upserts: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base, tdir)
+    val q = upserts.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TableVersions.commitMerge(batch.toDF(), tdir, "doc_id"): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("versioned_merge_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    graft.operators.TableVersions
+      .readVersion(gs, tdir, graft.operators.TableVersions.currentVersion(gs, tdir))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 
   /** Drive a live document stream INTO the version store: each
     * micro-batch lands as one `commitAppend` — a new immutable batch

@@ -273,15 +273,7 @@ object Versioned {
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
-          SELECT doc_id, lang, n_chars FROM documents
-          WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
-          UNION ALL
-          SELECT doc_id, 'xx' AS lang, n_chars + 7 AS n_chars FROM documents
-          WHERE doc_id % 6 = 0
-          UNION ALL
-          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 1)
-        ORDER BY doc_id""")
+      Some(mergeOracle)
     ),
 
     // ------------------------------------------------------------------
@@ -384,4 +376,19 @@ object Versioned {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     (graft.operators.IvfIndex.probe(s, idx, probes, nprobe = 2, topK = 5), cents)
   }
+
+  /** The merged-head semantics shared by batch q185 and the live q189
+    * CDC-apply gate: unmatched target (doc_id % 3 = 0 minus the
+    * re-crawled % 6 = 0 slice) ∪ the refreshed slice ∪ the inserted
+    * % 3 = 1 slice. */
+  private[queries] lazy val mergeOracle: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+          UNION ALL
+          SELECT doc_id, 'xx' AS lang, n_chars + 7 AS n_chars FROM documents
+          WHERE doc_id % 6 = 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 1)
+        ORDER BY doc_id"""
 }
