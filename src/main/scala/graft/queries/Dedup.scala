@@ -135,7 +135,7 @@ object Dedup {
     * (DedupPipelineSpec pins that equivalence). Shared by q146 (batch)
     * and q149 (the same check run live per micro-batch).
     */
-  private[queries] def admissionPairs(
+  private[graft] def admissionPairs(
       oldDocs: DataFrame,
       newDocs: DataFrame,
       minJaccard: Double
@@ -174,6 +174,18 @@ object Dedup {
   /** The Jaccard threshold shared by the pair query, the cluster query,
     * and (interpolated) both DuckDB oracles — one knob, no drift. */
   private[queries] val PairMinJaccard = 0.5
+
+  /** The admission-verdict semantics shared by q146 (from-scratch
+    * recompute), q149 (live), and q190 (index-served): new-vs-old
+    * pairs of the q35 pair graph. Lazy — declared after `defs` would
+    * otherwise capture null at object init. */
+  private[queries] lazy val admissionOracle: String =
+    s"""WITH $pairSql
+        SELECT CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS d_new,
+               CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END AS d_old,
+               jaccard
+        FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
+        ORDER BY d_new, d_old"""
 
   /** The q35 pair CTE chain as DuckDB SQL — prefix for oracles that
     * consume the pair graph. Threshold interpolated from the same
@@ -706,12 +718,39 @@ object Dedup {
           PairMinJaccard
         )
       },
-      Some(s"""WITH $pairSql
-        SELECT CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS d_new,
-               CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END AS d_old,
-               jaccard
-        FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
-        ORDER BY d_new, d_old""")
+      Some(admissionOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E12 (persisted near-dup admission index): the production bound
+    // for q146/q149's standing caveat — admission re-shingled the
+    // corpus per verdict; operators/ShingleIndex pays the text explode
+    // ONCE (per-doc distinct 3-shingle rows, bucket-partitioned, plus
+    // log-structured df segments that sum to the true document
+    // frequency), so a verdict reads compact persisted rows instead.
+    // Lifecycle mirrors the other persisted indexes: build → append
+    // (O(batch), layout never re-read) → admit → compactDf (checked
+    // staged swap folding the segments). SAME ORACLE as q146: the
+    // index-served verdicts must be bit-equal to the from-scratch
+    // recompute — the df ∈ [2, 50] rare rule runs over the union
+    // exactly as admissionPairs defines it, which the shared SQL
+    // hash-checks end to end (ShingleIndexSpec additionally pins
+    // equality after compaction and on a second appended batch).
+    QueryDef(
+      "q190_shingle_index_admission",
+      (s, dir) => {
+        val idx = Similarity.freshIndexDir("shingle_idx")
+        val docs = docsWide(s, dir)
+        graft.operators.ShingleIndex.build(docs.filter(col("doc_id") % 5 <= 2), idx)
+        graft.operators.ShingleIndex.append(docs.filter(col("doc_id") % 5 === 3), idx)
+        graft.operators.ShingleIndex.admit(
+          s,
+          idx,
+          docs.filter(col("doc_id") % 5 === 4),
+          PairMinJaccard
+        )
+      },
+      Some(admissionOracle)
     ),
 
     // ------------------------------------------------------------------
