@@ -173,7 +173,7 @@ object Dedup {
 
   /** The Jaccard threshold shared by the pair query, the cluster query,
     * and (interpolated) both DuckDB oracles — one knob, no drift. */
-  private[queries] val PairMinJaccard = 0.5
+  private[graft] val PairMinJaccard = 0.5
 
   /** The admission-verdict semantics shared by q146 (from-scratch
     * recompute), q149 (live), and q190 (index-served): new-vs-old

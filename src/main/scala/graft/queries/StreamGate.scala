@@ -883,8 +883,86 @@ object StreamGate {
         )
       },
       Some(Versioned.mergeOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E12 (streaming index-served admission — the BOUNDED
+    // production loop q149's stage-and-recompute honestly isn't): each
+    // micro-batch is admitted against the persisted ShingleIndex and
+    // then FOLDED IN (append = rows + one df segment, O(batch)), so
+    // per-batch cost never grows with history and the corpus text is
+    // never re-shingled. The semantics are the order-sensitive online
+    // ones a deployment actually wants — batch N's verdicts see every
+    // earlier batch as corpus — which under the registered single-file
+    // drain coincide exactly with the one-shot q146 definition, so the
+    // shared oracle certifies the index-served path end to end;
+    // StreamIndexAdmissionSpec pins the multi-batch case against a
+    // sequential admit-then-fold reference recompute.
+    QueryDef(
+      "q191_stream_index_admission",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents").select("doc_id", "text")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runIndexAdmissionStream(
+          gs,
+          docs.filter(col("doc_id") % 5 =!= 4),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 5 === 4)
+            .select("doc_id", "text")
+        )
+      },
+      Some(Dedup.admissionOracle)
     )
   )
+
+  /** Admit-then-fold streaming admission against the persisted shingle
+    * index (q191): per batch, verdicts come from ShingleIndex.admit
+    * (reads persisted rows + summed df segments — nothing re-shingles
+    * the corpus) and the batch then appends into the index, becoming
+    * corpus for every later batch. Collected rows are admission
+    * VERDICTS (pair ids + a score), the same driver-resident scale as
+    * every memory-sink gate result.
+    */
+  private[graft] def runIndexAdmissionStream(
+      gs: SparkSession,
+      corpus: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    val idx = Similarity.freshIndexDir("shingle_stream_idx")
+    graft.operators.ShingleIndex.build(corpus, idx)
+    val resultSchema =
+      graft.operators.ShingleIndex.admit(gs, idx, corpus.limit(0), Dedup.PairMinJaccard).schema
+    val verdicts =
+      new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.Row]](Seq.empty)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the batch feeds two actions (admit, append) — materialize
+          // once so the source isn't re-read per consumer
+          val staged = batch.toDF().localCheckpoint()
+          verdicts.set(
+            verdicts.get() ++ graft.operators.ShingleIndex
+              .admit(gs, idx, staged, Dedup.PairMinJaccard)
+              .collect()
+              .toSeq
+          )
+          graft.operators.ShingleIndex.append(staged, idx)
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("shingle_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    gs.createDataFrame(java.util.Arrays.asList(verdicts.get(): _*), resultSchema)
+      .orderBy("d_new", "d_old")
+  }
 
   /** Drive an upsert stream into the version store: one
     * [[graft.operators.TableVersions.commitMerge]] per micro-batch
@@ -1039,9 +1117,9 @@ object StreamGate {
     * to the one-shot batch q146 regardless of micro-batching
     * (StreamAdmissionSpec forces a 3-file/3-batch replay and pins the
     * equality). Per-batch cost grows with the staged set — the honest
-    * price of exact batch-parity; a production deployment bounds it by
-    * periodically folding admitted docs into the corpus index and
-    * truncating the stage (q118's incremental-corpus pattern).
+    * price of exact batch-parity; the bounded production loop is
+    * [[runIndexAdmissionStream]] (q191): admit each batch against the
+    * persisted ShingleIndex, fold it in, never re-shingle the corpus.
     */
   private[graft] def runAdmissionStream(
       gs: SparkSession,
