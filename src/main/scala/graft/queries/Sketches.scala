@@ -115,6 +115,52 @@ object Sketches {
         GROUP BY k.tok, k.n
         ORDER BY exact_n DESC, tok"""
 
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al.
+  // 2002 / Beyer et al. SIGMOD 2007. Hash every distinct element to a
+  // 60-bit md5-derived integer, keep the k SMALLEST hashes (the
+  // engine's bounded-heap aggregate — one O(n log k) scan, partial
+  // heaps merged map-side, never a sort), and estimate the cardinality
+  // as (k-1) / u_(k) where u_(k) is the k-th minimum normalized to
+  // (0,1]. Hashes are md5-derived so both engines compute identical
+  // sketches and the whole pipeline — per-group sketches, the merged
+  // sketch, the theta-style set-operation estimates — is ORACLE-EXACT,
+  // same as the q159 count-min.
+
+  /** Sketch size. Standard error ≈ 1/√(k−2) ≈ 9% at k=128. */
+  private[queries] val K = 128
+
+  /** Engine-portable 60-bit element hash (the q148/q166 idiom: first
+    * 15 md5 hex chars as an integer; both engines agree digit for
+    * digit). */
+  private def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS bigint)"
+
+  /** Distinct (scope, h) pairs over the part–supplier pair domain —
+    * the one data-scaled exchange (map-side partial distinct); all
+    * sketch work downstream is k-scaled. */
+  private def pairHashes(li: DataFrame): DataFrame =
+    li.select(
+      col("l_returnflag").as("scope"),
+      expr(h60("concat(cast(l_partkey AS string), ':', cast(l_suppkey AS string))")).as("h")
+    ).distinct()
+
+  /** The KMV estimate from a sketch of size m with k-th minimum kth:
+    * a sketch smaller than K holds the whole set (estimate = exact
+    * size); otherwise (K−1)·2⁶⁰/kth. The arithmetic is a single IEEE
+    * double multiply + divide + floor, written identically in the
+    * oracle so both engines round identically. */
+  private def kmvEstExpr(m: String, kth: String): String =
+    s"CASE WHEN $m < $K THEN cast($m AS bigint) " +
+      s"ELSE cast(floor(${K - 1} * pow(2.0D, 60) / greatest($kth, cast(1 AS bigint))) AS bigint) END"
+
+  private val kmvOracleHash =
+    "CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private def kmvOracleEst(m: String, kth: String): String =
+    s"CASE WHEN $m < $K THEN CAST($m AS BIGINT) " +
+      s"ELSE CAST(floor(${K - 1} * pow(2.0, 60) / greatest($kth, 1)) AS BIGINT) END"
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // E5 (approximate frequency, mergeable): count-min estimates for
@@ -132,6 +178,171 @@ object Sketches {
         estimateTopK(counts, counterTable(counts))
       },
       Some(cmsOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E5 (approximate distinct, mergeable): KMV distinct-count
+    // estimates for the part–supplier pair domain, per return flag
+    // plus a direct global sketch ('ALL') AND a sketch MERGED from the
+    // per-group sketches ('MERGED') — merging bottom-k sets and
+    // re-cutting to k is exactly how per-partition / per-day sketches
+    // roll up at 100 TB without touching the data again, and the
+    // merged row must land on the same k-th minimum as the direct one
+    // (bottom-k of a union is contained in the union of bottom-ks).
+    // Plan: one distinct over (flag, pair) — the exchange the exact
+    // count pays anyway — then bounded heaps; the merge step is
+    // k·groups rows. ORACLE-EXACT, including the estimator arithmetic.
+    QueryDef(
+      "q192_kmv_distinct",
+      (s, dir) => {
+        val dv = pairHashes(Tables(s, dir, "lineitem")).cache()
+        val per = dv
+          .groupBy("scope")
+          .agg(
+            count(lit(1)).as("n_exact"),
+            expr(s"top_k_structs(struct(h), $K)").as("ks")
+          )
+        val all = dv
+          .select("h")
+          .distinct()
+          .groupBy()
+          .agg(count(lit(1)).as("n_exact"), expr(s"top_k_structs(struct(h), $K)").as("ks"))
+          .select(lit("ALL").as("scope"), col("n_exact"), col("ks"))
+        // the merge path: union of the per-group bottom-k sets, re-cut
+        // to k by the same bounded heap — k·groups input rows, and the
+        // merged sketch does NOT know the exact count (NULL)
+        val merged = per
+          .select(explode(col("ks")).as("e"))
+          .select(col("e.h").as("h"))
+          .distinct()
+          .groupBy()
+          .agg(expr(s"top_k_structs(struct(h), $K)").as("ks"))
+          .select(
+            lit("MERGED").as("scope"),
+            lit(null).cast("bigint").as("n_exact"),
+            col("ks")
+          )
+        per
+          .select(col("scope"), col("n_exact"), col("ks"))
+          .unionByName(all)
+          .unionByName(merged)
+          .select(
+            col("scope"),
+            col("n_exact"),
+            expr("element_at(ks.h, size(ks))").as("kth_h60"),
+            expr(kmvEstExpr("size(ks)", "element_at(ks.h, size(ks))")).as("est_distinct")
+          )
+          .orderBy("scope")
+      },
+      Some(s"""WITH dv AS (
+          SELECT DISTINCT l_returnflag AS scope, $kmvOracleHash AS h FROM lineitem),
+        ranked AS (
+          SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rk,
+                 count(*) OVER (PARTITION BY scope) AS nx
+          FROM dv),
+        per AS (
+          SELECT scope, CAST(max(nx) AS BIGINT) AS n_exact, max(h) AS kth_h60,
+                 count(*) AS m
+          FROM ranked WHERE rk <= $K GROUP BY scope),
+        gd AS (SELECT DISTINCT h FROM dv),
+        granked AS (
+          SELECT h, row_number() OVER (ORDER BY h) AS rk, count(*) OVER () AS nx FROM gd),
+        gall AS (
+          SELECT 'ALL' AS scope, CAST(max(nx) AS BIGINT) AS n_exact, max(h) AS kth_h60,
+                 count(*) AS m
+          FROM granked WHERE rk <= $K),
+        msk AS (SELECT DISTINCT h FROM ranked WHERE rk <= $K),
+        mranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM msk),
+        mall AS (
+          SELECT 'MERGED' AS scope, CAST(NULL AS BIGINT) AS n_exact, max(h) AS kth_h60,
+                 count(*) AS m
+          FROM mranked WHERE rk <= $K),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM gall UNION ALL SELECT * FROM mall)
+        SELECT scope, n_exact, kth_h60,
+               ${kmvOracleEst("m", "kth_h60")} AS est_distinct
+        FROM u ORDER BY scope""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5 (theta-style set operations over KMV sketches — Beyer et al.
+    // 2007 §4): cardinality estimates for A = pairs returned as 'A',
+    // B = pairs returned as 'R', their UNION (merge the two sketches,
+    // re-cut to k) and their INTERSECTION (the fraction ρ of the union
+    // sketch's k minima present in BOTH input sketches scales the
+    // union estimate: |A∩B| ≈ ρ·|A∪B|) — the estimator that answers
+    // "how much would corpus A add to corpus B" without ever joining
+    // the corpora. Plan: one distinct + one aggregate with FILTERed
+    // bounded heaps (both sketches in a single exchange-free pass over
+    // the distinct pairs); every set operation downstream is pure
+    // k-sized array arithmetic on one row. Exact counts ride the same
+    // aggregate for side-by-side error reading. ORACLE-EXACT.
+    QueryDef(
+      "q193_kmv_set_ops",
+      (s, dir) => {
+        val el = pairHashes(Tables(s, dir, "lineitem"))
+          .filter(col("scope").isin("A", "R"))
+        val row = el
+          .groupBy()
+          .agg(
+            expr(s"top_k_structs(struct(h), $K) FILTER (WHERE scope = 'A')").as("ka"),
+            expr(s"top_k_structs(struct(h), $K) FILTER (WHERE scope = 'R')").as("kb"),
+            expr("count(CASE WHEN scope = 'A' THEN 1 END)").as("n_exact_a"),
+            expr("count(CASE WHEN scope = 'R' THEN 1 END)").as("n_exact_b"),
+            countDistinct(col("h")).as("n_exact_union")
+          )
+          // merge = union of the two bottom-k sets, re-cut to k; all
+          // arrays here are ≤ k elements on a single row
+          .withColumn("uh", expr(s"slice(array_sort(array_distinct(concat(ka.h, kb.h))), 1, $K)"))
+          .withColumn("kth_u", expr("element_at(uh, size(uh))"))
+          .withColumn(
+            "n_both",
+            expr("size(array_intersect(array_intersect(uh, ka.h), kb.h))")
+          )
+        row.select(
+          col("n_exact_a"),
+          col("n_exact_b"),
+          col("n_exact_union"),
+          (col("n_exact_a") + col("n_exact_b") - col("n_exact_union")).as("n_exact_inter"),
+          expr(kmvEstExpr("size(ka)", "element_at(ka.h, size(ka))")).as("est_a"),
+          expr(kmvEstExpr("size(kb)", "element_at(kb.h, size(kb))")).as("est_b"),
+          expr(kmvEstExpr("size(uh)", "kth_u")).as("est_union"),
+          expr(
+            s"CASE WHEN size(uh) < $K THEN cast(n_both AS bigint) " +
+              s"ELSE cast(floor(n_both * (${K - 1} * pow(2.0D, 60) / greatest(kth_u, cast(1 AS bigint))) / $K) AS bigint) END"
+          ).as("est_inter")
+        )
+      },
+      Some(s"""WITH el AS (
+          SELECT DISTINCT l_returnflag AS flag, $kmvOracleHash AS h
+          FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        ka AS (SELECT h FROM (
+                 SELECT h, row_number() OVER (ORDER BY h) AS rk FROM el WHERE flag = 'A')
+               WHERE rk <= $K),
+        kb AS (SELECT h FROM (
+                 SELECT h, row_number() OVER (ORDER BY h) AS rk FROM el WHERE flag = 'R')
+               WHERE rk <= $K),
+        uh AS (SELECT h FROM (
+                 SELECT h, row_number() OVER (ORDER BY h) AS rk
+                 FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)))
+               WHERE rk <= $K),
+        st AS (SELECT
+          (SELECT count(*) FROM el WHERE flag = 'A') AS n_exact_a,
+          (SELECT count(*) FROM el WHERE flag = 'R') AS n_exact_b,
+          (SELECT count(DISTINCT h) FROM el) AS n_exact_union,
+          (SELECT count(*) FROM ka) AS m_a, (SELECT max(h) FROM ka) AS kth_a,
+          (SELECT count(*) FROM kb) AS m_b, (SELECT max(h) FROM kb) AS kth_b,
+          (SELECT count(*) FROM uh) AS m_u, (SELECT max(h) FROM uh) AS kth_u,
+          (SELECT count(*) FROM uh
+           WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both)
+        SELECT n_exact_a, n_exact_b, n_exact_union,
+               n_exact_a + n_exact_b - n_exact_union AS n_exact_inter,
+               ${kmvOracleEst("m_a", "kth_a")} AS est_a,
+               ${kmvOracleEst("m_b", "kth_b")} AS est_b,
+               ${kmvOracleEst("m_u", "kth_u")} AS est_union,
+               CASE WHEN m_u < $K THEN CAST(n_both AS BIGINT)
+                    ELSE CAST(floor(n_both * (${K - 1} * pow(2.0, 60) / greatest(kth_u, 1)) / $K) AS BIGINT) END
+                 AS est_inter
+        FROM st""")
     )
   )
 }
