@@ -145,35 +145,47 @@ object TableVersions {
     v
   }
 
-  /** Files live AT version v: added in some commit ≤ v and not removed
-    * by a later commit ≤ v (files are immutable and never re-added).
-    * Resolution starts from the nearest checkpoint ≤ v when one
-    * exists — snapshot ∪ adds(tail) − removes(tail) — and the tail
-    * read prunes to the (ckpt, v] log directories; without a
-    * checkpoint it aggregates the (pruned) log up to v.
+  /** Files live AT version v: the file's LAST log action at or before
+    * v is an `add`. Last-action-wins (not add/remove counting) because
+    * [[restore]] legitimately RE-ADDS files a later commit had
+    * removed — a file's lifecycle is any alternation of add/remove,
+    * and liveness at v is decided by whichever came last. Resolution
+    * starts from the nearest checkpoint ≤ v when one exists (the
+    * snapshot participates as an `add` at the checkpoint version) and
+    * the tail read prunes to the (ckpt, v] log directories; without a
+    * checkpoint it aggregates the (pruned) log up to v. A version
+    * never both adds and removes the same file (commits rewrite into
+    * fresh batch directories), so the within-version tie never occurs;
+    * the struct ordering would resolve it to `remove` — the safe side.
     */
   private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] = {
+    def lastActionAdds(actions: DataFrame): DataFrame =
+      actions
+        .groupBy("file")
+        .agg(max(struct(col("version"), col("action"))).as("last"))
+        .filter(col("last.action") === "add")
+        .select("file")
     val base = checkpoints(s, dir).filter(_ <= v).lastOption
     val resolved = base match {
       case Some(c) =>
-        val snap = s.read.parquet(s"${ckptDir(dir)}/c$c").select("file")
-        if (c == v) snap
+        val snap = s.read
+          .parquet(s"${ckptDir(dir)}/c$c")
+          .select(col("file"), lit(c).as("version"), lit("add").as("action"))
+        if (c == v) snap.select("file")
         else {
-          val tail = readLog(s, dir).filter(col("version") > c && col("version") <= v)
-          snap
-            .union(tail.filter(col("action") === "add").select("file"))
-            .except(tail.filter(col("action") === "remove").select("file"))
+          val tail = readLog(s, dir)
+            .filter(col("version") > c && col("version") <= v)
+            .filter(col("action").isin("add", "remove"))
+            .select("file", "version", "action")
+          lastActionAdds(snap.unionByName(tail))
         }
       case None =>
-        readLog(s, dir)
-          .filter(col("version") <= v)
-          .groupBy("file")
-          .agg(
-            sum(when(col("action") === "add", 1).otherwise(0)).as("adds"),
-            sum(when(col("action") === "remove", 1).otherwise(0)).as("removes")
-          )
-          .filter(col("adds") > col("removes") && col("file") =!= "")
-          .select("file")
+        lastActionAdds(
+          readLog(s, dir)
+            .filter(col("version") <= v)
+            .filter(col("action").isin("add", "remove"))
+            .select("file", "version", "action")
+        )
     }
     resolved.collect().map(_.getString(0)).toSeq.sorted
   }
@@ -486,16 +498,17 @@ object TableVersions {
     * shape driven through the version store.
     */
   /** Retention vacuum — the cost side of "old versions stay readable
-    * forever": physically delete every data file whose LAST reference
-    * is a version before `keepFrom` (a file is live at v iff it was
-    * added ≤ v and not removed ≤ v; files are immutable and never
-    * re-added, so exactly the files REMOVED at or before `keepFrom`
-    * are unreachable from any retained version). Deletes go through
-    * the Hadoop FileSystem with checked results (IvfIndex.compact's
-    * discipline), and a `_vacuum` watermark makes later time travel
-    * below the horizon fail LOUDLY with the retention boundary instead
-    * of a confusing missing-file error. Idempotent: re-vacuuming at
-    * the same horizon deletes nothing.
+    * forever": physically delete every data file unreachable from ANY
+    * version ≥ `keepFrom`. Under last-action-wins liveness that is:
+    * the file's last action at or before `keepFrom` is a `remove`
+    * (dead at the horizon) AND no later commit re-`add`s it (a
+    * [[restore]] above the horizon revives a file and it must
+    * survive). Deletes go through the Hadoop FileSystem with checked
+    * results (IvfIndex.compact's discipline), and a `_vacuum`
+    * watermark makes later time travel below the horizon fail LOUDLY
+    * with the retention boundary instead of a confusing missing-file
+    * error. Idempotent: re-vacuuming at the same horizon deletes
+    * nothing.
     */
   def vacuum(s: SparkSession, dir: String, keepFrom: Long): Seq[String] = {
     val cur = currentVersion(s, dir)
@@ -509,10 +522,18 @@ object TableVersions {
       keepFrom >= horizon,
       s"keepFrom $keepFrom below the recorded retention horizon $horizon"
     )
-    val doomed = readLog(s, dir)
-      .filter(col("action") === "remove" && col("version") <= keepFrom)
+    val log = readLog(s, dir).filter(col("action").isin("add", "remove"))
+    val deadAtHorizon = log
+      .filter(col("version") <= keepFrom)
+      .groupBy("file")
+      .agg(max(struct(col("version"), col("action"))).as("last"))
+      .filter(col("last.action") === "remove")
       .select("file")
-      .distinct()
+    val revivedLater = log
+      .filter(col("version") > keepFrom && col("action") === "add")
+      .select("file")
+    val doomed = deadAtHorizon
+      .join(revivedLater, Seq("file"), "left_anti")
       .collect()
       .map(_.getString(0))
       .toSeq
@@ -529,6 +550,43 @@ object TableVersions {
     out.write(keepFrom.toString.getBytes("UTF-8"))
     out.close()
     doomed
+  }
+
+  /** RESTORE TABLE … TO VERSION AS OF `to` — as a new COMMIT, and
+    * METADATA-ONLY (the Delta RESTORE shape): the head is brought back
+    * to version `to`'s exact file set by logging `add` for target
+    * files not currently live and `remove` for live files not in the
+    * target; no data file is read, copied, or written, so restoring a
+    * 100 TB table costs one log entry. History is preserved — the
+    * mistake-window versions stay readable between `to` and the
+    * restore commit — and CDC across the restore reports exactly the
+    * logical rollback. Files re-added here are why liveness is
+    * last-action-wins ([[liveFiles]]) and why [[vacuum]] checks for
+    * revival. Requires `to` at or above the retention horizon (its
+    * files must still exist physically). Restoring to the current
+    * head is a recorded no-op commit.
+    */
+  def restore(s: SparkSession, dir: String, to: Long): Long = {
+    val cur = currentVersion(s, dir)
+    require(cur >= 0, s"$dir not initialized")
+    require(to >= 0 && to <= cur, s"restore target $to outside [0, $cur]")
+    val horizon = retentionHorizon(s, dir)
+    require(
+      to >= horizon,
+      s"version $to of $dir was vacuumed (retention horizon is $horizon) — cannot restore"
+    )
+    val v = cur + 1
+    val target = liveFiles(s, dir, to).toSet
+    val head = liveFiles(s, dir, cur).toSet
+    appendLog(
+      s,
+      dir,
+      v,
+      "restore",
+      (target -- head).toSeq.sorted,
+      (head -- target).toSeq.sorted
+    )
+    v
   }
 
   /** Earliest version still readable (0 when never vacuumed). */

@@ -334,6 +334,53 @@ object Versioned {
       },
       Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents WHERE doc_id BETWEEN 10 AND 30 ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // RESTORE — the rollback story every corpus pipeline eventually
+    // needs (a bad filter shipped; the erasure batch was too greedy):
+    // after the 4-commit history, the table is restored to version 1
+    // as a NEW commit that is METADATA-ONLY — the head returns to v1's
+    // exact file set by logging add/remove pairs, no data file read or
+    // written, so rolling back a 100 TB table costs one log entry.
+    // History is preserved: the mistake window (v2 delete, v3 update)
+    // stays readable, and CDC across the restore reports the logical
+    // rollback. The query reads BOTH the pre-restore head (v3) and the
+    // restored head (v4 == v1 content) — the oracle restates each from
+    // `documents` directly, so a restore that loses or resurrects the
+    // wrong rows breaks the hash. ORACLE-EXACT; TableVersionsSpec pins
+    // the physical side (no new data files; vacuum spares revived
+    // files; sub-horizon restore refused; checkpoint interplay).
+    QueryDef(
+      "q197_restore",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        val v = TableVersions.restore(s, tdir, 1L)
+        Seq(3L, v)
+          .map { ver =>
+            TableVersions
+              .readVersion(s, tdir, ver)
+              .groupBy("lang")
+              .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+              .select(lit(ver).as("version"), col("lang"), col("n_docs"), col("sum_chars"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("version", "lang")
+      },
+      Some("""WITH v1 AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)),
+        v3 AS (
+          SELECT lang, CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM v1 WHERE lang <> 'en'),
+        u AS (
+          SELECT 3 AS version, lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM v3 GROUP BY lang
+          UNION ALL
+          SELECT 4, lang, count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM v1 GROUP BY lang)
+        SELECT CAST(version AS BIGINT) AS version, lang, n_docs, sum_chars
+        FROM u ORDER BY version, lang""")
     )
   )
 

@@ -389,4 +389,64 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(none.count() == 0)
     assert(none.columns.toSeq == Seq("id", "body"))
   }
+
+  test("restore is metadata-only, byte-equal to the target, and keeps the mistake window") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.commitDelete(spark, dir, "par = 'odd'") // v1: the mistake
+    TableVersions.commitUpdate(spark, dir, "id < 10", _.withColumn("body", lit("x"))) // v2
+    val dataDirsBefore = new java.io.File(s"$dir/data").list().toSet
+
+    val v = TableVersions.restore(spark, dir, 0L)
+    assert(v == 3L)
+    // METADATA-ONLY: no new batch directory, no data file written
+    assert(new java.io.File(s"$dir/data").list().toSet == dataDirsBefore)
+    // head == v0, byte-equal
+    val head = TableVersions.readVersion(spark, dir, 3L).orderBy("id").collect().toSeq
+    val orig = TableVersions.readVersion(spark, dir, 0L).orderBy("id").collect().toSeq
+    assert(head == orig)
+    // the mistake window stays readable
+    assert(TableVersions.readVersion(spark, dir, 1L).filter(col("par") === "odd").count() == 0)
+    // CDC across the restore reports the logical rollback (odd rows return)
+    val cdc = TableVersions.changes(spark, dir, "id", 2L, 3L)
+    assert(cdc.filter(col("change_type") === "insert").count() == 40)
+    // restoring to the current head is a recorded no-op commit
+    assert(TableVersions.restore(spark, dir, 3L) == 4L)
+    assert(
+      TableVersions.readVersion(spark, dir, 4L).orderBy("id").collect().toSeq == orig
+    )
+  }
+
+  test("vacuum spares files a restore revived; restore below the horizon is refused") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.commitDelete(spark, dir, "id < 15") // v1 removes one file
+    TableVersions.restore(spark, dir, 0L) // v2 revives it
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // vacuum at the restore version: the revived file's last action ≤ 2
+    // is the v2 re-add — it must SURVIVE (add/remove counting or
+    // "any remove ≤ horizon" logic would delete it and break the head)
+    val doomed = TableVersions.vacuum(spark, dir, keepFrom = 2L)
+    // v1's rewrite batch (the 65-row replacement file) is now unreachable
+    assert(doomed.nonEmpty)
+    doomed.foreach(f => assert(!fs.exists(new org.apache.hadoop.fs.Path(f))))
+    val head = TableVersions.readVersion(spark, dir, 2L)
+    assert(head.count() == 80, "restore-revived file was vacuumed away")
+    // and a restore below the recorded horizon fails loudly
+    val ex = intercept[IllegalArgumentException](TableVersions.restore(spark, dir, 1L))
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
+  test("checkpoint + restore: tail re-adds override a snapshot that lacks the file") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.commitDelete(spark, dir, "id >= 60") // v1 drops a file
+    TableVersions.checkpoint(spark, dir) // snapshot at v1 (no ids ≥ 60)
+    TableVersions.restore(spark, dir, 0L) // v2: tail re-add of the dropped file
+    val head = TableVersions.readVersion(spark, dir, 2L)
+    assert(head.count() == 80)
+    assert(head.filter(col("id") >= 60).count() == 20)
+    // and reads AT the checkpoint version still see the post-delete set
+    assert(TableVersions.readVersion(spark, dir, 1L).count() == 60)
+  }
 }
