@@ -397,6 +397,186 @@ object TableVersions {
     else s.read.parquet(candidates: _*).filter(pred)
   }
 
+  private def bloomDir(dir: String) = s"$dir/_bloom"
+
+  /** Bloom parameters are a property of the INDEX, not of one refresh
+    * call — bits set under one (m, d) are meaningless under another —
+    * so the first refresh records them in `_bloom/_meta` and later
+    * refreshes/reads must match or fail loudly. */
+  private def bloomMeta(s: SparkSession, dir: String): Option[(Int, Int)] = {
+    val marker = new Path(s"${bloomDir(dir)}/_meta")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val Array(b, h) = new String(in.readAllBytes(), "UTF-8").trim.split(",")
+        Some((b.toInt, h.toInt))
+      } finally in.close()
+    }
+  }
+
+  /** The engine-portable bloom hash family, evaluated DRIVER-side for
+    * probe values: j-th bit of value x = first 8 md5 hex chars of
+    * "j:x" as an integer, mod bits — the same md5-derived family the
+    * relational build uses, so probe and build bits always agree. */
+  private[graft] def bloomBit(j: Int, value: String, bits: Int): Int = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$j:$value".getBytes("UTF-8"))
+      .map(b => f"$b%02x")
+      .mkString
+      .take(8)
+    (java.lang.Long.parseLong(hex, 16) % bits).toInt
+  }
+
+  /** Bloom-filter file-skipping index for POINT lookups on string /
+    * high-cardinality columns — the complement of [[refreshStats]]'s
+    * numeric [lo, hi] ranges (which deliberately skip strings): one
+    * relational bit table under `_bloom`, rows (file, col, bit) for
+    * every set bit of every distinct value, plus a `bit = -1` MARKER
+    * row per (file, col) recording "this file IS indexed" — without
+    * it, a file whose column is all-NULL (zero set bits) would be
+    * indistinguishable from an unindexed file and lose its skip.
+    * INCREMENTAL like refreshStats: only live files not yet indexed
+    * are scanned (O(new data)); absence stays correctness-safe — an
+    * unindexed file is always read. Bit rows are distinct-compressed
+    * per file (≤ min(d·|distinct values|, m) rows per column), so the
+    * index is metadata-scaled. Returns the number of files newly
+    * indexed.
+    */
+  def refreshBloom(
+      s: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      bits: Int = 1024,
+      hashes: Int = 3
+  ): Long = {
+    require(cols.nonEmpty, "no bloom columns named")
+    require(bits > 0 && hashes > 0, "bloom needs positive bits and hashes")
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+    bloomMeta(s, dir) match {
+      case Some((b, h)) =>
+        require(
+          b == bits && h == hashes,
+          s"bloom index of $dir was built with bits=$b hashes=$h — refusing ($bits, $hashes)"
+        )
+      case None =>
+        fs.mkdirs(new Path(bloomDir(dir)))
+        val out = fs.create(new Path(s"${bloomDir(dir)}/_meta"), true)
+        out.write(s"$bits,$hashes".getBytes("UTF-8"))
+        out.close()
+    }
+    val files = liveFiles(s, dir, v)
+    val have: Set[String] =
+      if (
+        Option(fs.globStatus(new Path(s"${bloomDir(dir)}/*.parquet")))
+          .forall(_.isEmpty)
+      ) Set.empty
+      else
+        s.read
+          .parquet(bloomDir(dir))
+          .select("file")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+    val missing = files.filterNot(have)
+    if (missing.isEmpty) return 0L
+    val scanned = s.read
+      .parquet(missing: _*)
+      .withColumn("__file", input_file_name())
+    val bitRows = cols
+      .map { c =>
+        scanned
+          .select(col("__file").as("file"), col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull)
+          .distinct()
+          .select(
+            col("file"),
+            lit(c).as("col"),
+            explode(expr(s"sequence(0, ${hashes - 1})")).as("j"),
+            col("v")
+          )
+          .select(
+            col("file"),
+            col("col"),
+            expr(
+              s"cast(cast(conv(substring(md5(concat(j, ':', v)), 1, 8), 16, 10) AS bigint) % $bits AS int)"
+            ).as("bit")
+          )
+          .distinct()
+      }
+      .reduce(_ unionByName _)
+      // canonicalize to the log's path form (refreshStats discipline):
+      // executor-safe pure Path logic on metadata-scale rows
+      .withColumn("file", udf((f: String) => new Path(f).toString).apply(col("file")))
+    import s.implicits._
+    val markers = missing
+      .flatMap(f => cols.map(c => (f, c, -1)))
+      .toDF("file", "col", "bit")
+    bitRows.unionByName(markers).coalesce(1).write.mode("append").parquet(bloomDir(dir))
+    missing.size.toLong
+  }
+
+  /** [[readVersion]] restricted to files whose bloom filter CAN
+    * contain `value` in column `c` — the point-lookup data-skipping
+    * read beside [[readVersionPruned]]'s range read. A file is a
+    * candidate when it has no bloom rows for (file, c) (absence is
+    * never wrong) or when ALL probe bits are set; bloom false
+    * positives only cost an extra file read, and false negatives are
+    * impossible (a file containing the value set exactly these bits).
+    * The equality filter is re-applied to surviving rows, so the
+    * result equals `readVersion(v).filter(c = value)` exactly. The
+    * bloom probe reads ONLY the probe-bit and marker rows of the bit
+    * table (a metadata-scale filter), never the data.
+    */
+  def readVersionPoint(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      c: String,
+      value: String
+  ): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
+    val files = liveFiles(s, dir, v)
+    require(files.nonEmpty, s"version $v of $dir has no live files")
+    val pred = col(c).cast("string") === lit(value)
+    val hasRows = Option(
+      fsOf(s, dir).globStatus(new Path(s"${bloomDir(dir)}/*.parquet"))
+    ).exists(_.nonEmpty)
+    bloomMeta(s, dir) match {
+      case None => s.read.parquet(files: _*).filter(pred)
+      case Some(_) if !hasRows => s.read.parquet(files: _*).filter(pred)
+      case Some((bits, hashes)) =>
+        val probe = (0 until hashes).map(j => bloomBit(j, value, bits)).distinct
+        val rows = s.read
+          .parquet(bloomDir(dir))
+          .filter(col("col") === c)
+          .filter(col("bit") === -1 || col("bit").isin(probe: _*))
+          .groupBy("file")
+          .agg(
+            max(when(col("bit") === -1, 1).otherwise(0)).as("indexed"),
+            countDistinct(when(col("bit") =!= -1, col("bit"))).as("hits")
+          )
+          .collect()
+          .map(r => r.getString(0) -> (r.getInt(1) == 1, r.getLong(2)))
+          .toMap
+        val candidates = files.filter { f =>
+          rows.get(f) match {
+            case Some((true, hits)) => hits == probe.size.toLong
+            case _                  => true // unindexed — must read
+          }
+        }
+        if (candidates.isEmpty)
+          s.read.parquet(files.head).filter(pred).filter(lit(false))
+        else s.read.parquet(candidates: _*).filter(pred)
+    }
+  }
+
   /** MERGE INTO — whole-row upsert keyed on `key`: every source row
     * REPLACES the target row with its key when one exists (matched →
     * update) and lands as a new row otherwise (not-matched → insert),

@@ -337,6 +337,38 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // Bloom file-skipping — the POINT-lookup complement of q188's
+    // numeric [lo, hi] stats (which deliberately skip strings): the
+    // table lands hash-partitioned by source (each file holds few
+    // sources), refreshBloom indexes the string columns into a
+    // relational (file, col, bit) table, and a source = 'src7' lookup
+    // schedules only the files whose bloom can contain the value —
+    // at 100 TB, "which shard holds this domain / this doc id" without
+    // scanning the table, the Delta bloom-index pattern. Absence is
+    // correctness-safe (unindexed files always read) and false
+    // negatives are impossible (a file containing the value set
+    // exactly the probed bits), so pruning can only cost speed, never
+    // rows — which is exactly what the oracle checks: the pruned read
+    // must equal the plain equality filter. ORACLE-EXACT;
+    // BloomIndexSpec pins the physical side (files actually skipped,
+    // all-NULL skip, incremental refresh, config-mismatch refusal).
+    QueryDef(
+      "q196_bloom_pruned_read",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_bloom")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.repartition(8, col("source")), tdir)
+        TableVersions.refreshBloom(s, tdir, Seq("source", "lang"))
+        TableVersions
+          .readVersionPoint(s, tdir, 0L, "source", "src7")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE source = 'src7' ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // RESTORE — the rollback story every corpus pipeline eventually
     // needs (a bad filter shipped; the erasure batch was too greedy):
     // after the 4-commit history, the table is restored to version 1
