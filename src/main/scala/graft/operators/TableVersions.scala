@@ -192,8 +192,20 @@ object TableVersions {
 
   /** The table as of version v (time travel). Below the vacuum
     * horizon the data is physically gone — fail with the boundary,
-    * not a missing-file stack trace. */
-  def readVersion(s: SparkSession, dir: String, v: Long): DataFrame = {
+    * not a missing-file stack trace. `mergeSchema = true` unions the
+    * live files' schemas (SCHEMA EVOLUTION: files written before an
+    * added column read it back as NULL) at the cost of a footer read
+    * per live file — pay it when the table has evolved; a production
+    * store would persist the evolved schema in the log checkpoint to
+    * make this O(1). Old versions keep their OWN schema either way:
+    * liveness filters the files first, so a pre-evolution version
+    * never grows the new column. */
+  def readVersion(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      mergeSchema: Boolean = false
+  ): DataFrame = {
     val horizon = retentionHorizon(s, dir)
     require(
       v >= horizon,
@@ -201,7 +213,8 @@ object TableVersions {
     )
     val files = liveFiles(s, dir, v)
     require(files.nonEmpty, s"version $v of $dir has no live files")
-    s.read.parquet(files: _*)
+    if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
+    else s.read.parquet(files: _*)
   }
 
   /** Commit a new batch of rows (version 0 initializes the table). */
@@ -245,7 +258,13 @@ object TableVersions {
     require(prev >= 0, s"$dir not initialized")
     val v = prev + 1
     val files = liveFiles(s, dir, prev)
+    // mergeSchema: a rewrite on an EVOLVED table must see the union
+    // schema (a plain read would adopt one arbitrary file's schema and
+    // silently drop the added column from the rewritten rows); the
+    // rewritten batch then carries the merged schema — copy-on-write
+    // doubles as gradual physical schema migration
     val withFile = s.read
+      .option("mergeSchema", "true")
       .parquet(files: _*)
       .withColumn("__file", input_file_name())
     // a row "matches" iff the predicate is TRUE — NULL evaluations
@@ -267,7 +286,7 @@ object TableVersions {
       appendLog(s, dir, v, op, Nil, Nil)
       return v
     }
-    val hitDf = s.read.parquet(hit.toSeq.sorted: _*)
+    val hitDf = s.read.option("mergeSchema", "true").parquet(hit.toSeq.sorted: _*)
     val keep = hitDf.filter(!matches)
     val replaced = op match {
       case "delete" => keep
@@ -610,7 +629,12 @@ object TableVersions {
       s"merge source has duplicate keys: ${dup.getLong(1)} rows, ${dup.getLong(2)} distinct $key"
     )
     val files = liveFiles(s, dir, prev)
-    val withFile = s.read.parquet(files: _*).withColumn("__file", input_file_name())
+    // mergeSchema for the same reason as rewriteWhere: an evolved
+    // table's merge must align against the UNION schema
+    val withFile = s.read
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
+      .withColumn("__file", input_file_name())
     val targetCols = withFile.columns.filterNot(_ == "__file").toSeq
     val srcKeys = source.select(col(key))
     val hit = withFile
@@ -627,6 +651,7 @@ object TableVersions {
       if (hit.isEmpty) alignedSource
       else
         s.read
+          .option("mergeSchema", "true")
           .parquet(hit.toSeq.sorted: _*)
           .join(srcKeys, Seq(key), "left_anti")
           .select(targetCols.map(col): _*)

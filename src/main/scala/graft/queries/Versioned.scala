@@ -369,6 +369,54 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // SCHEMA EVOLUTION — the add-column story (a quality score, a
+    // license tag, a toxicity flag lands mid-corpus and re-writing
+    // 100 TB of history for it is not an option): v0 commits the old
+    // 3-column shape, v1 appends batches CARRYING a new `quality`
+    // column; the merged-schema head read NULL-fills the pre-evolution
+    // files (no rewrite, no backfill), while time travel to v0 keeps
+    // the OLD schema exactly (liveness filters files before the schema
+    // union, so history never grows columns it didn't have). The
+    // oracle restates the NULL-fill directly — count(quality) counts
+    // only the evolved slice, sum ignores the NULL-filled rows — so a
+    // read that drops, backfills, or misaligns the column breaks the
+    // hash. ORACLE-EXACT; TableVersionsSpec pins the physical side
+    // (old-version schema unchanged; copy-on-write on an evolved
+    // table sees the union schema and NULL predicate rows survive).
+    QueryDef(
+      "q198_schema_evolution",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_evo")
+        val docs = Tables(s, dir, "documents")
+        val old = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(old.filter(col("doc_id") % 3 === 0), tdir) // v0
+        TableVersions.commitAppend( // v1: schema gains `quality`
+          old.filter(col("doc_id") % 3 === 1).withColumn("quality", col("n_chars") % 7),
+          tdir
+        )
+        TableVersions
+          .readVersion(s, tdir, 1L, mergeSchema = true)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            count(col("quality")).as("n_scored"),
+            sum("quality").as("sum_quality")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH v1 AS (
+          SELECT lang, n_chars, CAST(NULL AS BIGINT) AS quality
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT lang, n_chars, n_chars % 7
+          FROM documents WHERE doc_id % 3 = 1)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(quality) AS n_scored, CAST(sum(quality) AS BIGINT) AS sum_quality
+        FROM v1 GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // RESTORE — the rollback story every corpus pipeline eventually
     // needs (a bad filter shipped; the erasure batch was too greedy):
     // after the 4-commit history, the table is restored to version 1

@@ -437,6 +437,42 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("vacuumed"))
   }
 
+  test("schema evolution: merged head NULL-fills, history keeps its schema, rewrites see the union") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    TableVersions.commitAppend(
+      (0L until 40L).map(i => (i, s"b$i")).toDF("id", "body").coalesce(2),
+      dir
+    ) // v0: old schema
+    TableVersions.commitAppend(
+      (40L until 60L).map(i => (i, s"b$i", i % 5)).toDF("id", "body", "score").coalesce(1),
+      dir
+    ) // v1: + score
+
+    val head = TableVersions.readVersion(spark, dir, 1L, mergeSchema = true)
+    assert(head.columns.toSeq.sorted == Seq("body", "id", "score"))
+    assert(head.filter(col("score").isNull).count() == 40)
+    assert(head.filter(col("score").isNotNull).count() == 20)
+    // time travel keeps the PRE-evolution schema
+    assert(
+      TableVersions.readVersion(spark, dir, 0L, mergeSchema = true).columns.toSeq
+        == Seq("id", "body")
+    )
+
+    // copy-on-write against the NEW column: NULL-evaluating old rows
+    // must survive (NOT-TRUE predicate semantics + merged read)
+    TableVersions.commitDelete(spark, dir, "score >= 3")
+    val v2 = TableVersions.readVersion(spark, dir, 2L, mergeSchema = true)
+    assert(v2.count() == 52) // 8 of the 20 scored rows have score ≥ 3
+    assert(v2.filter(col("score").isNull).count() == 40, "pre-evolution rows lost in rewrite")
+
+    // a post-evolution append WITHOUT the column still NULL-fills
+    TableVersions.commitAppend(Seq((99L, "late")).toDF("id", "body"), dir)
+    val v3 = TableVersions.readVersion(spark, dir, 3L, mergeSchema = true)
+    assert(v3.filter(col("id") === 99L).select("score").head().isNullAt(0))
+  }
+
   test("checkpoint + restore: tail re-adds override a snapshot that lacks the file") {
     val dir = freshDir()
     TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
