@@ -139,7 +139,7 @@ object Sketches {
   /** Distinct (scope, h) pairs over the part–supplier pair domain —
     * the one data-scaled exchange (map-side partial distinct); all
     * sketch work downstream is k-scaled. */
-  private def pairHashes(li: DataFrame): DataFrame =
+  private[queries] def pairHashes(li: DataFrame): DataFrame =
     li.select(
       col("l_returnflag").as("scope"),
       expr(h60("concat(cast(l_partkey AS string), ':', cast(l_suppkey AS string))")).as("h")
@@ -153,6 +153,62 @@ object Sketches {
   private def kmvEstExpr(m: String, kth: String): String =
     s"CASE WHEN $m < $K THEN cast($m AS bigint) " +
       s"ELSE cast(floor(${K - 1} * pow(2.0D, 60) / greatest($kth, cast(1 AS bigint))) AS bigint) END"
+
+  /** Per-scope bottom-k sketches exploded back to (scope, h) rows —
+    * the PERSISTABLE sketch form the streaming gate appends per
+    * micro-batch (≤ k rows per scope per batch); partial sketches of
+    * corpus slices merge by distinct-union + re-cut, landing on
+    * exactly the whole-corpus sketch. */
+  private[queries] def kmvSketchRows(dv: DataFrame): DataFrame =
+    dv.groupBy("scope")
+      .agg(expr(s"top_k_structs(struct(h), $K)").as("ks"))
+      .select(col("scope"), explode(col("ks.h")).as("h"))
+
+  /** The sketch-only KMV report from (scope, h) sketch rows: per-scope
+    * k-th minimum + estimate, plus the 'MERGED' union-of-scopes row —
+    * everything a sketch store can answer WITHOUT the base data (no
+    * exact counts here; q192 reports those beside the estimates). */
+  private[queries] def kmvReport(rows: DataFrame): DataFrame = {
+    val per = rows
+      .groupBy("scope")
+      .agg(expr(s"top_k_structs(struct(h), $K)").as("ks"))
+    val merged = per
+      .select(explode(col("ks")).as("e"))
+      .select(col("e.h").as("h"))
+      .distinct()
+      .groupBy()
+      .agg(expr(s"top_k_structs(struct(h), $K)").as("ks"))
+      .select(lit("MERGED").as("scope"), col("ks"))
+    per
+      .select(col("scope"), col("ks"))
+      .unionByName(merged)
+      .select(
+        col("scope"),
+        expr("element_at(ks.h, size(ks))").as("kth_h60"),
+        expr(kmvEstExpr("size(ks)", "element_at(ks.h, size(ks))")).as("est_distinct")
+      )
+      .orderBy("scope")
+  }
+
+  /** Shared oracle for the sketch-only report shape (q199's drained
+    * stream): per-scope + MERGED rows, no exact counts. */
+  private[queries] lazy val kmvReportOracle: String =
+    s"""WITH dv AS (
+          SELECT DISTINCT l_returnflag AS scope, $kmvOracleHash AS h FROM lineitem),
+        ranked AS (
+          SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rk
+          FROM dv),
+        per AS (
+          SELECT scope, max(h) AS kth_h60, count(*) AS m
+          FROM ranked WHERE rk <= $K GROUP BY scope),
+        msk AS (SELECT DISTINCT h FROM ranked WHERE rk <= $K),
+        mranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM msk),
+        mall AS (
+          SELECT 'MERGED' AS scope, max(h) AS kth_h60, count(*) AS m
+          FROM mranked WHERE rk <= $K),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM mall)
+        SELECT scope, kth_h60, ${kmvOracleEst("m", "kth_h60")} AS est_distinct
+        FROM u ORDER BY scope"""
 
   private val kmvOracleHash =
     "CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)"

@@ -761,6 +761,33 @@ object StreamGate {
     ),
 
     // ------------------------------------------------------------------
+    // E15 × E5 (streaming KMV): the q192 distinct-count sketch
+    // maintained LIVE over arriving lineitem batches — each micro-batch
+    // reduces to its own per-scope bottom-k sketch rows (≤ k rows per
+    // scope per batch, Sketches.kmvSketchRows) appended to a staging
+    // table; the drained report re-cuts the distinct-union of the
+    // partials. This is KMV's mergeability (bottom-k of a union lives
+    // inside the union of bottom-ks), so the drained result is
+    // bit-identical to the batch sketch under ANY micro-batch split —
+    // StreamKmvSpec forces a 3-file/3-batch replay and pins equality
+    // with batch q192's sketch columns; the dedicated sketch-only
+    // oracle certifies the drained output end to end. Per-batch cost
+    // is O(batch) + one ≤ k·scopes write; history never re-read.
+    QueryDef(
+      "q199_stream_kmv",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/lineitem.parquet").schema
+        val stream = gs.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(dir)
+        runKmvStream(gs, stream)
+      },
+      Some(Sketches.kmvReportOracle)
+    ),
+
+    // ------------------------------------------------------------------
     // E15 × q177 (streaming funnel): the order-sensitive first-touch
     // funnel maintained live over the event stream. Funnel steps are
     // a function of each user's WHOLE history (the first view can
@@ -1184,6 +1211,34 @@ object StreamGate {
     }
     val merged = gs.read.parquet(staging).groupBy("j", "b").agg(sum("c").as("c"))
     Sketches.estimateTopK(Sketches.tokenCounts(static), merged)
+  }
+
+  /** Drive a lineitem stream to completion, maintaining per-scope KMV
+    * sketches incrementally (see q199): per micro-batch the batch's
+    * own bottom-k sketch rows append to staging; the final report
+    * re-cuts the distinct-union — the sketch-merge path, never a
+    * history re-read.
+    */
+  private[graft] def runKmvStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("kmv_staging")
+    val ck = Similarity.freshIndexDir("kmv_ck")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sketches
+          .kmvSketchRows(Sketches.pairHashes(batch.toDF()))
+          .write
+          .mode("append")
+          .parquet(staging)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Sketches.kmvReport(gs.read.parquet(staging).distinct())
   }
 
   /** Drive an event stream to completion and return the q177 funnel
