@@ -696,6 +696,73 @@ object TableVersions {
     v
   }
 
+  /** OPTIMIZE ... ZORDER BY (Delta's clustered compaction): rewrite
+    * the live data ordered along a Z-ORDER (Morton) curve over the
+    * named numeric columns, as one logical-no-op commit (remove all
+    * prior live files, add the clustered replacements — reads are
+    * byte-equivalent, CDC across the rewrite is empty). Each column is
+    * min-max scaled to 16 bits and the bits INTERLEAVED, so range
+    * locality in every dimension maps to locality on the one sort
+    * key — after a [[refreshStats]], range reads on ANY of the
+    * clustered columns prune to a small file subset, where a
+    * single-column sort serves only its own dimension. NULLs scale to
+    * the low end (coalesce to lo) — they cluster together and a range
+    * read still re-filters exactly. This engine rewrites the whole
+    * live set in one commit; at real scale the same rewrite runs
+    * incrementally over file subsets, exactly like [[optimize]].
+    */
+  def optimizeZorder(
+      s: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      nOut: Int
+  ): Long = {
+    require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
+    require(cols.size <= 4, "16-bit interleave supports at most 4 columns")
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val files = liveFiles(s, dir, prev)
+    val df = s.read.option("mergeSchema", "true").parquet(files: _*)
+    val stats = df
+      .agg(
+        min(col(cols.head).cast("double")).as(s"lo0"),
+        max(col(cols.head).cast("double")).as(s"hi0") +:
+          cols.tail.zipWithIndex.flatMap { case (c, i) =>
+            Seq(
+              min(col(c).cast("double")).as(s"lo${i + 1}"),
+              max(col(c).cast("double")).as(s"hi${i + 1}")
+            )
+          }: _*
+      )
+      .head()
+    val n = cols.size
+    // per-column 16-bit scale: (x - lo) / (hi - lo) * 65535, NULL → lo,
+    // degenerate (hi == lo) → 0
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      if (hi == lo) "cast(0 AS bigint)"
+      else
+        s"cast((coalesce(cast(`$c` AS double), $lo) - $lo) / (${hi - lo}) * 65535.0 AS bigint)"
+    }
+    // Morton interleave: bit k of column i lands at position k*n + i
+    val zExpr = scaled.zipWithIndex
+      .map { case (sc, i) =>
+        s"aggregate(sequence(0, 15), cast(0 AS bigint), (acc, k) -> acc | shiftleft(($sc >> k) & 1, k * $n + $i))"
+      }
+      .mkString(" | ")
+    val v = prev + 1
+    val batch = s"$dir/data/b$v"
+    df.withColumn("__z", expr(zExpr))
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, "zorder", listParquet(s, batch), files)
+    v
+  }
+
   /** CDC between two versions, keyed on `key`: one row per changed key
     * with change_type ∈ insert | delete | update. Fingerprints are
     * md5 over all non-key columns (name-sorted for stability), so the

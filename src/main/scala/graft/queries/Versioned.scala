@@ -369,6 +369,51 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // OPTIMIZE ZORDER — multi-dimensional clustering for the stats
+    // index: the table arrives in ingest order (no dimension is
+    // clustered), one zorder commit rewrites the live set along a
+    // Morton curve over (l_orderkey, l_partkey), and refreshStats then
+    // gives EVERY clustered dimension tight per-file ranges — a range
+    // read on either column prunes to a small file subset, where a
+    // single-column sort serves only its own dimension. The rewrite is
+    // a LOGICAL NO-OP through the log (reads byte-equivalent, CDC
+    // empty — ZorderSpec pins both), so this is q187's OPTIMIZE with a
+    // clustering key: the layout step that makes q188's data skipping
+    // work on more than one column at 100 TB. The query reads a range
+    // on EACH dimension through the pruned path; the oracle restates
+    // both as plain filters — pruning may only change which files are
+    // scheduled, never the rows. ORACLE-EXACT.
+    QueryDef(
+      "q200_zorder_pruned_read",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_zorder")
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        TableVersions.commitAppend(li.repartition(8), tdir) // ingest layout
+        TableVersions.optimizeZorder(s, tdir, Seq("l_orderkey", "l_partkey"), nOut = 16)
+        TableVersions.refreshStats(s, tdir, Seq("l_orderkey", "l_partkey"))
+        def ranged(dim: String, c: String, lo: Double, hi: Double) =
+          TableVersions
+            .readVersionPruned(s, tdir, 1L, c, lo, hi)
+            .select(
+              lit(dim).as("dim"),
+              col("l_orderkey"),
+              col("l_partkey"),
+              col("l_quantity")
+            )
+        ranged("by_order", "l_orderkey", 100d, 200d)
+          .unionByName(ranged("by_part", "l_partkey", 10d, 20d))
+          .orderBy("dim", "l_orderkey", "l_partkey", "l_quantity")
+      },
+      Some("""SELECT 'by_order' AS dim, l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200
+        UNION ALL
+        SELECT 'by_part', l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE l_partkey BETWEEN 10 AND 20
+        ORDER BY dim, l_orderkey, l_partkey, l_quantity""")
+    ),
+
+    // ------------------------------------------------------------------
     // SCHEMA EVOLUTION — the add-column story (a quality score, a
     // license tag, a toxicity flag lands mid-corpus and re-writing
     // 100 TB of history for it is not an option): v0 commits the old

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins what q200's oracle cannot see about OPTIMIZE ZORDER: the
+  * rewrite is a logical no-op (byte-equal content, empty CDC), and the
+  * Morton layout actually buys MULTI-dimensional pruning — a
+  * single-column sort serves only its own dimension.
+  */
+class ZorderSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDir() = graft.queries.Similarity.freshIndexDir("zorder_spec")
+
+  /** 64×64 grid: every (x, y) once, id unique. */
+  private def grid() = {
+    val s = spark
+    import s.implicits._
+    (0L until 4096L).map(i => (i, i % 64L, i / 64L)).toDF("id", "x", "y")
+  }
+
+  test("zorder commit is a logical no-op: byte-equal content, empty CDC, history intact") {
+    val dir = freshDir()
+    TableVersions.commitAppend(grid().repartition(8), dir)
+    val before = TableVersions.readVersion(spark, dir, 0L).orderBy("id").collect().toSeq
+    val v = TableVersions.optimizeZorder(spark, dir, Seq("x", "y"), nOut = 8)
+    assert(v == 1L)
+    val after = TableVersions.readVersion(spark, dir, 1L).orderBy("id").collect().toSeq
+    assert(after == before)
+    assert(TableVersions.changes(spark, dir, "id", 0L, 1L).isEmpty)
+    // pre-zorder version still readable (files stay live in the log)
+    assert(TableVersions.readVersion(spark, dir, 0L).count() == 4096)
+  }
+
+  test("zorder buys pruning on BOTH dimensions; a single-column sort only on its own") {
+    // baseline: range-sorted by x only
+    val xDir = freshDir()
+    TableVersions.commitAppend(grid().repartitionByRange(8, col("x")), xDir)
+    TableVersions.refreshStats(spark, xDir, Seq("x", "y"))
+    val xOnlyX = TableVersions.readVersionPruned(spark, xDir, 0L, "x", 0d, 7d)
+    val xOnlyY = TableVersions.readVersionPruned(spark, xDir, 0L, "y", 0d, 7d)
+    assert(xOnlyX.inputFiles.length <= 2, "x-sorted layout should prune x ranges")
+    assert(
+      xOnlyY.inputFiles.length >= 7,
+      "x-sorted layout cannot prune y ranges — every file spans all y"
+    )
+
+    // z-ordered: both dimensions prune
+    val zDir = freshDir()
+    TableVersions.commitAppend(grid().repartition(8), zDir)
+    TableVersions.optimizeZorder(spark, zDir, Seq("x", "y"), nOut = 8)
+    TableVersions.refreshStats(spark, zDir, Seq("x", "y"))
+    val zX = TableVersions.readVersionPruned(spark, zDir, 1L, "x", 0d, 7d)
+    val zY = TableVersions.readVersionPruned(spark, zDir, 1L, "y", 0d, 7d)
+    assert(zX.inputFiles.length <= 4, s"zorder x-range read ${zX.inputFiles.length} of 8 files")
+    assert(zY.inputFiles.length <= 4, s"zorder y-range read ${zY.inputFiles.length} of 8 files")
+    // and rows are exactly the plain filters
+    assert(zX.count() == 8 * 64)
+    assert(zY.count() == 8 * 64)
+    assert(zX.filter(col("x") > 7).count() == 0)
+  }
+
+  test("zorder handles NULLs and degenerate columns without losing rows") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option(5L), 9L),
+      (2L, Option.empty[Long], 3L),
+      (3L, Option(7L), 3L)
+    ).toDF("id", "x", "c")
+    TableVersions.commitAppend(df, dir)
+    // c is constant (hi == lo): scales to 0; x has a NULL: coalesces to lo
+    TableVersions.optimizeZorder(spark, dir, Seq("x", "c"), nOut = 2)
+    val out = TableVersions.readVersion(spark, dir, 1L).orderBy("id").collect().toSeq
+    assert(out.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    assert(out(1).isNullAt(1), "NULL x must survive the rewrite as NULL")
+  }
+}
