@@ -521,22 +521,27 @@ object TextOps {
     // doc, quality) rather than a summary — so the oracle pins exactly
     // which documents survive. Deterministic tie-break on doc_id makes
     // the ranking total; both engines compute bit-identical doubles
-    // (see qualityExpr), so ORDER BY quality agrees everywhere. Plan:
-    // one hash exchange on source, rank inside the partition, filter —
-    // the 100 TB shape for "N per key" (never a global sort).
+    // (see qualityExpr). Plan: the bounded `top_k_structs` heap per
+    // source — map-side partial heaps, the exchange carries ≤ 3 rows
+    // per source — the same scale-correct "N per key" cut as the ANN
+    // family (a per-source window sort would hash every document into
+    // |sources| partitions and sort each; sources are FEW and HOT by
+    // construction, the exact skew the heap exists for). Ranks are
+    // recovered by position in the sorted heap output.
     QueryDef(
       "q117_source_cap",
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), qualityExpr.as("quality"))
-          .withColumn(
-            "rn",
-            row_number()
-              .over(Window.partitionBy("source").orderBy(desc("quality"), asc("doc_id")))
-              .cast("long")
+          .groupBy("source")
+          .agg(expr("top_k_structs(struct(-quality AS nq, doc_id), 3)").as("ks"))
+          .select(col("source"), posexplode(col("ks")).as(Seq("pos", "k")))
+          .select(
+            col("source"),
+            (col("pos") + 1).cast("long").as("rn"),
+            col("k.doc_id").as("doc_id"),
+            (-col("k.nq")).as("quality")
           )
-          .filter(col("rn") <= 3)
-          .select("source", "rn", "doc_id", "quality")
           .orderBy("source", "rn"),
       Some(s"""SELECT source, rn, doc_id, quality FROM (
           SELECT source, doc_id, quality,

@@ -65,7 +65,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q152_pq_ann",
     "q154_pq_persist",
     "q158_hybrid_retrieval",
-    "q173_bm25_rank"
+    "q173_bm25_rank",
+    "q117_source_cap"
   )
 
   test("ANN scans: bounded heap top-k, never a corpus-scaled window sort") {
