@@ -804,11 +804,17 @@ object TableVersions {
     val revivedLater = log
       .filter(col("version") > keepFrom && col("action") === "add")
       .select("file")
+    // ownership guard: only files under THIS table's directory are
+    // ever physically deleted — a shallow clone references foreign
+    // files, and its vacuum must un-reference them, not destroy the
+    // source table's data
+    val ownPrefix = qualified(s, new Path(dir)).stripSuffix("/") + "/"
     val doomed = deadAtHorizon
       .join(revivedLater, Seq("file"), "left_anti")
       .collect()
       .map(_.getString(0))
       .toSeq
+      .filter(_.startsWith(ownPrefix))
       .sorted
     val fs = fsOf(s, dir)
     doomed.foreach { f =>
@@ -822,6 +828,37 @@ object TableVersions {
     out.write(keepFrom.toString.getBytes("UTF-8"))
     out.close()
     doomed
+  }
+
+  /** SHALLOW CLONE (Delta's zero-copy clone): initialize `dstDir` as a
+    * new table whose version 0 REFERENCES `srcDir`'s live files at
+    * version `v` — one log entry, no data read, copied, or written, so
+    * cloning a 100 TB table costs one commit. The clone then lives its
+    * own life: copy-on-write commits land replacement files under the
+    * CLONE's directory and only un-reference the source files, never
+    * touch them — the dev/staging-fork workflow (clone prod, run the
+    * risky migration, diff, throw away). Two documented hazards, both
+    * guarded: [[vacuum]] only ever deletes files under the table's OWN
+    * directory (a clone vacuum can un-reference foreign files but
+    * cannot destroy the source's data), and vacuuming the SOURCE can
+    * strand clones that still reference the reclaimed files — the
+    * standard shallow-clone retention caveat; use a deep copy when the
+    * source's retention is not under your control.
+    */
+  def cloneShallow(s: SparkSession, srcDir: String, dstDir: String, v: Long): Long = {
+    require(
+      currentVersion(s, dstDir) == -1,
+      s"$dstDir already initialized — clone only creates new tables"
+    )
+    val horizon = retentionHorizon(s, srcDir)
+    require(
+      v >= horizon,
+      s"version $v of $srcDir was vacuumed (retention horizon is $horizon) — cannot clone"
+    )
+    val files = liveFiles(s, srcDir, v)
+    require(files.nonEmpty, s"version $v of $srcDir has no live files")
+    appendLog(s, dstDir, 0L, "clone", files, Nil)
+    0L
   }
 
   /** RESTORE TABLE … TO VERSION AS OF `to` — as a new COMMIT, and

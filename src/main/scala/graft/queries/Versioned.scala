@@ -369,6 +369,52 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // SHALLOW CLONE — the zero-copy staging-fork workflow: clone the
+    // 4-commit table at its head into a new table (ONE log entry
+    // referencing the source's live files — no data copied, a 100 TB
+    // clone costs one commit), then run a risky curation step (delete
+    // all short docs) ON THE CLONE. The query reads the source head
+    // and the mutated clone head side by side: the source must be
+    // UNTOUCHED (the clone's copy-on-write landed its rewrites under
+    // the clone's own directory and only un-referenced the shared
+    // files). The oracle restates both censuses from `documents`, so
+    // a clone that leaks writes into the source — or loses shared
+    // rows — breaks the hash. ORACLE-EXACT; CloneSpec pins the
+    // physical side (metadata-only init; source files byte-identical
+    // after clone commits; clone vacuum cannot delete foreign files).
+    QueryDef(
+      "q201_shallow_clone",
+      (s, dir) => {
+        val tdir = buildHistory(s, dir)
+        val cdir = Similarity.freshIndexDir("versioned_clone")
+        TableVersions.cloneShallow(s, tdir, cdir, 3L)
+        TableVersions.commitDelete(s, cdir, "n_chars < 300") // risky step, clone-only
+        val src = TableVersions
+          .readVersion(s, tdir, 3L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select(lit("source").as("side"), col("lang"), col("n_docs"), col("sum_chars"))
+        val cl = TableVersions
+          .readVersion(s, cdir, 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select(lit("clone").as("side"), col("lang"), col("n_docs"), col("sum_chars"))
+        src.unionByName(cl).orderBy("side", "lang")
+      },
+      Some("""WITH v3 AS (
+          SELECT lang, CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 3 IN (0, 1) AND lang <> 'en'),
+        u AS (
+          SELECT 'source' AS side, lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM v3 GROUP BY lang
+          UNION ALL
+          SELECT 'clone', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM v3 WHERE n_chars >= 300 GROUP BY lang)
+        SELECT side, lang, n_docs, sum_chars FROM u ORDER BY side, lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // OPTIMIZE ZORDER — multi-dimensional clustering for the stats
     // index: the table arrives in ingest order (no dimension is
     // clustered), one zorder commit rewrites the live set along a
