@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.TableVersions
+import graft.operators.{InvertedIndex, TableVersions}
 
 /** Multi-version table store queries (operators/TableVersions): time
   * travel (q166) and change-data-capture between versions (q167). The
@@ -366,6 +366,99 @@ object Versioned {
       },
       Some("""SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents WHERE source = 'src7' ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // ERASURE WORKFLOW — right-to-be-forgotten end to end, the
+    // governed-corpus story every piece above exists for: (1) the
+    // ACCESS request — bloom-pruned point lookups fetch what the store
+    // holds about each subject without scanning the table; (2) the
+    // ERASURE — one copy-on-write delete removes the subjects' rows,
+    // rewriting only the hit files; (3) the PROPAGATION — CDC between
+    // the versions tells the persisted inverted index exactly which
+    // doc ids to tombstone (the index never re-reads the corpus), and
+    // compaction folds the tombstones into the posting layout; (4) the
+    // EVIDENCE — per-lang census of the head, the CDC tally, and a
+    // post-sync keyword lookup, all of which the oracle restates over
+    // `documents` minus the erased set: a subject resurfacing anywhere
+    // breaks the hash. ORACLE-EXACT; ErasureSpec pins the negative
+    // space (erased ids invisible to plain reads, point reads, and
+    // every index lookup; replay idempotent).
+    QueryDef(
+      "q202_erasure_workflow",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_erasure")
+        val idxDir = Similarity.freshIndexDir("erasure_inverted")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.repartition(8, col("source")), tdir)
+        TableVersions.refreshBloom(s, tdir, Seq("doc_id"), bits = 16384, hashes = 3)
+        InvertedIndex.build(docs, idxDir)
+
+        // (1) access: what does the store hold about subjects 3/32/61?
+        val subjects = Seq(3L, 32L, 61L)
+          .map(id =>
+            TableVersions
+              .readVersionPoint(s, tdir, 0L, "doc_id", id.toString)
+              .select(
+                lit("subject").as("kind"),
+                col("doc_id").cast("string").as("k"),
+                col("n_chars").cast("long").as("v")
+              )
+          )
+          .reduce(_ unionByName _)
+
+        // (2) erasure: copy-on-write delete of the subject set
+        TableVersions.commitDelete(s, tdir, "doc_id % 29 = 3")
+        // (3) propagation: CDC names the tombstones; compact folds them
+        val delta = TableVersions.changes(s, tdir, "doc_id", 0L, 1L)
+        InvertedIndex.delete(
+          delta.filter(col("change_type") === "delete").select("doc_id"),
+          idxDir
+        )
+        InvertedIndex.compact(s, idxDir)
+
+        // (4) evidence rows
+        val census = TableVersions
+          .readVersion(s, tdir, 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("census").as("kind"), col("lang").as("k"), col("v"))
+        val cdc = delta
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("cdc").as("kind"), col("change_type").as("k"), col("v"))
+        val lookup = InvertedIndex
+          .conjunctiveQuery(s, idxDir, Seq("spark", "join"))
+          .select(
+            lit("lookup").as("kind"),
+            col("doc_id").cast("string").as("k"),
+            col("score").cast("long").as("v")
+          )
+        subjects
+          .unionByName(census)
+          .unionByName(cdc)
+          .unionByName(lookup)
+          .orderBy("kind", "k", "v")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 AND doc_id % 29 <> 3 GROUP BY 1, 2),
+        rows AS (
+          SELECT 'subject' AS kind, CAST(doc_id AS VARCHAR) AS k,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE doc_id IN (3, 32, 61)
+          UNION ALL
+          SELECT 'census', lang, count(*)
+          FROM documents WHERE doc_id % 29 <> 3 GROUP BY lang
+          UNION ALL
+          SELECT 'cdc', 'delete', count(*)
+          FROM documents WHERE doc_id % 29 = 3
+          UNION ALL
+          SELECT 'lookup', CAST(doc_id AS VARCHAR), CAST(sum(tf) AS BIGINT)
+          FROM toks WHERE tok IN ('spark', 'join')
+          GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+        SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
     ),
 
     // ------------------------------------------------------------------
