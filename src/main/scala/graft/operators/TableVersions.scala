@@ -504,31 +504,35 @@ object TableVersions {
           .toSet
     val missing = files.filterNot(have)
     if (missing.isEmpty) return 0L
-    val scanned = s.read
+    // ONE scan of the new files indexes every column (the refreshStats
+    // melt discipline): stack (col, value) pairs locally, distinct,
+    // then the d-way bit expansion runs over the distinct stream
+    val bitRows = s.read
       .parquet(missing: _*)
       .withColumn("__file", input_file_name())
-    val bitRows = cols
-      .map { c =>
-        scanned
-          .select(col("__file").as("file"), col(c).cast("string").as("v"))
-          .filter(col("v").isNotNull)
-          .distinct()
-          .select(
-            col("file"),
-            lit(c).as("col"),
-            explode(expr(s"sequence(0, ${hashes - 1})")).as("j"),
-            col("v")
-          )
-          .select(
-            col("file"),
-            col("col"),
-            expr(
-              s"cast(cast(conv(substring(md5(concat(j, ':', v)), 1, 8), 16, 10) AS bigint) % $bits AS int)"
-            ).as("bit")
-          )
-          .distinct()
-      }
-      .reduce(_ unionByName _)
+      .select(
+        col("__file").as("file"),
+        explode(
+          array(cols.map(c => struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)
+        ).as("cv")
+      )
+      .select(col("file"), col("cv.col").as("col"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+      .select(
+        col("file"),
+        col("col"),
+        explode(expr(s"sequence(0, ${hashes - 1})")).as("j"),
+        col("v")
+      )
+      .select(
+        col("file"),
+        col("col"),
+        expr(
+          s"cast(cast(conv(substring(md5(concat(j, ':', v)), 1, 8), 16, 10) AS bigint) % $bits AS int)"
+        ).as("bit")
+      )
+      .distinct()
       // canonicalize to the log's path form (refreshStats discipline):
       // executor-safe pure Path logic on metadata-scale rows
       .withColumn("file", udf((f: String) => new Path(f).toString).apply(col("file")))
