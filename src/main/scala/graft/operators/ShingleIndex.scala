@@ -26,11 +26,34 @@ import org.apache.spark.sql.functions._
   *    carries only rare-shingle rows;
   *  - [[compactDf]] folds the df segments into one (checked
   *    staged-rewrite swap, IvfIndex.compact's discipline) at
-  *    maintenance cadence, bounding the segment-sum fan-in.
+  *    maintenance cadence, bounding the segment-sum fan-in;
+  *  - [[delete]]/[[compact]] close the ERASURE loop (q202's
+  *    right-to-be-forgotten contract — a forgotten document must not
+  *    survive in ANY index, this one included): delete writes doc-id
+  *    tombstones AND a NEGATIVE df segment (counts must decrement —
+  *    the log-structured segments already sum, so a minus-count
+  *    segment is the natural decrement; the one rows-scan it costs is
+  *    paid at erasure cadence, never per verdict), [[admit]] reads
+  *    tombstone-filtered rows, and [[compact]] folds tombstones out of
+  *    the row layout and rebuilds df from the survivors (checked
+  *    staged swaps; idempotent on replay). Contract: a tombstoned
+  *    doc_id must not be re-appended before the next [[compact]] —
+  *    the same re-admission contract as InvertedIndex.
   */
 object ShingleIndex {
 
   private val HexDigits = "0123456789abcdef"
+
+  /** Explicit row schema so an index whose rows were fully erased (or
+    * a bucket dir with no files) still reads — schema inference fails
+    * on empty layouts (InvertedIndex.postingSchema's rationale). */
+  private val rowSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType)
+    )
+  )
 
   private def shingleRows(docs: DataFrame): DataFrame =
     docs
@@ -69,12 +92,100 @@ object ShingleIndex {
       .collect { case n if n.startsWith("seg=") => n.stripPrefix("seg=").toInt }
   }
 
-  /** The true df table: segment sum (partial counts ADD). */
-  private def dfTable(s: SparkSession, indexDir: String): DataFrame =
+  /** The true df table: segment sum (partial counts ADD; erasure's
+    * negative segments SUBTRACT — same fold). Shingles whose counts
+    * net to zero carry no information and are dropped so the table
+    * matches a from-scratch recompute over the surviving corpus. */
+  private[graft] def dfTable(s: SparkSession, indexDir: String): DataFrame =
     s.read
       .parquet(s"$indexDir/df")
       .groupBy("g")
       .agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+
+  /** Shingle rows minus accumulated erasure tombstones — what every
+    * read path consumes (InvertedIndex.liveData's contract: the
+    * tombstone set is erasure-request-sized, so it broadcasts). */
+  private[graft] def liveRows(s: SparkSession, indexDir: String): DataFrame = {
+    val raw = s.read.schema(rowSchema).parquet(s"$indexDir/rows")
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombs))
+      raw.join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+    else raw
+  }
+
+  /** Erasure: forget `docIds` from the admission index. Two writes —
+    * doc-id tombstones (read paths anti-join them out immediately) and
+    * ONE negative df segment holding minus the forgotten docs' shingle
+    * counts, so df(union) stays exact without touching the row layout.
+    * The negative segment needs the forgotten docs' shingle rows,
+    * which costs one scan of the compact (g, doc_id) rows — paid at
+    * erasure cadence (rare), never per admission verdict. Idempotent:
+    * already-tombstoned ids are excluded before the decrement, so a
+    * replayed erasure batch subtracts nothing twice. */
+  def delete(docIds: DataFrame, indexDir: String): Unit = {
+    val s = docIds.sparkSession
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val requested = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val fresh =
+      (if (fs.exists(tombs))
+         requested.join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+       else requested).localCheckpoint()
+    if (fresh.isEmpty) return
+    val dead = s.read
+      .schema(rowSchema)
+      .parquet(s"$indexDir/rows")
+      .join(broadcast(fresh), Seq("doc_id"))
+    val seg = 1 + listSegments(s, indexDir).max
+    dfSegment(dead)
+      .withColumn("df", -col("df"))
+      .write
+      .mode("errorifexists")
+      .parquet(s"$indexDir/df/seg=$seg")
+    fresh.write.mode("append").parquet(tombs.toString)
+  }
+
+  /** Full maintenance compaction: fold erasure tombstones out of the
+    * row layout (checked staged swap — InvertedIndex.compact's
+    * discipline) and rebuild the df table from the SURVIVING rows
+    * (fresh seg=0 replacing every segment, positive and negative — a
+    * recompute cannot drift). Ordering is crash-safe: the staged rows
+    * are written and become the df recompute's source BEFORE any swap,
+    * and a crash between the two swaps leaves old df segments whose
+    * negative entries still net to the survivors' counts. Replay is
+    * idempotent. Without tombstones this degrades to [[compactDf]]. */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tombs = new Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombs)) { compactDf(s, indexDir); return }
+    val stagedRows = new Path(s"$indexDir/rows_compacted")
+    liveRows(s, indexDir)
+      .repartition(col("bkt"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bkt")
+      .parquet(stagedRows.toString)
+    val stagedDf = new Path(s"$indexDir/df_compacted")
+    dfSegment(s.read.schema(rowSchema).parquet(stagedRows.toString))
+      .write
+      .mode("overwrite")
+      .parquet(s"$stagedDf/seg=0")
+    val liveR = new Path(s"$indexDir/rows")
+    if (!fs.delete(liveR, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to remove old rows $liveR")
+    if (!fs.rename(stagedRows, liveR))
+      throw new java.io.IOException(s"compact: failed to swap $stagedRows — staged rows preserved")
+    val liveD = new Path(s"$indexDir/df")
+    if (!fs.delete(liveD, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to remove old df $liveD")
+    if (!fs.rename(stagedDf, liveD))
+      throw new java.io.IOException(s"compact: failed to swap $stagedDf — staged df preserved")
+    if (!fs.delete(tombs, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to clear tombstone table $tombs")
+  }
 
   /** Fold the df segments into one — bounded segment fan-in under
     * sustained appends. Checked staged-rewrite swap: a failed
@@ -118,7 +229,7 @@ object ShingleIndex {
       .select("g")
       // feeds both join sides and both size tables — materialize once
       .localCheckpoint()
-    val idxRare = s.read.parquet(s"$indexDir/rows").join(rare, Seq("g")).localCheckpoint()
+    val idxRare = liveRows(s, indexDir).join(rare, Seq("g")).localCheckpoint()
     val newRare = batchRows.join(rare, Seq("g")).localCheckpoint()
     val szOld = idxRare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val szNew = newRare.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -187,11 +187,30 @@ object Dedup {
         FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
         ORDER BY d_new, d_old"""
 
+  /** q203's oracle: the admission verdict over the corpus MINUS the
+    * erased subjects (index-side %29==3 docs forgotten; the incoming
+    * batch is not subject to erasure) — the from-scratch restatement
+    * of what the tombstone + negative-df-segment serving path must
+    * equal. */
+  private[queries] lazy val erasedAdmissionOracle: String =
+    s"""WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 5 = 4 OR doc_id % 29 <> 3
+        ), ${pairSqlOver("corpus")}
+        SELECT CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS d_new,
+               CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END AS d_old,
+               jaccard
+        FROM pairs WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)
+        ORDER BY d_new, d_old"""
+
   /** The q35 pair CTE chain as DuckDB SQL — prefix for oracles that
     * consume the pair graph. Threshold interpolated from the same
     * constant the Spark side passes to jaccardPairs. */
-  private def pairSql: String = s"""tok AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  private def pairSql: String = pairSqlOver("documents")
+
+  /** Same CTE chain over an arbitrary source relation — q203's erasure
+    * oracle restates admission over `documents` MINUS the erased set. */
+  private def pairSqlOver(rel: String): String = s"""tok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM $rel
           WHERE len(string_split(text, ' ')) >= 3
         ), sh AS (
           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
@@ -751,6 +770,46 @@ object Dedup {
         )
       },
       Some(admissionOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E12 × governance (erasure-aware admission — closing the one gap
+    // q202's right-to-be-forgotten capstone left open: the admission
+    // index retained forgotten docs' shingle rows and df counts
+    // forever). Lifecycle under erasure: build + append as q190, then
+    // FORGET the %29==3 subjects — ShingleIndex.delete writes doc-id
+    // tombstones plus a NEGATIVE df segment (the log-structured
+    // segments sum, so a minus-count segment decrements document
+    // frequency exactly; one rows-scan at erasure cadence, never per
+    // verdict) — and admit the new batch BEFORE any compaction: the
+    // verdicts must be bit-equal to a from-scratch recompute over
+    // `documents` minus the erased set, which is precisely what the
+    // oracle states. A forgotten doc surfacing as d_old, or its
+    // lingering df counts shifting any shingle in or out of the
+    // rare df ∈ [2, 50] band, breaks the hash. ErasureSpec extends
+    // this through compact (staged-swap rows rewrite + df rebuild
+    // from survivors) and replayed deletes.
+    QueryDef(
+      "q203_erasure_admission",
+      (s, dir) => {
+        val idx = Similarity.freshIndexDir("shingle_erasure")
+        val docs = docsWide(s, dir)
+        graft.operators.ShingleIndex.build(docs.filter(col("doc_id") % 5 <= 2), idx)
+        graft.operators.ShingleIndex.append(docs.filter(col("doc_id") % 5 === 3), idx)
+        graft.operators.ShingleIndex.delete(
+          docs
+            .filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 29 === 3)
+            .select("doc_id"),
+          idx
+        )
+        graft.operators.ShingleIndex.admit(
+          s,
+          idx,
+          docs.filter(col("doc_id") % 5 === 4),
+          PairMinJaccard
+        )
+      },
+      Some(erasedAdmissionOracle)
     ),
 
     // ------------------------------------------------------------------

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{InvertedIndex, TableVersions}
+import graft.operators.{InvertedIndex, ShingleIndex, TableVersions}
 
 /** Multi-version table store queries (operators/TableVersions): time
   * travel (q166) and change-data-capture between versions (q167). The
@@ -378,21 +378,31 @@ object Versioned {
     // the versions tells the persisted inverted index exactly which
     // doc ids to tombstone (the index never re-reads the corpus), and
     // compaction folds the tombstones into the posting layout; (4) the
-    // EVIDENCE — per-lang census of the head, the CDC tally, and a
-    // post-sync keyword lookup, all of which the oracle restates over
+    // EVIDENCE — per-lang census of the head, the CDC tally, a
+    // post-sync keyword lookup, and the admission index's surviving
+    // row/df totals, all of which the oracle restates over
     // `documents` minus the erased set: a subject resurfacing anywhere
-    // breaks the hash. ORACLE-EXACT; ErasureSpec pins the negative
-    // space (erased ids invisible to plain reads, point reads, and
-    // every index lookup; replay idempotent).
+    // breaks the hash. The propagation reaches EVERY index the corpus
+    // feeds: the inverted index (tombstone + compact) AND the near-dup
+    // admission index (ShingleIndex.delete's negative df segment +
+    // compact) — the shingle evidence rows count live (doc, shingle)
+    // rows and the df-table total, which the oracle independently
+    // derives as the distinct 3-shingle count of the SURVIVING corpus,
+    // so one lingering forgotten-doc shingle row or one undecremented
+    // df count breaks the hash. ORACLE-EXACT; ErasureSpec pins the
+    // negative space (erased ids invisible to plain reads, point
+    // reads, and every index lookup; replay idempotent).
     QueryDef(
       "q202_erasure_workflow",
       (s, dir) => {
         val tdir = Similarity.freshIndexDir("versioned_erasure")
         val idxDir = Similarity.freshIndexDir("erasure_inverted")
+        val sidxDir = Similarity.freshIndexDir("erasure_shingle")
         val docs = Tables(s, dir, "documents")
         TableVersions.commitAppend(docs.repartition(8, col("source")), tdir)
         TableVersions.refreshBloom(s, tdir, Seq("doc_id"), bits = 16384, hashes = 3)
         InvertedIndex.build(docs, idxDir)
+        ShingleIndex.build(docs.select("doc_id", "text"), sidxDir)
 
         // (1) access: what does the store hold about subjects 3/32/61?
         val subjects = Seq(3L, 32L, 61L)
@@ -411,11 +421,11 @@ object Versioned {
         TableVersions.commitDelete(s, tdir, "doc_id % 29 = 3")
         // (3) propagation: CDC names the tombstones; compact folds them
         val delta = TableVersions.changes(s, tdir, "doc_id", 0L, 1L)
-        InvertedIndex.delete(
-          delta.filter(col("change_type") === "delete").select("doc_id"),
-          idxDir
-        )
+        val deletedIds = delta.filter(col("change_type") === "delete").select("doc_id")
+        InvertedIndex.delete(deletedIds, idxDir)
         InvertedIndex.compact(s, idxDir)
+        ShingleIndex.delete(deletedIds, sidxDir)
+        ShingleIndex.compact(s, sidxDir)
 
         // (4) evidence rows
         val census = TableVersions
@@ -434,16 +444,32 @@ object Versioned {
             col("doc_id").cast("string").as("k"),
             col("score").cast("long").as("v")
           )
+        val shingleRows = ShingleIndex
+          .liveRows(s, sidxDir)
+          .agg(count(lit(1)).as("v"))
+          .select(lit("shingle").as("kind"), lit("rows").as("k"), col("v"))
+        val shingleDf = ShingleIndex
+          .dfTable(s, sidxDir)
+          .agg(coalesce(sum("df"), lit(0L)).as("v"))
+          .select(lit("shingle").as("kind"), lit("df_total").as("k"), col("v"))
         subjects
           .unionByName(census)
           .unionByName(cdc)
           .unionByName(lookup)
+          .unionByName(shingleRows)
+          .unionByName(shingleDf)
           .orderBy("kind", "k", "v")
       },
       Some("""WITH toks AS (
           SELECT doc_id, tok, count(*) AS tf
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
           WHERE len(tok) > 0 AND doc_id % 29 <> 3 GROUP BY 1, 2),
+        shtok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 29 <> 3),
+        sh AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM shtok)),
         rows AS (
           SELECT 'subject' AS kind, CAST(doc_id AS VARCHAR) AS k,
                  CAST(n_chars AS BIGINT) AS v
@@ -457,7 +483,11 @@ object Versioned {
           UNION ALL
           SELECT 'lookup', CAST(doc_id AS VARCHAR), CAST(sum(tf) AS BIGINT)
           FROM toks WHERE tok IN ('spark', 'join')
-          GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+          GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+          UNION ALL
+          SELECT 'shingle', 'rows', count(*) FROM sh
+          UNION ALL
+          SELECT 'shingle', 'df_total', count(*) FROM sh)
         SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
     ),
 

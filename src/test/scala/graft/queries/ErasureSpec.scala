@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkSpec, Tables}
-import graft.operators.{InvertedIndex, TableVersions}
+import graft.operators.{InvertedIndex, ShingleIndex, TableVersions}
 
 /** Pins q202's negative space — after the erasure workflow, the
   * subjects must be invisible through EVERY read path (plain scan,
@@ -73,5 +73,44 @@ class ErasureSpec extends AnyFunSuite with SparkSpec {
       .collect()
       .toSeq
     assert(again == afterCompact)
+  }
+
+  test("admission index: an erased doc can never appear as d_old, pre- or post-compact") {
+    val idx = Similarity.freshIndexDir("erasure_spec_shingle")
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    ShingleIndex.build(corpus, idx)
+    val erased = corpus.filter(col("doc_id") % 29 === 3).select("doc_id")
+    val ids = erased.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    ShingleIndex.delete(erased, idx)
+
+    // pre-compact serving (tombstone anti-join + negative df segment):
+    // verdicts equal the from-scratch recompute over the erased corpus,
+    // and no erased id survives as d_old
+    val preCompact = ShingleIndex.admit(spark, idx, batch, 0.5).collect().toSeq
+    val recomputed = Dedup
+      .admissionPairs(corpus.filter(col("doc_id") % 29 =!= 3), batch, 0.5)
+      .collect()
+      .toSeq
+    assert(preCompact == recomputed)
+    assert(preCompact.forall(r => !ids.contains(r.getLong(1))))
+
+    // replaying the erasure decrements nothing twice
+    ShingleIndex.delete(erased, idx)
+    assert(ShingleIndex.admit(spark, idx, batch, 0.5).collect().toSeq == preCompact)
+
+    // compaction folds tombstones out of the rows and rebuilds df from
+    // the survivors — verdicts unchanged, no row of an erased doc left
+    ShingleIndex.compact(spark, idx)
+    assert(ShingleIndex.admit(spark, idx, batch, 0.5).collect().toSeq == preCompact)
+    val leftover = ShingleIndex
+      .liveRows(spark, idx)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+    assert(leftover.count() == 0, "compacted admission index retains erased docs' shingles")
+    // tombstone table cleared; replaying compact is a no-op
+    ShingleIndex.compact(spark, idx)
+    assert(ShingleIndex.admit(spark, idx, batch, 0.5).collect().toSeq == preCompact)
   }
 }
