@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** Sweeps between checkpoints. Checkpointing EVERY sweep (the naive
+    * lineage discipline) eagerly materializes each sweep as its own
+    * job and forfeits whole-stage fusion across sweeps — measured 2×
+    * on q171 (BENCH r10→r11: 5.1 → 10.3 s at iters=3). Lineage only
+    * needs to stay BOUNDED, not unit-depth: a cadence of K keeps the
+    * unrolled plan ≤ K sweeps (Catalyst plans that comfortably — the
+    * fully-lazy pre-round-10 variant fused 3) while still cutting the
+    * doubling recursion before it compounds at high iteration counts.
+    */
+  private val CheckpointEvery = 3
+
   def propagate(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "negative iteration count")
     val e = edges.select(col("src"), col("dst"))
@@ -32,14 +43,15 @@ object LabelPropagation {
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    // PageRank's checkpoint discipline (PageRank.ranks): each sweep's
-    // labels are localCheckpointed so the plan stays ONE sweep deep —
-    // without it lineage doubles per iteration (the label table feeds
-    // both the join and the fallback), and Catalyst re-plans the whole
-    // unrolled history every round. The previous sweep's blocks are
-    // freed as soon as the next checkpoint is materialized.
+    // PageRank's checkpoint discipline (PageRank.ranks), at a cadence
+    // of [[CheckpointEvery]] sweeps: between checkpoints the label
+    // table stays a lazy plan over the last checkpoint (its blocks are
+    // pinned until the NEXT checkpoint materializes, then freed), so
+    // lineage is bounded at K sweeps and K sweeps fuse into one
+    // codegen'd DAG instead of K materialization jobs.
     var (labels, blocks) =
       CheckpointTracking.checkpointTracked(nodes.withColumn("label", col("node")))
+    var sinceCheckpoint = 0
     (1 to iters).foreach { _ =>
       val adopted = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -51,10 +63,16 @@ object LabelPropagation {
       val next = labels
         .join(adopted, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-      val (ck, ids) = CheckpointTracking.checkpointTracked(next)
-      CheckpointTracking.free(labels, blocks)
-      labels = ck
-      blocks = ids
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= CheckpointEvery) {
+        val (ck, ids) = CheckpointTracking.checkpointTracked(next)
+        CheckpointTracking.free(labels, blocks)
+        labels = ck
+        blocks = ids
+        sinceCheckpoint = 0
+      } else {
+        labels = next
+      }
     }
     labels
   }
