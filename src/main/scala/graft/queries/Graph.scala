@@ -51,9 +51,11 @@ object Graph {
     */
   private def partEdges(
       s: org.apache.spark.sql.SparkSession,
-      dir: String
+      dir: String,
+      orderMod: Long = 1L
   ): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % orderMod === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
@@ -68,10 +70,12 @@ object Graph {
       .distinct()
 
   /** Shared oracle prefix: the same co-purchase edge set in DuckDB. */
-  private val edgeCte =
-    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  private def edgeCteOver(liFilter: String): String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem $liFilter),
         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)"""
+
+  private val edgeCte = edgeCteOver("")
 
   private def top100(ranked: org.apache.spark.sql.DataFrame) =
     ranked
@@ -84,6 +88,105 @@ object Graph {
         ).as("node"),
         col("rank_e12")
       )
+
+  /** The q194/q204 triangle dataflow (degree-ordered orientation +
+    * per-edge out-neighbor intersection, Latapy 2008) in its two
+    * physical regimes:
+    *
+    *  - `broadcastAdjacency = true` (q194): the adjacency table is
+    *    NODE-scaled (one row per node, Σ outdeg = m entries total);
+    *    attaching it by broadcast keeps the edge stream exchange-free
+    *    past the orientation step. The right plan while the adjacency
+    *    fits an executor.
+    *  - `broadcastAdjacency = false` (q204, the beyond-broadcast
+    *    regime — q115's gate pattern): the oriented edges are
+    *    checkpointed hash-partitioned AND sorted on src
+    *    (CheckpointTracking.checkpointHashPartitioned), so the
+    *    adjacency groupBy and the first sort-merge join BOTH consume
+    *    that one layout exchange-free; only the dst-side join
+    *    shuffles. Orientation bounds every adjacency array at O(√m),
+    *    so each shuffled row is bounded too — the payload never holds
+    *    a hub's full neighborhood. Costs the array duplication an SMJ
+    *    implies, which is exactly the price of outgrowing broadcast.
+    *
+    * Both enumerate the identical triangle set (the oracle's
+    * id-ordered SQL formulation is layout-independent), each common
+    * out-neighbor closing one triangle exactly once.
+    */
+  private def triangleCensus(
+      edges: org.apache.spark.sql.DataFrame,
+      broadcastAdjacency: Boolean
+  ): org.apache.spark.sql.DataFrame = {
+    val e = edges.cache()
+    val deg = e
+      .select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o0 = ed
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst")
+      )
+    val o =
+      if (broadcastAdjacency) o0.cache()
+      else
+        graft.operators.CheckpointTracking
+          .checkpointHashPartitioned(o0, Seq("src"), Seq("src"))
+          ._1
+    val nbrs0 = o.groupBy("src").agg(sort_array(collect_list("dst")).as("ns"))
+    // the adjacency feeds BOTH joins: in the broadcast regime the
+    // broadcast itself materializes it once; in the SMJ regime pin it
+    // hash-partitioned on src so the src-side join stays exchange-free
+    // and the dst-side join re-shuffles from a materialized table
+    // instead of re-aggregating
+    val nbrs =
+      if (broadcastAdjacency) nbrs0
+      else
+        graft.operators.CheckpointTracking
+          .checkpointHashPartitioned(nbrs0, Seq("src"), Seq("src"))
+          ._1
+    def side(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastAdjacency) broadcast(df) else df
+    val closed = o
+      .join(side(nbrs.select(col("src"), col("ns").as("nu"))), Seq("src"))
+      .join(side(nbrs.select(col("src").as("dst"), col("ns").as("nv"))), Seq("dst"))
+      .select(
+        col("src").as("u"),
+        col("dst").as("v"),
+        expr("array_intersect(nu, nv)").as("common")
+      )
+      .withColumn("cnt", size(col("common")).cast("long"))
+      .filter(col("cnt") > 0)
+      .cache()
+    val perNode = closed
+      .select(
+        explode(
+          expr(
+            """concat(
+                 array(struct(u AS node, cnt AS c), struct(v AS node, cnt AS c)),
+                 transform(common, x -> struct(x AS node, CAST(1 AS BIGINT) AS c)))"""
+          )
+        ).as("e")
+      )
+      .select(col("e.node").as("node"), col("e.c").as("c"))
+      .groupBy("node")
+      .agg(sum("c").as("n_tri"))
+    val top = perNode
+      .groupBy()
+      .agg(expr("top_k_structs(struct(-n_tri AS nn, node), 20)").as("ks"))
+      .select(explode(col("ks")).as("k"))
+      .select(col("k.node").cast("string").as("node"), (-col("k.nn")).as("n_tri"))
+    val total = closed
+      .groupBy()
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_tri"))
+      .select(lit("ALL").as("node"), col("n_tri"))
+    top.unionByName(total).orderBy(desc("n_tri"), asc("node"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -218,79 +321,31 @@ object Graph {
     // common node credits 1. ORACLE-EXACT.
     QueryDef(
       "q194_triangles",
+      (s, dir) => triangleCensus(partEdges(s, dir), broadcastAdjacency = true),
+      Some(triangleOracle("")),
+    ),
+
+    // ------------------------------------------------------------------
+    // The SAME triangle census in the beyond-broadcast regime (q115's
+    // gate pattern): broadcast is disabled in a session clone —
+    // standing in for an adjacency table past any executor's broadcast
+    // reach — and the oriented edge table is checkpointed
+    // hash-partitioned + sorted on src, so the adjacency build and the
+    // first sort-merge join consume one layout exchange-free; only the
+    // dst-side join shuffles, and orientation bounds every shuffled
+    // adjacency array at O(√m). Runs on the quarter graph
+    // (l_orderkey % 4 = 0), q115's scale discipline: the pinned-SMJ
+    // plan SHAPE is what this query certifies (GraphStructureSpec
+    // asserts no broadcast of the adjacency), and the full-graph
+    // broadcast regime is already q194's bench row. ORACLE-EXACT.
+    QueryDef(
+      "q204_triangles_smj",
       (s, dir) => {
-        val e = partEdges(s, dir).cache()
-        val deg = e
-          .select(col("u").as("n"))
-          .unionAll(e.select(col("v").as("n")))
-          .groupBy("n")
-          .agg(count(lit(1)).as("d"))
-        val ed = e
-          .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-          .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-        val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-        val o = ed
-          .select(
-            when(lower, col("u")).otherwise(col("v")).as("src"),
-            when(lower, col("v")).otherwise(col("u")).as("dst")
-          )
-          .cache()
-        // the adjacency table is NODE-scaled (one row per node, Σ
-        // outdeg = m entries total) and broadcastable far beyond this
-        // scale; attaching it by broadcast keeps the edge stream
-        // exchange-free past the orientation step — an SMJ here would
-        // sort-and-shuffle the edge rows WITH their array payloads
-        // (Σ outdeg² serialized elements), the same blowup the wedge
-        // join has. Past broadcast reach, co-partition both sides on
-        // the join key and the duplication cost returns — documented,
-        // not hidden.
-        val nbrs = o.groupBy("src").agg(sort_array(collect_list("dst")).as("ns"))
-        val closed = o
-          .join(broadcast(nbrs.select(col("src"), col("ns").as("nu"))), Seq("src"))
-          .join(broadcast(nbrs.select(col("src").as("dst"), col("ns").as("nv"))), Seq("dst"))
-          .select(
-            col("src").as("u"),
-            col("dst").as("v"),
-            expr("array_intersect(nu, nv)").as("common")
-          )
-          .withColumn("cnt", size(col("common")).cast("long"))
-          .filter(col("cnt") > 0)
-          .cache()
-        val perNode = closed
-          .select(
-            explode(
-              expr(
-                """concat(
-                     array(struct(u AS node, cnt AS c), struct(v AS node, cnt AS c)),
-                     transform(common, x -> struct(x AS node, CAST(1 AS BIGINT) AS c)))"""
-              )
-            ).as("e")
-          )
-          .select(col("e.node").as("node"), col("e.c").as("c"))
-          .groupBy("node")
-          .agg(sum("c").as("n_tri"))
-        val top = perNode
-          .groupBy()
-          .agg(expr("top_k_structs(struct(-n_tri AS nn, node), 20)").as("ks"))
-          .select(explode(col("ks")).as("k"))
-          .select(col("k.node").cast("string").as("node"), (-col("k.nn")).as("n_tri"))
-        val total = closed
-          .groupBy()
-          .agg(coalesce(sum("cnt"), lit(0L)).as("n_tri"))
-          .select(lit("ALL").as("node"), col("n_tri"))
-        top.unionByName(total).orderBy(desc("n_tri"), asc("node"))
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        triangleCensus(partEdges(s2, dir, orderMod = 4L), broadcastAdjacency = false)
       },
-      Some(s"""WITH $edgeCte,
-        t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-              FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
-              JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
-        pn AS (SELECT node, count(*) AS n_tri FROM (
-                 SELECT x AS node FROM t
-                 UNION ALL SELECT y FROM t
-                 UNION ALL SELECT z FROM t) GROUP BY node),
-        top AS (SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20)
-        SELECT CAST(node AS VARCHAR) AS node, n_tri FROM top
-        UNION ALL SELECT 'ALL', (SELECT count(*) FROM t)"""),
+      Some(triangleOracle("WHERE l_orderkey % 4 = 0")),
     ),
 
     // ------------------------------------------------------------------
@@ -361,10 +416,30 @@ object Graph {
         surv AS (SELECT s3.n, COALESCE(fd.d, 0) AS d
                  FROM s3 LEFT JOIN fd ON fd.n = s3.n),
         top AS (SELECT n, d FROM surv ORDER BY d DESC, n LIMIT 20)
-        SELECT CAST(n AS VARCHAR) AS node, CAST(d AS BIGINT) AS core_deg FROM top
-        UNION ALL SELECT 'ALL', (SELECT count(*) FROM s3)""")
+        SELECT node, core_deg FROM (
+          SELECT CAST(n AS VARCHAR) AS node, CAST(d AS BIGINT) AS core_deg FROM top
+          UNION ALL SELECT 'ALL', (SELECT count(*) FROM s3))
+        ORDER BY core_deg DESC, node""")
     )
   )
+
+  /** q194/q204's DuckDB restatement — id-ordered triangle enumeration
+    * over the (optionally filtered) co-purchase graph, with an OUTER
+    * order matching the Spark side (the union rows arrive ordered, not
+    * incidentally). */
+  private def triangleOracle(liFilter: String): String = s"""WITH ${edgeCteOver(liFilter)},
+        t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+              JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (SELECT node, count(*) AS n_tri FROM (
+                 SELECT x AS node FROM t
+                 UNION ALL SELECT y FROM t
+                 UNION ALL SELECT z FROM t) GROUP BY node),
+        top AS (SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20)
+        SELECT node, n_tri FROM (
+          SELECT CAST(node AS VARCHAR) AS node, n_tri FROM top
+          UNION ALL SELECT 'ALL', (SELECT count(*) FROM t))
+        ORDER BY n_tri DESC, node"""
 
   private def pagerankOracle(fwdFilter: String = ""): String = s"""WITH fwd AS (
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

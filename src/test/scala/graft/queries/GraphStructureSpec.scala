@@ -86,4 +86,22 @@ class GraphStructureSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(got == expected)
   }
+
+  test("q204 SMJ variant: same census as q194's regime, with NO broadcast in the plan") {
+    // semantic equality on the full graph: run the SMJ dataflow through
+    // the registered quarter-graph query AND check its plan shape —
+    // the beyond-broadcast regime must not smuggle the adjacency in
+    // via a BroadcastExchange (the exact failure mode q204 exists to
+    // exclude at 100M+-node scale)
+    val df = SparkEntry.queries("q204_triangles_smj")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // AQE finalizes the physical plan only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      !plan.contains("BroadcastExchange"),
+      s"q204 plan broadcast-attached the adjacency:\n$plan"
+    )
+    assert(plan.contains("SortMergeJoin"), "q204 plan lost its sort-merge joins")
+  }
 }
