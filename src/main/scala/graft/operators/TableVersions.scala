@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   *    filtering the log to `version <= v`.
   *
   * Writes go through the Hadoop FileSystem API (HDFS/object-store
-  * ready, same discipline as IvfIndex.compact); note object stores
-  * want a conditional-put on the log append for true concurrent
-  * commits — single-writer is assumed here, as in every maintenance
-  * job in this engine.
+  * ready, same discipline as IvfIndex.compact). CONCURRENT WRITERS
+  * FAIL SAFE: every commit first claims its version number with an
+  * exclusive-create on `_log/_claims/v<V>` (the filesystem's
+  * compare-and-swap — atomic on HDFS and local; on an object store
+  * the same protocol maps to a conditional `If-None-Match` put), so
+  * two writers racing to the same version produce exactly one commit
+  * and one loud [[ConcurrentCommitException]] — never a merged or
+  * corrupted log. A crashed commit can strand its claim;
+  * [[releaseStaleClaim]] removes a claim only when its log directory
+  * never materialized.
   */
 object TableVersions {
+
+  /** A concurrent writer won the version this commit tried to claim
+    * (or a crashed commit stranded the claim — see
+    * [[releaseStaleClaim]]). The losing commit wrote nothing to the
+    * log; retrying recomputes the next version and succeeds. */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   private def fsOf(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -96,10 +108,66 @@ object TableVersions {
       .toDF("op", "file", "action")
       .coalesce(1)
       .write
-      // errorifexists: the directory IS the commit — a second writer
-      // racing to the same version fails loudly instead of merging
+      // errorifexists: belt to the claim's suspenders — the directory
+      // IS the commit, and even a writer that somehow bypassed the
+      // claim fails loudly instead of merging
       .mode("errorifexists")
       .parquet(s"${logDir(dir)}/version=$version")
+  }
+
+  /** Atomically claim `version` at the START of a commit — BEFORE any
+    * data or log write: an exclusive `create` of
+    * `_log/_claims/v<version>` succeeds for exactly ONE writer (the
+    * `_`-prefixed directory is invisible to the log's parquet reads).
+    * The directory-existence check in the parquet writes alone is
+    * check-then-act — two racing writers can both pass the check; the
+    * exclusive create is the atomic arbiter, and claiming first means
+    * the LOSER writes nothing at all (no orphan batch directory to
+    * block its retry). Claims are never deleted on success (empty
+    * files, one per commit — the same O(commits) footprint as the log
+    * itself).
+    */
+  // private[operators]: the concurrency spec simulates a writer whose
+  // version was computed before a rival committed — the exact
+  // interleave the claim protocol exists to arbitrate
+  private[operators] def claimVersion(s: SparkSession, dir: String, version: Long): Unit = {
+    val claim = new Path(s"${logDir(dir)}/_claims/v$version")
+    val fs = fsOf(s, dir)
+    fs.mkdirs(claim.getParent)
+    val out =
+      try fs.create(claim, /* overwrite = */ false)
+      catch {
+        case _: java.io.IOException =>
+          throw new ConcurrentCommitException(
+            s"version $version of $dir is already claimed — a concurrent writer " +
+              "committed it (retry recomputes the next version), or a crashed " +
+              "commit stranded the claim (releaseStaleClaim removes it iff the " +
+              "log directory never materialized)"
+          )
+      }
+    out.close()
+  }
+
+  /** Remove the claim for `version` ONLY when its log directory never
+    * materialized — the recovery path for a commit that claimed a
+    * version and crashed before writing the log — along with any
+    * partial batch directory the crashed commit left under
+    * `data/b<version>` (unreferenced by the log, but it would block
+    * the retry's errorifexists write). Refuses to touch the claim of
+    * any committed version (deleting it would let a later writer
+    * double-commit that version). */
+  def releaseStaleClaim(s: SparkSession, dir: String, version: Long): Unit = {
+    val fs = fsOf(s, dir)
+    require(
+      !fs.exists(new Path(s"${logDir(dir)}/version=$version")),
+      s"version $version of $dir is committed — refusing to release its claim"
+    )
+    val claim = new Path(s"${logDir(dir)}/_claims/v$version")
+    if (fs.exists(claim))
+      require(fs.delete(claim, false), s"failed to delete stale claim $claim")
+    val orphanBatch = new Path(s"$dir/data/b$version")
+    if (fs.exists(orphanBatch))
+      require(fs.delete(orphanBatch, true), s"failed to delete orphan batch $orphanBatch")
   }
 
   /** Numeric suffixes of child directories named `<prefix><N>`. */
@@ -141,8 +209,63 @@ object TableVersions {
     require(v >= 0, s"$dir not initialized")
     val target = s"${ckptDir(dir)}/c$v"
     if (checkpoints(s, dir).contains(v)) return v
-    liveFiles(s, dir, v).toDF("file").coalesce(1).write.mode("errorifexists").parquet(target)
+    val files = liveFiles(s, dir, v)
+    files.toDF("file").coalesce(1).write.mode("errorifexists").parquet(target)
+    // persist the UNION schema beside the file list (one footer pass,
+    // paid here once): evolved-table reads then resolve their schema
+    // from this file plus the tail-added files' footers — O(1 + tail)
+    // instead of a footer read per live file per read. `_`-prefixed, so
+    // the checkpoint's own parquet read never sees it.
+    val schema = s.read.option("mergeSchema", "true").parquet(files: _*).schema
+    val fs = fsOf(s, dir)
+    val out = fs.create(new Path(s"$target/_schema.json"), true)
+    out.write(schema.json.getBytes("UTF-8"))
+    out.close()
     v
+  }
+
+  /** The checkpointed union schema at checkpoint version `c`, when one
+    * was persisted (checkpoints written before schema persistence
+    * existed lack it — reads fall back to the full footer union). */
+  private def checkpointSchema(
+      s: SparkSession,
+      dir: String,
+      c: Long
+  ): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(s"${ckptDir(dir)}/c$c/_schema.json")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try
+        Some(
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(in.readAllBytes(), "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        )
+      finally in.close()
+    }
+  }
+
+  /** Merge `extra` into `base` by the ADD-COLUMN evolution contract:
+    * same-named fields must carry identical types (anything fancier —
+    * type widening, renames — is not an evolution this store performs,
+    * and the caller falls back to the full parquet mergeSchema union),
+    * new fields append after the base's. Returns None on a type
+    * mismatch. */
+  private def mergeAddColumns(
+      base: org.apache.spark.sql.types.StructType,
+      extra: org.apache.spark.sql.types.StructType
+  ): Option[org.apache.spark.sql.types.StructType] = {
+    val byName = base.fields.map(f => f.name -> f.dataType).toMap
+    val conflict = extra.fields.exists(f => byName.get(f.name).exists(_ != f.dataType))
+    if (conflict) None
+    else
+      Some(
+        org.apache.spark.sql.types.StructType(
+          base.fields ++ extra.fields.filterNot(f => byName.contains(f.name))
+        )
+      )
   }
 
   /** Files live AT version v: the file's LAST log action at or before
@@ -192,14 +315,19 @@ object TableVersions {
 
   /** The table as of version v (time travel). Below the vacuum
     * horizon the data is physically gone — fail with the boundary,
-    * not a missing-file stack trace. `mergeSchema = true` unions the
-    * live files' schemas (SCHEMA EVOLUTION: files written before an
-    * added column read it back as NULL) at the cost of a footer read
-    * per live file — pay it when the table has evolved; a production
-    * store would persist the evolved schema in the log checkpoint to
-    * make this O(1). Old versions keep their OWN schema either way:
-    * liveness filters the files first, so a pre-evolution version
-    * never grows the new column. */
+    * not a missing-file stack trace. `mergeSchema = true` resolves the
+    * UNION schema (SCHEMA EVOLUTION: files written before an added
+    * column read it back as NULL) from the nearest checkpoint's
+    * persisted schema plus the footers of files added SINCE it —
+    * O(1 + tail) metadata, never a footer read per live file; without
+    * a schema-bearing checkpoint (or on an evolution fancier than
+    * add-column) it falls back to the full parquet footer union. Old
+    * versions keep their OWN schema either way: liveness filters the
+    * files first, and the checkpoint consulted is the nearest AT OR
+    * BELOW v, so a pre-evolution version never grows the new column.
+    * Columns are append-only across a checkpoint (the lakehouse
+    * contract: an added column never silently vanishes, even if a
+    * later rewrite drops the last file that carried it physically). */
   def readVersion(
       s: SparkSession,
       dir: String,
@@ -213,14 +341,33 @@ object TableVersions {
     )
     val files = liveFiles(s, dir, v)
     require(files.nonEmpty, s"version $v of $dir has no live files")
-    if (mergeSchema) s.read.option("mergeSchema", "true").parquet(files: _*)
-    else s.read.parquet(files: _*)
+    if (!mergeSchema) return s.read.parquet(files: _*)
+    val resolved = for {
+      c <- checkpoints(s, dir).filter(_ <= v).lastOption
+      ckptSchema <- checkpointSchema(s, dir, c)
+      ckptFiles = s.read
+        .parquet(s"${ckptDir(dir)}/c$c")
+        .select("file")
+        .collect()
+        .map(_.getString(0))
+        .toSet
+      tail = files.filterNot(ckptFiles)
+      merged <-
+        if (tail.isEmpty) Some(ckptSchema)
+        else
+          mergeAddColumns(
+            ckptSchema,
+            s.read.option("mergeSchema", "true").parquet(tail: _*).schema
+          )
+    } yield s.read.schema(merged).parquet(files: _*)
+    resolved.getOrElse(s.read.option("mergeSchema", "true").parquet(files: _*))
   }
 
   /** Commit a new batch of rows (version 0 initializes the table). */
   def commitAppend(df: DataFrame, dir: String): Long = {
     val s = df.sparkSession
     val v = currentVersion(s, dir) + 1
+    claimVersion(s, dir, v)
     val batch = s"$dir/data/b$v"
     df.write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, if (v == 0) "init" else "append", listParquet(s, batch), Nil)
@@ -257,6 +404,7 @@ object TableVersions {
     val prev = currentVersion(s, dir)
     require(prev >= 0, s"$dir not initialized")
     val v = prev + 1
+    claimVersion(s, dir, v)
     val files = liveFiles(s, dir, prev)
     // mergeSchema: a rewrite on an EVOLVED table must see the union
     // schema (a plain read would adopt one arbitrary file's schema and
@@ -457,11 +605,13 @@ object TableVersions {
     * row per (file, col) recording "this file IS indexed" — without
     * it, a file whose column is all-NULL (zero set bits) would be
     * indistinguishable from an unindexed file and lose its skip.
-    * INCREMENTAL like refreshStats: only live files not yet indexed
-    * are scanned (O(new data)); absence stays correctness-safe — an
-    * unindexed file is always read. Bit rows are distinct-compressed
-    * per file (≤ min(d·|distinct values|, m) rows per column), so the
-    * index is metadata-scaled. Returns the number of files newly
+    * INCREMENTAL like refreshStats, at (file, col) granularity: only
+    * pairs not yet indexed are scanned and appended (O(new data), and
+    * a refresh naming NEW columns extends already-indexed files);
+    * absence stays correctness-safe — an unindexed pair is always
+    * read. Bit rows are distinct-compressed per file (≤ min(d·
+    * |distinct values|, m) rows per column), so the index is
+    * metadata-scaled. Returns the number of (file, col) pairs newly
     * indexed.
     */
   def refreshBloom(
@@ -489,7 +639,13 @@ object TableVersions {
         out.close()
     }
     val files = liveFiles(s, dir, v)
-    val have: Set[String] =
+    // the incremental unit is the (file, col) PAIR, not the file: a
+    // later refresh naming NEW columns must index them on files
+    // already covered for other columns (file-granular tracking would
+    // silently skip those files and leave the new column perf-dead on
+    // old data — correctness-safe, since unindexed pairs always read,
+    // but a silent no-op)
+    val havePairs: Set[(String, String)] =
       if (
         Option(fs.globStatus(new Path(s"${bloomDir(dir)}/*.parquet")))
           .forall(_.isEmpty)
@@ -497,16 +653,19 @@ object TableVersions {
       else
         s.read
           .parquet(bloomDir(dir))
-          .select("file")
+          .select("file", "col")
           .distinct()
           .collect()
-          .map(_.getString(0))
+          .map(r => (r.getString(0), r.getString(1)))
           .toSet
-    val missing = files.filterNot(have)
-    if (missing.isEmpty) return 0L
-    // ONE scan of the new files indexes every column (the refreshStats
-    // melt discipline): stack (col, value) pairs locally, distinct,
-    // then the d-way bit expansion runs over the distinct stream
+    val missingPairs = for { f <- files; c <- cols if !havePairs((f, c)) } yield (f, c)
+    if (missingPairs.isEmpty) return 0L
+    val missing = missingPairs.map(_._1).distinct.sorted
+    // ONE scan of the affected files indexes every named column (the
+    // refreshStats melt discipline): stack (col, value) pairs locally,
+    // distinct, then the d-way bit expansion runs over the distinct
+    // stream; rows for already-covered pairs are filtered back out
+    // before the append so re-runs never duplicate bits
     val bitRows = s.read
       .parquet(missing: _*)
       .withColumn("__file", input_file_name())
@@ -537,11 +696,18 @@ object TableVersions {
       // executor-safe pure Path logic on metadata-scale rows
       .withColumn("file", udf((f: String) => new Path(f).toString).apply(col("file")))
     import s.implicits._
-    val markers = missing
-      .flatMap(f => cols.map(c => (f, c, -1)))
+    val wanted = missingPairs.toDF("file", "col")
+    val markers = missingPairs
+      .map { case (f, c) => (f, c, -1) }
       .toDF("file", "col", "bit")
-    bitRows.unionByName(markers).coalesce(1).write.mode("append").parquet(bloomDir(dir))
-    missing.size.toLong
+    bitRows
+      .join(broadcast(wanted), Seq("file", "col"), "left_semi")
+      .unionByName(markers)
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(bloomDir(dir))
+    missingPairs.size.toLong
   }
 
   /** [[readVersion]] restricted to files whose bloom filter CAN
@@ -632,6 +798,9 @@ object TableVersions {
       dup.getLong(1) == dup.getLong(2),
       s"merge source has duplicate keys: ${dup.getLong(1)} rows, ${dup.getLong(2)} distinct $key"
     )
+    // claim only after the source validates — a rejected merge must
+    // not strand a version claim
+    claimVersion(s, dir, v)
     val files = liveFiles(s, dir, prev)
     // mergeSchema for the same reason as rewriteWhere: an evolved
     // table's merge must align against the UNION schema
@@ -692,12 +861,61 @@ object TableVersions {
     val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
     if (small.size < 2) return prev
     val v = prev + 1
+    claimVersion(s, dir, v)
     val total = sized.filter(s => small.contains(s._1)).map(_._2).sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val batch = s"$dir/data/b$v"
     s.read.parquet(small: _*).repartition(nOut).write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, "optimize", listParquet(s, batch), small)
+    compactSkipping(s, dir)
     v
+  }
+
+  /** Metadata GC for the skipping indexes, run at OPTIMIZE cadence
+    * (and callable standalone): [[refreshStats]]/[[refreshBloom]] are
+    * append-only, so rows for files removed by copy-on-write /
+    * optimize / zorder accumulate forever — harmless for correctness
+    * (pruning consults only live files) but unbounded under sustained
+    * churn, and every pruned read collects the stats/bloom rows
+    * driver-side, so the probe itself would grow without bound. This
+    * folds each table down to rows of files live at the HEAD via the
+    * house checked staged-rewrite swap; the bloom `_meta` parameter
+    * marker rides along into the staged directory before the swap.
+    * Files of still-readable OLD versions lose their rows — pruned
+    * reads target the head, and absence is always correctness-safe.
+    */
+  def compactSkipping(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val live = liveFiles(s, dir, v).toDF("file")
+    val fs = fsOf(s, dir)
+    def fold(table: String, hidden: Seq[String]): Unit = {
+      val livePath = new Path(table)
+      if (!fs.exists(livePath)) return
+      val staged = new Path(s"${table}_compacted")
+      s.read
+        .parquet(table)
+        .join(broadcast(live), Seq("file"), "left_semi")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(staged.toString)
+      hidden.foreach { h =>
+        val src = new Path(s"$table/$h")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil
+            .copy(fs, src, fs, new Path(s"$staged/$h"), false, s.sparkContext.hadoopConfiguration)
+      }
+      if (!fs.delete(livePath, /* recursive = */ true))
+        throw new java.io.IOException(s"compactSkipping: failed to remove $livePath")
+      if (!fs.rename(staged, livePath))
+        throw new java.io.IOException(
+          s"compactSkipping: failed to swap $staged into place — staged rewrite preserved"
+        )
+    }
+    fold(statsDir(dir), Nil)
+    fold(bloomDir(dir), Seq("_meta"))
   }
 
   /** OPTIMIZE ... ZORDER BY (Delta's clustered compaction): rewrite
@@ -722,39 +940,63 @@ object TableVersions {
       nOut: Int
   ): Long = {
     require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
-    require(cols.size <= 4, "16-bit interleave supports at most 4 columns")
+    require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
     val prev = currentVersion(s, dir)
     require(prev >= 0, s"$dir not initialized")
     val files = liveFiles(s, dir, prev)
     val df = s.read.option("mergeSchema", "true").parquet(files: _*)
+    // Numeric view per clustered column: numeric columns cast to
+    // double; STRING columns project their first 6 UTF-8 bytes as a
+    // big-endian integer (right-padded, so the projection is
+    // order-preserving on the truncated prefix and short strings sort
+    // before their extensions — 48 bits, exact in a double). Rank
+    // fidelity beyond the shared-prefix depth is what the curve loses,
+    // which is the standard truncated-key z-order trade; reads stay
+    // exact regardless (the commit is a logical no-op).
+    def numericView(c: String): String = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        s"cast(conv(rpad(substring(hex(encode(substring(`$c`, 1, 6), 'UTF-8')), 1, 12), 12, '0'), 16, 10) AS double)"
+      case _ => s"cast(`$c` AS double)"
+    }
     val stats = df
       .agg(
-        min(col(cols.head).cast("double")).as(s"lo0"),
-        max(col(cols.head).cast("double")).as(s"hi0") +:
+        min(expr(numericView(cols.head))).as(s"lo0"),
+        max(expr(numericView(cols.head))).as(s"hi0") +:
           cols.tail.zipWithIndex.flatMap { case (c, i) =>
             Seq(
-              min(col(c).cast("double")).as(s"lo${i + 1}"),
-              max(col(c).cast("double")).as(s"hi${i + 1}")
+              min(expr(numericView(c))).as(s"lo${i + 1}"),
+              max(expr(numericView(c))).as(s"hi${i + 1}")
             )
           }: _*
       )
       .head()
     val n = cols.size
-    // per-column 16-bit scale: (x - lo) / (hi - lo) * 65535, NULL → lo,
-    // degenerate (hi == lo) → 0
+    // 16 bits per column interleaves to bit position 15n + (n-1): fine
+    // through n = 3 (47), but n = 4 would land bit 63 — the SIGN bit
+    // of the bigint sort key, inverting the curve at its most
+    // significant bit. Cap at 15 bits for 4 columns (top position 59).
+    val bitsPer = if (n == 4) 15 else 16
+    val maxVal = (1 << bitsPer) - 1
+    // per-column scale: (x - lo) / (hi - lo) * maxVal, NULL → lo;
+    // degenerate (hi == lo) AND all-NULL (no stats at all — min/max of
+    // nothing) both collapse to constant 0
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      if (hi == lo) "cast(0 AS bigint)"
-      else
-        s"cast((coalesce(cast(`$c` AS double), $lo) - $lo) / (${hi - lo}) * 65535.0 AS bigint)"
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) "cast(0 AS bigint)"
+      else {
+        val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        if (hi == lo) "cast(0 AS bigint)"
+        else
+          s"cast((coalesce(${numericView(c)}, $lo) - $lo) / (${hi - lo}) * $maxVal.0 AS bigint)"
+      }
     }
     // Morton interleave: bit k of column i lands at position k*n + i
     val zExpr = scaled.zipWithIndex
       .map { case (sc, i) =>
-        s"aggregate(sequence(0, 15), cast(0 AS bigint), (acc, k) -> acc | shiftleft(($sc >> k) & 1, k * $n + $i))"
+        s"aggregate(sequence(0, ${bitsPer - 1}), cast(0 AS bigint), (acc, k) -> acc | shiftleft(($sc >> k) & 1, k * $n + $i))"
       }
       .mkString(" | ")
     val v = prev + 1
+    claimVersion(s, dir, v)
     val batch = s"$dir/data/b$v"
     df.withColumn("__z", expr(zExpr))
       .repartitionByRange(nOut, col("__z"))
@@ -764,6 +1006,7 @@ object TableVersions {
       .mode("errorifexists")
       .parquet(batch)
     appendLog(s, dir, v, "zorder", listParquet(s, batch), files)
+    compactSkipping(s, dir)
     v
   }
 
@@ -861,6 +1104,7 @@ object TableVersions {
     )
     val files = liveFiles(s, srcDir, v)
     require(files.nonEmpty, s"version $v of $srcDir has no live files")
+    claimVersion(s, dstDir, 0L)
     appendLog(s, dstDir, 0L, "clone", files, Nil)
     0L
   }
@@ -889,6 +1133,7 @@ object TableVersions {
       s"version $to of $dir was vacuumed (retention horizon is $horizon) — cannot restore"
     )
     val v = cur + 1
+    claimVersion(s, dir, v)
     val target = liveFiles(s, dir, to).toSet
     val head = liveFiles(s, dir, cur).toSet
     appendLog(

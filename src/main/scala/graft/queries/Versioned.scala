@@ -492,6 +492,45 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // Z-ORDER WITH A STRING DIMENSION — the clustered compaction
+    // serving the columns the bloom index previously carried alone:
+    // documents land z-ordered on (n_chars, source), where the string
+    // column rides the curve via its first-6-byte big-endian
+    // projection (order-preserving on the truncated prefix — the
+    // standard truncated-key z-order trade). After the rewrite BOTH
+    // read paths prune: numeric ranges on n_chars through the stats
+    // index, and source point lookups through the bloom index, which
+    // now probes files that each hold few distinct sources because the
+    // curve clustered them. The commit stays a logical no-op — the
+    // oracle restates both reads as plain filters of `documents`, so
+    // pruning can only ever cost speed, never rows. ORACLE-EXACT;
+    // ZorderSpec pins the physical claim (a string point read touches
+    // ≤ half the files of the clustered layout).
+    QueryDef(
+      "q205_zorder_string",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_zorder_str")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.repartition(8), tdir)
+        TableVersions.optimizeZorder(s, tdir, Seq("n_chars", "source"), nOut = 16)
+        TableVersions.refreshStats(s, tdir, Seq("n_chars"))
+        TableVersions.refreshBloom(s, tdir, Seq("source"))
+        def shaped(dim: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(dim).as("dim"), col("doc_id"), col("source"), col("n_chars"))
+        shaped("by_chars", TableVersions.readVersionPruned(s, tdir, 1L, "n_chars", 100d, 400d))
+          .unionByName(shaped("by_source", TableVersions.readVersionPoint(s, tdir, 1L, "source", "src7")))
+          .orderBy("dim", "doc_id")
+      },
+      Some("""SELECT 'by_chars' AS dim, doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE n_chars BETWEEN 100 AND 400
+        UNION ALL
+        SELECT 'by_source', doc_id, source, CAST(n_chars AS BIGINT)
+        FROM documents WHERE source = 'src7'
+        ORDER BY dim, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // SHALLOW CLONE — the zero-copy staging-fork workflow: clone the
     // 4-commit table at its head into a new table (ONE log entry
     // referencing the source's live files — no data copied, a 100 TB

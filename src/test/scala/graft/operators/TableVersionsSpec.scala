@@ -485,4 +485,145 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     // and reads AT the checkpoint version still see the post-delete set
     assert(TableVersions.readVersion(spark, dir, 1L).count() == 60)
   }
+
+  test("concurrent writers fail safe: the version claim admits exactly one commit") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir) // v0
+    // writer B computes its version BEFORE writer A commits — the
+    // check-then-act race the exclusive-create claim arbitrates
+    val vB = TableVersions.currentVersion(spark, dir) + 1
+    TableVersions.commitAppend(Seq((1000L, "a", "even")).toDF("id", "body", "par"), dir) // A wins v1
+    val ex = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.claimVersion(spark, dir, vB)
+    }
+    assert(ex.getMessage.contains(s"version $vB"))
+    // the log is untouched by the loser: v1 is A's commit, head reads clean
+    assert(TableVersions.currentVersion(spark, dir) == 1L)
+    assert(TableVersions.readVersion(spark, dir, 1L).count() == 81)
+    // a committed version's claim is pinned forever
+    intercept[IllegalArgumentException] {
+      TableVersions.releaseStaleClaim(spark, dir, 1L)
+    }
+    // crashed-commit recovery: a stranded claim (no log directory)
+    // blocks the version until released, then commits proceed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_log/_claims/v2"), false).close()
+    intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.commitAppend(Seq((1001L, "b", "odd")).toDF("id", "body", "par"), dir)
+    }
+    TableVersions.releaseStaleClaim(spark, dir, 2L)
+    assert(
+      TableVersions.commitAppend(Seq((1001L, "b", "odd")).toDF("id", "body", "par"), dir) == 2L
+    )
+    assert(TableVersions.readVersion(spark, dir, 2L).count() == 82)
+  }
+
+  test("evolved reads resolve their schema from the checkpoint, not per-file footers") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().select("id", "body"), dir) // v0
+    TableVersions.commitAppend(
+      Seq((900L, "x", 7.5)).toDF("id", "body", "score"),
+      dir
+    ) // v1 evolves
+    TableVersions.checkpoint(spark, dir)
+    // sentinel trick: plant a bogus column in the persisted checkpoint
+    // schema — if the merged read reports it, the schema came from the
+    // checkpoint file and provably NOT from a live-file footer union
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(s"$dir/_ckpt/c1/_schema.json")
+    val in = fs.open(schemaPath)
+    val honest = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val planted = org.apache.spark.sql.types.DataType
+      .fromJson(honest)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .add("__ckpt_sentinel", org.apache.spark.sql.types.StringType)
+    val out = fs.create(schemaPath, true)
+    out.write(planted.json.getBytes("UTF-8"))
+    out.close()
+    val cols = TableVersions.readVersion(spark, dir, 1L, mergeSchema = true).columns.toSeq
+    assert(cols.contains("__ckpt_sentinel"), s"schema not read from checkpoint: $cols")
+    // restore the honest schema; evolved reads behave exactly
+    val out2 = fs.create(schemaPath, true)
+    out2.write(honest.getBytes("UTF-8"))
+    out2.close()
+    val head = TableVersions.readVersion(spark, dir, 1L, mergeSchema = true)
+    assert(head.columns.toSeq == Seq("id", "body", "score"))
+    assert(head.filter(col("score").isNull).count() == 80)
+    // a SECOND evolution after the checkpoint merges via the tail's
+    // footers only (add-column contract)
+    TableVersions.commitAppend(Seq((901L, "y", 1.0, true)).toDF("id", "body", "score", "flag"), dir)
+    val v2 = TableVersions.readVersion(spark, dir, 2L, mergeSchema = true)
+    assert(v2.columns.toSeq == Seq("id", "body", "score", "flag"))
+    assert(v2.filter(col("flag")).count() == 1)
+    // pre-evolution versions never grow the new columns
+    assert(
+      TableVersions.readVersion(spark, dir, 0L, mergeSchema = true).columns.toSeq
+        == Seq("id", "body")
+    )
+  }
+
+  test("compactSkipping folds stats/bloom to live-file rows; pruned reads unchanged") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.refreshStats(spark, dir, Seq("id"))
+    TableVersions.refreshBloom(spark, dir, Seq("par"))
+    // churn: delete/rewrite cycles orphan the original files' rows
+    TableVersions.commitDelete(spark, dir, "id % 10 = 3")
+    TableVersions.refreshStats(spark, dir, Seq("id"))
+    TableVersions.refreshBloom(spark, dir, Seq("par"))
+    TableVersions.commitDelete(spark, dir, "id % 10 = 7")
+    TableVersions.refreshStats(spark, dir, Seq("id"))
+    TableVersions.refreshBloom(spark, dir, Seq("par"))
+    val before = spark.read.parquet(s"$dir/_stats").select("file").distinct().count()
+    TableVersions.compactSkipping(spark, dir)
+    val v = TableVersions.currentVersion(spark, dir)
+    TableVersions.checkpoint(spark, dir)
+    val liveSet = spark.read
+      .parquet(s"$dir/_ckpt/c$v")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val statFiles =
+      spark.read.parquet(s"$dir/_stats").select("file").distinct().collect().map(_.getString(0)).toSet
+    val bloomFiles =
+      spark.read.parquet(s"$dir/_bloom").select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(statFiles.subsetOf(liveSet), s"stats retain dead files: ${statFiles -- liveSet}")
+    assert(bloomFiles.subsetOf(liveSet), s"bloom retains dead files: ${bloomFiles -- liveSet}")
+    assert(statFiles.size < before, "compaction removed nothing despite churn")
+    // pruned reads equal the plain filters, bloom meta survived the swap
+    val pruned = TableVersions.readVersionPruned(spark, dir, v, "id", 20, 39).orderBy("id")
+    val plain = TableVersions.readVersion(spark, dir, v).filter(col("id").between(20, 39)).orderBy("id")
+    assert(pruned.collect().toSeq == plain.collect().toSeq)
+    val point = TableVersions.readVersionPoint(spark, dir, v, "par", "even").orderBy("id")
+    val plainPoint = TableVersions.readVersion(spark, dir, v).filter(col("par") === "even").orderBy("id")
+    assert(point.collect().toSeq == plainPoint.collect().toSeq)
+  }
+
+  test("refreshBloom indexes NEW columns on files already covered for old ones") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
+    assert(TableVersions.refreshBloom(spark, dir, Seq("par")) == 4L)
+    // file-granular tracking would return 0 here and leave `body`
+    // bloom-dead on all four files
+    assert(TableVersions.refreshBloom(spark, dir, Seq("par", "body")) == 4L)
+    val covered = spark.read
+      .parquet(s"$dir/_bloom")
+      .filter(col("bit") === -1)
+      .select("file", "col")
+      .distinct()
+      .count()
+    assert(covered == 8L, "expected 4 files × 2 columns of marker coverage")
+    // the new column actually prunes: every row's body is unique, so a
+    // point lookup should touch exactly the one file holding it
+    val hit = TableVersions.readVersionPoint(spark, dir, 0L, "body", "doc21")
+    assert(hit.count() == 1)
+    assert(TableVersions.refreshBloom(spark, dir, Seq("par", "body")) == 0L)
+  }
 }

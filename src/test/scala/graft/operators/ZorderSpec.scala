@@ -79,4 +79,62 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(0)) == Seq(1L, 2L, 3L))
     assert(out(1).isNullAt(1), "NULL x must survive the rewrite as NULL")
   }
+
+  test("a STRING dimension clusters and prunes: point reads touch ≤ half the files") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // 16 string keys × 256 rows, interleaved with a numeric dimension
+    val df = (0L until 4096L)
+      .map(i => (i, i % 64L, f"key${i % 16L}%02d"))
+      .toDF("id", "x", "k")
+    TableVersions.commitAppend(df.repartition(8), dir)
+    TableVersions.optimizeZorder(spark, dir, Seq("x", "k"), nOut = 8)
+    TableVersions.refreshStats(spark, dir, Seq("x"))
+    TableVersions.refreshBloom(spark, dir, Seq("k"))
+    // the string dimension prunes through the bloom index because the
+    // curve clustered each key into few files
+    val point = TableVersions.readVersionPoint(spark, dir, 1L, "k", "key03")
+    assert(
+      point.inputFiles.length <= 4,
+      s"string point read touched ${point.inputFiles.length} of 8 files"
+    )
+    assert(point.count() == 256)
+    // the numeric dimension still prunes alongside it
+    val ranged = TableVersions.readVersionPruned(spark, dir, 1L, "x", 0d, 7d)
+    assert(
+      ranged.inputFiles.length <= 5,
+      s"numeric range read touched ${ranged.inputFiles.length} of 8 files"
+    )
+    assert(ranged.count() == 512)
+    // an all-NULL string column no longer NPEs and loses no rows
+    val nullDir = freshDir()
+    TableVersions.commitAppend(
+      Seq((1L, 2L, Option.empty[String]), (2L, 3L, Option.empty[String]))
+        .toDF("id", "x", "k"),
+      nullDir
+    )
+    TableVersions.optimizeZorder(spark, nullDir, Seq("x", "k"), nOut = 2)
+    assert(TableVersions.readVersion(spark, nullDir, 1L).count() == 2)
+  }
+
+  test("4-column interleave stays inside the bigint sign bit") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // max scaled values in every dimension — under a 16-bit interleave
+    // the top bit would land at position 63 and flip the sort's sign
+    val df = (0L until 1024L).map(i => (i, i % 32L, i / 32L, i % 7L, i % 11L))
+      .toDF("id", "a", "b", "c", "d")
+    TableVersions.commitAppend(df.repartition(4), dir)
+    TableVersions.optimizeZorder(spark, dir, Seq("a", "b", "c", "d"), nOut = 4)
+    val out = TableVersions.readVersion(spark, dir, 1L)
+    assert(out.count() == 1024)
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L until 1024L))
+    // the curve must still cluster: the top-of-range rows in every
+    // dimension sort LAST, not first (the sign-flip failure mode)
+    TableVersions.refreshStats(spark, dir, Seq("a"))
+    val lowA = TableVersions.readVersionPruned(spark, dir, 1L, "a", 0d, 7d)
+    assert(lowA.count() == 256)
+  }
 }
