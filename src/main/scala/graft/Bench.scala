@@ -162,6 +162,37 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up scan of $t failed: ${e.getMessage}")
       }
+    // codec warm-up: the multimodal family (q164/q172/…) runs the JDK
+    // PNG/WAV codecs inside mapPartitions, and HotSpot compiles those
+    // paths on first use — without this, the FIRST codec query's runs
+    // array carries the JIT ramp (measured: 3.15 → 1.92 s within one
+    // query) and its median measures HotSpot, not the plan. One
+    // micro encode+decode per task thread clears it for ~nothing.
+    try
+      spark.sparkContext.parallelize(1 to 64, 32).foreach { _ =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val img =
+          new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(new Array[Byte](1600)),
+          fmt,
+          800
+        )
+        val abos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem
+          .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, abos)
+        javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(abos.toByteArray))
+          .readAllBytes()
+      }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] codec warm-up failed: ${e.getMessage}")
+    }
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

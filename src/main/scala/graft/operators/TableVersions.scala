@@ -929,9 +929,9 @@ object TableVersions {
     * clustered columns prune to a small file subset, where a
     * single-column sort serves only its own dimension. NULLs scale to
     * the low end (coalesce to lo) — they cluster together and a range
-    * read still re-filters exactly. This engine rewrites the whole
-    * live set in one commit; at real scale the same rewrite runs
-    * incrementally over file subsets, exactly like [[optimize]].
+    * read still re-filters exactly. This rewrites the whole live set
+    * in one commit; [[optimizeZorderIncremental]] is the bounded-IO
+    * variant that clusters a file subset per run, like [[optimize]].
     */
   def optimizeZorder(
       s: SparkSession,
@@ -939,11 +939,57 @@ object TableVersions {
       cols: Seq[String],
       nOut: Int
   ): Long = {
-    require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
-    require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
     val prev = currentVersion(s, dir)
     require(prev >= 0, s"$dir not initialized")
-    val files = liveFiles(s, dir, prev)
+    zorderRewrite(s, dir, cols, nOut, prev, liveFiles(s, dir, prev))
+  }
+
+  /** Incremental OPTIMIZE ZORDER — the 100 TB cadence: cluster at most
+    * `maxFiles` live files per run (smallest first — scattered small
+    * files gain the most from clustering and cost the least to
+    * rewrite), as one bounded logical-no-op commit; repeated runs walk
+    * the table toward a clustered steady state while each commit's IO
+    * stays O(maxFiles), never O(table). Curve bounds come from the
+    * SUBSET being rewritten: the files' own row-group stats are what
+    * pruning consults, so subset-local bounds cluster exactly what
+    * this commit lays out (global bounds would only matter if one
+    * curve had to span commits, which the per-file skipping contract
+    * never requires). Returns `prev` untouched when fewer than two
+    * files qualify.
+    */
+  def optimizeZorderIncremental(
+      s: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      nOut: Int,
+      maxFiles: Int
+  ): Long = {
+    require(maxFiles >= 2, "incremental zorder needs at least two files per pass")
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+    val subset = liveFiles(s, dir, prev)
+      .map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+      .sortBy { case (f, len) => (len, f) }
+      .take(maxFiles)
+      .map(_._1)
+      .sorted
+    if (subset.size < 2) return prev
+    zorderRewrite(s, dir, cols, nOut, prev, subset)
+  }
+
+  /** The shared z-order rewrite: cluster exactly `files` along the
+    * Morton curve and commit (remove `files`, add the replacements). */
+  private def zorderRewrite(
+      s: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      nOut: Int,
+      prev: Long,
+      files: Seq[String]
+  ): Long = {
+    require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
+    require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
     val df = s.read.option("mergeSchema", "true").parquet(files: _*)
     // Numeric view per clustered column: numeric columns cast to
     // double; STRING columns project their first 6 UTF-8 bytes as a

@@ -943,6 +943,65 @@ object StreamGate {
         )
       },
       Some(Dedup.admissionOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × governance (streaming erasure propagation — q202's
+    // workflow as a deployment actually runs it): a LIVE stream of
+    // right-to-be-forgotten requests drives, per micro-batch, one
+    // copy-on-write delete commit whose CDC (the store's confirmation
+    // of what actually held data, not the raw request) tombstones BOTH
+    // persisted indexes — inverted postings and the near-dup admission
+    // index, whose delete writes the negative df segment so document
+    // frequencies stay exact between compactions. Compaction folds
+    // everything after the drain. Erasure is a set union, so the
+    // drained state is independent of the request batching
+    // (StreamErasureSpec forces a 3-batch replay); the oracle restates
+    // the full evidence table — census, keyword lookups, admission
+    // index row/df totals — over the corpus minus every forgotten
+    // subject, so one subject resurfacing through ANY path breaks the
+    // hash. ORACLE-EXACT.
+    QueryDef(
+      "q206_stream_erasure",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runErasureStream(
+          gs,
+          docs.filter(col("doc_id") % 2 === 0),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 2 === 0 && col("doc_id") % 17 === 2)
+            .select("doc_id")
+        )
+      },
+      Some("""WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 17 <> 2
+        ), toks AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+          WHERE len(tok) > 0 GROUP BY 1, 2
+        ), shtok AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+          WHERE len(string_split(text, ' ')) >= 3
+        ), sh AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) AS i FROM shtok)
+        ), rows AS (
+          SELECT 'census' AS kind, lang AS k, CAST(count(*) AS BIGINT) AS v
+          FROM corpus GROUP BY lang
+          UNION ALL
+          SELECT 'lookup', CAST(doc_id AS VARCHAR), CAST(sum(tf) AS BIGINT)
+          FROM toks WHERE tok IN ('spark', 'join')
+          GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+          UNION ALL
+          SELECT 'shingle', 'rows', count(*) FROM sh
+          UNION ALL
+          SELECT 'shingle', 'df_total', count(*) FROM sh)
+        SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
     )
   )
 
@@ -1075,6 +1134,88 @@ object StreamGate {
       .readVersion(gs, tdir, head)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Drive the q202 erasure workflow with a LIVE forget stream — the
+    * governance loop as a deployment runs it: each micro-batch of
+    * right-to-be-forgotten requests lands as ONE copy-on-write delete
+    * commit, and the commit's CDC (not the raw request — the store
+    * confirms what actually held data) drives tombstones into BOTH
+    * persisted indexes: the inverted index and the near-dup admission
+    * index (whose delete also writes the negative df segment, so
+    * document frequencies stay exact between compactions). Compaction
+    * runs once after the drain — the separately-scheduled maintenance
+    * job. Erasure is a set union, so the drained state is independent
+    * of how the requests split into batches (StreamErasureSpec pins a
+    * forced 3-batch replay); the evidence table is q202's, restated by
+    * the oracle over the corpus minus every forgotten subject.
+    */
+  private[graft] def runErasureStream(
+      gs: SparkSession,
+      base: DataFrame,
+      forgets: DataFrame
+  ): DataFrame = {
+    val tdir = Similarity.freshIndexDir("erasure_stream_store")
+    val idxDir = Similarity.freshIndexDir("erasure_stream_inv")
+    val sidxDir = Similarity.freshIndexDir("erasure_stream_shingle")
+    graft.operators.TableVersions.commitAppend(base.repartition(8, col("source")), tdir)
+    graft.operators.InvertedIndex.build(base.select("doc_id", "text"), idxDir)
+    graft.operators.ShingleIndex.build(base.select("doc_id", "text"), sidxDir)
+    val q = forgets.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // forget requests are human-scale (a batch of subjects, not a
+          // corpus) — the collected id list bounds the predicate string
+          val ids = batch.select("doc_id").distinct().collect().map(_.getLong(0))
+          if (ids.nonEmpty) {
+            val prev = graft.operators.TableVersions.currentVersion(gs, tdir)
+            val v = graft.operators.TableVersions
+              .commitDelete(gs, tdir, s"doc_id IN (${ids.mkString(", ")})")
+            val confirmed = graft.operators.TableVersions
+              .changes(gs, tdir, "doc_id", prev, v)
+              .filter(col("change_type") === "delete")
+              .select("doc_id")
+              .localCheckpoint()
+            graft.operators.InvertedIndex.delete(confirmed, idxDir)
+            graft.operators.ShingleIndex.delete(confirmed, sidxDir)
+          }
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("erasure_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    graft.operators.InvertedIndex.compact(gs, idxDir)
+    graft.operators.ShingleIndex.compact(gs, sidxDir)
+    val head = graft.operators.TableVersions.currentVersion(gs, tdir)
+    val census = graft.operators.TableVersions
+      .readVersion(gs, tdir, head)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("census").as("kind"), col("lang").as("k"), col("v"))
+    val lookup = graft.operators.InvertedIndex
+      .conjunctiveQuery(gs, idxDir, Seq("spark", "join"))
+      .select(
+        lit("lookup").as("kind"),
+        col("doc_id").cast("string").as("k"),
+        col("score").cast("long").as("v")
+      )
+    val shingleRows = graft.operators.ShingleIndex
+      .liveRows(gs, sidxDir)
+      .agg(count(lit(1)).as("v"))
+      .select(lit("shingle").as("kind"), lit("rows").as("k"), col("v"))
+    val shingleDf = graft.operators.ShingleIndex
+      .dfTable(gs, sidxDir)
+      .agg(coalesce(sum("df"), lit(0L)).as("v"))
+      .select(lit("shingle").as("kind"), lit("df_total").as("k"), col("v"))
+    census
+      .unionByName(lookup)
+      .unionByName(shingleRows)
+      .unionByName(shingleDf)
+      .orderBy("kind", "k", "v")
   }
 
   /** Drive q176's inverted-index lifecycle with LIVE streams: build on

@@ -492,6 +492,52 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL Z-ORDER — the 100 TB clustering cadence the one-shot
+    // q200 rewrite cannot be: each pass clusters at most `maxFiles`
+    // live files (smallest first, the optimize bin-packing bias) as a
+    // bounded logical-no-op commit, so a petabyte table converges to a
+    // clustered steady state across scheduled passes while every
+    // commit's IO stays O(maxFiles). Two passes here walk the whole
+    // 8-file ingest; the oracle restates both dimensions' pruned range
+    // reads as plain filters of `lineitem` — the incremental path must
+    // lose nothing relative to the one-shot rewrite. ORACLE-EXACT;
+    // ZorderSpec pins the physical side (each pass removes ≤ maxFiles,
+    // CDC empty, reads byte-equal mid-sequence).
+    QueryDef(
+      "q207_zorder_incremental",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_zorder_inc")
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        TableVersions.commitAppend(li.repartition(8), tdir) // ingest layout
+        TableVersions
+          .optimizeZorderIncremental(s, tdir, Seq("l_orderkey", "l_partkey"), nOut = 2, maxFiles = 4)
+        TableVersions
+          .optimizeZorderIncremental(s, tdir, Seq("l_orderkey", "l_partkey"), nOut = 2, maxFiles = 4)
+        TableVersions.refreshStats(s, tdir, Seq("l_orderkey", "l_partkey"))
+        val head = TableVersions.currentVersion(s, tdir)
+        def ranged(dim: String, c: String, lo: Double, hi: Double) =
+          TableVersions
+            .readVersionPruned(s, tdir, head, c, lo, hi)
+            .select(
+              lit(dim).as("dim"),
+              col("l_orderkey"),
+              col("l_partkey"),
+              col("l_quantity")
+            )
+        ranged("by_order", "l_orderkey", 100d, 200d)
+          .unionByName(ranged("by_part", "l_partkey", 10d, 20d))
+          .orderBy("dim", "l_orderkey", "l_partkey", "l_quantity")
+      },
+      Some("""SELECT 'by_order' AS dim, l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200
+        UNION ALL
+        SELECT 'by_part', l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE l_partkey BETWEEN 10 AND 20
+        ORDER BY dim, l_orderkey, l_partkey, l_quantity""")
+    ),
+
+    // ------------------------------------------------------------------
     // Z-ORDER WITH A STRING DIMENSION — the clustered compaction
     // serving the columns the bloom index previously carried alone:
     // documents land z-ordered on (n_chars, source), where the string

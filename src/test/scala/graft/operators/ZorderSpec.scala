@@ -118,6 +118,33 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     assert(TableVersions.readVersion(spark, nullDir, 1L).count() == 2)
   }
 
+  test("incremental zorder: each pass rewrites ≤ maxFiles as a logical no-op and progresses") {
+    val dir = freshDir()
+    TableVersions.commitAppend(grid().repartition(8), dir)
+    val before = TableVersions.readVersion(spark, dir, 0L).orderBy("id").collect().toSeq
+    val v1 = TableVersions.optimizeZorderIncremental(spark, dir, Seq("x", "y"), nOut = 2, maxFiles = 4)
+    assert(v1 == 1L)
+    // the commit removed exactly the bounded subset
+    val removed1 = spark.read
+      .parquet(s"$dir/_log")
+      .filter(col("version") === 1 && col("action") === "remove")
+      .count()
+    assert(removed1 == 4, s"pass 1 rewrote $removed1 files, expected 4")
+    // mid-sequence reads are byte-equal and CDC is empty
+    assert(TableVersions.readVersion(spark, dir, 1L).orderBy("id").collect().toSeq == before)
+    assert(TableVersions.changes(spark, dir, "id", 0L, 1L).isEmpty)
+    // the second pass walks the REMAINING ingest files (they are the
+    // smallest now that pass 1 packed its subset into 2 larger files)
+    val v2 = TableVersions.optimizeZorderIncremental(spark, dir, Seq("x", "y"), nOut = 2, maxFiles = 4)
+    assert(v2 == 2L)
+    assert(TableVersions.readVersion(spark, dir, 2L).orderBy("id").collect().toSeq == before)
+    assert(TableVersions.changes(spark, dir, "id", 0L, 2L).isEmpty)
+    // after two passes every ingest file has been clustered away
+    TableVersions.refreshStats(spark, dir, Seq("x", "y"))
+    val pruned = TableVersions.readVersionPruned(spark, dir, 2L, "x", 0d, 7d)
+    assert(pruned.count() == 8 * 64)
+  }
+
   test("4-column interleave stays inside the bigint sign bit") {
     val dir = freshDir()
     val s = spark
