@@ -209,7 +209,12 @@ object TableVersions {
     require(v >= 0, s"$dir not initialized")
     val target = s"${ckptDir(dir)}/c$v"
     if (checkpoints(s, dir).contains(v)) return v
-    val files = liveFiles(s, dir, v)
+    val adds = liveFileAdds(s, dir, v)
+    val files = adds.map(_._1)
+    // resolve the applicable deletion vectors BEFORE the snapshot
+    // exists — resolving after would route through the new checkpoint
+    // itself (true add anchors replaced by c) and fold nothing
+    val dvFold = dvApplicable(s, dir, v, adds)
     files.toDF("file").coalesce(1).write.mode("errorifexists").parquet(target)
     // persist the UNION schema beside the file list (one footer pass,
     // paid here once): evolved-table reads then resolve their schema
@@ -221,6 +226,13 @@ object TableVersions {
     val out = fs.create(new Path(s"$target/_schema.json"), true)
     out.write(schema.json.getBytes("UTF-8"))
     out.close()
+    // fold the pre-resolved deletion vectors into the snapshot:
+    // snapshot-resolved files anchor their lastAdd at v, which would
+    // otherwise disqualify every older DV (`_`-prefixed → invisible to
+    // the checkpoint's own parquet read)
+    dvFold.foreach { dv =>
+      dv.coalesce(1).write.mode("errorifexists").parquet(s"$target/_dvsnap")
+    }
     v
   }
 
@@ -281,20 +293,31 @@ object TableVersions {
     * fresh batch directories), so the within-version tie never occurs;
     * the struct ordering would resolve it to `remove` — the safe side.
     */
-  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
+    liveFileAdds(s, dir, v).map(_._1)
+
+  /** Live files at v WITH each file's last-add version — the deletion
+    * vectors' applicability anchor ([[dvApplicable]]): a DV applies to
+    * the file INCARNATION that was live when it was written, i.e.
+    * dv_version > lastAdd. Checkpoint-resolved files report the
+    * CHECKPOINT version as their add (their true add is older); the
+    * DVs that predate the checkpoint are folded into the checkpoint's
+    * own `_dvsnap`, so the approximation never loses a delete.
+    */
+  private def liveFileAdds(s: SparkSession, dir: String, v: Long): Seq[(String, Long)] = {
     def lastActionAdds(actions: DataFrame): DataFrame =
       actions
         .groupBy("file")
         .agg(max(struct(col("version"), col("action"))).as("last"))
         .filter(col("last.action") === "add")
-        .select("file")
+        .select(col("file"), col("last.version").as("version"))
     val base = checkpoints(s, dir).filter(_ <= v).lastOption
     val resolved = base match {
       case Some(c) =>
         val snap = s.read
           .parquet(s"${ckptDir(dir)}/c$c")
           .select(col("file"), lit(c).as("version"), lit("add").as("action"))
-        if (c == v) snap.select("file")
+        if (c == v) snap.select("file", "version")
         else {
           val tail = readLog(s, dir)
             .filter(col("version") > c && col("version") <= v)
@@ -310,7 +333,7 @@ object TableVersions {
             .select("file", "version", "action")
         )
     }
-    resolved.collect().map(_.getString(0)).toSeq.sorted
+    resolved.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
   }
 
   /** The table as of version v (time travel). Below the vacuum
@@ -339,9 +362,10 @@ object TableVersions {
       v >= horizon,
       s"version $v of $dir was vacuumed (retention horizon is $horizon)"
     )
-    val files = liveFiles(s, dir, v)
+    val adds = liveFileAdds(s, dir, v)
+    val files = adds.map(_._1)
     require(files.nonEmpty, s"version $v of $dir has no live files")
-    if (!mergeSchema) return s.read.parquet(files: _*)
+    if (!mergeSchema) return applyDv(s, dir, v, adds, s.read.parquet(files: _*))
     val resolved = for {
       c <- checkpoints(s, dir).filter(_ <= v).lastOption
       ckptSchema <- checkpointSchema(s, dir, c)
@@ -360,7 +384,13 @@ object TableVersions {
             s.read.option("mergeSchema", "true").parquet(tail: _*).schema
           )
     } yield s.read.schema(merged).parquet(files: _*)
-    resolved.getOrElse(s.read.option("mergeSchema", "true").parquet(files: _*))
+    applyDv(
+      s,
+      dir,
+      v,
+      adds,
+      resolved.getOrElse(s.read.option("mergeSchema", "true").parquet(files: _*))
+    )
   }
 
   /** Commit a new batch of rows (version 0 initializes the table). */
@@ -405,16 +435,17 @@ object TableVersions {
     require(prev >= 0, s"$dir not initialized")
     val v = prev + 1
     claimVersion(s, dir, v)
-    val files = liveFiles(s, dir, prev)
+    val adds = liveFileAdds(s, dir, prev)
+    val files = adds.map(_._1)
     // mergeSchema: a rewrite on an EVOLVED table must see the union
     // schema (a plain read would adopt one arbitrary file's schema and
     // silently drop the added column from the rewritten rows); the
     // rewritten batch then carries the merged schema — copy-on-write
-    // doubles as gradual physical schema migration
-    val withFile = s.read
-      .option("mergeSchema", "true")
-      .parquet(files: _*)
-      .withColumn("__file", input_file_name())
+    // doubles as gradual physical schema migration. DVs applied: a
+    // merge-on-read-deleted row must neither match nor re-land in the
+    // rewritten batch (it would resurrect).
+    val withFile = applyDv(s, dir, prev, adds, readMerged(s, files), keepMeta = true)
+      .withColumn("__file", col("__dv_file"))
     // a row "matches" iff the predicate is TRUE — NULL evaluations
     // (NULLs in predicate columns) count as non-matching, and the
     // keep-side must be the exact complement: `not(cond)` alone would
@@ -434,7 +465,8 @@ object TableVersions {
       appendLog(s, dir, v, op, Nil, Nil)
       return v
     }
-    val hitDf = s.read.option("mergeSchema", "true").parquet(hit.toSeq.sorted: _*)
+    val hitAdds = adds.filter(a => hit.contains(a._1))
+    val hitDf = applyDv(s, dir, prev, hitAdds, readMerged(s, hit.toSeq.sorted))
     val keep = hitDf.filter(!matches)
     val replaced = op match {
       case "delete" => keep
@@ -443,6 +475,174 @@ object TableVersions {
     val batch = s"$dir/data/b$v"
     replaced.write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, op, listParquet(s, batch), hit.toSeq.sorted)
+    v
+  }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read deletes: positional DELETION VECTORS (the public
+  // Delta DV / Iceberg positional-delete pattern, reimplemented on
+  // plain parquet + this log). A copy-on-write delete pays a rewrite
+  // of every hit file — O(hit data); a DV delete writes ONLY the
+  // matched rows' (file, position) pairs — O(matched rows) — and
+  // every read path anti-joins them out. The trade is the lakehouse
+  // standard: cheap frequent deletes now, a deferred [[compactMor]]
+  // rewrite later (at which point the rewritten files shed their DVs
+  // naturally — fresh adds anchor above every old DV version).
+  //
+  // Applicability rule (one line, carries time travel AND restore):
+  // a DV written at version w applies to file f when reading at v iff
+  // lastAdd(f at v) < w ≤ v. Time travel below w never sees the
+  // delete; a RESTORE that re-adds f above w resurrects the rows —
+  // exactly what restoring to a pre-delete version means. Checkpoints
+  // report lastAdd = c for snapshot-resolved files, so [[checkpoint]]
+  // folds the DVs applicable at c into `_dvsnap` beside the file
+  // list; tail re-adds override the snapshot per file, fold included.
+  // ------------------------------------------------------------------
+
+  private def dvDir(dir: String) = s"$dir/_dv"
+
+  private def dvVersions(s: SparkSession, dir: String): Seq[Long] =
+    listNumbered(s, dvDir(dir), "v").sorted
+
+  /** Executor-safe canonicalizer to the log's path form (`file:///x` →
+    * `file:/x`) — shared by the DV writers and the `_metadata` probe
+    * so position keys always string-match. Metadata-scale usage only. */
+  private val canonPath = udf((f: String) => new Path(f).toString)
+
+  /** Merge-on-read DELETE: log the matching rows' positions as a
+    * deletion vector, touch no data file. The matched set is found
+    * with existing DVs APPLIED (a row already deleted cannot match
+    * again — double-delete is a no-op, and replay is idempotent in
+    * content). An empty match is a recorded no-op commit. Commit cost:
+    * one DV parquet of (file, pos, dv_version) rows — O(matched),
+    * never O(hit files). */
+  def commitDeleteMor(s: SparkSession, dir: String, cond: String): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val adds = liveFileAdds(s, dir, prev)
+    val matches = coalesce(expr(cond), lit(false))
+    val hits = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+      .filter(matches)
+      .select(
+        canonPath(col("__dv_file")).as("file"),
+        col("__dv_pos").as("pos"),
+        lit(v).as("dv_version")
+      )
+      .localCheckpoint()
+    if (hits.isEmpty) {
+      appendLog(s, dir, v, "mor_delete", Nil, Nil)
+      return v
+    }
+    hits.coalesce(1).write.mode("errorifexists").parquet(s"${dvDir(dir)}/v$v")
+    appendLog(s, dir, v, "mor_delete", Nil, Nil)
+    v
+  }
+
+  /** The DV rows applicable when reading at `v`, given the live files'
+    * add anchors — (file, pos) pairs to anti-join out; None when no DV
+    * can apply. Resolution is metadata-scale: the `_dv` listing is
+    * O(DV commits), the snapshot fold O(1) files, and the applicability
+    * join keys on the file column only. */
+  private def dvApplicable(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      adds: Seq[(String, Long)]
+  ): Option[DataFrame] = {
+    import s.implicits._
+    val ckpt = checkpoints(s, dir).filter(_ <= v).lastOption
+    val liveDvs = dvVersions(s, dir).filter(w => w <= v && ckpt.forall(w > _))
+    val snapPath = ckpt.map(c => s"${ckptDir(dir)}/c$c/_dvsnap")
+    val fs = fsOf(s, dir)
+    val snap = snapPath.filter(p => fs.exists(new Path(p))).map { p =>
+      // snapshot fold applies only to files the snapshot itself
+      // resolved (lastAdd = c); a tail re-add overrides per file
+      val c = ckpt.get
+      val snapAnchored = adds.filter(_._2 == c).map(_._1)
+      s.read
+        .parquet(p)
+        .join(broadcast(snapAnchored.toDF("file")), Seq("file"), "left_semi")
+        .select("file", "pos")
+    }
+    val tail =
+      if (liveDvs.isEmpty) None
+      else {
+        val addDf = broadcast(adds.toDF("file", "add_version"))
+        Some(
+          s.read
+            .parquet(liveDvs.map(w => s"${dvDir(dir)}/v$w"): _*)
+            .join(addDf, Seq("file"))
+            .filter(col("dv_version") > col("add_version"))
+            .select("file", "pos")
+        )
+      }
+    (snap, tail) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
+  /** Anti-join the applicable deletion vectors out of a files-read.
+    * `df` must be a plain parquet read of the live files; position
+    * identity comes from the parquet reader's `_metadata` (file path +
+    * row index — stable for immutable files). With `keepMeta` the
+    * `__dv_file`/`__dv_pos` columns survive for callers that need
+    * position identity themselves ([[commitDeleteMor]]). */
+  private def applyDv(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      adds: Seq[(String, Long)],
+      df: DataFrame,
+      keepMeta: Boolean = false
+  ): DataFrame = {
+    val withMeta = df
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val filtered = dvApplicable(s, dir, v, adds) match {
+      case None => withMeta
+      case Some(dv) =>
+        withMeta.join(
+          broadcast(dv),
+          canonPath(col("__dv_file")) === col("file") && col("__dv_pos") === col("pos"),
+          "left_anti"
+        )
+    }
+    if (keepMeta) filtered else filtered.drop("__dv_file", "__dv_pos")
+  }
+
+  private def readMerged(s: SparkSession, files: Seq[String]): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(files: _*)
+
+  /** Fold every DV-affected live file back to plain data (the
+    * merge-on-read compaction): rewrite the affected files minus
+    * their deleted rows as ONE copy-on-write commit. The fresh adds
+    * anchor above every existing DV version, so no old DV applies to
+    * the replacements — the vectors age out without being touched
+    * (they stay on disk for time travel below the compaction, exactly
+    * like replaced data files until [[vacuum]]). No-op when no DV
+    * applies at the head. */
+  def compactMor(s: SparkSession, dir: String): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val adds = liveFileAdds(s, dir, prev)
+    val dv = dvApplicable(s, dir, prev, adds) match {
+      case None     => return prev
+      case Some(df) => df.localCheckpoint()
+    }
+    val affected = dv.select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return prev
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val affectedAdds = adds.filter(a => affected.contains(a._1))
+    val survivors =
+      applyDv(s, dir, prev, affectedAdds, readMerged(s, affected))
+    val batch = s"$dir/data/b$v"
+    survivors.write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, "mor_compact", listParquet(s, batch), affected)
+    compactSkipping(s, dir)
     v
   }
 
@@ -532,7 +732,8 @@ object TableVersions {
   ): DataFrame = {
     val horizon = retentionHorizon(s, dir)
     require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
-    val files = liveFiles(s, dir, v)
+    val adds = liveFileAdds(s, dir, v)
+    val files = adds.map(_._1)
     require(files.nonEmpty, s"version $v of $dir has no live files")
     val fs = fsOf(s, dir)
     val ranges: Map[String, (Option[Double], Option[Double])] =
@@ -561,7 +762,9 @@ object TableVersions {
       // nothing can match; keep the schema (and correctness) by
       // filtering an arbitrary live file down to zero rows
       s.read.parquet(files.head).filter(pred).filter(lit(false))
-    else s.read.parquet(candidates: _*).filter(pred)
+    else
+      applyDv(s, dir, v, adds.filter(a => candidates.contains(a._1)),
+        s.read.parquet(candidates: _*)).filter(pred)
   }
 
   private def bloomDir(dir: String) = s"$dir/_bloom"
@@ -731,15 +934,17 @@ object TableVersions {
   ): DataFrame = {
     val horizon = retentionHorizon(s, dir)
     require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
-    val files = liveFiles(s, dir, v)
+    val adds = liveFileAdds(s, dir, v)
+    val files = adds.map(_._1)
     require(files.nonEmpty, s"version $v of $dir has no live files")
     val pred = col(c).cast("string") === lit(value)
     val hasRows = Option(
       fsOf(s, dir).globStatus(new Path(s"${bloomDir(dir)}/*.parquet"))
     ).exists(_.nonEmpty)
     bloomMeta(s, dir) match {
-      case None => s.read.parquet(files: _*).filter(pred)
-      case Some(_) if !hasRows => s.read.parquet(files: _*).filter(pred)
+      case None => applyDv(s, dir, v, adds, s.read.parquet(files: _*)).filter(pred)
+      case Some(_) if !hasRows =>
+        applyDv(s, dir, v, adds, s.read.parquet(files: _*)).filter(pred)
       case Some((bits, hashes)) =>
         val probe = (0 until hashes).map(j => bloomBit(j, value, bits)).distinct
         val rows = s.read
@@ -762,7 +967,9 @@ object TableVersions {
         }
         if (candidates.isEmpty)
           s.read.parquet(files.head).filter(pred).filter(lit(false))
-        else s.read.parquet(candidates: _*).filter(pred)
+        else
+          applyDv(s, dir, v, adds.filter(a => candidates.contains(a._1)),
+            s.read.parquet(candidates: _*)).filter(pred)
     }
   }
 
@@ -801,14 +1008,15 @@ object TableVersions {
     // claim only after the source validates — a rejected merge must
     // not strand a version claim
     claimVersion(s, dir, v)
-    val files = liveFiles(s, dir, prev)
+    val adds = liveFileAdds(s, dir, prev)
+    val files = adds.map(_._1)
     // mergeSchema for the same reason as rewriteWhere: an evolved
-    // table's merge must align against the UNION schema
-    val withFile = s.read
-      .option("mergeSchema", "true")
-      .parquet(files: _*)
-      .withColumn("__file", input_file_name())
-    val targetCols = withFile.columns.filterNot(_ == "__file").toSeq
+    // table's merge must align against the UNION schema; DVs applied
+    // so deleted rows neither match nor survive into the rewrite
+    val withFile = applyDv(s, dir, prev, adds, readMerged(s, files), keepMeta = true)
+      .withColumn("__file", col("__dv_file"))
+    val targetCols =
+      withFile.columns.filterNot(Set("__file", "__dv_file", "__dv_pos")).toSeq
     val srcKeys = source.select(col(key))
     val hit = withFile
       .join(srcKeys, Seq(key), "left_semi")
@@ -823,9 +1031,7 @@ object TableVersions {
     val replaced =
       if (hit.isEmpty) alignedSource
       else
-        s.read
-          .option("mergeSchema", "true")
-          .parquet(hit.toSeq.sorted: _*)
+        applyDv(s, dir, prev, adds.filter(a => hit.contains(a._1)), readMerged(s, hit.toSeq.sorted))
           .join(srcKeys, Seq(key), "left_anti")
           .select(targetCols.map(col): _*)
           .unionByName(alignedSource)
@@ -857,7 +1063,8 @@ object TableVersions {
     val prev = currentVersion(s, dir)
     require(prev >= 0, s"$dir not initialized")
     val fs = fsOf(s, dir)
-    val sized = liveFiles(s, dir, prev).map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+    val adds = liveFileAdds(s, dir, prev)
+    val sized = adds.map { case (f, _) => f -> fs.getFileStatus(new Path(f)).getLen }
     val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
     if (small.size < 2) return prev
     val v = prev + 1
@@ -865,7 +1072,13 @@ object TableVersions {
     val total = sized.filter(s => small.contains(s._1)).map(_._2).sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val batch = s"$dir/data/b$v"
-    s.read.parquet(small: _*).repartition(nOut).write.mode("errorifexists").parquet(batch)
+    // DVs applied: packing must not materialize merge-on-read-deleted
+    // rows into fresh files (whose add anchor would outrank the DV)
+    applyDv(s, dir, prev, adds.filter(a => small.contains(a._1)), s.read.parquet(small: _*))
+      .repartition(nOut)
+      .write
+      .mode("errorifexists")
+      .parquet(batch)
     appendLog(s, dir, v, "optimize", listParquet(s, batch), small)
     compactSkipping(s, dir)
     v
@@ -990,7 +1203,10 @@ object TableVersions {
   ): Long = {
     require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
     require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
-    val df = s.read.option("mergeSchema", "true").parquet(files: _*)
+    val adds = liveFileAdds(s, dir, prev).filter(a => files.contains(a._1))
+    // DVs applied — the clustered rewrite must not resurrect
+    // merge-on-read-deleted rows
+    val df = applyDv(s, dir, prev, adds, readMerged(s, files))
     // Numeric view per clustered column: numeric columns cast to
     // double; STRING columns project their first 6 UTF-8 bytes as a
     // big-endian integer (right-padded, so the projection is

@@ -492,6 +492,76 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // MERGE-ON-READ DELETE (positional deletion vectors — the Delta DV
+    // / Iceberg positional-delete pattern): where q166's copy-on-write
+    // delete rewrites every hit file (O(hit data)), a DV commit writes
+    // ONLY the matched rows' (file, position) pairs — O(matched) — and
+    // reads anti-join them out; compactMor later folds the vectors
+    // into a rewrite whose fresh files shed them naturally. The query
+    // drives the full lifecycle: two STACKED DV deletes, time travel
+    // between them, CDC across them, then the fold — and the oracle
+    // restates every stage over `documents`, plus the fold's empty CDC
+    // (the compaction must be a logical no-op). A resurrected or
+    // lingering row at any stage breaks the hash. ORACLE-EXACT;
+    // MorSpec pins the physical side (a DV commit touches no data
+    // file, every read path applies vectors, restore resurrects,
+    // checkpoint folds).
+    QueryDef(
+      "q208_mor_delete",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_mor")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.repartition(8, col("source")), tdir) // v0
+        TableVersions.commitDeleteMor(s, tdir, "doc_id % 7 = 2") // v1: DV only
+        TableVersions.commitDeleteMor(s, tdir, "lang = 'en'") // v2: stacked DV
+        val v3 = TableVersions.compactMor(s, tdir) // folds both vectors
+        val v0rows = TableVersions
+          .readVersion(s, tdir, 0L)
+          .agg(count(lit(1)).as("v"))
+          .select(lit("v0").as("kind"), lit("rows").as("k"), col("v"))
+        val v1census = TableVersions
+          .readVersion(s, tdir, 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("v1_census").as("kind"), col("lang").as("k"), col("v"))
+        val headCensus = TableVersions
+          .readVersion(s, tdir, v3)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("head_census").as("kind"), col("lang").as("k"), col("v"))
+        val cdc = TableVersions
+          .changes(s, tdir, "doc_id", 0L, 2L)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("cdc").as("kind"), col("change_type").as("k"), col("v"))
+        val foldCdc = TableVersions
+          .changes(s, tdir, "doc_id", 2L, v3)
+          .agg(count(lit(1)).as("v"))
+          .select(lit("fold_cdc").as("kind"), lit("changes").as("k"), col("v"))
+        v0rows
+          .unionByName(v1census)
+          .unionByName(headCensus)
+          .unionByName(cdc)
+          .unionByName(foldCdc)
+          .orderBy("kind", "k", "v")
+      },
+      Some("""WITH rows AS (
+          SELECT 'v0' AS kind, 'rows' AS k, CAST(count(*) AS BIGINT) AS v FROM documents
+          UNION ALL
+          SELECT 'v1_census', lang, count(*) FROM documents
+          WHERE doc_id % 7 <> 2 GROUP BY lang
+          UNION ALL
+          SELECT 'head_census', lang, count(*) FROM documents
+          WHERE doc_id % 7 <> 2 AND lang <> 'en' GROUP BY lang
+          UNION ALL
+          SELECT 'cdc', 'delete', count(*) FROM documents
+          WHERE doc_id % 7 = 2 OR lang = 'en'
+          UNION ALL
+          SELECT 'fold_cdc', 'changes', 0)
+        SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
+    ),
+
+    // ------------------------------------------------------------------
     // INCREMENTAL Z-ORDER — the 100 TB clustering cadence the one-shot
     // q200 rewrite cannot be: each pass clusters at most `maxFiles`
     // live files (smallest first, the optimize bin-packing bias) as a
