@@ -333,7 +333,7 @@ object TableVersions {
             .select("file", "version", "action")
         )
     }
-    resolved.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    resolved.collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
   }
 
   /** The table as of version v (time travel). Below the vacuum
@@ -553,9 +553,12 @@ object TableVersions {
   ): Option[DataFrame] = {
     import s.implicits._
     val ckpt = checkpoints(s, dir).filter(_ <= v).lastOption
-    val liveDvs = dvVersions(s, dir).filter(w => w <= v && ckpt.forall(w > _))
     val snapPath = ckpt.map(c => s"${ckptDir(dir)}/c$c/_dvsnap")
     val fs = fsOf(s, dir)
+    // existence probe only — applicability itself filters the
+    // dv_version COLUMN, so [[vacuum]]'s fold can rewrite the
+    // directory layout without touching this logic
+    val anyDv = fs.exists(new Path(dvDir(dir)))
     val snap = snapPath.filter(p => fs.exists(new Path(p))).map { p =>
       // snapshot fold applies only to files the snapshot itself
       // resolved (lastAdd = c); a tail re-add overrides per file
@@ -567,12 +570,14 @@ object TableVersions {
         .select("file", "pos")
     }
     val tail =
-      if (liveDvs.isEmpty) None
+      if (!anyDv) None
       else {
         val addDf = broadcast(adds.toDF("file", "add_version"))
         Some(
           s.read
-            .parquet(liveDvs.map(w => s"${dvDir(dir)}/v$w"): _*)
+            .option("recursiveFileLookup", "true")
+            .parquet(dvDir(dir))
+            .filter(col("dv_version") <= v && ckpt.map(c => col("dv_version") > c).getOrElse(lit(true)))
             .join(addDf, Seq("file"))
             .filter(col("dv_version") > col("add_version"))
             .select("file", "pos")
@@ -644,6 +649,57 @@ object TableVersions {
     appendLog(s, dir, v, "mor_compact", listParquet(s, batch), affected)
     compactSkipping(s, dir)
     v
+  }
+
+  /** Row count at version v WITHOUT touching row data: parquet footer
+    * record counts of the live files (pure metadata — the reader never
+    * opens a row group) minus the applicable deletion-vector
+    * positions. O(live files) footer reads + the DV metadata scan; a
+    * production log would carry the counts in its add entries and
+    * drop even the footer reads, but footers keep the log schema
+    * frozen and are still metadata-only. The MorSpec/q209 contract:
+    * countAt(v) == readVersion(v).count() at every version.
+    */
+  def countAt(s: SparkSession, dir: String, v: Long): Long = {
+    val adds = liveFileAdds(s, dir, v)
+    require(adds.nonEmpty, s"version $v of $dir has no live files")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fromFooters = adds.map { case (f, _) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+    val deleted = dvApplicable(s, dir, v, adds).map(_.count()).getOrElse(0L)
+    fromFooters - deleted
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — (version, op, n_add,
+    * n_remove, has_dv) — straight off the log, O(commits). */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    // from the DV rows' own version column, not the directory names —
+    // vacuum's fold regroups directories but never rewrites versions
+    val dvs: Set[Long] =
+      if (!fsOf(s, dir).exists(new Path(dvDir(dir)))) Set.empty
+      else
+        s.read
+          .option("recursiveFileLookup", "true")
+          .parquet(dvDir(dir))
+          .select("dv_version")
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .toSet
+    val hasDv = udf((v: Long) => dvs.contains(v))
+    readLog(s, dir)
+      .groupBy("version")
+      .agg(
+        first("op").as("op"),
+        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
+        sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_remove")
+      )
+      .withColumn("has_dv", hasDv(col("version")))
+      .orderBy("version")
   }
 
   private def statsDir(dir: String) = s"$dir/_stats"
@@ -1331,6 +1387,32 @@ object TableVersions {
       if (fs.exists(p)) {
         require(fs.delete(p, false), s"vacuum failed to delete $f")
       }
+    }
+    // fold the deletion-vector table down to rows of files that still
+    // exist: a doomed file's vectors can never apply to a readable
+    // version again (the file is gone, and revival was excluded
+    // above), so its rows are dead weight — text-derived positional
+    // state retained past retention. Applicability filters the
+    // dv_version COLUMN, so the physical regrouping is invisible to
+    // readers. Checked staged swap, the house discipline.
+    val dvRoot = new Path(dvDir(dir))
+    if (fs.exists(dvRoot) && doomed.nonEmpty) {
+      import s.implicits._
+      val staged = new Path(s"${dvDir(dir)}_compacted")
+      s.read
+        .option("recursiveFileLookup", "true")
+        .parquet(dvRoot.toString)
+        .join(broadcast(doomed.toDF("file")), Seq("file"), "left_anti")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$staged/v0")
+      if (!fs.delete(dvRoot, /* recursive = */ true))
+        throw new java.io.IOException(s"vacuum: failed to remove old DV table $dvRoot")
+      if (!fs.rename(staged, dvRoot))
+        throw new java.io.IOException(
+          s"vacuum: failed to swap $staged into place — staged DV rewrite preserved"
+        )
     }
     val marker = new Path(s"$dir/_vacuum")
     val out = fs.create(marker, true)

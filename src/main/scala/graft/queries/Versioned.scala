@@ -562,6 +562,53 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // METADATA-ONLY TABLE OPS — COUNT(*) and DESCRIBE HISTORY without
+    // touching row data: countAt sums the live files' parquet FOOTER
+    // record counts (the reader never opens a row group) and subtracts
+    // the applicable deletion-vector positions, so a 100 TB table
+    // answers its row count from O(live files) footers + DV metadata;
+    // history() is one O(commits) aggregation of the log. The oracle
+    // restates the counts at three versions — across a merge-on-read
+    // delete AND a copy-on-write delete, so both deletion paths'
+    // metadata must agree with the data exactly — plus the commit
+    // sequence itself. ORACLE-EXACT; MorSpec pins countAt ==
+    // readVersion().count() at every version and the has_dv flags.
+    QueryDef(
+      "q209_metadata_ops",
+      (s, dir) => {
+        import s.implicits._
+        val tdir = Similarity.freshIndexDir("versioned_meta")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.repartition(8, col("source")), tdir) // v0
+        TableVersions.commitDeleteMor(s, tdir, "doc_id % 7 = 2") // v1: DV delete
+        TableVersions.commitDelete(s, tdir, "lang = 'en'") // v2: copy-on-write
+        val counts = (0L to 2L)
+          .map(v => ("count", s"v$v", TableVersions.countAt(s, tdir, v).toString))
+          .toDF("kind", "k", "v")
+        val hist = TableVersions
+          .history(s, tdir)
+          .select(
+            lit("history").as("kind"),
+            col("version").cast("string").as("k"),
+            col("op").as("v")
+          )
+        counts.unionByName(hist).orderBy("kind", "k", "v")
+      },
+      Some("""WITH rows AS (
+          SELECT 'count' AS kind, 'v0' AS k, CAST(count(*) AS VARCHAR) AS v FROM documents
+          UNION ALL
+          SELECT 'count', 'v1', CAST(count(*) AS VARCHAR) FROM documents
+          WHERE doc_id % 7 <> 2
+          UNION ALL
+          SELECT 'count', 'v2', CAST(count(*) AS VARCHAR) FROM documents
+          WHERE doc_id % 7 <> 2 AND lang <> 'en'
+          UNION ALL SELECT 'history', '0', 'init'
+          UNION ALL SELECT 'history', '1', 'mor_delete'
+          UNION ALL SELECT 'history', '2', 'delete')
+        SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
+    ),
+
+    // ------------------------------------------------------------------
     // INCREMENTAL Z-ORDER — the 100 TB clustering cadence the one-shot
     // q200 rewrite cannot be: each pass clusters at most `maxFiles`
     // live files (smallest first, the optimize bin-packing bias) as a

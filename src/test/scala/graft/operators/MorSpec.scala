@@ -108,6 +108,40 @@ class MorSpec extends AnyFunSuite with SparkSpec {
     assert(TableVersions.readVersion(spark, dir, v4).count() == 80)
   }
 
+  test("countAt is footer-exact at every version; history lists commits; vacuum folds dead DVs") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.commitDeleteMor(spark, dir, "id % 5 = 0") // v1
+    TableVersions.commitDelete(spark, dir, "id >= 70") // v2 copy-on-write
+    (0L to 2L).foreach { v =>
+      assert(
+        TableVersions.countAt(spark, dir, v) == TableVersions.readVersion(spark, dir, v).count(),
+        s"metadata count diverged at v$v"
+      )
+    }
+    val hist = TableVersions.history(spark, dir).collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "init"), (1L, "mor_delete"), (2L, "delete")))
+    assert(hist.filter(_.getLong(0) == 1L).head.getAs[Boolean]("has_dv"))
+    assert(!hist.filter(_.getLong(0) == 0L).head.getAs[Boolean]("has_dv"))
+    // vacuum to v2: the copy-on-write-removed file dies; its DV rows
+    // fold away while the surviving files' vectors keep applying
+    val dvRowsBefore = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/_dv")
+      .count()
+    TableVersions.vacuum(spark, dir, 2L)
+    val dvRowsAfter = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/_dv")
+      .count()
+    assert(dvRowsAfter < dvRowsBefore, "vacuum folded no dead DV rows")
+    val head = TableVersions.readVersion(spark, dir, 2L)
+    assert(head.count() == 56) // 80 - 16 (id%5=0) - 8 (ids 70-79 minus the 2 already vector-deleted)
+    assert(head.filter(col("id") % 5 === 0).count() == 0, "vacuum fold dropped a live vector")
+    assert(TableVersions.countAt(spark, dir, 2L) == 56)
+  }
+
   test("stats- and bloom-pruned reads apply the vectors") {
     val dir = freshDir()
     TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
