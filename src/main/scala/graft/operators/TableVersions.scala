@@ -651,6 +651,86 @@ object TableVersions {
     v
   }
 
+  // ------------------------------------------------------------------
+  // Hive-partitioned batches: a commit can lay its files out under
+  // `__p_<col>=<value>/` partition directories, and equality reads on
+  // the partition column then prune to the matching directories at
+  // the LOG level — exact file skipping with no index build, the
+  // classic hive-partitioning complement to the stats (range) and
+  // bloom (point) indexes. The partition column is DUPLICATED into a
+  // shadow path column rather than stripped from the data (Spark's
+  // partitionBy removes the layout column from the files): the data
+  // stays self-contained, so every existing read/rewrite path — time
+  // travel, copy-on-write, DVs, schema evolution — works unchanged,
+  // and partitioning is purely a pruning device. Mixed layouts are
+  // absence-safe: files from unpartitioned commits carry no `__p_`
+  // segment and are always read.
+  // ------------------------------------------------------------------
+
+  /** Hive-style escaping of a partition value for its path segment —
+    * Spark's OWN escaper, so probe paths match write paths char for
+    * char on any value. */
+  private[graft] def escapePathSegment(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** [[commitAppend]] with a hive-partitioned batch layout over
+    * `partCols`. */
+  def commitAppendPartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "no partition columns named")
+    val s = df.sparkSession
+    val v = currentVersion(s, dir) + 1
+    claimVersion(s, dir, v)
+    val batch = s"$dir/data/b$v"
+    val widened = partCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    widened.write
+      .partitionBy(partCols.map(c => s"__p_$c"): _*)
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, if (v == 0) "init" else "append", listParquetRec(s, batch), Nil)
+    v
+  }
+
+  /** Recursive variant of [[listParquet]] for partitioned batch
+    * layouts (leaf files under `__p_<col>=<value>/` directories). */
+  private def listParquetRec(s: SparkSession, batchDir: String): Seq[String] = {
+    val fs = fsOf(s, batchDir)
+    val it = fs.listFiles(new Path(batchDir), /* recursive = */ true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        out += qualified(s, p)
+    }
+    out.toSeq.sorted
+  }
+
+  /** [[readVersion]] restricted to files whose path lies under the
+    * `__p_<c>=<value>` partition directory — log-level pruning, zero
+    * data or index probes. Files without a `__p_<c>` segment (from
+    * unpartitioned commits) are always read — absence is never wrong —
+    * and the equality predicate is re-applied, so the result equals
+    * `readVersion(v).filter(c = value)` exactly. */
+  def readVersionByPartition(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      c: String,
+      value: String
+  ): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
+    val adds = liveFileAdds(s, dir, v)
+    require(adds.nonEmpty, s"version $v of $dir has no live files")
+    val seg = s"/__p_$c="
+    val want = s"$seg${escapePathSegment(value)}/"
+    val candidates = adds.filter { case (f, _) => !f.contains(seg) || f.contains(want) }
+    val pred = col(c).cast("string") === lit(value)
+    if (candidates.isEmpty)
+      s.read.parquet(adds.head._1).filter(pred).filter(lit(false))
+    else
+      applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)).filter(pred)
+  }
+
   /** Row count at version v WITHOUT touching row data: parquet footer
     * record counts of the live files (pure metadata — the reader never
     * opens a row group) minus the applicable deletion-vector

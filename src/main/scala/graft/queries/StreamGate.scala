@@ -1002,6 +1002,41 @@ object StreamGate {
           UNION ALL
           SELECT 'shingle', 'df_total', count(*) FROM sh)
         SELECT kind, k, v FROM rows ORDER BY kind, k, v""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1 (streaming merge-on-read deletes): the delete-queue
+    // shape at 100 TB — every micro-batch of takedown/erasure ids
+    // commits as ONE deletion vector (O(matched) positions written,
+    // zero data files touched, where q206's copy-on-write loop pays a
+    // file rewrite per batch), and one post-drain compactMor folds the
+    // accumulated vectors in a single rewrite. The drained head is
+    // batching-independent (deletes are a set union) and the oracle
+    // restates it over `documents` minus the streamed ids; the
+    // compaction being a logical no-op is certified by q208's oracle
+    // and MorSpec. ORACLE-EXACT; StreamMorSpec pins the 3-batch
+    // replay, the one-DV-commit-per-batch version history, and the
+    // untouched data layout before the fold.
+    QueryDef(
+      "q210_stream_mor_delete",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runMorDeleteStream(
+          gs,
+          Similarity.freshIndexDir("mor_stream_store"),
+          docs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 19 === 5)
+            .select("doc_id")
+        )
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 19 <> 5 ORDER BY doc_id""")
     )
   )
 
@@ -1216,6 +1251,49 @@ object StreamGate {
       .unionByName(shingleRows)
       .unionByName(shingleDf)
       .orderBy("kind", "k", "v")
+  }
+
+  /** Drive a delete stream through the MERGE-ON-READ path: each
+    * micro-batch of doc ids lands as one deletion-vector commit —
+    * O(matched rows) written, ZERO data files touched — so sustained
+    * delete traffic (erasure queues, moderation takedowns) costs
+    * vector appends, not file rewrites; ONE [[graft.operators
+    * .TableVersions.compactMor]] after the drain folds every vector
+    * into a single rewrite, the separately-scheduled maintenance job.
+    * Deletes are a set union, so the drained head is independent of
+    * the batching (StreamMorSpec pins the forced 3-batch replay), and
+    * the oracle restates the head over `documents` minus the streamed
+    * ids.
+    */
+  private[graft] def runMorDeleteStream(
+      gs: SparkSession,
+      tdir: String,
+      base: DataFrame,
+      deletes: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base.repartition(8, col("source")), tdir)
+    val q = deletes.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = batch.select("doc_id").distinct().collect().map(_.getLong(0))
+          if (ids.nonEmpty) {
+            graft.operators.TableVersions
+              .commitDeleteMor(gs, tdir, s"doc_id IN (${ids.mkString(", ")})"): Unit
+          }
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("mor_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    graft.operators.TableVersions.compactMor(gs, tdir)
+    graft.operators.TableVersions
+      .readVersion(gs, tdir, graft.operators.TableVersions.currentVersion(gs, tdir))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
   }
 
   /** Drive q176's inverted-index lifecycle with LIVE streams: build on

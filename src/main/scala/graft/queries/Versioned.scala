@@ -492,6 +492,60 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // HIVE-PARTITIONED BATCHES — the third file-skipping device beside
+    // stats (range) and bloom (point): a commit lays its files out
+    // under `__p_lang=<value>/` directories and equality reads on the
+    // partition column prune at the LOG level — exact, no index build,
+    // no probe. The partition column is DUPLICATED into the path
+    // rather than stripped from the data, so the files stay
+    // self-contained and every other mechanism (time travel, CoW, DVs)
+    // works unchanged; mixed layouts are absence-safe (a flat commit's
+    // files carry no __p_ segment and are always read — here the
+    // second, unpartitioned append must surface in every read). The
+    // oracle restates two partition reads and a full-table sample as
+    // plain filters of `documents`. ORACLE-EXACT; TableVersionsSpec
+    // pins the physical pruning (a partition read schedules only its
+    // own directories plus the flat files).
+    QueryDef(
+      "q211_partitioned_read",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_part")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppendPartitioned(
+          docs.filter(col("doc_id") % 2 === 0).repartition(4),
+          tdir,
+          Seq("lang")
+        ) // v0: partitioned layout
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), tdir) // v1: flat
+        val head = TableVersions.currentVersion(s, tdir)
+        def shaped(dim: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(dim).as("dim"), col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        shaped("by_en", TableVersions.readVersionByPartition(s, tdir, head, "lang", "en"))
+          .unionByName(
+            shaped("by_zh", TableVersions.readVersionByPartition(s, tdir, head, "lang", "zh"))
+          )
+          .unionByName(
+            shaped(
+              "sample",
+              TableVersions.readVersion(s, tdir, head).filter(col("doc_id") % 97 === 0)
+            )
+          )
+          .orderBy("dim", "doc_id")
+      },
+      Some("""SELECT dim, doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+          SELECT 'by_en' AS dim, doc_id, source, lang, n_chars
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT 'by_zh', doc_id, source, lang, n_chars
+          FROM documents WHERE lang = 'zh'
+          UNION ALL
+          SELECT 'sample', doc_id, source, lang, n_chars
+          FROM documents WHERE doc_id % 97 = 0)
+        ORDER BY dim, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // MERGE-ON-READ DELETE (positional deletion vectors — the Delta DV
     // / Iceberg positional-delete pattern): where q166's copy-on-write
     // delete rewrites every hit file (O(hit data)), a DV commit writes

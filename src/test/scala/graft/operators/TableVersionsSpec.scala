@@ -606,6 +606,45 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(point.collect().toSeq == plainPoint.collect().toSeq)
   }
 
+  test("partitioned batches prune at the log level; flat commits stay absence-safe") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val rows = (0L until 90L).map(i => (i, s"doc$i", s"g${i % 3}")).toDF("id", "body", "grp")
+    TableVersions.commitAppendPartitioned(rows.filter(col("id") < 60).repartition(2), dir, Seq("grp"))
+    val partRead = TableVersions.readVersionByPartition(spark, dir, 0L, "grp", "g1")
+    // pruned to the g1 partition directories only
+    assert(partRead.inputFiles.forall(_.contains("__p_grp=g1")), partRead.inputFiles.mkString(","))
+    assert(partRead.count() == 20)
+    // data stays self-contained: the partition column is IN the files
+    assert(TableVersions.readVersion(spark, dir, 0L).columns.contains("grp"))
+    // a flat append afterwards: partition reads must still see it
+    TableVersions.commitAppend(rows.filter(col("id") >= 60), dir)
+    val mixed = TableVersions.readVersionByPartition(spark, dir, 1L, "grp", "g1")
+    assert(mixed.count() == 30)
+    assert(
+      mixed.inputFiles.exists(!_.contains("__p_grp=")),
+      "flat files must be read (absence-safe)"
+    )
+    assert(
+      mixed.inputFiles.filter(_.contains("__p_grp=")).forall(_.contains("__p_grp=g1")),
+      "partitioned files outside g1 must be pruned"
+    )
+    // deletion vectors apply inside a partition read
+    TableVersions.commitDeleteMor(spark, dir, "id % 30 = 1") // ids 1,31,61 are g1
+    val afterDv = TableVersions.readVersionByPartition(spark, dir, 2L, "grp", "g1")
+    assert(afterDv.count() == 27)
+    assert(afterDv.filter(col("id") % 30 === 1).count() == 0)
+    // hive-escaped values round-trip through the probe
+    val eDir = freshDir()
+    TableVersions.commitAppendPartitioned(
+      Seq((1L, "a:b"), (2L, "plain")).toDF("id", "k"),
+      eDir,
+      Seq("k")
+    )
+    assert(TableVersions.readVersionByPartition(spark, eDir, 0L, "k", "a:b").count() == 1)
+  }
+
   test("refreshBloom indexes NEW columns on files already covered for old ones") {
     val dir = freshDir()
     TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
