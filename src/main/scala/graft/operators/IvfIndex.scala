@@ -31,22 +31,26 @@ object IvfIndex {
     * persist the index: corpus partitioned by cell under
     * `<indexDir>/data`, centroid table under `<indexDir>/centroids`.
     */
+  /** `attrs`: metadata columns of `emb` stored INSIDE the index rows
+    * beside the vectors — what [[probeFiltered]] filters on. Storing
+    * the attribute (rather than joining an id set at query time) is
+    * the scale move: the predicate pushes into the parquet scan of the
+    * probed cells and no id list is ever materialized or shipped. */
   def build(
       emb: DataFrame,
       indexDir: String,
       k: Int = 16,
       maxIter: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      attrs: Seq[String] = Nil
   ): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val s = emb.sparkSession
     val feat = emb.select(
-      col("vec_id"),
-      col("v"),
-      col("norm"),
-      array_to_vector(col("v")).as("features")
+      (Seq(col("vec_id"), col("v"), col("norm"), array_to_vector(col("v")).as("features")) ++
+        attrs.map(col)): _*
     )
     // a coarse quantizer needs rough cells, not convergence (q46's
     // rationale): each Lloyd iteration is a full corpus pass at scale
@@ -58,7 +62,10 @@ object IvfIndex {
       .fit(feat)
     model
       .transform(feat)
-      .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+      .select(
+        (Seq(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell")) ++
+          attrs.map(col)): _*
+      )
       .write
       .mode("overwrite")
       .partitionBy("cell")
@@ -253,6 +260,28 @@ object IvfIndex {
       queries: DataFrame,
       nprobe: Int = 2,
       topK: Int = 5
+  ): DataFrame = probeFiltered(s, indexDir, queries, filterExpr = None, nprobe, topK)
+
+  /** FILTERED vector search — top-k under a metadata predicate over
+    * the attributes stored at [[build]] time (`attrs`): the predicate
+    * filters the candidate stream BEFORE the bounded heap (post-
+    * filtering a top-k would under-fill whenever fewer than k of the
+    * unfiltered neighbors match), and because the attribute lives IN
+    * the index rows it is PUSHED DOWN into the parquet scan of the
+    * probed cells — row groups whose attribute range excludes the
+    * predicate never decompress, and no allowed-id set is built or
+    * shipped. Recall caveat: selective predicates amplify the probe-
+    * miss risk every IVF search carries (a matching neighbor may live
+    * in an unprobed cell) — raise `nprobe` with selectivity;
+    * FilteredAnnSpec measures the recall against the exact filtered
+    * scan. */
+  def probeFiltered(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      filterExpr: Option[String],
+      nprobe: Int = 2,
+      topK: Int = 5
   ): DataFrame = {
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val wCell = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
@@ -271,10 +300,12 @@ object IvfIndex {
     val raw = s.read.parquet(s"$indexDir/data")
     val tombsPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val data =
+    val live =
       if (fs.exists(tombsPath))
         raw.join(broadcast(s.read.parquet(s"$indexDir/tombstones")), Seq("vec_id"), "left_anti")
       else raw
+    // metadata predicate first: lands on the scan as a pushed filter
+    val data = filterExpr.fold(live)(f => live.filter(expr(f)))
     data
       .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))

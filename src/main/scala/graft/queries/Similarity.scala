@@ -1040,6 +1040,107 @@ object Similarity {
         )
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (FILTERED vector search, exact reference): top-k cosine
+    // neighbors restricted to a metadata predicate (label = 2) — the
+    // retrieval shape every production vector store serves ("nearest
+    // passages in English", "nearest images with license X"). The
+    // filter applies to the CANDIDATE stream before the bounded heap:
+    // post-filtering an unfiltered top-k under-fills whenever fewer
+    // than k unrestricted neighbors match, which is the classic
+    // filtered-ANN correctness trap. This is the brute-force exact
+    // reference (one broadcast of the 10-query table over the corpus
+    // scan, pushed label predicate, bounded heap); q213 serves the
+    // same queries from the persisted IVF index with the attribute
+    // stored IN the index. ORACLE-EXACT.
+    QueryDef(
+      "q212_filtered_ann",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"),
+            col("label")
+          )
+          .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        val q = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        e.filter(col("label") === 2)
+          .crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .filter(col("cos").isNotNull)
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos")
+          )
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH n AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x)),
+                      (a,b) -> a+b)) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT q_id, n.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)
+                   / (qn * norm) AS cos
+          FROM n CROSS JOIN q WHERE q_id <> n.vec_id AND n.label = 2)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM pairs WHERE cos IS NOT NULL)
+        WHERE rank <= 5 ORDER BY q_id, rank"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (filtered vector search, INDEX-SERVED — the scale path): the
+    // same filtered queries answered from the persisted IVF index with
+    // the label attribute stored INSIDE the index rows, so the
+    // predicate pushes into the parquet scan of the probed cells (row
+    // groups outside the label range never decompress) and no
+    // allowed-id set is built, shipped, or joined. The filter runs
+    // before the heap — same under-fill-safety as q212 — and the
+    // recall-vs-exact contract is FilteredAnnSpec's (every hit
+    // satisfies the predicate; recall ≥ 0.9 against q212 at nprobe=12 —
+    // selective predicates need wider probes, the documented trade).
+    // Rows-checked (IVF probe misses are implementation-defined, the
+    // q46/q133 precedent).
+    QueryDef(
+      "q213_filtered_ivf",
+      (s, dir) => {
+        val idx = freshIndexDir("ivf_filtered")
+        val e = Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"),
+            col("label")
+          )
+          .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        graft.operators.IvfIndex.build(e, idx, k = 16, maxIter = 5, seed = 42L, attrs = Seq("label"))
+        graft.operators.IvfIndex.probeFiltered(
+          s,
+          idx,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv")),
+          filterExpr = Some("label = 2"),
+          nprobe = 12,
+          topK = 5
+        )
+      },
+      None
     )
   )
 
