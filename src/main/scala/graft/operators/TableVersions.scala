@@ -504,10 +504,15 @@ object TableVersions {
   private def dvVersions(s: SparkSession, dir: String): Seq[Long] =
     listNumbered(s, dvDir(dir), "v").sorted
 
-  /** Executor-safe canonicalizer to the log's path form (`file:///x` →
-    * `file:/x`) — shared by the DV writers and the `_metadata` probe
-    * so position keys always string-match. Metadata-scale usage only. */
-  private val canonPath = udf((f: String) => new Path(f).toString)
+  /** NATIVE canonicalizer of `_metadata.file_path` to the log's path
+    * form: `Path.toString` collapses a local URI's empty authority
+    * (`file:///x` → `file:/x`), which is the one delta between the
+    * parquet reader's paths and the log's; authority-bearing schemes
+    * (`s3a://bucket/...`) match the pattern's 3+ slashes never and
+    * pass through untouched. A regexp, not a UDF — this runs per DATA
+    * row inside the DV anti-join and must stay inside codegen. */
+  private def canonPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^([a-zA-Z][a-zA-Z0-9+.-]*):///+", "$1:/")
 
   /** Merge-on-read DELETE: log the matching rows' positions as a
     * deletion vector, touch no data file. The matched set is found
@@ -526,7 +531,7 @@ object TableVersions {
     val hits = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
       .filter(matches)
       .select(
-        canonPath(col("__dv_file")).as("file"),
+        canonPathCol(col("__dv_file")).as("file"),
         col("__dv_pos").as("pos"),
         lit(v).as("dv_version")
       )
@@ -611,7 +616,7 @@ object TableVersions {
       case Some(dv) =>
         withMeta.join(
           broadcast(dv),
-          canonPath(col("__dv_file")) === col("file") && col("__dv_pos") === col("pos"),
+          canonPathCol(col("__dv_file")) === col("file") && col("__dv_pos") === col("pos"),
           "left_anti"
         )
     }
