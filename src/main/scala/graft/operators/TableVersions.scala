@@ -168,6 +168,10 @@ object TableVersions {
     val orphanBatch = new Path(s"$dir/data/b$version")
     if (fs.exists(orphanBatch))
       require(fs.delete(orphanBatch, true), s"failed to delete orphan batch $orphanBatch")
+    Seq(s"$dir/_cdf/v$version", s"$dir/_dv/v$version").foreach { o =>
+      val p = new Path(o)
+      if (fs.exists(p)) require(fs.delete(p, true), s"failed to delete orphan $p")
+    }
   }
 
   /** Numeric suffixes of child directories named `<prefix><N>`. */
@@ -472,11 +476,36 @@ object TableVersions {
       case "delete" => keep
       case _        => keep.unionByName(transform(hitDf.filter(matches)))
     }
+    // change-data feed: the matched rows ARE the commit's change set —
+    // persist them (O(matched)) so feed consumers never re-diff the
+    // table. Update commits carry pre- AND post-images, Delta's CDF
+    // row types.
+    val cdf = op match {
+      case "delete" =>
+        hitDf.filter(matches).withColumn("_change_type", lit("delete"))
+      case _ =>
+        hitDf
+          .filter(matches)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(
+            transform(hitDf.filter(matches))
+              .withColumn("_change_type", lit("update_postimage"))
+          )
+    }
+    writeCdf(s, dir, v, cdf)
     val batch = s"$dir/data/b$v"
     replaced.write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, op, listParquet(s, batch), hit.toSeq.sorted)
     v
   }
+
+  private def cdfDir(dir: String) = s"$dir/_cdf"
+
+  /** Persist one commit's change rows (data columns + `_change_type`)
+    * — the CHANGE-DATA-FEED segment feed consumers read instead of
+    * diffing two table versions ([[changesFeed]]). O(changed rows). */
+  private def writeCdf(s: SparkSession, dir: String, v: Long, rows: DataFrame): Unit =
+    rows.write.mode("errorifexists").parquet(s"${cdfDir(dir)}/v$v")
 
   // ------------------------------------------------------------------
   // Merge-on-read deletes: positional DELETION VECTORS (the public
@@ -528,18 +557,26 @@ object TableVersions {
     claimVersion(s, dir, v)
     val adds = liveFileAdds(s, dir, prev)
     val matches = coalesce(expr(cond), lit(false))
-    val hits = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+    val matched = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
       .filter(matches)
+      .localCheckpoint()
+    val hits = matched
       .select(
         canonPathCol(col("__dv_file")).as("file"),
         col("__dv_pos").as("pos"),
         lit(v).as("dv_version")
       )
-      .localCheckpoint()
-    if (hits.isEmpty) {
+    if (matched.isEmpty) {
       appendLog(s, dir, v, "mor_delete", Nil, Nil)
       return v
     }
+    // change-data feed: the matched pre-images, same as a CoW delete
+    writeCdf(
+      s,
+      dir,
+      v,
+      matched.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete"))
+    )
     hits.coalesce(1).write.mode("errorifexists").parquet(s"${dvDir(dir)}/v$v")
     appendLog(s, dir, v, "mor_delete", Nil, Nil)
     v
@@ -1176,6 +1213,28 @@ object TableVersions {
           .join(srcKeys, Seq(key), "left_anti")
           .select(targetCols.map(col): _*)
           .unionByName(alignedSource)
+    // change-data feed: matched keys carry pre- and post-images, the
+    // rest of the source is inserts — O(source + matched)
+    val preImages =
+      if (hit.isEmpty) None
+      else
+        Some(
+          applyDv(s, dir, prev, adds.filter(a => hit.contains(a._1)), readMerged(s, hit.toSeq.sorted))
+            .join(srcKeys, Seq(key), "left_semi")
+            .select(targetCols.map(col): _*)
+            .localCheckpoint()
+        )
+    val matchedKeys = preImages.map(_.select(col(key)))
+    val post = matchedKeys.map(mk =>
+      alignedSource.join(mk, Seq(key), "left_semi").withColumn("_change_type", lit("update_postimage"))
+    )
+    val inserts = matchedKeys
+      .map(mk => alignedSource.join(mk, Seq(key), "left_anti"))
+      .getOrElse(alignedSource)
+      .withColumn("_change_type", lit("insert"))
+    val cdf = (preImages.map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
+      post.toSeq :+ inserts).reduce(_ unionByName _)
+    writeCdf(s, dir, v, cdf)
     val batch = s"$dir/data/b$v"
     replaced.write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, "merge", listParquet(s, batch), hit.toSeq.sorted)
@@ -1598,6 +1657,80 @@ object TableVersions {
     */
   private def fingerprint(cols: Seq[String]) =
     md5(to_json(struct(cols.map(col): _*)))
+
+  /** CHANGE-DATA FEED over (vOld, vNew] — the O(changes) event stream
+    * (Delta CDF's shape) that [[changes]]/[[changesDetailed]]'s full
+    * two-version diff is the reference for: every mutating commit
+    * persisted its change rows at WRITE time (`_cdf/v<V>`, written by
+    * the commit that knows exactly what it touched), appends derive
+    * their inserts from the version's own added files, and logical
+    * no-ops (optimize / zorder / mor_compact) contribute nothing — so
+    * a feed consumer reads data proportional to what CHANGED, never
+    * the table. Events carry the full row image plus `_change_type`
+    * (insert | delete | update_preimage | update_postimage) and
+    * `_commit_version`; replaying them in version order onto vOld
+    * reproduces vNew exactly (ChangeFeedSpec pins it against both the
+    * reference diff and the replay). Not defined across a RESTORE
+    * (a metadata-only rollback has no O(changes) event form — its
+    * cost is the point) — fail loudly and use [[changes]] there.
+    */
+  def changesFeed(s: SparkSession, dir: String, vOld: Long, vNew: Long): DataFrame = {
+    require(vOld >= 0 && vOld < vNew, s"need 0 <= vOld < vNew, got ($vOld, $vNew)")
+    require(vNew <= currentVersion(s, dir), s"version $vNew of $dir does not exist")
+    val ops: Map[Long, String] = readLog(s, dir)
+      .filter(col("version") > vOld && col("version") <= vNew)
+      .select("version", "op")
+      .distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val fs = fsOf(s, dir)
+    val logicalNoOps = Set("optimize", "zorder", "mor_compact")
+    val cdfOps = Set("delete", "update", "merge", "mor_delete")
+    val frames: Seq[DataFrame] = (vOld + 1 to vNew).toSeq.flatMap { w =>
+      ops(w) match {
+        case "restore" =>
+          throw new IllegalArgumentException(
+            s"changesFeed($vOld, $vNew) crosses the restore at version $w — " +
+              "a metadata-only rollback has no O(changes) event form; use changes()"
+          )
+        case op if logicalNoOps(op) => None
+        case op if cdfOps(op) =>
+          val p = new Path(s"${cdfDir(dir)}/v$w")
+          if (!fs.exists(p)) None // no-op commit (nothing matched)
+          else
+            Some(
+              s.read
+                .parquet(p.toString)
+                .withColumn("_commit_version", lit(w))
+            )
+        case "init" | "append" | "clone" =>
+          val added = readLog(s, dir)
+            .filter(col("version") === w && col("action") === "add")
+            .select("file")
+            .collect()
+            .map(_.getString(0))
+            .toSeq
+          if (added.isEmpty) None
+          else
+            Some(
+              s.read
+                .option("mergeSchema", "true")
+                .parquet(added: _*)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(w))
+            )
+        case other =>
+          throw new IllegalStateException(s"changesFeed: unknown commit op '$other' at v$w")
+      }
+    }
+    if (frames.isEmpty)
+      readVersion(s, dir, vNew)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .filter(lit(false))
+    else frames.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
 
   /** CDC with payloads — what incremental VIEW maintenance consumes
     * (q178): beside the change_type, each row carries the named

@@ -616,6 +616,69 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // CHANGE-DATA FEED — the O(changes) event stream (Delta CDF's
+    // shape) that q167's two-version diff is the reference for: every
+    // mutating commit persists its change rows AT WRITE TIME (the
+    // commit knows exactly what it touched — matched pre-images,
+    // update post-images, merge inserts), appends derive inserts from
+    // their own added files, logical no-ops contribute nothing. A
+    // feed consumer therefore reads data proportional to what CHANGED
+    // across the window — never two full table versions — which at
+    // 100 TB is the difference between index-sync jobs costing
+    // O(delta) and O(table). The query drives a 5-commit history
+    // through BOTH deletion paths plus an update, and the oracle
+    // restates every event (version, type, full row image — with the
+    // update's post-image arithmetic applied where the later delete
+    // sees it) over `documents`. ORACLE-EXACT; ChangeFeedSpec pins
+    // replay-reproduces-the-head, per-window agreement with
+    // changes(), and the restore refusal.
+    QueryDef(
+      "q214_change_feed",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_cdf")
+        val docs = Tables(s, dir, "documents")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), tdir) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), tdir) // v1
+        TableVersions.commitDelete(s, tdir, "doc_id % 5 = 0") // v2
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v3
+        TableVersions.commitDeleteMor(s, tdir, "doc_id % 7 = 3") // v4
+        TableVersions
+          .changesFeed(s, tdir, 0L, 4L)
+          .select(
+            col("_commit_version").as("v"),
+            col("_change_type").as("ct"),
+            col("doc_id"),
+            col("lang"),
+            col("n_chars")
+          )
+          .orderBy("v", "ct", "doc_id")
+      },
+      Some("""WITH rows AS (
+          SELECT 1 AS v, 'insert' AS ct, doc_id, lang, n_chars
+          FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT 2, 'delete', doc_id, lang, n_chars
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 3, 'update_preimage', doc_id, lang, n_chars
+          FROM documents WHERE lang = 'zh' AND doc_id % 5 <> 0
+          UNION ALL
+          SELECT 3, 'update_postimage', doc_id, lang, n_chars + 1000
+          FROM documents WHERE lang = 'zh' AND doc_id % 5 <> 0
+          UNION ALL
+          SELECT 4, 'delete', doc_id, lang,
+                 CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END
+          FROM documents WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0)
+        SELECT CAST(v AS BIGINT) AS v, ct, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM rows ORDER BY v, ct, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // METADATA-ONLY TABLE OPS — COUNT(*) and DESCRIBE HISTORY without
     // touching row data: countAt sums the live files' parquet FOOTER
     // record counts (the reader never opens a row group) and subtracts
