@@ -679,6 +679,74 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // FEED-DRIVEN REPLICA — the downstream half of q214: a replica
+    // table forked at v1 catches up to the source head by consuming
+    // ONLY the change feed (delete the deleted/pre-image keys, merge
+    // the insert/post-image rows — one CoW delete + one merge commit
+    // per sync, each O(window changes)), never re-reading the source.
+    // This is the cross-system sync job at 100 TB: replicas, search
+    // indexes, and feature stores tail the feed at O(delta) where
+    // q125-style reconciliation pays O(both tables). The oracle
+    // restates the CAUGHT-UP replica head over `documents` — the
+    // source's head state — so any event the feed dropped, duplicated,
+    // or misclassified surfaces as a hash break. ORACLE-EXACT.
+    QueryDef(
+      "q215_feed_replica",
+      (s, dir) => {
+        val src = Similarity.freshIndexDir("versioned_feed_src")
+        val rep = Similarity.freshIndexDir("versioned_feed_rep")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), src) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), src) // v1
+        // fork the replica at v1 (zero-copy)
+        TableVersions.cloneShallow(s, src, rep, 1L)
+        // source moves on: both deletion paths + an update
+        TableVersions.commitDelete(s, src, "doc_id % 5 = 0") // v2
+        TableVersions.commitUpdate(
+          s,
+          src,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v3
+        TableVersions.commitDeleteMor(s, src, "doc_id % 7 = 3") // v4
+        // catch-up: apply the (1, 4] feed — O(changes), no source read
+        val feed = TableVersions.changesFeed(s, src, 1L, 4L).localCheckpoint()
+        val gone = feed
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .select("doc_id")
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+        if (gone.nonEmpty)
+          TableVersions.commitDelete(s, rep, s"doc_id IN (${gone.mkString(", ")})")
+        // a key can carry several windowed events (updated at v3,
+        // deleted at v4) — its LAST event decides: within a version a
+        // post-image outranks its pre-image, across versions the later
+        // commit wins, and keys whose last event is a delete stay gone
+        val eventRank = col("_commit_version") * 10 +
+          when(col("_change_type").isin("insert", "update_postimage"), 5).otherwise(1)
+        val upserts = feed
+          .withColumn("__ok", eventRank)
+          .groupBy("doc_id")
+          .agg(expr("max_by(struct(_change_type AS ct, source, lang, n_chars), __ok)").as("r"))
+          .filter(col("r.ct").isin("insert", "update_postimage"))
+          .select(col("doc_id"), col("r.source"), col("r.lang"), col("r.n_chars"))
+        TableVersions.commitMerge(upserts, rep, "doc_id")
+        TableVersions
+          .readVersion(s, rep, TableVersions.currentVersion(s, rep))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang,
+               CAST(CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS BIGINT)
+                 AS n_chars
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // METADATA-ONLY TABLE OPS — COUNT(*) and DESCRIBE HISTORY without
     // touching row data: countAt sums the live files' parquet FOOTER
     // record counts (the reader never opens a row group) and subtracts
