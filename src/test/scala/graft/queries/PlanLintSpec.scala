@@ -42,6 +42,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q157_index_recall_report", // 16-row centroid table + ≤20 anchors (q153 + q40 shapes)
     "q158_hybrid_retrieval", // ≤5 broadcast query vectors in the cosine channel (q40's shape)
     "q162_bigram_lm", // 1-row broadcast vocabulary-size scalar (q38's shape)
+    "q212_filtered_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
+    "q213_filtered_ivf", // ≤10 broadcast query vectors over the probed cells (q40's shape)
     "q169_cdc_index_sync", // 16-row broadcast centroid table (probe, same as q133)
     "q180_quantizer_eval", // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
     "q183_rotated_serving" // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
