@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{InvertedIndex, ShingleIndex, TableVersions}
+import graft.operators.{FeedView, InvertedIndex, ShingleIndex, TableVersions}
 
 /** Multi-version table store queries (operators/TableVersions): time
   * travel (q166) and change-data-capture between versions (q167). The
@@ -748,10 +748,11 @@ object Versioned {
 
     // ------------------------------------------------------------------
     // METADATA-ONLY TABLE OPS — COUNT(*) and DESCRIBE HISTORY without
-    // touching row data: countAt sums the live files' parquet FOOTER
-    // record counts (the reader never opens a row group) and subtracts
-    // the applicable deletion-vector positions, so a 100 TB table
-    // answers its row count from O(live files) footers + DV metadata;
+    // touching row data: every add entry LOGS its file's row count at
+    // commit time, so countAt is one log/checkpoint resolution minus
+    // the applicable deletion-vector positions — O(1 + tail) metadata
+    // at ANY file count, no footer sweep (legacy count-less files
+    // fall back to one footer open each, still no row group IO);
     // history() is one O(commits) aggregation of the log. The oracle
     // restates the counts at three versions — across a merge-on-read
     // delete AND a copy-on-write delete, so both deletion paths'
@@ -1062,6 +1063,54 @@ object Versioned {
           FROM v1 GROUP BY lang)
         SELECT CAST(version AS BIGINT) AS version, lang, n_docs, sum_chars
         FROM u ORDER BY version, lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // FEED-DRIVEN INCREMENTAL AGGREGATE VIEW — the O(delta) rollup
+    // consumer the change feed exists for: a per-lang (count, char
+    // mass) view initialized with ONE source aggregation, then kept
+    // current by folding feed windows as retractable deltas (+1
+    // insert/post-image, −1 delete/pre-image) in single merge commits
+    // that carry the sync cursor INSIDE the same commit (atomic fold:
+    // a restarted consumer can neither double-apply nor skip a
+    // window). q178's IVM diffs two full versions; this view never
+    // re-reads the source at all — each sync costs the window's
+    // CHANGED rows, which at 100 TB is the difference between a
+    // dashboard rollup costing O(delta) and O(table). The history
+    // crosses both deletion paths plus an update (mass moves within
+    // the zh group), and the oracle restates the final per-lang census
+    // over `documents` — any event dropped, double-applied, or
+    // mis-weighted breaks the hash. ORACLE-EXACT; FeedViewSpec pins
+    // view == direct aggregate at EVERY sync point, zero-count
+    // tombstone filtering, cursor atomicity, and no-op syncs.
+    QueryDef(
+      "q216_feed_view",
+      (s, dir) => {
+        val src = Similarity.freshIndexDir("feedview_src")
+        val view = Similarity.freshIndexDir("feedview_state")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), src) // v0
+        FeedView.init(s, src, view, "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), src) // v1
+        TableVersions.commitDelete(s, src, "doc_id % 5 = 0") // v2
+        FeedView.sync(s, src, view, "lang", "n_chars") // folds (0, 2]
+        TableVersions.commitUpdate(
+          s,
+          src,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v3
+        TableVersions.commitDeleteMor(s, src, "doc_id % 7 = 3") // v4
+        FeedView.sync(s, src, view, "lang", "n_chars") // folds (2, 4]
+        FeedView.read(s, view).orderBy("k")
+      },
+      Some("""SELECT lang AS k, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+                 AS sum_val
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+        GROUP BY lang ORDER BY k""")
     )
   )
 
