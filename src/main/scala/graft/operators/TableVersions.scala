@@ -83,6 +83,11 @@ object TableVersions {
       org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+      // per-add file row count, logged at commit time (null on removes,
+      // noop markers, and log files written before counts existed —
+      // readers fall back to a footer open for those): COUNT(*) and
+      // friends answer from the log alone ([[countAt]])
+      org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType)
     )
   )
@@ -96,16 +101,24 @@ object TableVersions {
       version: Long,
       op: String,
       adds: Seq[String],
-      removes: Seq[String]
+      removes: Seq[String],
+      knownCounts: Map[String, Long] = Map.empty
   ): Unit = {
     import s.implicits._
-    val actions = adds.map((op, _, "add")) ++ removes.map((op, _, "remove"))
+    // every add logs its file's ROW COUNT — from `knownCounts` when
+    // the commit already resolved it (metadata-only ops: clone,
+    // restore), else ONE footer open of the just-written file (its
+    // metadata is hot). Readers ([[countAt]]) then answer from the
+    // log alone instead of a footer sweep per live file.
+    val actions =
+      adds.map(f => (op, f, "add", Some(knownCounts.getOrElse(f, footerRecordCount(s, f))))) ++
+        removes.map((op, _, "remove", Option.empty[Long]))
     // a no-op commit still writes one marker row — a version's
     // existence is its log directory, so an empty commit would
     // silently reuse the version number on the next commit
-    val rows = if (actions.nonEmpty) actions else Seq((op, "", "noop"))
+    val rows = if (actions.nonEmpty) actions else Seq((op, "", "noop", Option.empty[Long]))
     rows
-      .toDF("op", "file", "action")
+      .toDF("op", "file", "action", "n_rows")
       .coalesce(1)
       .write
       // errorifexists: belt to the claim's suspenders — the directory
@@ -113,6 +126,17 @@ object TableVersions {
       // claim fails loudly instead of merging
       .mode("errorifexists")
       .parquet(s"${logDir(dir)}/version=$version")
+  }
+
+  /** One parquet FOOTER open — record count without touching a row
+    * group. Paid once per file at commit time ([[appendLog]]) and as
+    * the read-time fallback for files logged before counts existed. */
+  private def footerRecordCount(s: SparkSession, file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), s.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount
+    finally r.close()
   }
 
   /** Atomically claim `version` at the START of a commit — BEFORE any
@@ -213,13 +237,22 @@ object TableVersions {
     require(v >= 0, s"$dir not initialized")
     val target = s"${ckptDir(dir)}/c$v"
     if (checkpoints(s, dir).contains(v)) return v
-    val adds = liveFileAdds(s, dir, v)
+    val meta = liveFileMeta(s, dir, v)
+    val adds = meta.map(t => (t._1, t._2))
     val files = adds.map(_._1)
     // resolve the applicable deletion vectors BEFORE the snapshot
     // exists — resolving after would route through the new checkpoint
     // itself (true add anchors replaced by c) and fold nothing
     val dvFold = dvApplicable(s, dir, v, adds)
-    files.toDF("file").coalesce(1).write.mode("errorifexists").parquet(target)
+    // the snapshot carries the log's row counts forward — a
+    // post-checkpoint [[countAt]] stays footer-free
+    meta
+      .map { case (f, _, n) => (f, n) }
+      .toDF("file", "n_rows")
+      .coalesce(1)
+      .write
+      .mode("errorifexists")
+      .parquet(target)
     // persist the UNION schema beside the file list (one footer pass,
     // paid here once): evolved-table reads then resolve their schema
     // from this file plus the tail-added files' footers — O(1 + tail)
@@ -308,25 +341,45 @@ object TableVersions {
     * DVs that predate the checkpoint are folded into the checkpoint's
     * own `_dvsnap`, so the approximation never loses a delete.
     */
-  private def liveFileAdds(s: SparkSession, dir: String, v: Long): Seq[(String, Long)] = {
+  private def liveFileAdds(s: SparkSession, dir: String, v: Long): Seq[(String, Long)] =
+    liveFileMeta(s, dir, v).map(t => (t._1, t._2))
+
+  /** [[liveFileAdds]] plus each file's LOG-CARRIED row count (None for
+    * files logged/checkpointed before counts existed — the caller's
+    * footer fallback). The count rides the same last-action-wins
+    * resolution as the add version: a restore that re-adds a file
+    * re-logs the count it resolved, so the winning action always
+    * carries it. */
+  private def liveFileMeta(
+      s: SparkSession,
+      dir: String,
+      v: Long
+  ): Seq[(String, Long, Option[Long])] = {
     def lastActionAdds(actions: DataFrame): DataFrame =
       actions
+        // n_rows trails (version, action) in the struct: it can only
+        // decide a tie both leading fields share, which commits never
+        // produce (a version never adds AND removes one file)
         .groupBy("file")
-        .agg(max(struct(col("version"), col("action"))).as("last"))
+        .agg(max(struct(col("version"), col("action"), col("n_rows"))).as("last"))
         .filter(col("last.action") === "add")
-        .select(col("file"), col("last.version").as("version"))
+        .select(col("file"), col("last.version").as("version"), col("last.n_rows").as("n_rows"))
     val base = checkpoints(s, dir).filter(_ <= v).lastOption
     val resolved = base match {
       case Some(c) =>
-        val snap = s.read
-          .parquet(s"${ckptDir(dir)}/c$c")
-          .select(col("file"), lit(c).as("version"), lit("add").as("action"))
-        if (c == v) snap.select("file", "version")
+        val raw = s.read.parquet(s"${ckptDir(dir)}/c$c")
+        // checkpoints written before counts existed lack the column
+        val snapCounts =
+          if (raw.columns.contains("n_rows")) raw.select(col("file"), col("n_rows"))
+          else raw.select(col("file"), lit(null).cast("long").as("n_rows"))
+        val snap = snapCounts
+          .select(col("file"), lit(c).as("version"), lit("add").as("action"), col("n_rows"))
+        if (c == v) snap.select("file", "version", "n_rows")
         else {
           val tail = readLog(s, dir)
             .filter(col("version") > c && col("version") <= v)
             .filter(col("action").isin("add", "remove"))
-            .select("file", "version", "action")
+            .select("file", "version", "action", "n_rows")
           lastActionAdds(snap.unionByName(tail))
         }
       case None =>
@@ -334,10 +387,14 @@ object TableVersions {
           readLog(s, dir)
             .filter(col("version") <= v)
             .filter(col("action").isin("add", "remove"))
-            .select("file", "version", "action")
+            .select("file", "version", "action", "n_rows")
         )
     }
-    resolved.collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    resolved
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
   }
 
   /** The table as of version v (time travel). Below the vacuum
@@ -773,27 +830,26 @@ object TableVersions {
       applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)).filter(pred)
   }
 
-  /** Row count at version v WITHOUT touching row data: parquet footer
-    * record counts of the live files (pure metadata — the reader never
-    * opens a row group) minus the applicable deletion-vector
-    * positions. O(live files) footer reads + the DV metadata scan; a
-    * production log would carry the counts in its add entries and
-    * drop even the footer reads, but footers keep the log schema
-    * frozen and are still metadata-only. The MorSpec/q209 contract:
-    * countAt(v) == readVersion(v).count() at every version.
+  /** Row count at version v WITHOUT touching row data: every add
+    * entry LOGS its file's row count at commit time (checkpoints
+    * carry the counts forward), so the total is one log/checkpoint
+    * resolution — O(1 + tail) metadata at ANY file count — minus the
+    * applicable deletion-vector positions. Files logged before counts
+    * existed fall back to one parquet footer open each (still no row
+    * group IO). The MorSpec/q209 contract: countAt(v) ==
+    * readVersion(v).count() at every version.
     */
   def countAt(s: SparkSession, dir: String, v: Long): Long = {
-    val adds = liveFileAdds(s, dir, v)
-    require(adds.nonEmpty, s"version $v of $dir has no live files")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fromFooters = adds.map { case (f, _) =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount
-      finally r.close()
-    }.sum
-    val deleted = dvApplicable(s, dir, v, adds).map(_.count()).getOrElse(0L)
-    fromFooters - deleted
+    val meta = liveFileMeta(s, dir, v)
+    require(meta.nonEmpty, s"version $v of $dir has no live files")
+    // counts come from the LOG (every add logged its file's rows at
+    // commit time, checkpoints carry them forward) — pure metadata,
+    // no data-file open at any file count; only files logged before
+    // counts existed pay the footer fallback
+    val total = meta.map { case (f, _, n) => n.getOrElse(footerRecordCount(s, f)) }.sum
+    val deleted =
+      dvApplicable(s, dir, v, meta.map(t => (t._1, t._2))).map(_.count()).getOrElse(0L)
+    total - deleted
   }
 
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_add,
@@ -1590,10 +1646,21 @@ object TableVersions {
       v >= horizon,
       s"version $v of $srcDir was vacuumed (retention horizon is $horizon) — cannot clone"
     )
-    val files = liveFiles(s, srcDir, v)
+    val meta = liveFileMeta(s, srcDir, v)
+    val files = meta.map(_._1)
     require(files.nonEmpty, s"version $v of $srcDir has no live files")
     claimVersion(s, dstDir, 0L)
-    appendLog(s, dstDir, 0L, "clone", files, Nil)
+    // row counts ride over from the source log — the clone stays
+    // metadata-only (no footer opens) for count-carrying sources
+    appendLog(
+      s,
+      dstDir,
+      0L,
+      "clone",
+      files,
+      Nil,
+      knownCounts = meta.collect { case (f, _, Some(n)) => f -> n }.toMap
+    )
     0L
   }
 
@@ -1622,15 +1689,19 @@ object TableVersions {
     )
     val v = cur + 1
     claimVersion(s, dir, v)
-    val target = liveFiles(s, dir, to).toSet
+    val targetMeta = liveFileMeta(s, dir, to)
+    val target = targetMeta.map(_._1).toSet
     val head = liveFiles(s, dir, cur).toSet
+    // re-added files re-log the counts resolved at the target version
+    // — the restore stays metadata-only (no footer opens)
     appendLog(
       s,
       dir,
       v,
       "restore",
       (target -- head).toSeq.sorted,
-      (head -- target).toSeq.sorted
+      (head -- target).toSeq.sorted,
+      knownCounts = targetMeta.collect { case (f, _, Some(n)) => f -> n }.toMap
     )
     v
   }

@@ -142,6 +142,58 @@ class MorSpec extends AnyFunSuite with SparkSpec {
     assert(TableVersions.countAt(spark, dir, 2L) == 56)
   }
 
+  test("countAt answers from the log alone — correct with every data file gone") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir) // v0
+    TableVersions.commitDeleteMor(spark, dir, "id % 5 = 0") // v1
+    TableVersions.commitDelete(spark, dir, "id >= 70") // v2
+    TableVersions.checkpoint(spark, dir)
+    val s2 = spark
+    import s2.implicits._
+    TableVersions.commitAppend(
+      (200L until 210L).map(i => (i, s"doc$i", "late")).toDF("id", "body", "par"),
+      dir
+    ) // v3 — post-checkpoint tail
+    val expected = (0L to 3L).map(v => TableVersions.readVersion(spark, dir, v).count())
+    // hide ALL data files: the log carries every add's row count, so
+    // the metadata count must not notice (no footer fallback fires)
+    val data = new java.io.File(s"$dir/data")
+    val hidden = new java.io.File(s"$dir/data_hidden")
+    assert(data.renameTo(hidden), "test setup: rename failed")
+    try (0L to 3L).foreach { v =>
+      assert(
+        TableVersions.countAt(spark, dir, v) == expected(v.toInt),
+        s"countAt touched data files at v$v"
+      )
+    } finally assert(hidden.renameTo(data), "test teardown: rename-back failed")
+  }
+
+  test("countAt falls back to footers for logs written before counts existed") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = graft.queries.Similarity.freshIndexDir("mor_legacy")
+    // hand-write a LEGACY v0: batch files plus a count-less log entry
+    fixture().repartition(2).write.parquet(s"$dir/data/b0")
+    val files = new java.io.File(s"$dir/data/b0")
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => "file:" + f.getAbsolutePath)
+      .toSeq
+    files
+      .map(f => ("init", f, "add"))
+      .toDF("op", "file", "action")
+      .coalesce(1)
+      .write
+      .parquet(s"$dir/_log/version=0")
+    assert(TableVersions.countAt(spark, dir, 0L) == 80L)
+    // a NEW commit on the legacy table logs counts for its own adds
+    TableVersions.commitAppend(
+      (300L until 310L).map(i => (i, s"doc$i", "new")).toDF("id", "body", "par"),
+      dir
+    )
+    assert(TableVersions.countAt(spark, dir, 1L) == 90L)
+  }
+
   test("stats- and bloom-pruned reads apply the vectors") {
     val dir = freshDir()
     TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
