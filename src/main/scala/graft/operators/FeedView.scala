@@ -77,7 +77,10 @@ object FeedView {
       groupCol: String,
       sumCol: String
   ): Long = {
-    val head = TableVersions.currentVersion(s, srcDir)
+    // safeHead, not currentVersion: under concurrent appends the head
+    // can run ahead of an in-flight lower-versioned commit — syncing
+    // past it would miss its changes forever once it lands
+    val head = TableVersions.safeHead(s, srcDir)
     val cur = cursor(s, viewDir)
     if (head <= cur) return cur
     val feed = TableVersions.changesFeed(s, srcDir, cur, head)

@@ -158,18 +158,29 @@ object TableVersions {
     val claim = new Path(s"${logDir(dir)}/_claims/v$version")
     val fs = fsOf(s, dir)
     fs.mkdirs(claim.getParent)
-    val out =
-      try fs.create(claim, /* overwrite = */ false)
-      catch {
-        case _: java.io.IOException =>
-          throw new ConcurrentCommitException(
-            s"version $version of $dir is already claimed — a concurrent writer " +
-              "committed it (retry recomputes the next version), or a crashed " +
-              "commit stranded the claim (releaseStaleClaim removes it iff the " +
-              "log directory never materialized)"
-          )
-      }
-    out.close()
+    // the create MUST be atomic-exclusive. Hadoop's create(overwrite =
+    // false) is atomic on HDFS (namenode arbitration) and maps to a
+    // conditional put on object stores, but on the LOCAL filesystem it
+    // is check-then-act (exists() + FileOutputStream) — racing threads
+    // can both pass the check. Local claims therefore go through
+    // O_CREAT|O_EXCL (Files.createFile), the kernel's own arbiter.
+    val won = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case remote =>
+        try { remote.create(claim, /* overwrite = */ false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"version $version of $dir is already claimed — a concurrent writer " +
+          "committed it (retry recomputes the next version), or a crashed " +
+          "commit stranded the claim (releaseStaleClaim removes it iff the " +
+          "log directory never materialized)"
+      )
   }
 
   /** Remove the claim for `version` ONLY when its log directory never
@@ -463,6 +474,89 @@ object TableVersions {
     df.write.mode("errorifexists").parquet(batch)
     appendLog(s, dir, v, if (v == 0) "init" else "append", listParquet(s, batch), Nil)
     v
+  }
+
+  /** OPTIMISTIC-CONCURRENCY append: like [[commitAppend]], but a lost
+    * version race retries at the next free version instead of
+    * surfacing [[ConcurrentCommitException]]. Safe to auto-retry
+    * precisely because a blind append COMMUTES with every concurrent
+    * commit — it reads no snapshot and writes only fresh files, so
+    * landing at a later version changes nothing it wrote. (Rewriting
+    * commits — delete/update/merge/optimize — must NOT blind-retry:
+    * their file sets were resolved against a snapshot a rival may
+    * have invalidated; they keep the fail-safe contract and the
+    * caller re-executes from the new head.) The retry loop is
+    * claim-only — the loser of each round has written NO data — and
+    * each round's candidate version moves past both the observed head
+    * and every version it already lost, so a stranded claim (crashed
+    * rival) cannot livelock it. With N appenders racing, each commit
+    * costs at most N-1 extra empty-file creates — the textbook
+    * conditional-put OCC loop, no locks held anywhere.
+    */
+  def commitAppendRetry(df: DataFrame, dir: String, maxAttempts: Int = 64): Long = {
+    val s = df.sparkSession
+    var candidate = currentVersion(s, dir) + 1
+    var attempt = 1
+    while (true) {
+      try {
+        claimVersion(s, dir, candidate)
+        val batch = s"$dir/data/b$candidate"
+        df.write.mode("errorifexists").parquet(batch)
+        appendLog(
+          s,
+          dir,
+          candidate,
+          if (candidate == 0) "init" else "append",
+          listParquet(s, batch),
+          Nil
+        )
+        return candidate
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts)
+            throw new ConcurrentCommitException(
+              s"append to $dir lost $maxAttempts version races — giving up (${e.getMessage})"
+            )
+          attempt += 1
+          // past the head AND past every claim this loop already lost —
+          // stranded claims are stepped over, not spun on
+          candidate = math.max(currentVersion(s, dir) + 1, candidate + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Claimed version numbers (committed or in flight) — the claim
+    * files under `_log/_claims`. */
+  private def claimedVersions(s: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(s"${logDir(dir)}/_claims")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+  }
+
+  /** Highest version V such that EVERY claim at or below V has
+    * committed — the monotone high-watermark a feed consumer should
+    * sync to. Under concurrent appends, [[currentVersion]] can run
+    * ahead of an in-flight commit that claimed a lower version; a
+    * consumer that synced past it would miss that commit's changes
+    * forever once it lands. Reading to safeHead instead makes every
+    * sync window complete-by-construction: versions only enter it
+    * once nothing below them is pending. A crashed commit's stranded
+    * claim HOLDS the watermark (indistinguishable from in-flight —
+    * exactly the conservative behavior wanted) until
+    * [[releaseStaleClaim]] clears it.
+    */
+  def safeHead(s: SparkSession, dir: String): Long = {
+    val cur = currentVersion(s, dir)
+    if (cur < 0) return cur
+    val committed = listNumbered(s, logDir(dir), "version=").toSet
+    val pending = claimedVersions(s, dir).filter(v => v <= cur && !committed(v))
+    if (pending.isEmpty) cur else pending.min - 1
   }
 
   /** Copy-on-write delete: only files that CONTAIN matching rows are
@@ -1758,15 +1852,30 @@ object TableVersions {
     val fs = fsOf(s, dir)
     val logicalNoOps = Set("optimize", "zorder", "mor_compact")
     val cdfOps = Set("delete", "update", "merge", "mor_delete")
+    val claimed = claimedVersions(s, dir).toSet
     val frames: Seq[DataFrame] = (vOld + 1 to vNew).toSeq.flatMap { w =>
-      ops(w) match {
-        case "restore" =>
+      ops.get(w) match {
+        case None if claimed(w) =>
+          // claimed but uncommitted BELOW the window head: an in-flight
+          // (or crashed) rival whose changes would be silently skipped
+          // — the exact anomaly [[safeHead]] exists to fence off
+          throw new ConcurrentCommitException(
+            s"changesFeed($vOld, $vNew) crosses version $w, which is claimed but not " +
+              "committed — read to safeHead() (in-flight commit), or releaseStaleClaim " +
+              "(crashed commit) first"
+          )
+        case None =>
+          // unclaimed hole: a crashed commit whose claim was released —
+          // releaseStaleClaim proved it never wrote log, data, or CDF,
+          // so it contributes no changes by construction
+          None
+        case Some("restore") =>
           throw new IllegalArgumentException(
             s"changesFeed($vOld, $vNew) crosses the restore at version $w — " +
               "a metadata-only rollback has no O(changes) event form; use changes()"
           )
-        case op if logicalNoOps(op) => None
-        case op if cdfOps(op) =>
+        case Some(op) if logicalNoOps(op) => None
+        case Some(op) if cdfOps(op) =>
           val p = new Path(s"${cdfDir(dir)}/v$w")
           if (!fs.exists(p)) None // no-op commit (nothing matched)
           else
@@ -1775,7 +1884,7 @@ object TableVersions {
                 .parquet(p.toString)
                 .withColumn("_commit_version", lit(w))
             )
-        case "init" | "append" | "clone" =>
+        case Some("init") | Some("append") | Some("clone") =>
           val added = readLog(s, dir)
             .filter(col("version") === w && col("action") === "add")
             .select("file")
@@ -1791,7 +1900,7 @@ object TableVersions {
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(w))
             )
-        case other =>
+        case Some(other) =>
           throw new IllegalStateException(s"changesFeed: unknown commit op '$other' at v$w")
       }
     }

@@ -1111,6 +1111,51 @@ object Versioned {
         FROM documents
         WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
         GROUP BY lang ORDER BY k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // OPTIMISTIC CONCURRENT APPENDS — the multi-writer ingest shape: N
+    // independent jobs appending to ONE table, serialized only by the
+    // version-claim conditional-put, each lost race retried at the
+    // next free version (safe to blind-retry precisely because an
+    // append reads no snapshot and writes only fresh files — it
+    // commutes with every concurrent commit; rewriting commits keep
+    // the fail-safe contract). The query races two REAL driver
+    // threads appending disjoint halves: both must land, at distinct
+    // versions, with no row lost, duplicated, or merged into a
+    // corrupted log — the oracle restates the union, so any dropped
+    // or double-committed half breaks the hash. Which thread wins
+    // which version is nondeterministic; the CONTENT is not.
+    // ORACLE-EXACT; TableVersionsSpec pins the protocol edges (claim
+    // stepped over, safeHead watermark, feed hole semantics,
+    // 4-appender race).
+    QueryDef(
+      "q217_occ_append",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("occ_store")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir) // v0
+        val halves =
+          Seq(docs.filter(col("doc_id") % 3 === 1), docs.filter(col("doc_id") % 3 === 2))
+            .map(_.localCheckpoint()) // materialize before the race — the
+        // racing threads then run pure writes, not competing lineages
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = halves.map { h =>
+          new Thread(() =>
+            try TableVersions.commitAppendRetry(h, tdir): Unit
+            catch { case t: Throwable => failures.add(t): Unit }
+          )
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        if (!failures.isEmpty) throw failures.peek()
+        val head = TableVersions.safeHead(s, tdir)
+        require(head == 2L, s"expected both racing appends to land (head 2), got $head")
+        TableVersions.readVersion(s, tdir, head).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")
     )
   )
 

@@ -521,6 +521,70 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(TableVersions.readVersion(spark, dir, 2L).count() == 82)
   }
 
+  test("OCC appends step over stranded claims; safeHead and the feed fence the hole") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir) // v0
+    // a rival claims v1 and "crashes" before committing
+    TableVersions.claimVersion(spark, dir, 1L)
+    // the blind append auto-retries past the stranded claim to v2
+    val landed = TableVersions.commitAppendRetry(
+      Seq((2000L, "occ", "even")).toDF("id", "body", "par"),
+      dir
+    )
+    assert(landed == 2L)
+    assert(TableVersions.currentVersion(spark, dir) == 2L)
+    // the watermark holds at 0: v1 is claimed but uncommitted below the head
+    assert(TableVersions.safeHead(spark, dir) == 0L)
+    // a feed window crossing the pending version fails loudly
+    val ex = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.changesFeed(spark, dir, 0L, 2L).collect()
+    }
+    assert(ex.getMessage.contains("version 1"))
+    // releasing the crashed claim unblocks both: the hole is provably
+    // change-free and the feed skips it
+    TableVersions.releaseStaleClaim(spark, dir, 1L)
+    assert(TableVersions.safeHead(spark, dir) == 2L)
+    val events = TableVersions.changesFeed(spark, dir, 0L, 2L).collect()
+    assert(events.length == 1 && events.head.getAs[Long]("id") == 2000L)
+    // reads and metadata counts never noticed the hole
+    assert(TableVersions.readVersion(spark, dir, 2L).count() == 81)
+    assert(TableVersions.countAt(spark, dir, 2L) == 81)
+  }
+
+  test("four racing appenders all land exactly once") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture(), dir) // v0
+    val batches = (0 until 4).map { b =>
+      (1000L + b * 100 until 1000L + b * 100 + 10)
+        .map(i => (i, s"w$b", "occ"))
+        .toDF("id", "body", "par")
+        .localCheckpoint()
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = batches.map { b =>
+      new Thread(() =>
+        try versions.add(TableVersions.commitAppendRetry(b, dir)): Unit
+        catch { case t: Throwable => failures.add(t): Unit }
+      )
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"racing append failed: ${Option(failures.peek()).map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSet == Set(1L, 2L, 3L, 4L), s"versions: ${versions.asScala}")
+    assert(TableVersions.safeHead(spark, dir) == 4L)
+    val head = TableVersions.readVersion(spark, dir, 4L)
+    assert(head.count() == 120)
+    assert(head.filter(col("par") === "occ").count() == 40) // no batch lost or doubled
+    val hist = TableVersions.history(spark, dir).collect()
+    assert(hist.count(_.getString(1) == "append") == 4)
+  }
+
   test("evolved reads resolve their schema from the checkpoint, not per-file footers") {
     val s = spark
     import s.implicits._
