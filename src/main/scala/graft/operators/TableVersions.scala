@@ -924,6 +924,89 @@ object TableVersions {
       applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)).filter(pred)
   }
 
+  // ------------------------------------------------------------------
+  // Hash-BUCKETED batches: the high-cardinality complement to hive
+  // partitioning. Partitioning by a key like doc_id would create one
+  // directory per VALUE; bucketing folds the key space into N
+  // directories by hash — `__bucket=<b>of<n>/` — and an equality read
+  // then prunes to ONE bucket per bucketed commit at the LOG level
+  // (driver-side path filter, exact, no index probe, no data IO),
+  // the same way Delta/Hive bucket pruning serves point lookups. The
+  // bucket column is DERIVED (pmod(hash(key), n)), so unlike the
+  // `__p_` layout nothing is duplicated into the data — Spark's
+  // partitionBy strips it, and explicit-file-list reads never
+  // resurrect it. Each commit records its own n IN the directory name
+  // (`3of8`), so commits with different bucket counts coexist and a
+  // probe resolves each file against its own commit's modulus;
+  // unbucketed commits carry no `__bucket=` segment and are always
+  // read — the absence-safe rule every layout device here follows.
+  // Copy-on-write rewrites re-land survivors in flat batches, which
+  // stays correct for the same reason (and OPTIMIZE-recluster is the
+  // layout-restoring maintenance op, as with z-order).
+  // ------------------------------------------------------------------
+
+  private val BucketSeg = ".*/__bucket=(\\d+)of(\\d+)/.*".r
+
+  /** Commit a batch hash-bucketed on `key` into `nBuckets` directory
+    * buckets. The hash is Spark's own `hash()` (Murmur3) over the
+    * column's NATIVE type — probes must pass a literal of the same
+    * type ([[readVersionByBucket]]). */
+  def commitAppendBucketed(df: DataFrame, dir: String, key: String, nBuckets: Int): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val s = df.sparkSession
+    val v = currentVersion(s, dir) + 1
+    claimVersion(s, dir, v)
+    val batch = s"$dir/data/b$v"
+    df.withColumn(
+      "__bucket",
+      concat(pmod(hash(col(key)), lit(nBuckets)).cast("string"), lit(s"of$nBuckets"))
+    )
+      // one shuffle task per bucket → one file per bucket directory
+      .repartition(nBuckets, col("__bucket"))
+      .write
+      .partitionBy("__bucket")
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, if (v == 0) "init" else "append", listParquetRec(s, batch), Nil)
+    v
+  }
+
+  /** Equality read `key = value` pruned to the matching bucket of
+    * every bucketed commit (plus all unbucketed files — absence-safe).
+    * `value` must carry the key column's exact type: the probe hashes
+    * the literal the way the commit hashed the column, and
+    * `hash(42L) != hash(42)` != `hash("42")`. Deletion vectors apply
+    * inside, like every read path.
+    */
+  def readVersionByBucket(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      key: String,
+      value: Any
+  ): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
+    val adds = liveFileAdds(s, dir, v)
+    require(adds.nonEmpty, s"version $v of $dir has no live files")
+    // one 1-row local evaluation gives the engine's OWN hash of the
+    // probe value — no reimplementation of Murmur3 to drift out of sync
+    val h = s.range(1).select(hash(lit(value))).head().getInt(0)
+    val candidates = adds.filter { case (f, _) =>
+      f match {
+        case BucketSeg(b, n) =>
+          val m = n.toInt
+          ((h % m) + m) % m == b.toInt
+        case _ => true // unbucketed commit: always read
+      }
+    }
+    val pred = col(key) === lit(value)
+    if (candidates.isEmpty)
+      s.read.parquet(adds.head._1).filter(pred).filter(lit(false))
+    else
+      applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)).filter(pred)
+  }
+
   /** Row count at version v WITHOUT touching row data: every add
     * entry LOGS its file's row count at commit time (checkpoints
     * carry the counts forward), so the total is one log/checkpoint

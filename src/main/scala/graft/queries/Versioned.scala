@@ -1156,6 +1156,50 @@ object Versioned {
       },
       Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // HASH-BUCKETED POINT READS — the high-cardinality complement to
+    // q211's hive partitioning: commits lay their files out in
+    // `__bucket=<b>of<n>/` directories by pmod(hash(key), n), and an
+    // equality read prunes to ONE bucket per bucketed commit at the
+    // LOG level — a driver-side path filter, exact, no index probe,
+    // no data IO — where the bloom index (q196) pays a probabilistic
+    // bit-table probe and stats (q188) can't help a uniformly
+    // distributed key at all. Commits with DIFFERENT bucket counts
+    // coexist (each directory name carries its own modulus) and
+    // unbucketed commits are always read — the absence-safe rule of
+    // every layout device here. The oracle restates six point reads
+    // spanning all three commits plus a full-table census (any row a
+    // bucket filter would wrongly hide breaks the count). ORACLE-
+    // EXACT; BucketStoreSpec pins the physical side (scheduled file
+    // count, DV composition, CoW absence-safety).
+    QueryDef(
+      "q218_bucket_pruned_read",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("bucket_store")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppendBucketed(docs.filter(col("doc_id") % 3 === 0), tdir, "doc_id", 8) // v0
+        TableVersions.commitAppendBucketed(docs.filter(col("doc_id") % 3 === 1), tdir, "doc_id", 4) // v1
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), tdir) // v2 unbucketed
+        val ids = Seq(0L, 7L, 11L, 23L, 36L, 50L)
+        val points = ids
+          .map(id => TableVersions.readVersionByBucket(s, tdir, 2L, "doc_id", id))
+          .reduce(_ unionByName _)
+          .select(lit("point").as("kind"), col("doc_id").as("k"), col("n_chars").cast("long").as("v"))
+        val census = TableVersions
+          .readVersion(s, tdir, 2L)
+          .agg(count(lit(1)).as("v"))
+          .select(lit("census").as("kind"), lit(-1L).as("k"), col("v"))
+        points.unionByName(census).orderBy("kind", "k")
+      },
+      Some("""SELECT kind, k, v FROM (
+          SELECT 'point' AS kind, doc_id AS k, CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE doc_id IN (0, 7, 11, 23, 36, 50)
+          UNION ALL
+          SELECT 'census', -1, count(*) FROM documents)
+        ORDER BY kind, k""")
     )
   )
 
