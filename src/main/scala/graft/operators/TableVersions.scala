@@ -1791,6 +1791,22 @@ object TableVersions {
           s"vacuum: failed to swap $staged into place — staged DV rewrite preserved"
         )
     }
+    // feed retention: CDF segments at or below the new horizon can no
+    // longer anchor any legal feed window ([[changesFeed]] requires
+    // vOld >= horizon, so every readable window reads segments
+    // STRICTLY ABOVE keepFrom) — delete them, or the change feed
+    // grows without bound while the table it describes stays pruned
+    val cdfRoot = new Path(cdfDir(dir))
+    if (fs.exists(cdfRoot)) {
+      fs.listStatus(cdfRoot)
+        .toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= keepFrom
+        }
+        .foreach(p => require(fs.delete(p, true), s"vacuum failed to delete feed segment $p"))
+    }
     val marker = new Path(s"$dir/_vacuum")
     val out = fs.create(marker, true)
     out.write(keepFrom.toString.getBytes("UTF-8"))
@@ -1925,6 +1941,16 @@ object TableVersions {
   def changesFeed(s: SparkSession, dir: String, vOld: Long, vNew: Long): DataFrame = {
     require(vOld >= 0 && vOld < vNew, s"need 0 <= vOld < vNew, got ($vOld, $vNew)")
     require(vNew <= currentVersion(s, dir), s"version $vNew of $dir does not exist")
+    // below the retention horizon the feed segments were vacuumed —
+    // fail loudly, NOT silently: a missing segment is otherwise
+    // indistinguishable from a no-op commit, and a consumer would
+    // skip changes it never saw
+    val horizon = retentionHorizon(s, dir)
+    require(
+      vOld >= horizon,
+      s"changesFeed($vOld, $vNew): versions at or below the retention horizon $horizon " +
+        "were vacuumed (their feed segments are gone) — re-baseline the consumer"
+    )
     val ops: Map[Long, String] = readLog(s, dir)
       .filter(col("version") > vOld && col("version") <= vNew)
       .select("version", "op")

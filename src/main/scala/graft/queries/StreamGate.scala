@@ -1037,6 +1037,47 @@ object StreamGate {
       },
       Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 19 <> 5 ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1/E11 (streaming feed-view maintenance): the live rollup
+    // loop q216 runs in batch — each micro-batch lands as one append
+    // COMMIT and the feed view syncs to the new safe head in the same
+    // tick, so the per-lang aggregate is never more than one batch
+    // behind the table and each sync costs the BATCH's rows (the view
+    // never re-reads the source). After the drain a takedown delete
+    // lands and the final sync RETRACTS it from the rollup — the
+    // correction path a watermark-windowed streaming agg can't
+    // express (arbitrarily old rows leave the aggregate exactly).
+    // Append order never affects a census, so the drained view is
+    // split-invariant; ORACLE-EXACT (per-lang count + char mass over
+    // base ∪ streamed minus the takedown). StreamFeedViewSpec pins a
+    // forced 3-batch replay equal, one sync commit per batch, and
+    // view == direct aggregate mid-drain.
+    QueryDef(
+      "q219_stream_feed_view",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runFeedViewStream(
+          gs,
+          Similarity.freshIndexDir("feedview_stream_src"),
+          Similarity.freshIndexDir("feedview_stream_view"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id", "lang", "n_chars"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 === 1)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""SELECT lang AS k, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM documents
+        WHERE doc_id % 3 IN (0, 1) AND doc_id % 11 <> 4
+        GROUP BY lang ORDER BY k""")
     )
   )
 
@@ -1169,6 +1210,39 @@ object StreamGate {
       .readVersion(gs, tdir, head)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Commit-per-batch ingest with a feed-view sync in the same tick
+    * (q219), then one post-drain takedown delete + final sync. The
+    * view state is groups-scaled, each sync is batch-scaled —
+    * [[graft.operators.FeedView]]'s contract, exercised live. */
+  private[graft] def runFeedViewStream(
+      gs: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base, srcDir)
+    graft.operators.FeedView.init(gs, srcDir, viewDir, "lang", "n_chars")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TableVersions.commitAppend(batch.toDF(), srcDir): Unit
+          graft.operators.FeedView.sync(gs, srcDir, viewDir, "lang", "n_chars"): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("feedview_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // a takedown lands after the drain — the view must RETRACT it
+    graft.operators.TableVersions.commitDelete(gs, srcDir, "doc_id % 11 = 4")
+    graft.operators.FeedView.sync(gs, srcDir, viewDir, "lang", "n_chars")
+    graft.operators.FeedView.read(gs, viewDir).orderBy("k")
   }
 
   /** Drive the q202 erasure workflow with a LIVE forget stream — the

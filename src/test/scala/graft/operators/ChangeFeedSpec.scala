@@ -93,4 +93,29 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     // windows strictly before the restore still work
     assert(TableVersions.changesFeed(spark, dir, 0L, 6L).count() > 0)
   }
+
+  test("vacuum prunes feed segments below the horizon; stale windows fail loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val base = (0L until 60L).map(i => (i, s"doc$i", "p")).toDF("id", "body", "par")
+    TableVersions.commitAppend(base.repartitionByRange(3, col("id")), dir) // v0
+    TableVersions.commitDelete(spark, dir, "id % 10 = 3") // v1 (writes _cdf/v1)
+    TableVersions.commitUpdate(spark, dir, "id < 5", _.withColumn("body", lit("u"))) // v2
+    TableVersions.commitDelete(spark, dir, "id % 10 = 7") // v3
+    val cdf = new java.io.File(s"$dir/_cdf")
+    assert(cdf.list().toSet == Set("v1", "v2", "v3"))
+    TableVersions.vacuum(spark, dir, 2L)
+    // segments at or below the horizon are gone; newer ones retained
+    assert(cdf.list().toSet == Set("v3"))
+    // a window anchored below the horizon fails loudly — a missing
+    // segment must never read as a no-op commit
+    val ex = intercept[IllegalArgumentException] {
+      TableVersions.changesFeed(spark, dir, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("horizon"))
+    // windows anchored at the horizon still serve
+    val events = TableVersions.changesFeed(spark, dir, 2L, 3L).collect()
+    assert(events.length == 6 && events.forall(_.getAs[String]("_change_type") == "delete"))
+  }
 }
