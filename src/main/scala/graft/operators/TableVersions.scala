@@ -978,6 +978,51 @@ object TableVersions {
     * `hash(42L) != hash(42)` != `hash("42")`. Deletion vectors apply
     * inside, like every read path.
     */
+  /** OPTIMIZE for the bucketed layout: rewrite every live file that
+    * does NOT conform to `__bucket=<b>of<nBuckets>` directories — flat
+    * batches from copy-on-write rewrites, commits bucketed under a
+    * different modulus — into one bucketed commit. A LOGICAL NO-OP
+    * (op `optimize`: reads byte-equivalent, CDC empty, feed skips it)
+    * that restores exact one-bucket point-read pruning after churn,
+    * the same maintenance role [[optimizeZorder]] plays for range
+    * clustering. Deletion vectors are applied at the rewrite (a
+    * merge-on-read-deleted row must not re-land in a fresh file whose
+    * add anchor outranks its vector); conforming files are untouched,
+    * so the pass costs O(non-conforming data). Returns `prev` when
+    * the layout already conforms.
+    */
+  def optimizeBucketed(s: SparkSession, dir: String, key: String, nBuckets: Int): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val adds = liveFileAdds(s, dir, prev)
+    val nonConforming = adds
+      .map(_._1)
+      .filterNot {
+        case BucketSeg(_, n) => n.toInt == nBuckets
+        case _               => false
+      }
+      .sorted
+    if (nonConforming.isEmpty) return prev
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val doomed = nonConforming.toSet
+    val batch = s"$dir/data/b$v"
+    applyDv(s, dir, prev, adds.filter(a => doomed(a._1)), readMerged(s, nonConforming))
+      .withColumn(
+        "__bucket",
+        concat(pmod(hash(col(key)), lit(nBuckets)).cast("string"), lit(s"of$nBuckets"))
+      )
+      .repartition(nBuckets, col("__bucket"))
+      .write
+      .partitionBy("__bucket")
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, "optimize", listParquetRec(s, batch), nonConforming)
+    compactSkipping(s, dir)
+    v
+  }
+
   def readVersionByBucket(
       s: SparkSession,
       dir: String,

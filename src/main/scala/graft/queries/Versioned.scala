@@ -1200,6 +1200,62 @@ object Versioned {
           UNION ALL
           SELECT 'census', -1, count(*) FROM documents)
         ORDER BY kind, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BUCKET RECLUSTERING — the maintenance op that keeps q218's
+    // pruning honest under churn: copy-on-write rewrites re-land
+    // survivors in FLAT batches (absence-safe, so always read — every
+    // flat file erodes the point-read bound), and optimizeBucketed
+    // folds all non-conforming live files back into `__bucket=` dirs
+    // as one LOGICAL NO-OP commit (reads byte-equivalent, CDC empty,
+    // feed skips it) with deletion vectors applied at the rewrite.
+    // The same role OPTIMIZE ZORDER plays for range clustering, here
+    // for hash point lookups. The history deliberately churns through
+    // a flat append, a copy-on-write update, and a MOR delete before
+    // reclustering; the oracle restates point reads + census over the
+    // final state, so a row resurrected (DV dropped), lost, or
+    // double-landed by the recluster breaks the hash. ORACLE-EXACT;
+    // BucketStoreSpec pins the physical side (post-recluster reads
+    // schedule ZERO flat files, CDC across the pass empty).
+    QueryDef(
+      "q220_bucket_recluster",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("bucket_recluster")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppendBucketed(docs.filter(col("doc_id") % 3 === 0), tdir, "doc_id", 8) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), tdir) // v1 flat
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v2 — CoW re-lands hit files flat
+        TableVersions.commitDeleteMor(s, tdir, "doc_id % 7 = 3") // v3
+        val v4 = TableVersions.optimizeBucketed(s, tdir, "doc_id", 8)
+        val ids = Seq(0L, 4L, 9L, 10L, 16L, 22L)
+        val points = ids
+          .map(id => TableVersions.readVersionByBucket(s, tdir, v4, "doc_id", id))
+          .reduce(_ unionByName _)
+          .select(lit("point").as("kind"), col("doc_id").as("k"), col("n_chars").cast("long").as("v"))
+        val census = TableVersions
+          .readVersion(s, tdir, v4)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("mass"))
+          .select(lit("census").as("kind"), col("n").as("k"), col("mass").as("v"))
+        points.unionByName(census).orderBy("kind", "k")
+      },
+      Some("""WITH live AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 3)
+        SELECT kind, k, v FROM (
+          SELECT 'point' AS kind, doc_id AS k, CAST(n_chars AS BIGINT) AS v
+          FROM live WHERE doc_id IN (0, 4, 9, 10, 16, 22)
+          UNION ALL
+          SELECT 'census', count(*), CAST(sum(n_chars) AS BIGINT) FROM live)
+        ORDER BY kind, k""")
     )
   )
 

@@ -74,4 +74,34 @@ class BucketStoreSpec extends AnyFunSuite with SparkSpec {
     // and the DV'd row stays hidden through the rewrite
     assert(TableVersions.readVersionByBucket(spark, dir, 2L, "id", 42L).count() == 0)
   }
+
+  test("recluster folds flat churn back into buckets as a logical no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    TableVersions.commitAppendBucketed(fixture().filter(col("id") < 120), dir, "id", 8) // v0
+    TableVersions.commitAppend(fixture().filter(col("id") >= 120), dir) // v1 flat
+    TableVersions.commitUpdate(spark, dir, "id % 4 = 1", _.withColumn("body", lit("u"))) // v2
+    TableVersions.commitDeleteMor(spark, dir, "id % 9 = 2") // v3
+    val before = TableVersions.readVersion(spark, dir, 3L).collect().sortBy(_.getLong(0)).toSeq
+    val v4 = TableVersions.optimizeBucketed(spark, dir, "id", 8)
+    assert(v4 == 4L)
+    // byte-equivalent reads, empty CDC — a logical no-op commit
+    val after = TableVersions.readVersion(spark, dir, v4).collect().sortBy(_.getLong(0)).toSeq
+    assert(after == before)
+    assert(TableVersions.changes(spark, dir, "id", 3L, v4).isEmpty)
+    // every live file now conforms — point reads schedule ZERO flat files
+    (0L until 200L by 11L).filter(_ % 9 != 2).foreach { id =>
+      val got = TableVersions.readVersionByBucket(spark, dir, v4, "id", id)
+      assert(got.count() == 1, s"id $id lost by recluster")
+      // data files only — `_dv` metadata scans legitimately appear in
+      // the plan for untouched v0 files whose vectors still apply
+      val dataFiles = got.inputFiles.filterNot(_.contains("/_dv/"))
+      assert(dataFiles.forall(_.contains("__bucket=")), s"id $id still reads flat files")
+    }
+    // the DV'd rows were applied at the rewrite, not resurrected
+    assert(TableVersions.readVersion(spark, dir, v4).filter(col("id") % 9 === 2).count() == 0)
+    // reclustering a conforming layout is a recorded no-op (prev returned)
+    assert(TableVersions.optimizeBucketed(spark, dir, "id", 8) == v4)
+  }
 }
