@@ -1141,6 +1141,100 @@ object Similarity {
         )
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (BINARY-quantized ANN): 1-bit sign quantization — each
+    // 64-dim vector becomes ONE bigint signature (bit i = v[i] > 0) —
+    // with Hamming distance served by two native codegen'd integer ops
+    // (bit_count(sig ^ q_sig)), then an exact-cosine rerank of the
+    // top-C Hamming candidates. The most aggressive point on the
+    // engine's quantization spectrum (float32 → int8 q147 → PQ q152 →
+    // 1-bit here): 256× smaller than the float corpus, the candidate
+    // scan is pure ALU on packed longs (no arrays touched until the
+    // C-bounded rerank), which at 100 TB is the difference between
+    // streaming 64-bit signatures through registers and decoding
+    // vectors. Both cuts are bounded heaps with deterministic
+    // tie-breaks ((ham, vec_id) then (cos desc, vec_id)), so the
+    // WHOLE pipeline — signatures, Hamming top-50, rerank top-5 — is
+    // restated by the oracle as integer sign-disagreement counts +
+    // window ranks: ORACLE-EXACT, the strongest contract any ANN
+    // variant here carries (q147's int8 precedent).
+    QueryDef(
+      "q222_binary_ann",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn(
+            "sig",
+            expr(
+              "aggregate(sequence(0, 63), cast(0 AS bigint), (acc, i) -> " +
+                "acc | shiftleft(CASE WHEN element_at(v, i + 1) > cast(0 AS double) " +
+                "THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END, i))"
+            )
+          )
+        val q = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("q_sig"))
+        // stage 1: Hamming top-50 over packed signatures — arrays never
+        // touched, the scan is xor + popcount per (vector, query)
+        val cands = e
+          .drop("v")
+          .crossJoin(broadcast(q.select("q_id", "q_sig")))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("ham", expr("bit_count(sig ^ q_sig)"))
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(ham, vec_id), 50)").as("top"))
+          .select(col("q_id"), explode(col("top")).as("c"))
+          .select(col("q_id"), col("c.vec_id"), col("c.ham"))
+        // stage 2: exact-cosine rerank of the C-bounded candidates —
+        // one corpus equi-join keyed on the 500-row broadcast cut
+        e.select("vec_id", "v")
+          .join(broadcast(cands), Seq("vec_id"))
+          .join(broadcast(q.select("q_id", "qv")), Seq("q_id"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .filter(col("cos").isNotNull)
+          .groupBy("q_id")
+          .agg(expr("top_k_structs(struct(-cos AS nc, vec_id, cos), 5)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(
+            col("q_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.vec_id"),
+            col("col.cos")
+          )
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x)),
+                      (a,b) -> a+b)) AS norm
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 10),
+        ham AS (
+          SELECT q_id, n.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN (qv[i] > 0) <> (v[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS ham
+          FROM n CROSS JOIN q WHERE n.vec_id <> q_id),
+        cand AS (
+          SELECT q_id, vec_id, ham,
+                 row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rn
+          FROM ham),
+        rr AS (
+          SELECT c.q_id, c.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.v[i])), (a,b) -> a+b)
+                   / (q.qn * n.norm) AS cos
+          FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+          WHERE c.rn <= 50)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM rr WHERE cos IS NOT NULL)
+        WHERE rank <= 5 ORDER BY q_id, rank""")
     )
   )
 
