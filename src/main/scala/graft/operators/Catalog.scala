@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table atomic snapshots over [[TableVersions]] tables — the
+  * catalog layer that turns N independently-versioned tables into ONE
+  * consistent unit of publication (the role Nessie / an Iceberg
+  * catalog plays above per-table logs; Delta has no cross-table
+  * transaction at all).
+  *
+  * Why a corpus engine needs it: the version store already keeps each
+  * table transactional on its own, but a pipeline's invariants span
+  * tables — a corpus and its derived aggregate, a document table and
+  * its inverted index. A reader that resolves each table's head
+  * independently can observe corpus v5 next to an index synced at v4:
+  * every cross-table read is a potential torn snapshot. The catalog
+  * closes that hole with a tiny indirection: readers never resolve
+  * table heads; they resolve ONE catalog snapshot — an immutable map
+  * `table name → (dir, version)` — and read every table at its pinned
+  * version. Snapshots are published atomically, so the intermediate
+  * states of a multi-table transaction are unobservable by
+  * construction.
+  *
+  * Publication protocol (the same three-step discipline as
+  * [[TableVersions.claimVersion]]):
+  *   1. atomically claim the next snapshot number — an exclusive
+  *      create of `snaps/s<N>.claim` (O_CREAT|O_EXCL on local
+  *      filesystems, Hadoop's atomic create on HDFS, a conditional
+  *      put on object stores): exactly one publisher wins a number;
+  *   2. write the pin map to a uniquely-named temp file;
+  *   3. rename it onto `snaps/s<N>.list` — atomic on every
+  *      rename-capable filesystem, so a reader sees the whole
+  *      snapshot or none of it, never a prefix.
+  * Publication is a strict compare-and-swap: pins derived from head H
+  * publish at exactly H+1, so a transaction can never overwrite a
+  * rival's snapshot with pins derived from stale state (the lost-
+  * update anomaly a step-past-the-claim scheme would reintroduce — a
+  * loser whose rival's rename is still in flight would re-derive from
+  * the OLD head yet land at a HIGHER number). A publisher that
+  * crashes between 1 and 3 strands a claim with no list file: readers
+  * are unaffected (head = highest number whose list exists — the
+  * crashed transaction is unobservable, its table commits unreferenced
+  * versions, exactly like an unpublished data file below a table log),
+  * and rival publishers fail loudly at that number until
+  * [[releaseStaleClaim]] confirms the list never materialized — the
+  * same recovery contract as [[TableVersions.releaseStaleClaim]].
+  *
+  * Scale posture: a snapshot is O(tables) text — publishing adds one
+  * exclusive create + one rename regardless of data volume, and
+  * resolution is one directory listing + one tiny file read. The
+  * catalog stores not one byte of data and never reads any table; all
+  * data IO stays inside the per-table commits it pins.
+  */
+object Catalog {
+
+  /** A concurrent publisher won the snapshot number this transaction
+    * tried to claim. Nothing was published; retrying re-reads the new
+    * head and re-derives the pins (see [[transactRetry]]). */
+  final class ConcurrentSnapshotException(msg: String) extends RuntimeException(msg)
+
+  /** One pinned table: where its log lives and which version to read. */
+  final case class Pin(dir: String, version: Long)
+
+  private def snapsDir(catDir: String) = s"$catDir/snaps"
+
+  private def fsOf(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Snapshot numbers under `snaps/` with `suffix`, ascending. */
+  private def numbered(s: SparkSession, catDir: String, suffix: String): Seq[Long] = {
+    val p = new Path(snapsDir(catDir))
+    val fs = fsOf(s, p.toString)
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("s") && n.endsWith(suffix) =>
+            n.stripPrefix("s").stripSuffix(suffix).toLong
+        }
+        .sorted
+  }
+
+  /** Highest PUBLISHED snapshot, or -1 for an empty catalog. Claims
+    * without a list file (in-flight or crashed transactions) are
+    * invisible here — a snapshot exists only once its rename landed. */
+  def head(s: SparkSession, catDir: String): Long = {
+    val published = numbered(s, catDir, ".list")
+    if (published.isEmpty) -1L else published.max
+  }
+
+  /** The pin map of snapshot `n` (empty map for n = -1, the state of
+    * an empty catalog). Fails loudly on a claimed-but-unpublished
+    * number — that snapshot never happened. */
+  def pinsAt(s: SparkSession, catDir: String, n: Long): Map[String, Pin] = {
+    if (n < 0) return Map.empty
+    val f = new Path(s"${snapsDir(catDir)}/s$n.list")
+    val fs = fsOf(s, f.toString)
+    require(fs.exists(f), s"catalog snapshot $n of $catDir was never published")
+    val in = fs.open(f)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(name, dir, v) = line.split('\t')
+        name -> Pin(dir, v.toLong)
+      }
+      .toMap
+  }
+
+  /** Atomically publish `pins` — derived from snapshot `expectedHead`
+    * — as snapshot `expectedHead + 1`; returns that number. This is a
+    * strict CAS: racing publishers compute the same number, the
+    * exclusive claim create arbitrates, and the loser publishes
+    * NOTHING and throws [[ConcurrentSnapshotException]] — it must
+    * re-read the head and RE-DERIVE its pins before retrying, which is
+    * what makes concurrent read-modify-write updates lose nothing
+    * (see [[transactRetry]]). */
+  def publish(s: SparkSession, catDir: String, pins: Map[String, Pin], expectedHead: Long): Long = {
+    val dir = snapsDir(catDir)
+    val fs = fsOf(s, dir)
+    fs.mkdirs(new Path(dir))
+    val n = expectedHead + 1
+    require(
+      !fs.exists(new Path(s"$dir/s$n.list")),
+      s"snapshot $n of $catDir is already published — pins derived from $expectedHead are stale"
+    )
+    val claim = new Path(s"$dir/s$n.claim")
+    val won = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // Hadoop's local create(overwrite = false) is check-then-act
+        // (exists() + open) — go through the kernel's O_CREAT|O_EXCL
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case remote =>
+        try { remote.create(claim, /* overwrite = */ false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    if (!won)
+      throw new ConcurrentSnapshotException(
+        s"snapshot $n of $catDir is already claimed — a concurrent publisher won it " +
+          "(re-read the head and re-derive the pins before retrying), or a crashed " +
+          "publisher stranded the claim (releaseStaleClaim removes it iff the " +
+          "list file never materialized)"
+      )
+    val body = pins.toSeq
+      .sortBy(_._1)
+      .map { case (name, p) =>
+        require(!name.contains('\t') && !p.dir.contains('\t'), s"tab in catalog entry: $name")
+        s"$name\t${p.dir}\t${p.version}"
+      }
+      .mkString("", "\n", "\n")
+    val tmp = new Path(s"$dir/.s$n.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(s"$dir/s$n.list")), s"failed to publish snapshot $n")
+    n
+  }
+
+  /** Publish against the current head (single-publisher convenience). */
+  def publish(s: SparkSession, catDir: String, pins: Map[String, Pin]): Long =
+    publish(s, catDir, pins, head(s, catDir))
+
+  /** Remove the claim for snapshot `n` ONLY when its list file never
+    * materialized — the recovery path for a publisher that claimed a
+    * number and crashed before its rename. Refuses to touch the claim
+    * of any published snapshot (deleting it would let a later
+    * publisher double-publish that number). After release the number
+    * is claimable again, so published snapshots stay DENSE 0..head —
+    * no holes for readers or [[pinsAt]] to reason about. */
+  def releaseStaleClaim(s: SparkSession, catDir: String, n: Long): Unit = {
+    val dir = snapsDir(catDir)
+    val fs = fsOf(s, dir)
+    require(
+      !fs.exists(new Path(s"$dir/s$n.list")),
+      s"snapshot $n of $catDir is published — refusing to release its claim"
+    )
+    val claim = new Path(s"$dir/s$n.claim")
+    if (fs.exists(claim))
+      require(fs.delete(claim, false), s"failed to delete stale claim $claim")
+  }
+
+  /** Read one table at the versions snapshot `snap` pinned. This is
+    * THE read path: resolving through the snapshot (never through
+    * [[TableVersions.currentVersion]]) is what makes cross-table reads
+    * torn-free — every table a consumer touches comes from the same
+    * published instant. */
+  def readTable(s: SparkSession, catDir: String, snap: Long, name: String): DataFrame = {
+    val pin = pinsAt(s, catDir, snap).getOrElse(
+      name,
+      throw new NoSuchElementException(s"table '$name' is not pinned by snapshot $snap")
+    )
+    TableVersions.readVersion(s, pin.dir, pin.version)
+  }
+
+  /** One multi-table transaction: `body` receives the current pins,
+    * performs its per-table commits, and returns the new pin map; the
+    * catalog then publishes it atomically. A crash anywhere inside
+    * `body` leaves the catalog untouched — the half-committed table
+    * versions exist but are unreferenced, so no catalog-routed reader
+    * ever observes them. */
+  def transact(s: SparkSession, catDir: String)(
+      body: Map[String, Pin] => Map[String, Pin]
+  ): Long = {
+    // the head is read ONCE and threaded through to the CAS publish:
+    // pins derived from snapshot h may only ever land at h+1
+    val h = head(s, catDir)
+    publish(s, catDir, body(pinsAt(s, catDir, h)), h)
+  }
+
+  /** CAS-loop variant for concurrent publishers: on losing the
+    * snapshot race, re-read the head and RE-DERIVE the pins from the
+    * winner's state. Unlike blind table appends (which commute and
+    * just retry), snapshot publication is a read-modify-write of the
+    * whole pin map — replaying the stale map would silently drop the
+    * winner's pins, so `body` must run again against the fresh state. */
+  def transactRetry(s: SparkSession, catDir: String, maxAttempts: Int = 64)(
+      body: Map[String, Pin] => Map[String, Pin]
+  ): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return transact(s, catDir)(body)
+      catch {
+        case e: ConcurrentSnapshotException =>
+          if (attempt >= maxAttempts) throw e
+          // the rival that won the claim may not have RENAMED yet — a
+          // tight retry would re-read the old head and lose the race
+          // at the same number again; back off linearly instead
+          Thread.sleep(5L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{FeedView, InvertedIndex, ShingleIndex, TableVersions}
+import graft.operators.{Catalog, FeedView, InvertedIndex, ShingleIndex, TableVersions}
 
 /** Multi-version table store queries (operators/TableVersions): time
   * travel (q166) and change-data-capture between versions (q167). The
@@ -1256,6 +1256,91 @@ object Versioned {
           UNION ALL
           SELECT 'census', count(*), CAST(sum(n_chars) AS BIGINT) FROM live)
         ORDER BY kind, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Multi-table atomic snapshots (operators/Catalog): a corpus and
+    // its per-language aggregate evolve through two multi-table
+    // transactions — each publishes ONE catalog snapshot pinning both
+    // tables — then a third transaction CRASHES mid-flight (its corpus
+    // commit landed, its aggregate commit and snapshot publish never
+    // did). Catalog-routed readers at every snapshot recount the
+    // pinned corpus AND read the pinned aggregate: the two agree at
+    // every snapshot (the consistency the catalog exists to provide),
+    // and the crashed transaction's half-committed corpus version is
+    // invisible — the head snapshot still counts only batches 0 and 1.
+    // The aggregate is maintained by DELTA (batch counts merged into
+    // the pinned prior state), never recomputed from the corpus — the
+    // O(changes) discipline every snapshot-consistent derived table
+    // needs at 100 TB. Publication is O(tables) metadata: one
+    // exclusive claim create + one atomic rename, zero data IO.
+    // ORACLE-EXACT: each snapshot restates as a batch filter of
+    // `documents`, with n_corpus ≡ n_counts by construction.
+    QueryDef(
+      "q223_catalog_snapshot",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("catalog")
+        val corpusDir = Similarity.freshIndexDir("cat_corpus")
+        val countsDir = Similarity.freshIndexDir("cat_counts")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        // txn 0: corpus init + its aggregate, published as one snapshot
+        Catalog.transact(s, cat) { _ =>
+          val b0 = docs.filter(col("doc_id") % 3 === 0)
+          val vC = TableVersions.commitAppend(b0, corpusDir)
+          val vA = TableVersions
+            .commitAppend(b0.groupBy("lang").agg(count(lit(1)).as("n_docs")), countsDir)
+          Map(
+            "corpus" -> Catalog.Pin(corpusDir, vC),
+            "lang_counts" -> Catalog.Pin(countsDir, vA)
+          )
+        }
+        // txn 1: append a crawl batch and fold its DELTA into the
+        // aggregate (merge against the PINNED prior state — O(batch))
+        Catalog.transact(s, cat) { cur =>
+          val b1 = docs.filter(col("doc_id") % 3 === 1)
+          val vC = TableVersions.commitAppend(b1, corpusDir)
+          val prev = TableVersions.readVersion(s, countsDir, cur("lang_counts").version)
+          val merged = b1
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"))
+            .alias("d")
+            .join(prev.alias("p"), Seq("lang"), "left")
+            .select(
+              col("lang"),
+              (col("d.n_docs") + coalesce(col("p.n_docs"), lit(0L))).as("n_docs")
+            )
+          val vA = TableVersions.commitMerge(merged, countsDir, "lang")
+          cur + ("corpus" -> Catalog.Pin(corpusDir, vC)) +
+            ("lang_counts" -> Catalog.Pin(countsDir, vA))
+        }
+        // a CRASHED txn: the corpus commit landed, the aggregate commit
+        // and the publish never did — an unreferenced table version
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), corpusDir)
+
+        (0L to Catalog.head(s, cat))
+          .map { snap =>
+            val fromCorpus = Catalog
+              .readTable(s, cat, snap, "corpus")
+              .groupBy("lang")
+              .agg(count(lit(1)).as("n_corpus"))
+            val fromCounts = Catalog
+              .readTable(s, cat, snap, "lang_counts")
+              .withColumnRenamed("n_docs", "n_counts")
+            fromCorpus
+              .join(fromCounts, Seq("lang"))
+              .select(lit(snap).as("snap"), col("lang"), col("n_corpus"), col("n_counts"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("snap", "lang")
+      },
+      Some("""WITH b0 AS (SELECT lang FROM documents WHERE doc_id % 3 = 0),
+        b01 AS (SELECT lang FROM documents WHERE doc_id % 3 IN (0, 1)),
+        snaps AS (
+          SELECT 0 AS snap, lang, count(*) AS n FROM b0 GROUP BY lang
+          UNION ALL
+          SELECT 1, lang, count(*) FROM b01 GROUP BY lang)
+        SELECT CAST(snap AS BIGINT) AS snap, lang, n AS n_corpus, n AS n_counts
+        FROM snaps ORDER BY snap, lang""")
     )
   )
 
