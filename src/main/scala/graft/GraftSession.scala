@@ -40,6 +40,8 @@ object GraftSession {
       .withExtensions(graft.functions.CharNgrams.install)
       .withExtensions(graft.functions.Int8QuantizeStats.install)
       .withExtensions(graft.functions.TopKStructs.install)
+      // optimizer rules (Rule[LogicalPlan]) — see graft.plans
+      .withExtensions(graft.plans.ViewRewrite.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

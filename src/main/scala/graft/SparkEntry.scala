@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.Sketches.defs,
     graft.queries.Spectral.defs,
     graft.queries.Versioned.defs,
-    graft.queries.Retrieval.defs
+    graft.queries.Retrieval.defs,
+    graft.queries.Views.defs
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

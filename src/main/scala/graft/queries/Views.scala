@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.plans.ViewRewrite
+
+/** Materialized-view transparency (plans/ViewRewrite): consumers write
+  * their aggregates against the BASE corpus; the Catalyst optimizer
+  * rule answers them from the summary table. The view layer the
+  * engine's FeedView maintains incrementally becomes invisible to the
+  * query author — the OLAP summary-table contract, done by the
+  * optimizer instead of by hand-rewritten SQL.
+  */
+object Views {
+
+  /** Scan roots of every file relation in the optimized plan. */
+  private def scannedRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan
+      .collect { case l: LogicalRelation =>
+        l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _                    => Nil
+        }
+      }
+      .flatten
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Automatic materialized-view rewrite (the engine's first
+    // Rule[LogicalPlan], registered through SparkSessionExtensions):
+    // a (lang, source)-grained summary of the base corpus is
+    // materialized once; two consumer aggregates are then written
+    // AGAINST THE BASE — a per-lang rollup and a source-filtered
+    // per-lang min — and the optimizer rule rewrites both into
+    // groups-scaled rollups over the view (count → sum(cnt),
+    // sum → sum(sum_chars), min → min(min_chars); filters on group
+    // columns ride along). At 100 TB that is a corpus scan + shuffle
+    // replaced by an O(groups) read, picked up by EVERY matching
+    // consumer query with zero query changes. The fn REQUIRES the
+    // rewrite fired (optimized plans must scan the view, not the
+    // base), so the correctness gate doubles as a plan regression
+    // gate; values are ORACLE-EXACT against a direct restatement of
+    // `documents` — the rewrite is only right if it is invisible.
+    // Soundness guards (avg/distinct/global/non-group filters refuse
+    // the rewrite) are pinned by ViewRewriteSpec.
+    QueryDef(
+      "q224_view_rewrite",
+      (s, dir) => {
+        val base = Similarity.freshIndexDir("mv_base")
+        val view = Similarity.freshIndexDir("mv_view")
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "source", "n_chars")
+          .write
+          .mode("overwrite")
+          .parquet(base)
+        s.read
+          .parquet(base)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars")
+          )
+          .write
+          .mode("overwrite")
+          .parquet(view)
+        ViewRewrite.register(
+          s,
+          base,
+          view,
+          Seq("lang", "source"),
+          Seq(
+            ViewRewrite.ViewAgg("count", "", "cnt"),
+            ViewRewrite.ViewAgg("sum", "n_chars", "sum_chars"),
+            ViewRewrite.ViewAgg("min", "n_chars", "min_chars"),
+            ViewRewrite.ViewAgg("max", "n_chars", "max_chars")
+          )
+        )
+        try {
+          // both consumers are written against the BASE path
+          val rollup = s.read
+            .parquet(base)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("a"), sum("n_chars").as("b"))
+            .select(lit("rollup").as("probe"), col("lang"), col("a"), col("b"))
+          val filtered = s.read
+            .parquet(base)
+            .filter(col("source") === "src3")
+            .groupBy("lang")
+            .agg(count(lit(1)).as("a"), min("n_chars").as("b"))
+            .select(lit("filtered").as("probe"), col("lang"), col("a"), col("b"))
+          // the optimizer must have swapped BOTH scans to the view —
+          // a silent fallback to the base would still return the right
+          // values, so the plan check is part of the query's contract
+          Seq(rollup, filtered).foreach { q =>
+            val roots = scannedRoots(q)
+            require(
+              roots.nonEmpty && roots.forall(_.contains("mv_view")),
+              s"materialized-view rewrite did not fire; scans: ${roots.mkString(", ")}"
+            )
+          }
+          // materialize while the registration is still active — the
+          // returned plan must not depend on registry state at the
+          // driver's later collect
+          val s2 = s
+          import s2.implicits._
+          rollup
+            .unionByName(filtered)
+            .orderBy("probe", "lang")
+            .collect()
+            .toSeq
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+            .toDF("probe", "lang", "a", "b")
+        } finally ViewRewrite.unregister(s, base)
+      },
+      Some("""WITH b AS (
+          SELECT lang, source, n_chars FROM documents WHERE doc_id % 2 = 0)
+        SELECT probe, lang, a, b FROM (
+          SELECT 'rollup' AS probe, lang, count(*) AS a,
+                 CAST(sum(n_chars) AS BIGINT) AS b
+          FROM b GROUP BY lang
+          UNION ALL
+          SELECT 'filtered', lang, count(*), CAST(min(n_chars) AS BIGINT)
+          FROM b WHERE source = 'src3' GROUP BY lang)
+        ORDER BY probe, lang""")
+    )
+  )
+}
