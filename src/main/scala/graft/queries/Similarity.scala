@@ -1235,6 +1235,142 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
           FROM rr WHERE cos IS NOT NULL)
         WHERE rank <= 5 ORDER BY q_id, rank""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (late-interaction / multi-vector retrieval, ColBERT-style
+    // MaxSim — Khattab & Zaharia, SIGIR 2020): documents are SETS of
+    // token vectors (4 per doc here, carved from the embeddings
+    // table), and relevance is sum-of-max token interactions:
+    // score(q,d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt) — what single-
+    // vector retrieval cannot express (a doc matching ALL query
+    // aspects beats one matching one aspect strongly). Serving is the
+    // production two-stage shape: (1) mean-POOLED single vectors give
+    // a cheap cosine top-50 candidate cut (bounded heap over one
+    // corpus scan — the stage an IVF index would serve at scale, cf.
+    // q213), then (2) exact MaxSim reranks only the 50 candidates —
+    // candidates × 4×4 token pairs, never corpus × tokens. Every
+    // float fold is sequenced (pooling sums tokens in tok order,
+    // MaxSim sums per-query-token maxima in qtok order via
+    // sort_array + sequential aggregate), so the WHOLE pipeline is
+    // ORACLE-EXACT — pooling, prefilter cut, and rerank restated in
+    // SQL with identical fold orders.
+    QueryDef(
+      "q225_maxsim_retrieval",
+      (s, dir) => {
+        // token table: doc = vec_id div 4, tok = vec_id % 4; only
+        // complete 4-token docs participate (the tail doc of an
+        // indivisible corpus would pool differently)
+        val toks = Tables(s, dir, "embeddings")
+          .select(
+            expr("vec_id div 4").as("doc"),
+            (col("vec_id") % 4).as("tok"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v")
+          )
+        val pooled = toks
+          .groupBy("doc")
+          .agg(sort_array(collect_list(struct(col("tok"), col("v")))).as("ts"))
+          .filter(size(col("ts")) === 4)
+          .withColumn(
+            "pv",
+            expr(
+              "transform(aggregate(ts, transform(sequence(1, 64), i -> cast(0 AS double)), " +
+                "(acc, t) -> zip_with(acc, t.v, (a, b) -> a + b)), x -> x / 4.0d)"
+            )
+          )
+        val qdocs = pooled.filter(col("doc") < 2)
+        // stage 1: pooled-cosine top-50 per query — one corpus scan,
+        // ≤2 broadcast query vectors, bounded heap cut
+        val cands = pooled
+          .select(col("doc"), col("pv"))
+          .crossJoin(broadcast(qdocs.select(col("doc").as("q_doc"), col("pv").as("qpv"))))
+          .filter(col("doc") =!= col("q_doc"))
+          .withColumn("cp", expr("cosine_sim(qpv, pv)"))
+          .filter(col("cp").isNotNull)
+          .groupBy("q_doc")
+          .agg(expr("top_k_structs(struct(-cp AS ns, doc), 50)").as("top"))
+          .select(col("q_doc"), explode(col("top.doc")).as("doc"))
+        // stage 2: exact MaxSim over the bounded candidate set —
+        // 100 pairs × 16 token interactions, all broadcast-side
+        val qtoks = toks
+          .filter(col("doc") < 2)
+          .select(col("doc").as("q_doc"), col("tok").as("qtok"), col("v").as("qv"))
+        // one broadcast inner join both FILTERS the corpus scan to the
+        // candidate docs and fans out their (q_doc, doc) pairs
+        toks
+          .join(broadcast(cands), Seq("doc"))
+          .join(broadcast(qtoks), Seq("q_doc"))
+          .withColumn("cos", expr("cosine_sim(qv, v)"))
+          .filter(col("cos").isNotNull)
+          .groupBy("q_doc", "doc", "qtok")
+          .agg(max(col("cos")).as("mx"))
+          .groupBy("q_doc", "doc")
+          .agg(sort_array(collect_list(struct(col("qtok"), col("mx")))).as("ms"))
+          .withColumn(
+            "score",
+            expr("aggregate(ms, cast(0 AS double), (acc, m) -> acc + m.mx)")
+          )
+          .groupBy("q_doc")
+          .agg(expr("top_k_structs(struct(-score AS ns, doc, score), 5)").as("top"))
+          .select(col("q_doc"), posexplode(col("top")))
+          .select(
+            col("q_doc"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc"),
+            col("col.score")
+          )
+          .orderBy("q_doc", "rank")
+      },
+      Some("""WITH t AS (
+          SELECT vec_id // 4 AS doc, vec_id % 4 AS tok,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        pooled AS (
+          SELECT doc,
+                 list_transform(range(1, 65),
+                   i -> (((l[1][i] + l[2][i]) + l[3][i]) + l[4][i]) / 4.0) AS pv
+          FROM (SELECT doc, list(v ORDER BY tok) AS l FROM t GROUP BY doc
+                HAVING count(*) = 4)),
+        pn AS (
+          SELECT doc, pv,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(pv, x -> x*x)), (a,b) -> a+b)) AS norm
+          FROM pooled),
+        q AS (SELECT doc AS q_doc, pv AS qpv, norm AS qn FROM pn WHERE doc < 2),
+        cand AS (
+          SELECT q_doc, doc FROM (
+            SELECT q_doc, pn.doc,
+                   row_number() OVER (PARTITION BY q_doc ORDER BY
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> qpv[i]*pv[i])), (a,b) -> a+b)
+                       / (qn * pn.norm) DESC, pn.doc) AS rn
+            FROM pn CROSS JOIN q WHERE pn.doc <> q_doc AND qn * pn.norm <> 0)
+          WHERE rn <= 50),
+        tn AS (
+          SELECT doc, tok, v,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(v, x -> x*x)), (a,b) -> a+b)) AS norm
+          FROM t),
+        inter AS (
+          SELECT c.q_doc, c.doc, qt.tok AS qtok,
+                 max(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> qt.v[i]*dt.v[i])), (a,b) -> a+b)
+                     / (qt.norm * dt.norm)) AS mx
+          FROM cand c
+          JOIN tn dt ON dt.doc = c.doc
+          JOIN tn qt ON qt.doc = c.q_doc
+          WHERE qt.norm * dt.norm <> 0
+          GROUP BY c.q_doc, c.doc, qt.tok),
+        scored AS (
+          SELECT q_doc, doc,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(mx ORDER BY qtok)), (a,b) -> a+b) AS score
+          FROM inter GROUP BY q_doc, doc)
+        SELECT q_doc, CAST(rank AS BIGINT) AS rank, doc, score FROM (
+          SELECT q_doc, doc, score,
+                 row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY q_doc, rank""")
     )
   )
 

@@ -45,6 +45,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q212_filtered_ann", // ≤10 broadcast query vectors scored in one scan (q40's shape)
     "q213_filtered_ivf", // ≤10 broadcast query vectors over the probed cells (q40's shape)
     "q222_binary_ann", // ≤10 broadcast query signatures + the 500-row candidate cut
+    "q225_maxsim_retrieval", // 2 broadcast pooled query vectors + the 100-pair candidate cut
     "q169_cdc_index_sync", // 16-row broadcast centroid table (probe, same as q133)
     "q180_quantizer_eval", // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
     "q183_rotated_serving" // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
@@ -70,7 +71,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q158_hybrid_retrieval",
     "q173_bm25_rank",
     "q117_source_cap",
-    "q222_binary_ann"
+    "q222_binary_ann",
+    "q225_maxsim_retrieval"
   )
 
   test("ANN scans: bounded heap top-k, never a corpus-scaled window sort") {
