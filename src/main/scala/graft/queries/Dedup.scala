@@ -863,6 +863,89 @@ object Dedup {
         FROM (SELECT * FROM sh WHERE doc_id % 11 <> 0) t
         JOIN (SELECT * FROM sh WHERE doc_id % 11 = 0) b USING (g)
         GROUP BY t.doc_id ORDER BY t.doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11/E12 (substring-level span dedup — Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // find every MAXIMAL character span whose 30-char windows are all
+    // duplicated somewhere in the corpus — duplicated regions at
+    // ARBITRARY offsets inside otherwise-distinct documents, which
+    // doc-level (q30), shingle-set (q36) and fixed-chunk (q94) dedup
+    // all miss. The paper's suffix array becomes a relational
+    // pipeline: slide 30-char windows over every doc (one explode —
+    // O(total chars) rows), count window occurrences corpus-wide
+    // (the one corpus-scaled exchange, keyed on the window — at
+    // 100 TB the key is the window's 128-bit hash, the same
+    // mergeable-count shape as shingle df), flag positions whose
+    // window recurs (one shuffle join back on the key), then merge
+    // consecutive flagged positions into maximal spans with the
+    // gaps-and-islands trick (i − row_number per doc: a PER-DOC
+    // window over doc-bounded rows, never a corpus-scaled sort).
+    // The fixture plants partial duplicates — doc_id % 50 == 0 docs
+    // re-enter under new ids with a unique '[COPY-<id>] ' prefix —
+    // so found spans must START PAST the unique prefix: offset
+    // sensitivity is exactly the behavior under test, alongside
+    // whatever natural repeats the corpus carries. ORACLE-EXACT:
+    // spans are integer (doc, start, end) triples the oracle
+    // recomputes from substr windows.
+    QueryDef(
+      "q226_span_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs
+            .filter(col("doc_id") % 50 === 0)
+            .select(
+              (col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("[COPY-"), col("doc_id"), lit("] "), col("text")).as("text")
+            )
+        )
+        val wins = corpus
+          .filter(length(col("text")) >= 30)
+          .select(
+            col("doc_id"),
+            posexplode(
+              expr("transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))")
+            )
+          )
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("win"))
+        val dup = wins
+          .groupBy("win")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("win")
+        val flagged = wins.join(dup, Seq("win")).select("doc_id", "i")
+        flagged
+          .withColumn(
+            "g",
+            col("i") - row_number().over(Window.partitionBy("doc_id").orderBy("i"))
+          )
+          .groupBy("doc_id", "g")
+          .agg(min("i").as("span_start"), (max("i") + 29).as("span_end"))
+          .select("doc_id", "span_start", "span_end")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 '[COPY-' || doc_id || '] ' || text AS text
+          FROM documents WHERE doc_id % 50 = 0),
+        w AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 substr(text, CAST(i AS INTEGER), 30) AS win
+          FROM corpus, unnest(range(1, len(text) - 28)) AS t(i)
+          WHERE len(text) >= 30),
+        dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        flagged AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (win)),
+        grp AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM flagged)
+        SELECT doc_id, min(i) AS span_start, max(i) + 29 AS span_end
+        FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""")
     )
   )
 }
