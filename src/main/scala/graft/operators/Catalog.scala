@@ -125,10 +125,16 @@ object Catalog {
     val fs = fsOf(s, dir)
     fs.mkdirs(new Path(dir))
     val n = expectedHead + 1
-    require(
-      !fs.exists(new Path(s"$dir/s$n.list")),
-      s"snapshot $n of $catDir is already published — pins derived from $expectedHead are stale"
-    )
+    // a rival that won AND renamed before we got here is the same
+    // contention outcome as losing the claim below — retryable, so it
+    // must carry the same exception type or transactRetry's CAS loop
+    // leaks it (a real 4-thread race in CatalogSpec caught exactly
+    // that: head read at 0, rival published 1 before this check)
+    if (fs.exists(new Path(s"$dir/s$n.list")))
+      throw new ConcurrentSnapshotException(
+        s"snapshot $n of $catDir is already published — pins derived from $expectedHead " +
+          "are stale (re-read the head and re-derive before retrying)"
+      )
     val claim = new Path(s"$dir/s$n.claim")
     val won = fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
