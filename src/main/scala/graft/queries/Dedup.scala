@@ -946,6 +946,187 @@ object Dedup {
           FROM flagged)
         SELECT doc_id, min(i) AS span_start, max(i) + 29 AS span_end
         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11/E12 (span REMOVAL — the second half of Lee et al. 2022):
+    // q226 finds duplicated spans; this query excises them, keeping
+    // exactly the FIRST occurrence (minimal (doc_id, i)) of every
+    // duplicated 30-char window and rewriting each document's text
+    // with all other occurrences cut out. The canonical occurrence is
+    // a per-window argmin — computed as min over ONE packed bigint
+    // (doc_id·10⁸ + i; i < 10⁸ holds for any real document, so the
+    // packing preserves (doc_id, i) lexicographic order) because a
+    // single-word min is a partial-aggregatable, codegen'd fold where
+    // a struct-min is not (measured 250× in the oracle engine).
+    // Positions whose window recurs elsewhere AND are not canonical
+    // are flagged; flagged window-starts merge into maximal runs
+    // (gaps-and-islands on i), runs merge into maximal CHARACTER
+    // intervals (a run ending within 29 chars of the next overlaps
+    // it — one lag comparison per doc, islands are i-disjoint so the
+    // char end is monotone), and the complement intervals stitch the
+    // surviving text back together via an ordered fold
+    // (sort_array ∘ collect_list — segment starts are unique per
+    // doc, so the sort is total). 100 TB posture: the window-count
+    // exchange is the ONLY corpus-scaled shuffle (key = the window,
+    // or its 128-bit hash at scale); islands/intervals/segments are
+    // windowed PER DOC over doc-bounded rows; the reconstruction
+    // joins touch only docs that lost spans. Docs untouched by
+    // removal pass through the final left join unchanged — including
+    // the canonical copies, which is the paper's keep-one contract.
+    QueryDef(
+      "q227_span_removal",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 50 === 0)
+              .select(
+                (col("doc_id") + 1000000L).as("doc_id"),
+                concat(lit("[COPY-"), col("doc_id"), lit("] "), col("text")).as("text")
+              )
+          )
+          // two consumers (window slide + final reconstruction join):
+          // one materialization, not two scans of the union
+          .localCheckpoint()
+        val wins = corpus
+          .filter(length(col("text")) >= 30)
+          .select(
+            col("doc_id"),
+            posexplode(
+              expr("transform(sequence(1, length(text) - 29), i -> substring(text, i, 30))")
+            )
+          )
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("win"))
+        val pos = col("doc_id") * 100000000L + col("i")
+        val dup = wins
+          .groupBy("win")
+          .agg(min(pos).as("canon"), count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("win", "canon")
+        val red = wins
+          .join(dup, Seq("win"))
+          .filter(pos =!= col("canon"))
+          .select("doc_id", "i")
+        val byI = Window.partitionBy("doc_id").orderBy("i")
+        val isl = red
+          .withColumn("g", col("i") - row_number().over(byI))
+          .groupBy("doc_id", "g")
+          .agg(min("i").as("s"), (max("i") + 29).as("e"))
+        val byS = Window.partitionBy("doc_id").orderBy("s")
+        val spans = isl
+          .withColumn(
+            "ng",
+            when(col("s") > coalesce(lag("e", 1).over(byS), lit(0L)) + 1, 1).otherwise(0)
+          )
+          .withColumn("grp", sum("ng").over(byS))
+          .groupBy("doc_id", "grp")
+          .agg(min("s").as("s"), max("e").as("e"))
+          // three consumers (gap segments, tail segment, touched-doc
+          // set) of a tiny spans table
+          .localCheckpoint()
+        val gaps = spans.select(
+          col("doc_id"),
+          (coalesce(lag("e", 1).over(byS), lit(0L)) + 1).as("ss"),
+          (col("s") - 1).as("se")
+        )
+        val tails = spans
+          .groupBy("doc_id")
+          .agg((max("e") + 1).as("ss"))
+          .join(corpus, Seq("doc_id"))
+          .select(col("doc_id"), col("ss"), length(col("text")).cast("long").as("se"))
+        val kept = gaps
+          .unionByName(tails)
+          .filter(col("se") >= col("ss"))
+          .join(corpus, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            struct(
+              col("ss"),
+              expr("substring(text, CAST(ss AS INT), CAST(se - ss + 1 AS INT))").as("seg")
+            ).as("part")
+          )
+          .groupBy("doc_id")
+          .agg(
+            array_join(expr("transform(array_sort(collect_list(part)), x -> x.seg)"), "")
+              .as("kept_text")
+          )
+        val touched = spans.select("doc_id").distinct().withColumn("hit", lit(1))
+        corpus
+          .join(touched, Seq("doc_id"), "left")
+          .join(kept, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            when(col("hit").isNotNull, coalesce(col("kept_text"), lit("")))
+              .otherwise(col("text"))
+              .as("clean_text")
+          )
+          .select(
+            col("doc_id"),
+            length(col("clean_text")).cast("long").as("clean_len"),
+            col("clean_text")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 '[COPY-' || doc_id || '] ' || text AS text
+          FROM documents WHERE doc_id % 50 = 0),
+        w AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 substr(text, CAST(i AS INTEGER), 30) AS win
+          FROM corpus, unnest(range(1, len(text) - 28)) AS t(i)
+          WHERE len(text) >= 30),
+        dup AS (
+          SELECT win, min(doc_id * 100000000 + i) AS canon
+          FROM w GROUP BY win HAVING count(*) >= 2),
+        red AS (
+          SELECT w.doc_id, w.i FROM w JOIN dup USING (win)
+          WHERE w.doc_id * 100000000 + w.i <> dup.canon),
+        isl AS (
+          SELECT doc_id, min(i) AS s, max(i) + 29 AS e
+          FROM (SELECT doc_id, i,
+                       i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+                FROM red)
+          GROUP BY doc_id, g),
+        m AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                      THEN 1 ELSE 0 END AS ng
+          FROM isl),
+        g2 AS (
+          SELECT doc_id, s, e,
+                 sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+          FROM m),
+        spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM g2 GROUP BY doc_id, grp),
+        seg AS (
+          SELECT doc_id,
+                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ss,
+                 s - 1 AS se
+          FROM spans
+          UNION ALL
+          SELECT sp.doc_id, max(sp.e) + 1 AS ss, len(c.text) AS se
+          FROM spans sp JOIN corpus c USING (doc_id)
+          GROUP BY sp.doc_id, len(c.text)),
+        kept AS (
+          SELECT s.doc_id,
+                 string_agg(substr(c.text, CAST(ss AS INTEGER), CAST(se - ss + 1 AS INTEGER)),
+                            '' ORDER BY ss) AS kept_text
+          FROM seg s JOIN corpus c USING (doc_id)
+          WHERE se >= ss GROUP BY s.doc_id),
+        finalt AS (
+          SELECT c.doc_id,
+                 CASE WHEN sp.doc_id IS NOT NULL THEN coalesce(k.kept_text, '')
+                      ELSE c.text END AS clean_text
+          FROM corpus c
+          LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+          LEFT JOIN kept k USING (doc_id))
+        SELECT doc_id, CAST(len(clean_text) AS BIGINT) AS clean_len, clean_text
+        FROM finalt ORDER BY doc_id""")
     )
   )
 }

@@ -1341,6 +1341,58 @@ object Versioned {
           SELECT 1, lang, count(*) FROM b01 GROUP BY lang)
         SELECT CAST(snap AS BIGINT) AS snap, lang, n AS n_corpus, n AS n_counts
         FROM snaps ORDER BY snap, lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // INCREMENTALLY-MAINTAINED JOIN VIEW — the delta-join half of IVM
+    // (q216 maintains an aggregate; this maintains A ⋈ₖ B from BOTH
+    // tables' change feeds). Each sync folds the exact two-term delta
+    // ΔA⋈B@head + A@cursor⋈ΔB — ΔA against the OTHER table's NEW
+    // head, ΔB against THIS table's OLD time-travel snapshot, which
+    // is precisely what cancels the ΔA⋈ΔB cross term — as ONE merge
+    // commit of content-keyed multiplicities (md5 row fingerprints),
+    // so a B-side payload update retracts the old joined content and
+    // admits the new with no per-side keyed state, and an A-delete ×
+    // B-insert landing in the SAME window nets to zero before the
+    // merge ever sees it. Both cursors ride inside the commit (atomic
+    // fold, FeedView's contract). The history crosses appends on A, a
+    // CoW delete on A, a payload update on B, and a join-key insert
+    // on B (the zh dimension row arrives AFTER zh docs — the view
+    // must grow rows for docs it has already seen); 'de' never enters
+    // B, so inner-join selectivity is real. The oracle restates the
+    // final A@head ⋈ B@head over `documents` — any event dropped,
+    // double-applied, or joined against the wrong snapshot breaks
+    // the hash. ORACLE-EXACT; JoinViewSpec pins view == direct join
+    // at EVERY sync point, tombstone retraction, and no-op syncs.
+    QueryDef(
+      "q228_join_view",
+      (s, dir) => {
+        import graft.operators.JoinView
+        val adir = Similarity.freshIndexDir("joinview_a")
+        val bdir = Similarity.freshIndexDir("joinview_b")
+        val view = Similarity.freshIndexDir("joinview_state")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val w = (lit(1000) + ascii(substring(col("lang"), 2, 1))).cast("long").as("w")
+        val dims = docs.select("lang").distinct().select(col("lang"), w)
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), adir) // A v0
+        TableVersions.commitAppend(dims.filter(!col("lang").isin("de", "zh")).coalesce(1), bdir) // B v0
+        JoinView.init(s, adir, bdir, view, "lang", Seq("doc_id", "n_chars"), Seq("w"))
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), adir) // A v1
+        TableVersions.commitUpdate(s, bdir, "lang = 'en'", _.withColumn("w", col("w") + 7)) // B v1
+        JoinView.sync(s, adir, bdir, view, "lang", Seq("doc_id", "n_chars"), Seq("w"))
+        TableVersions.commitDelete(s, adir, "doc_id % 5 = 0") // A v2
+        TableVersions.commitAppend(dims.filter(col("lang") === "zh").coalesce(1), bdir) // B v2
+        JoinView.sync(s, adir, bdir, view, "lang", Seq("doc_id", "n_chars"), Seq("w"))
+        JoinView.read(s, view).orderBy("doc_id")
+      },
+      Some("""SELECT lang, doc_id, n_chars,
+               CAST(1000 + ascii(substr(lang, 2, 1))
+                    + CASE WHEN lang = 'en' THEN 7 ELSE 0 END AS BIGINT) AS w,
+               CAST(1 AS BIGINT) AS mult
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND lang <> 'de'
+        ORDER BY doc_id""")
     )
   )
 
