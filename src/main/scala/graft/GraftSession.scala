@@ -42,6 +42,7 @@ object GraftSession {
       .withExtensions(graft.functions.TopKStructs.install)
       // optimizer rules (Rule[LogicalPlan]) — see graft.plans
       .withExtensions(graft.plans.ViewRewrite.install)
+      .withExtensions(graft.plans.TopKRewrite.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -127,6 +127,55 @@ object Views {
           SELECT 'filtered', lang, count(*), CAST(min(n_chars) AS BIGINT)
           FROM b WHERE source = 'src3' GROUP BY lang)
         ORDER BY probe, lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // Automatic window-top-k rewrite (plans/TopKRewrite — the engine's
+    // first full preference-order-(c) stack: custom LogicalPlan +
+    // Rule + SparkStrategy + SparkPlan). The query is written the way
+    // every analyst writes per-group top-k — row_number() over
+    // (partition by brand order by price desc, id) filtered to rk<=3 —
+    // and the optimizer replaces the sort-based Window plan with the
+    // two-phase bounded-heap operator: map-side per-key heaps, ONE
+    // hash exchange shipping ≤k rows per key per task, reduce-side
+    // heaps emitting ranks. O(n log k) per task instead of the
+    // window's O(n log n) full sort, and the engine's PlanLint top-k
+    // discipline now applies itself. The fn REQUIRES the custom node
+    // in the optimized plan (a silent fallback to WindowExec would
+    // still return right values); values are oracle-exact against the
+    // identical window SQL in DuckDB — the rewrite is only right if
+    // it is invisible. Guard rails (rank()/multi-expr windows/global
+    // top-k/foreign filters refuse the rewrite) are pinned by
+    // TopKRewriteSpec.
+    QueryDef(
+      "q229_topk_rewrite",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        val df = Tables(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(
+            col("p_brand"),
+            col("rk").cast("long").as("rk"),
+            col("p_partkey"),
+            col("p_retailprice")
+          )
+          .orderBy("p_brand", "rk")
+        require(
+          df.queryExecution.optimizedPlan.exists(_.isInstanceOf[graft.plans.TopKPerKey]),
+          "window-top-k rewrite did not fire; plan:\n" + df.queryExecution.optimizedPlan
+        )
+        df
+      },
+      Some("""SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
+        FROM (SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rk
+              FROM part)
+        WHERE rk <= 3 ORDER BY p_brand, rk""")
     )
   )
 }
