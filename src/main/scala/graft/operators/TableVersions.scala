@@ -1609,6 +1609,130 @@ object TableVersions {
     fold(bloomDir(dir), Seq("_meta"))
   }
 
+  private def colStatsDir(dir: String) = s"$dir/_colstats"
+
+  /** ANALYZE TABLE — table-level per-column statistics at the head
+    * version: the CBO inputs Spark itself keeps per column (row count,
+    * null count, distinct count, max/total length), persisted as one
+    * tiny parquet snapshot under `_colstats/v<head>` so planners and
+    * operators (broadcast decisions, NDV-driven bucket counts, skew
+    * screening) read them as metadata instead of re-scanning the
+    * table.
+    *
+    * Two passes over the head, both single-exchange:
+    *   1. moment stats — one global aggregate (row count, per-column
+    *      null counts, string max/total lengths);
+    *   2. NDV — the engine's KMV bottom-k estimator
+    *      ([[graft.queries.Sketches]] q192's formula, Bar-Yossef 2002):
+    *      per-column md5-h60 value hashes unpivoted to (col, h) pairs,
+    *      ONE map-side-combined distinct, then a k-bounded heap per
+    *      column. Exact below k (the sketch holds the whole domain),
+    *      (k−1)·2⁶⁰/kth above — deterministic, merge-safe, and
+    *      restatable in ANSI SQL, which is what makes ANALYZE itself
+    *      oracle-checkable.
+    *
+    * Integral, string, date and boolean columns only: their canonical
+    * string forms agree across engines, so hashes are portable. Float
+    * columns are refused rather than silently mis-hashed (their
+    * to-string forms are engine-specific; hash-by-bit-pattern is the
+    * extension point if ever needed). At 100 TB the unpivot multiplies
+    * rows ×|cols| BEFORE the distinct — that is the standard one-pass
+    * ANALYZE shape, and partial distinct combines map-side so the
+    * exchange carries only per-task-distinct (col, h) pairs.
+    * Returns the analyzed version.
+    */
+  def analyzeTable(s: SparkSession, dir: String, cols: Seq[String], k: Int = 256): Long = {
+    require(cols.nonEmpty, "no columns named")
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val head = readVersion(s, dir, v)
+    val fields = head.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { c =>
+      require(fields.contains(c), s"unknown column $c")
+      val ok = fields(c) match {
+        case _: org.apache.spark.sql.types.StringType  => true
+        case _: org.apache.spark.sql.types.LongType    => true
+        case _: org.apache.spark.sql.types.IntegerType => true
+        case _: org.apache.spark.sql.types.ShortType   => true
+        case _: org.apache.spark.sql.types.ByteType    => true
+        case _: org.apache.spark.sql.types.BooleanType => true
+        case _: org.apache.spark.sql.types.DateType    => true
+        case _                                         => false
+      }
+      require(ok, s"analyzeTable: column $c has a non-portable string form; analyze integral/string/date/boolean columns")
+    }
+    val isStr = (c: String) => fields(c).isInstanceOf[org.apache.spark.sql.types.StringType]
+
+    // pass 1: one global aggregate for the moment stats
+    val momentAggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (isStr(c)) max(length(col(c)).cast("long")) else lit(null).cast("long"))
+          .as(s"__ml_$c"),
+        (if (isStr(c)) sum(coalesce(length(col(c)).cast("long"), lit(0L))) else lit(null).cast("long"))
+          .as(s"__tl_$c")
+      )
+    }
+    val m = head.agg(count(lit(1)).as("__n"), momentAggs: _*).collect()(0)
+    val nRows = m.getLong(m.fieldIndex("__n"))
+    def optLong(r: org.apache.spark.sql.Row, f: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getLong(r.fieldIndex(f)))
+
+    // pass 2: unpivot → distinct → per-column bottom-k (KMV)
+    val pairCols = cols.map { c =>
+      struct(
+        lit(c).as("col"),
+        expr(s"cast(conv(substring(md5(cast(`$c` AS string)), 1, 15), 16, 10) AS bigint)").as("h")
+      )
+    }
+    val ndv = head
+      .select(explode(array(pairCols: _*)).as("p"))
+      .select(col("p.col").as("col"), col("p.h").as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+      .groupBy("col")
+      .agg(expr(s"top_k_structs(struct(h), $k)").as("ks"))
+      .select(
+        col("col"),
+        expr("size(ks)").cast("long").as("m"),
+        expr("element_at(ks.h, size(ks))").as("kth_h60"),
+        expr(
+          s"CASE WHEN size(ks) < $k THEN cast(size(ks) AS bigint) " +
+            s"ELSE cast(floor(${k - 1} * pow(2.0D, 60) / greatest(element_at(ks.h, size(ks)), cast(1 AS bigint))) AS bigint) END"
+        ).as("ndv_est")
+      )
+      .collect()
+      .map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+      )
+      .toMap
+
+    val out = cols.map { c =>
+      val (mm, kth, est) = ndv.getOrElse(c, (0L, 0L, 0L))
+      (c, nRows, m.getLong(m.fieldIndex(s"__nn_$c")), est, mm, kth,
+        optLong(m, s"__ml_$c"), optLong(m, s"__tl_$c"))
+    }
+    val sess = s
+    import sess.implicits._
+    out
+      .toDF("col", "n_rows", "n_nulls", "ndv_est", "m", "kth_h60", "max_len", "total_len")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"${colStatsDir(dir)}/v$v")
+    v
+  }
+
+  /** The most recent ANALYZE snapshot (all columns it covered), with
+    * the analyzed version attached. Metadata-scale: one tiny parquet
+    * read, never the table. */
+  def columnStats(s: SparkSession, dir: String): DataFrame = {
+    val vs = listNumbered(s, colStatsDir(dir), "v")
+    require(vs.nonEmpty, s"$dir has no ANALYZE snapshot; run analyzeTable first")
+    val v = vs.max
+    s.read.parquet(s"${colStatsDir(dir)}/v$v").withColumn("stats_version", lit(v))
+  }
+
   /** OPTIMIZE ... ZORDER BY (Delta's clustered compaction): rewrite
     * the live data ordered along a Z-ORDER (Morton) curve over the
     * named numeric columns, as one logical-no-op commit (remove all

@@ -1393,6 +1393,83 @@ object Versioned {
         FROM documents
         WHERE doc_id % 5 <> 0 AND lang <> 'de'
         ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // ANALYZE TABLE — table-level per-column statistics for the
+    // version store (TableVersions.analyzeTable/columnStats): row
+    // count, null counts, string max/total lengths, and NDV via the
+    // engine's KMV bottom-k estimator (q192's exact formula — exact
+    // below k=256, (k−1)·2⁶⁰/kth above, both branches exercised here:
+    // lang/source land in the exact branch, doc_id/text/n_chars in
+    // the estimate branch). The snapshot persists under _colstats/
+    // v<head> so planner-facing consumers (broadcast thresholds,
+    // NDV-driven bucket counts, skew screens) read metadata, never
+    // the table. The history below (two appends + a CoW delete)
+    // pins that ANALYZE sees the HEAD, not the union of all commits.
+    // ORACLE-EXACT: DuckDB recomputes every statistic — including the
+    // KMV estimate, hash by hash — from the same table state; a
+    // drifting hash, a mis-counted null, or stats computed at the
+    // wrong version all break the hash.
+    QueryDef(
+      "q230_analyze_stats",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("analyze_store")
+        val docs = Tables(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars", "text")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 =!= 2).repartition(4), tdir)
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), tdir)
+        TableVersions.commitDelete(s, tdir, "doc_id % 7 = 0")
+        TableVersions.analyzeTable(s, tdir, Seq("doc_id", "lang", "n_chars", "source", "text"))
+        TableVersions
+          .columnStats(s, tdir)
+          .select(
+            col("col"),
+            col("n_rows"),
+            col("n_nulls"),
+            col("ndv_est"),
+            col("m"),
+            col("kth_h60"),
+            col("max_len"),
+            col("total_len"),
+            col("stats_version")
+          )
+          .orderBy("col")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, lang, source, n_chars, text FROM documents WHERE doc_id % 7 <> 0),
+        base AS (SELECT count(*) AS n_rows FROM h),
+        vals AS (
+          SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v, NULL AS len FROM h
+          UNION ALL SELECT 'lang', lang, length(lang) FROM h
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR), NULL FROM h
+          UNION ALL SELECT 'source', source, length(source) FROM h
+          UNION ALL SELECT 'text', text, length(text) FROM h),
+        dv AS (
+          SELECT DISTINCT col,
+                 CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS hh
+          FROM vals WHERE v IS NOT NULL),
+        ranked AS (
+          SELECT col, hh, row_number() OVER (PARTITION BY col ORDER BY hh) AS rk
+          FROM dv),
+        sk AS (
+          SELECT col, CAST(count(*) AS BIGINT) AS m, max(hh) AS kth_h60
+          FROM ranked WHERE rk <= 256 GROUP BY col),
+        mom AS (
+          SELECT col,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(max(len) AS BIGINT) AS max_len,
+                 CAST(CASE WHEN col IN ('lang', 'source', 'text')
+                      THEN coalesce(sum(len), 0) END AS BIGINT) AS total_len
+          FROM vals GROUP BY col)
+        SELECT mom.col, base.n_rows, mom.n_nulls,
+               CASE WHEN sk.m < 256 THEN sk.m
+                    ELSE CAST(floor(255 * pow(2.0, 60) / greatest(sk.kth_h60, 1)) AS BIGINT)
+               END AS ndv_est,
+               sk.m, sk.kth_h60, mom.max_len, mom.total_len,
+               CAST(2 AS BIGINT) AS stats_version
+        FROM mom JOIN sk USING (col) CROSS JOIN base
+        ORDER BY col""")
     )
   )
 

@@ -729,4 +729,52 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(hit.count() == 1)
     assert(TableVersions.refreshBloom(spark, dir, Seq("par", "body")) == 0L)
   }
+
+  test("analyzeTable: head semantics, null counts, guards, latest snapshot wins") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val rows = (0L until 300L)
+      .map(i => (i, if (i % 5 == 0) null else s"w${i % 7}", i / 2.0))
+      .toDF("id", "tag", "score")
+    TableVersions.commitAppend(rows.repartition(3), dir)
+
+    // float columns refuse rather than mis-hash; unknown columns refuse
+    intercept[IllegalArgumentException] {
+      TableVersions.analyzeTable(spark, dir, Seq("score"))
+    }
+    intercept[IllegalArgumentException] {
+      TableVersions.analyzeTable(spark, dir, Seq("nope"))
+    }
+    // no snapshot yet -> loud error, not an empty frame
+    intercept[IllegalArgumentException] { TableVersions.columnStats(spark, dir) }
+
+    assert(TableVersions.analyzeTable(spark, dir, Seq("id", "tag")) == 0L)
+    val st0 = TableVersions
+      .columnStats(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(st0("id").getLong(1) == 300L && st0("id").getLong(2) == 0L)
+    // 300 distinct ids > k=256: estimate branch — unbiased within ~1/sqrt(k)
+    assert(st0("id").getLong(3) > 200L && st0("id").getLong(3) < 450L)
+    assert(st0("tag").getLong(2) == 60L) // every 5th tag is null
+    assert(st0("tag").getLong(3) == 7L) // w0..w6, exact branch (7 < k)
+    assert(st0("tag").getAs[Long]("max_len") == 2L)
+    assert(st0("id").isNullAt(st0("id").fieldIndex("max_len"))) // ints carry no length stats
+
+    // a CoW delete moves the head; re-ANALYZE sees the head, and
+    // columnStats serves the LATEST snapshot
+    TableVersions.commitDelete(spark, dir, "id >= 100")
+    assert(TableVersions.analyzeTable(spark, dir, Seq("id", "tag")) == 1L)
+    val st1 = TableVersions
+      .columnStats(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(st1("id").getLong(1) == 100L)
+    assert(st1("id").getLong(3) == 100L) // below k: exact branch
+    assert(st1("tag").getLong(2) == 20L)
+    assert(st1("id").getAs[Long]("stats_version") == 1L)
+  }
 }
