@@ -510,6 +510,65 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // E4: interval join with BOTH sides fact-scaled (the Flink
+    // interval-join / kdb wj shape q21 does not cover — its band
+    // table is a broadcastable dimension). Every `error` event opens
+    // a 2-hour incident window; for every `purchase`, count the
+    // incident windows open at its timestamp. Written naively
+    // (`p.ts >= i.ts AND p.ts < i.ts + 2h`) Spark has no equi-key and
+    // plans a BroadcastNestedLoopJoin — O(n·m) and a driver OOM the
+    // moment neither side broadcasts. The scalable rewrite exploits
+    // the BOUNDED span: bin time by the max window width W=2h; an
+    // interval overlaps ≤ 2 bins (exploded via sequence — at most 2
+    // rows per incident), a point lives in EXACTLY 1 bin, so a plain
+    // equi-join on the bin plus a local range refinement finds every
+    // pair exactly once (no post-dedup — the pair can only meet in
+    // the point's bin). One shuffle on a dense, time-uniform key at
+    // any scale; the left join keeps incident-free purchases at
+    // count 0. Microsecond epochs from unix_micros keep the binning
+    // exact (no sub-second truncation at bin edges).
+    QueryDef(
+      "q231_interval_join",
+      (s, dir) => {
+        val W = 2L * 3600L * 1000000L // 2h in µs == the window span
+        val ev = Tables(s, dir, "events")
+        val inc = ev
+          .filter(col("event_type") === "error")
+          .select(
+            col("event_id").as("inc_id"),
+            col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("hi")
+          )
+          .withColumn(
+            "bin",
+            explode(expr(s"sequence(unix_micros(lo) div $W, (unix_micros(lo) + ${W - 1}) div $W)"))
+          )
+        val pts = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), expr(s"unix_micros(ts) div $W").as("pbin"))
+        val out = pts
+          .join(
+            inc,
+            pts("pbin") === inc("bin") && col("lo") <= col("ts") && col("ts") < col("hi"),
+            "left"
+          )
+          .groupBy("event_id")
+          .agg(count(col("inc_id")).as("n_open"))
+          .orderBy("event_id")
+        // the bin key is the contract: a nested-loop plan here means the
+        // equi-key was lost and the query is back to O(n·m)
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("NestedLoop"), s"interval join planned as nested loop:\n$plan")
+        out
+      },
+      Some("""SELECT p.event_id, CAST(count(i.event_id) AS BIGINT) AS n_open
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') i
+          ON p.ts >= i.ts AND p.ts < i.ts + INTERVAL 2 HOUR
+        GROUP BY p.event_id ORDER BY p.event_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E10: string/date/math scalar functions (all codegen built-ins).
     QueryDef(
       "q23_scalar_funcs",
