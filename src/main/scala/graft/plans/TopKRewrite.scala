@@ -97,16 +97,43 @@ object TopKRewrite {
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 
+  /** The rank reference, possibly under the widening cast that
+    * `row_number().cast("long")` pushes down with the filter
+    * (order-preserving, so the bound transfers to the int rank). */
+  private object RankRef {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == org.apache.spark.sql.types.LongType =>
+        c.child match {
+          case a: Attribute => Some(a)
+          case _            => None
+        }
+      case _ => None
+    }
+  }
+
+  /** An int or long literal bound that fits in the int rank domain. */
+  private object KLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case IntegerLiteral(k) => Some(k)
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, org.apache.spark.sql.types.LongType)
+          if v >= Int.MinValue && v <= Int.MaxValue =>
+        Some(v.toInt)
+      case _ => None
+    }
+  }
+
   /** `rn <= k` in any of its spellings, normalized to the inclusive k. */
   private object RankBound {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
-      case LessThanOrEqual(a: Attribute, IntegerLiteral(k))    => Some((a, k))
-      case LessThan(a: Attribute, IntegerLiteral(k))           => Some((a, k - 1))
-      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
-      case GreaterThan(IntegerLiteral(k), a: Attribute)        => Some((a, k - 1))
-      case EqualTo(a: Attribute, IntegerLiteral(1))            => Some((a, 1))
-      case EqualTo(IntegerLiteral(1), a: Attribute)            => Some((a, 1))
-      case _                                                   => None
+      case LessThanOrEqual(RankRef(a), KLit(k))    => Some((a, k))
+      case LessThan(RankRef(a), KLit(k))           => Some((a, k - 1))
+      case GreaterThanOrEqual(KLit(k), RankRef(a)) => Some((a, k))
+      case GreaterThan(KLit(k), RankRef(a))        => Some((a, k - 1))
+      case EqualTo(RankRef(a), KLit(1))            => Some((a, 1))
+      case EqualTo(KLit(1), RankRef(a))            => Some((a, 1))
+      case _                                       => None
     }
   }
 

@@ -97,6 +97,17 @@ class TopKRewriteSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == 8 && rows.forall(_.getInt(3) == 1)) // 7 keys + null key
   }
 
+  test("the widening-cast spelling (row_number().cast(long) <= 3L) rewrites too") {
+    val df = fixture()
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val cast = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3L)
+    assert(fired(cast))
+    val plain = topk(df, 3).withColumn("rk", col("rk").cast("long"))
+    assert(cast.collect().toSet == plain.collect().toSet)
+  }
+
   test("k past the group size emits whole groups with dense ranks") {
     val df = fixture().filter(col("k") === 2) // 50 rows, one key
     val out = topk(df, 100).collect()
