@@ -1470,6 +1470,62 @@ object Versioned {
                CAST(2 AS BIGINT) AS stats_version
         FROM mom JOIN sk USING (col) CROSS JOIN base
         ORDER BY col""")
+    ),
+
+    // ------------------------------------------------------------------
+    // GOVERNED SAMPLE VIEW (operators/SampleView): a deterministic
+    // per-lang inspection sample (md5-rank bottom-buf) maintained as a
+    // fold over the change feed — init on v0, one sync per source
+    // commit, each sync O(changes + buf × touched groups), the source
+    // never re-scanned. The history crosses an append (pure inserts
+    // fold to exactly the from-scratch sample — md5-rank bottom-k is
+    // min-merge associative) and a CoW ERASURE commit (deleted members
+    // leave the sample and the group honestly UNDER-FILLS rather than
+    // resurrecting a once-evicted row — the erasure workflow reaching
+    // inspection samples). Serving is the rank-filtered window read
+    // that TopKRewrite compiles to the bounded-heap operator.
+    // ORACLE-EXACT: DuckDB replays the same three-step fold
+    // (bottom-8 of v0, bottom-8 of that ∪ the append, minus the
+    // erased keys) hash-by-hash; a resurrected row, a survived erased
+    // key, or a payload not refreshed all break the hash.
+    QueryDef(
+      "q232_sample_view",
+      (s, dir) => {
+        import graft.operators.SampleView
+        val src = Similarity.freshIndexDir("sampleview_src")
+        val view = Similarity.freshIndexDir("sampleview_state")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 =!= 2).repartition(4), src)
+        SampleView.init(s, src, view, "lang", "doc_id", "n_chars", buf = 8)
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), src)
+        SampleView.sync(s, src, view, "lang", "doc_id", "n_chars", buf = 8)
+        TableVersions.commitDelete(s, src, "doc_id % 9 = 0")
+        SampleView.sync(s, src, view, "lang", "doc_id", "n_chars", buf = 8)
+        SampleView.read(s, view, k = 5).orderBy("grp", "rn")
+      },
+      Some("""WITH v0 AS (
+          SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS key,
+                 CAST(n_chars AS BIGINT) AS val, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE doc_id % 3 <> 2),
+        s0 AS (SELECT grp, key, val, h FROM (
+            SELECT grp, key, val, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM v0)
+          WHERE rn <= 8),
+        i1 AS (
+          SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS key,
+                 CAST(n_chars AS BIGINT) AS val, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE doc_id % 3 = 2),
+        c1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM i1),
+        s1 AS (SELECT grp, key, val, h FROM (
+            SELECT grp, key, val, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM c1)
+          WHERE rn <= 8),
+        c2 AS (SELECT * FROM s1 WHERE CAST(key AS BIGINT) % 9 <> 0),
+        ranked AS (
+          SELECT grp, key, val,
+                 row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM c2)
+        SELECT grp, CAST(rn AS BIGINT) AS rn, key, val
+        FROM ranked WHERE rn <= 5 ORDER BY grp, rn""")
     )
   )
 
