@@ -1078,8 +1078,91 @@ object StreamGate {
         FROM documents
         WHERE doc_id % 3 IN (0, 1) AND doc_id % 11 <> 4
         GROUP BY lang ORDER BY k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1/E11/E12 (streaming sample-view maintenance): q232's
+    // governed inspection sample kept live — each micro-batch lands as
+    // one append COMMIT and the sample syncs to the new safe head in
+    // the same tick (each sync O(batch + buf × touched groups); the
+    // source is never re-scanned after init). Pure-insert folds are
+    // min-merge associative, so the drained sample is SPLIT-INVARIANT
+    // — bit-equal to the from-scratch bottom-buf of base ∪ streamed
+    // regardless of how the stream batched (StreamSampleViewSpec pins
+    // a forced 3-batch replay). After the drain an erasure delete
+    // lands and the final sync RETRACTS the erased members — groups
+    // under-fill rather than refilling from once-evicted rows, the
+    // governance contract inspection samples owe. ORACLE-EXACT: the
+    // associativity collapses the replay to two SQL steps (bottom-buf
+    // of the union, minus the erased keys, re-ranked to k).
+    QueryDef(
+      "q233_stream_sample_view",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runSampleViewStream(
+          gs,
+          Similarity.freshIndexDir("sampleview_stream_src"),
+          Similarity.freshIndexDir("sampleview_stream_view"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id", "lang", "n_chars"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 === 1)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""WITH u AS (
+          SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS key,
+                 CAST(n_chars AS BIGINT) AS val, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE doc_id % 3 IN (0, 1)),
+        s1 AS (SELECT grp, key, val, h FROM (
+            SELECT grp, key, val, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM u)
+          WHERE rn <= 8),
+        s2 AS (SELECT * FROM s1 WHERE CAST(key AS BIGINT) % 11 <> 4),
+        ranked AS (
+          SELECT grp, key, val,
+                 row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM s2)
+        SELECT grp, CAST(rn AS BIGINT) AS rn, key, val
+        FROM ranked WHERE rn <= 5 ORDER BY grp, rn""")
     )
   )
+
+  /** q232's sample fold driven live: one append commit + one sample
+    * sync per micro-batch, post-drain erasure retracted by the final
+    * sync. Returns the drained top-5 per group. */
+  private[graft] def runSampleViewStream(
+      gs: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base, srcDir)
+    graft.operators.SampleView.init(gs, srcDir, viewDir, "lang", "doc_id", "n_chars", buf = 8)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TableVersions.commitAppend(batch.toDF(), srcDir): Unit
+          graft.operators.SampleView
+            .sync(gs, srcDir, viewDir, "lang", "doc_id", "n_chars", buf = 8): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("sampleview_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // an erasure lands after the drain — the sample must RETRACT it
+    graft.operators.TableVersions.commitDelete(gs, srcDir, "doc_id % 11 = 4")
+    graft.operators.SampleView.sync(gs, srcDir, viewDir, "lang", "doc_id", "n_chars", buf = 8)
+    graft.operators.SampleView.read(gs, viewDir, k = 5).orderBy("grp", "rn")
+  }
 
   /** Admit-then-fold streaming admission against the persisted shingle
     * index (q191): per batch, verdicts come from ShingleIndex.admit
