@@ -1526,6 +1526,77 @@ object Versioned {
                  row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM c2)
         SELECT grp, CAST(rn AS BIGINT) AS rn, key, val
         FROM ranked WHERE rn <= 5 ORDER BY grp, rn""")
+    ),
+
+    // ------------------------------------------------------------------
+    // TIME-TRAVEL-CONSISTENT SEARCH (operators/AsOfIndex): the store
+    // serves any retained version; this closes the gap for its
+    // SECONDARY index — keyword queries AS OF any synced version,
+    // via the deletion-vector applicability rule carried into the
+    // posting layout (added_v ≤ v ∧ no tombstone in (added_v, v]).
+    // The history crosses an append, an UPDATE (old text must stop
+    // matching and the new text start matching AT ITS VERSION — the
+    // planted marker token probes exactly that), and a CoW delete;
+    // the same two probes run at all four versions and the index
+    // syncs only the change feed (never re-reads the source).
+    // ORACLE-EXACT: DuckDB re-derives every (version, probe, doc,
+    // score) row from the four reconstructed table states; an
+    // update leaking backward, a deleted doc resurfacing, or a tf
+    // counted at the wrong version all break the hash.
+    QueryDef(
+      "q234_asof_search",
+      (s, dir) => {
+        import graft.operators.AsOfIndex
+        val src = Similarity.freshIndexDir("asof_src")
+        val idx = Similarity.freshIndexDir("asof_idx")
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 =!= 2).repartition(4), src)
+        AsOfIndex.init(s, src, idx)
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), src)
+        AsOfIndex.sync(s, src, idx)
+        TableVersions.commitUpdate(
+          s,
+          src,
+          "doc_id % 10 = 3",
+          _.withColumn("text", concat(col("text"), lit(" graftmarker")))
+        )
+        TableVersions.commitDelete(s, src, "doc_id % 13 = 0")
+        AsOfIndex.sync(s, src, idx) // one sync folds BOTH commits (multi-version window)
+        val probes = Seq("conj" -> Seq("spark", "join"), "mark" -> Seq("graftmarker"))
+        (0L to 3L)
+          .flatMap(v =>
+            probes.map { case (name, terms) =>
+              AsOfIndex
+                .conjunctiveAsOf(s, idx, terms, v)
+                .select(lit(v).as("v"), lit(name).as("probe"), col("doc_id"), col("score"))
+            }
+          )
+          .reduce(_ unionByName _)
+          .orderBy("v", "probe", "doc_id")
+      },
+      Some("""WITH
+        s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+        s1 AS (SELECT doc_id, text FROM documents),
+        s2 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3
+                 THEN text || ' graftmarker' ELSE text END AS text FROM documents),
+        s3 AS (SELECT * FROM s2 WHERE doc_id % 13 <> 0),
+        states AS (
+          SELECT 0 AS v, * FROM s0 UNION ALL SELECT 1, * FROM s1
+          UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3),
+        toks AS (
+          SELECT v, doc_id, tok, count(*) AS tf
+          FROM (SELECT v, doc_id, unnest(string_split(text, ' ')) AS tok FROM states)
+          WHERE len(tok) > 0 GROUP BY 1, 2, 3),
+        conj AS (
+          SELECT v, 'conj' AS probe, doc_id, CAST(sum(tf) AS BIGINT) AS score
+          FROM toks WHERE tok IN ('spark', 'join')
+          GROUP BY v, doc_id HAVING count(DISTINCT tok) = 2),
+        mark AS (
+          SELECT v, 'mark' AS probe, doc_id, CAST(sum(tf) AS BIGINT) AS score
+          FROM toks WHERE tok = 'graftmarker' GROUP BY v, doc_id)
+        SELECT CAST(v AS BIGINT) AS v, probe, doc_id, score
+        FROM (SELECT * FROM conj UNION ALL SELECT * FROM mark)
+        ORDER BY v, probe, doc_id""")
     )
   )
 

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins what q234's oracle cannot isolate: bm25AsOf at the head equals
+  * a from-scratch InvertedIndex over the same state (rank and score),
+  * compact preserves every answer at and above the new floor while
+  * refusing below it, a deleted-then-reinserted doc is visible exactly
+  * at its re-insert version, and the floor/cursor guards are loud.
+  */
+class AsOfIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(tag: String) = graft.queries.Similarity.freshIndexDir(tag)
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def conjSet(idx: String, terms: Seq[String], v: Long): Set[(Long, Long)] =
+    AsOfIndex
+      .conjunctiveAsOf(spark, idx, terms, v)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+  test("bm25AsOf at the head equals a from-scratch index of the head state") {
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    val base = (0L until 200L).map(i => (i, s"alpha beta w${i % 17} w${i % 5} gamma"))
+    TableVersions.commitAppend(docs(base).repartition(3), src)
+    AsOfIndex.init(spark, src, idx)
+    TableVersions.commitAppend(docs((200L until 300L).map(i => (i, s"beta delta w${i % 17}"))), src)
+    TableVersions.commitDelete(spark, src, "doc_id % 7 = 0")
+    AsOfIndex.sync(spark, src, idx)
+
+    val n = TableVersions.countAt(spark, src, 2L)
+    val queries = Seq(1L -> Seq("alpha", "beta"), 2L -> Seq("delta", "w3"))
+    val asOf = AsOfIndex
+      .bm25AsOf(spark, idx, queries, n, v = 2L, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val scratch = fresh("aoi_scratch")
+    InvertedIndex.build(TableVersions.readVersion(spark, src, 2L), scratch)
+    val ref = InvertedIndex
+      .bm25TopK(spark, scratch, queries, n, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(asOf == ref)
+  }
+
+  test("compact preserves answers at/above the floor and refuses below it") {
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    TableVersions.commitAppend(docs((0L until 100L).map(i => (i, s"red blue w${i % 9}"))), src)
+    AsOfIndex.init(spark, src, idx)
+    TableVersions.commitDelete(spark, src, "doc_id % 4 = 1")
+    TableVersions.commitAppend(docs(Seq((500L, "red blue extra"))), src)
+    AsOfIndex.sync(spark, src, idx)
+    val at2 = conjSet(idx, Seq("red", "blue"), 2L)
+    val at1 = conjSet(idx, Seq("red", "blue"), 1L)
+    AsOfIndex.compact(spark, idx)
+    assert(AsOfIndex.floor(spark, idx) == 2L)
+    assert(conjSet(idx, Seq("red", "blue"), 2L) == at2)
+    intercept[IllegalArgumentException] { conjSet(idx, Seq("red", "blue"), 1L) }
+    assert(at1 != at2) // the histories genuinely differed
+    // post-compact syncs keep working
+    TableVersions.commitAppend(docs(Seq((501L, "red blue later"))), src)
+    AsOfIndex.sync(spark, src, idx)
+    assert(conjSet(idx, Seq("red", "blue"), 3L).exists(_._1 == 501L))
+    // not-yet-synced versions refuse loudly
+    intercept[IllegalArgumentException] { conjSet(idx, Seq("red"), 9L) }
+  }
+
+  test("a deleted-then-reinserted doc is visible exactly at its re-insert version") {
+    val s = spark
+    import s.implicits._
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    TableVersions.commitAppend(docs(Seq((1L, "zeta old"), (2L, "other row"))), src)
+    AsOfIndex.init(spark, src, idx)
+    TableVersions.commitDelete(spark, src, "doc_id = 1") // v1
+    AsOfIndex.sync(spark, src, idx)
+    TableVersions.commitAppend(Seq((1L, "zeta new")).toDF("doc_id", "text"), src) // v2
+    AsOfIndex.sync(spark, src, idx)
+    assert(conjSet(idx, Seq("zeta"), 0L).map(_._1) == Set(1L))
+    assert(conjSet(idx, Seq("zeta"), 1L).isEmpty)
+    assert(conjSet(idx, Seq("zeta"), 2L).map(_._1) == Set(1L))
+    assert(conjSet(idx, Seq("old"), 2L).isEmpty) // the old text never leaks forward
+    assert(conjSet(idx, Seq("new"), 0L).isEmpty) // nor the new text backward
+    // repeated sync against an unmoved source is a no-op
+    assert(AsOfIndex.sync(spark, src, idx) == 2L)
+    assert(AsOfIndex.cursor(spark, idx) == 2L)
+  }
+}
