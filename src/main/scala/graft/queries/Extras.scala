@@ -1094,6 +1094,93 @@ object Extras {
         ).toDF("step", "n_users", "ppm_of_step1").orderBy("step")
       },
       Some(funnelOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E7/E14 (time-series gap-fill + linear interpolation): per-user
+    // daily purchase series with missing days filled by interpolating
+    // between the nearest observed neighbors — the regularization
+    // every metrics/training-curve pipeline needs before windowed
+    // models see the series. Per user: one groupBy builds the observed
+    // days, the date spine is GENERATED per user from its own
+    // [min, max] range (sequence + explode — no cross join against a
+    // global calendar), and prev/next observations arrive via two
+    // ignore-nulls window passes over user-bounded frames. All value
+    // arithmetic is integer micro-units with one DIV — the lerp
+    // (prev + (next−prev)·(d−dp) DIV (dn−dp)) is exact in both
+    // engines, so the whole fill is oracle-checkable. Spine edges are
+    // observed by construction, so every gap day has both neighbors.
+    // 100 TB posture: everything after the daily rollup is keyed by
+    // user and windowed inside user-bounded frames — one exchange on
+    // user_id; the spine explode is output-scaled (days), never a
+    // calendar cross join.
+    QueryDef(
+      "q235_gapfill_interp",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS bigint)")).as("obs_micros"))
+        val spine = daily
+          .groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(
+            col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day")
+          )
+        val wPrev = Window
+          .partitionBy("user_id")
+          .orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window
+          .partitionBy("user_id")
+          .orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        spine
+          .join(daily, Seq("user_id", "day"), "left")
+          .withColumn("pv", last(col("obs_micros"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("obs_micros").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("obs_micros"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("obs_micros").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+          .select(
+            col("user_id"),
+            col("day"),
+            coalesce(
+              col("obs_micros"),
+              col("pv") + expr("((nv - pv) * datediff(day, pd)) DIV datediff(nd, pd)")
+            ).as("value_micros"),
+            when(col("obs_micros").isNotNull, "obs").otherwise("interp").as("src")
+          )
+          .filter(col("user_id") < 120)
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS obs
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id, CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id),
+        j AS (
+          SELECT s.user_id, s.day, d.obs,
+                 last_value(d.obs IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                 first_value(d.obs IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+                   (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, day,
+               COALESCE(obs, pv + ((nv - pv) * datediff('day', pd, day))
+                                   // datediff('day', pd, nd)) AS value_micros,
+               CASE WHEN obs IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        FROM j WHERE user_id < 120 ORDER BY user_id, day""")
     )
   )
 
