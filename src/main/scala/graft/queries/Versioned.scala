@@ -1597,6 +1597,84 @@ object Versioned {
         SELECT CAST(v AS BIGINT) AS v, probe, doc_id, score
         FROM (SELECT * FROM conj UNION ALL SELECT * FROM mark)
         ORDER BY v, probe, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // ATOMIC CROSS-TABLE ERASURE — the governance capstone q202/q206
+    // run per-table, lifted to the catalog: a right-to-be-forgotten
+    // request touching BOTH the documents table and the events table
+    // lands as ONE catalog transaction (two CoW delete commits +
+    // one CAS-published snapshot), so no reader ever observes the
+    // subject gone from one table but present in the other. The
+    // negative case is the point: a CRASHED half-erasure (the events
+    // delete commits, the publish never happens) stays unobservable —
+    // snapshot reads pin the pre-crash version, so the half-applied
+    // state can be retried or vacuumed but never served. ORACLE-EXACT:
+    // per-(snapshot, table) row/subject/crash-subject counts restated
+    // over `documents`/`events`; a torn read at either snapshot, or
+    // the crashed delete leaking into snapshot 1, breaks the hash.
+    QueryDef(
+      "q236_catalog_erasure",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("erasure_cat")
+        val dDir = Similarity.freshIndexDir("erasure_cat_docs")
+        val eDir = Similarity.freshIndexDir("erasure_cat_events")
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), (col("doc_id") % 50).as("owner"), col("lang"))
+        val evs = Tables(s, dir, "events")
+          .filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), (col("user_id") % 50).as("owner"), col("event_type"))
+        // txn 0: both tables born in one snapshot
+        Catalog.transact(s, cat) { _ =>
+          Map(
+            "docs" -> Catalog.Pin(dDir, TableVersions.commitAppend(docs.repartition(4), dDir)),
+            "events" -> Catalog.Pin(eDir, TableVersions.commitAppend(evs.repartition(4), eDir))
+          )
+        }
+        // txn 1: forget subjects 7 and 21 EVERYWHERE, atomically
+        Catalog.transact(s, cat) { cur =>
+          cur +
+            ("docs" -> Catalog.Pin(dDir, TableVersions.commitDelete(s, dDir, "owner IN (7, 21)"))) +
+            ("events" -> Catalog.Pin(eDir, TableVersions.commitDelete(s, eDir, "owner IN (7, 21)")))
+        }
+        // a CRASHED half-erasure: the events delete lands, the docs
+        // delete and the publish never do — must stay unobservable
+        TableVersions.commitDelete(s, eDir, "owner = 13")
+
+        val sess = s
+        import sess.implicits._
+        (0L to Catalog.head(s, cat))
+          .flatMap { snap =>
+            Seq("docs", "events").map { t =>
+              val df = Catalog.readTable(s, cat, snap, t)
+              val r = df
+                .agg(
+                  count(lit(1)),
+                  sum(when(col("owner").isin(7, 21), 1L).otherwise(0L)),
+                  sum(when(col("owner") === 13, 1L).otherwise(0L))
+                )
+                .head()
+              (snap, t, r.getLong(0), r.getLong(1), r.getLong(2))
+            }
+          }
+          .toDF("snap", "tbl", "n_rows", "n_subject", "n_crash_subject")
+          .orderBy("snap", "tbl")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id % 50 AS owner FROM documents WHERE doc_id % 2 = 0),
+        e AS (
+          SELECT user_id % 50 AS owner FROM events WHERE event_id % 2 = 0),
+        states AS (
+          SELECT 0 AS snap, 'docs' AS tbl, owner FROM d
+          UNION ALL SELECT 0, 'events', owner FROM e
+          UNION ALL SELECT 1, 'docs', owner FROM d WHERE owner NOT IN (7, 21)
+          UNION ALL SELECT 1, 'events', owner FROM e WHERE owner NOT IN (7, 21))
+        SELECT CAST(snap AS BIGINT) AS snap, tbl,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN owner IN (7, 21) THEN 1 ELSE 0 END) AS BIGINT) AS n_subject,
+               CAST(sum(CASE WHEN owner = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_crash_subject
+        FROM states GROUP BY snap, tbl ORDER BY snap, tbl""")
     )
   )
 
