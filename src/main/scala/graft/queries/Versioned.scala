@@ -1675,6 +1675,71 @@ object Versioned {
                CAST(sum(CASE WHEN owner IN (7, 21) THEN 1 ELSE 0 END) AS BIGINT) AS n_subject,
                CAST(sum(CASE WHEN owner = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_crash_subject
         FROM states GROUP BY snap, tbl ORDER BY snap, tbl""")
+    ),
+
+    // ------------------------------------------------------------------
+    // VERSION-PINNED RESULT CACHE (operators/ResultCache): a
+    // deterministic aggregate over a versioned table is fully
+    // determined by (canonicalized plan, source versions), so its
+    // result is served from storage until the source COMMITS — the
+    // log is the invalidation signal, no TTLs, no protocols. The
+    // query runs the same rollup three times: miss (computes +
+    // persists), hit (the returned frame must SCAN THE CACHE ENTRY,
+    // not the table — asserted in-plan), then a CoW delete moves the
+    // version and the third run is a miss with the new answer. The
+    // hit/miss sequence is part of the query's contract (require);
+    // values are ORACLE-EXACT for both table states — a stale hit
+    // after the commit would serve run1's rows under run3 and break
+    // the hash.
+    QueryDef(
+      "q237_result_cache",
+      (s, dir) => {
+        import graft.operators.ResultCache
+        val src = Similarity.freshIndexDir("rc_store")
+        val cache = Similarity.freshIndexDir("rc_cache")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 =!= 2).repartition(4), src)
+        def rollup() = TableVersions
+          .readVersion(s, src, TableVersions.currentVersion(s, src))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("chars"))
+        val (r1, h1) = ResultCache.run(s, cache, Seq(src), rollup())
+        val (r2, h2) = ResultCache.run(s, cache, Seq(src), rollup())
+        require(!h1 && h2, s"expected miss-then-hit, got ($h1, $h2)")
+        val hitRoots = r2.queryExecution.analyzed
+          .collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+          }
+          .flatten
+        require(
+          hitRoots.nonEmpty && hitRoots.forall(_.contains("rc_cache")),
+          s"hit must serve from the cache entry, scanned: ${hitRoots.mkString(", ")}"
+        )
+        TableVersions.commitDelete(s, src, "doc_id % 7 = 0")
+        val (r3, h3) = ResultCache.run(s, cache, Seq(src), rollup())
+        require(!h3, "a commit must invalidate the entry")
+        Seq(("run1_miss", r1), ("run2_hit", r2), ("run3_fresh", r3))
+          .map { case (tag, r) => r.select(lit(tag).as("run"), col("lang"), col("n"), col("chars")) }
+          .reduce(_ unionByName _)
+          .orderBy("run", "lang")
+      },
+      Some("""WITH s0 AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 3 <> 2),
+        s1 AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 0),
+        runs AS (
+          SELECT 'run1_miss' AS run, lang, count(*) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars FROM s0 GROUP BY lang
+          UNION ALL
+          SELECT 'run2_hit', lang, count(*), CAST(sum(n_chars) AS BIGINT) FROM s0 GROUP BY lang
+          UNION ALL
+          SELECT 'run3_fresh', lang, count(*), CAST(sum(n_chars) AS BIGINT) FROM s1 GROUP BY lang)
+        SELECT run, lang, n, chars FROM runs ORDER BY run, lang""")
     )
   )
 
