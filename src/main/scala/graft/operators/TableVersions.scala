@@ -468,6 +468,7 @@ object TableVersions {
   /** Commit a new batch of rows (version 0 initializes the table). */
   def commitAppend(df: DataFrame, dir: String): Long = {
     val s = df.sparkSession
+    enforceConstraints(df, dir, "append")
     val v = currentVersion(s, dir) + 1
     claimVersion(s, dir, v)
     val batch = s"$dir/data/b$v"
@@ -495,6 +496,7 @@ object TableVersions {
     */
   def commitAppendRetry(df: DataFrame, dir: String, maxAttempts: Int = 64): Long = {
     val s = df.sparkSession
+    enforceConstraints(df, dir, "append")
     var candidate = currentVersion(s, dir) + 1
     var attempt = 1
     while (true) {
@@ -626,6 +628,18 @@ object TableVersions {
     val replaced = op match {
       case "delete" => keep
       case _        => keep.unionByName(transform(hitDf.filter(matches)))
+    }
+    // update post-images must satisfy the CHECK constraints (deletes
+    // cannot add rows); a refusal releases this commit's version claim
+    // (the log never materialized, so the release is exact) and leaves
+    // the table byte-identical
+    if (op != "delete") {
+      try enforceConstraints(transform(hitDf.filter(matches)), dir, op)
+      catch {
+        case e: Throwable =>
+          releaseStaleClaim(s, dir, v)
+          throw e
+      }
     }
     // change-data feed: the matched rows ARE the commit's change set —
     // persist them (O(matched)) so feed consumers never re-diff the
@@ -869,6 +883,7 @@ object TableVersions {
   /** [[commitAppend]] with a hive-partitioned batch layout over
     * `partCols`. */
   def commitAppendPartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Long = {
+    enforceConstraints(df, dir, "append")
     require(partCols.nonEmpty, "no partition columns named")
     val s = df.sparkSession
     val v = currentVersion(s, dir) + 1
@@ -952,6 +967,7 @@ object TableVersions {
     * column's NATIVE type — probes must pass a literal of the same
     * type ([[readVersionByBucket]]). */
   def commitAppendBucketed(df: DataFrame, dir: String, key: String, nBuckets: Int): Long = {
+    enforceConstraints(df, dir, "append")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val s = df.sparkSession
     val v = currentVersion(s, dir) + 1
@@ -1461,6 +1477,7 @@ object TableVersions {
       dup.getLong(1) == dup.getLong(2),
       s"merge source has duplicate keys: ${dup.getLong(1)} rows, ${dup.getLong(2)} distinct $key"
     )
+    enforceConstraints(source, dir, "merge")
     // claim only after the source validates — a rejected merge must
     // not strand a version claim
     claimVersion(s, dir, v)
@@ -1731,6 +1748,94 @@ object TableVersions {
     require(vs.nonEmpty, s"$dir has no ANALYZE snapshot; run analyzeTable first")
     val v = vs.max
     s.read.parquet(s"${colStatsDir(dir)}/v$v").withColumn("stats_version", lit(v))
+  }
+
+  private def constraintsDir(dir: String) = s"$dir/_constraints"
+
+  /** The table's CHECK constraints, (name, check-expression) pairs. */
+  def constraintList(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val p = new Path(constraintsDir(dir))
+    if (!fsOf(s, dir).exists(p)) Seq.empty
+    else
+      s.read
+        .parquet(p.toString)
+        .collect()
+        .map(r => (r.getString(r.fieldIndex("name")), r.getString(r.fieldIndex("chk"))))
+        .toSeq
+        .sortBy(_._1)
+  }
+
+  /** Delta-style CHECK constraint: every row every future row-adding
+    * commit writes must satisfy `check` (SQL semantics — a constraint
+    * is violated only when the expression evaluates to FALSE; NULL
+    * passes, as in standard SQL CHECK). Adding validates the CURRENT
+    * head first (one scan, exactly Delta's ALTER TABLE ADD CONSTRAINT
+    * contract) and refuses if any existing row violates. Enforcement
+    * afterwards costs one aggregate pass over each commit's NEW rows
+    * (never the table): append/merge/update paths all refuse loudly
+    * with the table unchanged. Deletes, compaction and z-order cannot
+    * add rows and are not checked.
+    */
+  def addConstraint(s: SparkSession, dir: String, name: String, check: String): Unit = {
+    require(name.nonEmpty && check.nonEmpty, "constraint needs a name and an expression")
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    require(
+      !constraintList(s, dir).exists(_._1 == name),
+      s"constraint $name already exists on $dir"
+    )
+    val bad = readVersion(s, dir, v).filter(not(coalesce(expr(check), lit(true)))).count()
+    require(bad == 0, s"cannot add constraint $name: $bad existing rows violate ($check)")
+    val sess = s
+    import sess.implicits._
+    Seq((name, check))
+      .toDF("name", "chk")
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(constraintsDir(dir))
+  }
+
+  /** Remove a CHECK constraint (staged swap; unknown names refuse). */
+  def dropConstraint(s: SparkSession, dir: String, name: String): Unit = {
+    val cs = constraintList(s, dir)
+    require(cs.exists(_._1 == name), s"no constraint $name on $dir")
+    val fs = fsOf(s, dir)
+    val live = new Path(constraintsDir(dir))
+    val rest = cs.filterNot(_._1 == name)
+    if (rest.isEmpty) {
+      if (!fs.delete(live, /* recursive = */ true))
+        throw new java.io.IOException(s"dropConstraint: failed to clear $live")
+      return
+    }
+    val sess = s
+    import sess.implicits._
+    val staged = new Path(s"${constraintsDir(dir)}_staged")
+    rest.toDF("name", "chk").coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    if (!fs.delete(live, /* recursive = */ true))
+      throw new java.io.IOException(s"dropConstraint: failed to remove $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"dropConstraint: failed to swap $staged into place")
+  }
+
+  /** One aggregate pass over a commit's new rows against every CHECK
+    * constraint; throws (table unchanged) naming the first violated
+    * constraint. */
+  private def enforceConstraints(df: DataFrame, dir: String, what: String): Unit = {
+    val s = df.sparkSession
+    val cs = constraintList(s, dir)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, c) =>
+      sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L)).as(s"__viol_$n")
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    cs.zipWithIndex.foreach { case ((n, c), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(
+        bad == 0L,
+        s"$what to $dir violates CHECK constraint $n ($c): $bad rows — commit refused"
+      )
+    }
   }
 
   /** OPTIMIZE ... ZORDER BY (Delta's clustered compaction): rewrite

@@ -1740,6 +1740,79 @@ object Versioned {
           UNION ALL
           SELECT 'run3_fresh', lang, count(*), CAST(sum(n_chars) AS BIGINT) FROM s1 GROUP BY lang)
         SELECT run, lang, n, chars FROM runs ORDER BY run, lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CHECK CONSTRAINTS (Delta's ALTER TABLE ADD CONSTRAINT): declared
+    // invariants enforced at WRITE time — every row-adding commit
+    // (append/merge/update post-images) pays one aggregate pass over
+    // its NEW rows and refuses loudly when any violates, with the
+    // table unchanged; deletes/compaction/z-order add no rows and are
+    // unchecked. Adding a constraint validates the existing head
+    // first and refuses if history already violates. SQL semantics:
+    // FALSE violates, NULL passes. The query drives every refusal
+    // path (violating append, violating update post-image,
+    // unaddable constraint) and every accepted path, then proves
+    // the refused commits left NOTHING: the final census, version
+    // count and constraint list are ORACLE-EXACT against the
+    // accepted commits alone.
+    QueryDef(
+      "q238_check_constraints",
+      (s, dir) => {
+        val src = Similarity.freshIndexDir("ck_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0).repartition(3), src)
+        TableVersions.addConstraint(s, src, "chars_nonneg", "n_chars >= 0")
+        TableVersions.addConstraint(s, src, "lang_shape", "length(lang) = 2")
+        // a constraint the existing data violates must be unaddable
+        val unaddable =
+          try { TableVersions.addConstraint(s, src, "impossible", "n_chars > 1000000000"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(unaddable, "addConstraint accepted a violated invariant")
+        // accepted append
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), src)
+        // violating append refused, table unchanged
+        val badAppend =
+          try {
+            TableVersions.commitAppend(
+              docs.filter(col("doc_id") % 3 === 2).withColumn("n_chars", lit(-1L)),
+              src
+            ); false
+          } catch { case _: IllegalArgumentException => true }
+        require(badAppend, "violating append was accepted")
+        // violating update post-image refused
+        val badUpdate =
+          try {
+            TableVersions.commitUpdate(s, src, "doc_id % 5 = 0", _.withColumn("lang", lit("xxx")))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(badUpdate, "violating update was accepted")
+        // accepted merge (fresh rows satisfying both constraints)
+        TableVersions.commitMerge(docs.filter(col("doc_id") % 3 === 2), src, "doc_id")
+        val head = TableVersions
+          .readVersion(s, src, TableVersions.currentVersion(s, src))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("census").as("probe"), col("lang").as("k"), col("n"))
+        val sess = s
+        import sess.implicits._
+        val meta = Seq(("meta", "n_versions", TableVersions.currentVersion(s, src) + 1))
+          .toDF("probe", "k", "n")
+        val cons = TableVersions
+          .constraintList(s, src)
+          .map { case (n, _) => ("constraint", n, 1L) }
+          .toDF("probe", "k", "n")
+        head.unionByName(meta).unionByName(cons).orderBy("probe", "k")
+      },
+      Some("""WITH census AS (
+          SELECT 'census' AS probe, lang AS k, count(*) AS n
+          FROM documents GROUP BY lang),
+        extras AS (
+          SELECT 'meta' AS probe, 'n_versions' AS k, CAST(3 AS BIGINT) AS n
+          UNION ALL SELECT 'constraint', 'chars_nonneg', 1
+          UNION ALL SELECT 'constraint', 'lang_shape', 1)
+        SELECT probe, k, n FROM (SELECT * FROM census UNION ALL SELECT * FROM extras)
+        ORDER BY probe, k""")
     )
   )
 

@@ -777,4 +777,46 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(st1("tag").getLong(2) == 20L)
     assert(st1("id").getAs[Long]("stats_version") == 1L)
   }
+
+  test("CHECK constraints: NULL passes, refusals strand nothing, drop re-enables") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val rows = (0L until 60L)
+      .map(i => (i, if (i % 10 == 0) null else s"v${i % 4}", i % 7))
+      .toDF("id", "tag", "x")
+    TableVersions.commitAppend(rows, dir)
+    TableVersions.addConstraint(spark, dir, "x_small", "x < 7")
+    // NULL-evaluating rows PASS (SQL CHECK semantics): tag IS NULL
+    // makes length(tag)=2 evaluate to NULL, which must not violate
+    TableVersions.addConstraint(spark, dir, "tag_shape", "length(tag) = 2")
+    // violating bucketed and partitioned appends refuse too
+    intercept[IllegalArgumentException] {
+      TableVersions.commitAppendBucketed(
+        Seq((100L, "toolong", 1L)).toDF("id", "tag", "x"), dir, "id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      TableVersions.commitAppendPartitioned(
+        Seq((100L, "ok", 9L)).toDF("id", "tag", "x"), dir, Seq("tag"))
+    }
+    // a refused merge leaves the version unchanged and strands no claim
+    val v0 = TableVersions.currentVersion(spark, dir)
+    intercept[IllegalArgumentException] {
+      TableVersions.commitMerge(Seq((1L, "v1", 99L)).toDF("id", "tag", "x"), dir, "id")
+    }
+    assert(TableVersions.currentVersion(spark, dir) == v0)
+    assert(TableVersions.commitAppend(Seq((200L, null.asInstanceOf[String], 3L)).toDF("id", "tag", "x"), dir) == v0 + 1)
+    // a refused update releases its claim: the next commit lands
+    intercept[IllegalArgumentException] {
+      TableVersions.commitUpdate(spark, dir, "id = 200", _.withColumn("x", lit(42L)))
+    }
+    assert(TableVersions.commitAppend(Seq((201L, "v2", 4L)).toDF("id", "tag", "x"), dir) == v0 + 2)
+    // drop re-enables the rejected shape
+    TableVersions.dropConstraint(spark, dir, "tag_shape")
+    assert(TableVersions.constraintList(spark, dir).map(_._1) == Seq("x_small"))
+    TableVersions.commitAppend(Seq((300L, "free-form", 5L)).toDF("id", "tag", "x"), dir): Unit
+    intercept[IllegalArgumentException] {
+      TableVersions.dropConstraint(spark, dir, "nope")
+    }
+  }
 }
