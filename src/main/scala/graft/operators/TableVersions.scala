@@ -1750,6 +1750,81 @@ object TableVersions {
     s.read.parquet(s"${colStatsDir(dir)}/v$v").withColumn("stats_version", lit(v))
   }
 
+  /** MAINTENANCE AUTOPILOT — the scheduled job every deployed table
+    * needs, as one idempotent call: inspect the log (metadata only)
+    * and run exactly the maintenance the table's state asks for, in
+    * debt order:
+    *
+    *   1. `checkpoint` when ≥ `checkpointEvery` commits accumulated
+    *      since the last one (bounds log reads at O(1 + tail));
+    *   2. `compactMor` when applicable deletion vectors exist (folds
+    *      merge-on-read debt so the optimize below rewrites clean
+    *      files);
+    *   3. `optimize` when ≥ `minSmallFiles` live files sit under
+    *      `smallBytes` (bounds file-listing and scan overhead);
+    *   4. `compactSkipping` when the stats/bloom tables carry >
+    *      `maxDeadSkipRows` rows for files no longer live (bounds the
+    *      driver-side pruning probe under churn).
+    *
+    * Every action is itself one of the store's audited commits or
+    * checked staged swaps, so reads are byte-identical across a
+    * maintain() and a crashed action leaves the usual retryable
+    * state. Decision inputs are metadata-scale (log listing + file
+    * statuses + two tiny parquet reads) — maintain() on a healthy
+    * table costs microseconds and does nothing, which is what makes
+    * it safe to run on a schedule. Vacuum is deliberately NOT here:
+    * destroying time travel is a retention decision, not hygiene.
+    * Returns the (action, detail) pairs it executed.
+    */
+  def maintain(
+      s: SparkSession,
+      dir: String,
+      checkpointEvery: Int = 8,
+      minSmallFiles: Int = 8,
+      smallBytes: Long = 32L * 1024 * 1024,
+      maxDeadSkipRows: Long = 64
+  ): Seq[(String, String)] = {
+    val actions = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val lastCkpt = checkpoints(s, dir).lastOption.getOrElse(-1L)
+    if (v - lastCkpt >= checkpointEvery) {
+      actions += ("checkpoint" -> s"v${checkpoint(s, dir)}")
+    }
+    if (dvVersions(s, dir).nonEmpty) {
+      val nv = compactMor(s, dir)
+      if (nv > v) actions += ("compact_mor" -> s"v$nv")
+    }
+    val fs = fsOf(s, dir)
+    val head = currentVersion(s, dir)
+    val small =
+      liveFiles(s, dir, head).count(f => fs.getFileStatus(new Path(f)).getLen < smallBytes)
+    if (small >= minSmallFiles) {
+      val nv = optimize(s, dir, smallBytes = smallBytes)
+      if (nv > head) actions += ("optimize" -> s"v$nv (packed $small small files)")
+    }
+    val live = liveFiles(s, dir, currentVersion(s, dir)).map(qualifiedStr(s, _)).toSet
+    def deadRows(table: String): Long = {
+      val p = new Path(table)
+      if (!fs.exists(p)) 0L
+      else
+        s.read
+          .parquet(table)
+          .select("file")
+          .collect()
+          .count(r => !live.contains(qualifiedStr(s, r.getString(0))))
+          .toLong
+    }
+    val dead = deadRows(statsDir(dir)) + deadRows(bloomDir(dir))
+    if (dead > maxDeadSkipRows) {
+      compactSkipping(s, dir)
+      actions += ("compact_skipping" -> s"folded $dead dead index rows")
+    }
+    actions.toSeq
+  }
+
+  private def qualifiedStr(s: SparkSession, p: String): String = qualified(s, new Path(p))
+
   private def constraintsDir(dir: String) = s"$dir/_constraints"
 
   /** The table's CHECK constraints, (name, check-expression) pairs. */

@@ -1813,6 +1813,92 @@ object Versioned {
           UNION ALL SELECT 'constraint', 'lang_shape', 1)
         SELECT probe, k, n FROM (SELECT * FROM census UNION ALL SELECT * FROM extras)
         ORDER BY probe, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // MAINTENANCE AUTOPILOT (TableVersions.maintain): the scheduled
+    // hygiene job as ONE idempotent call — inspect the log (metadata
+    // only) and run exactly what the table's state asks for, in debt
+    // order: checkpoint (log tail ≥ 8 commits), compactMor (live
+    // deletion vectors), optimize (≥ 4 small files), compactSkipping
+    // (> 4 dead stats rows). The fixture manufactures all four debts
+    // (10 one-file appends + a MOR delete + a stats refresh that the
+    // optimize orphans), so ONE maintain() fires all four actions in
+    // order — and the second maintain() does NOTHING, the
+    // idempotence that makes a cron-scheduled run safe. Reads are
+    // byte-identical across maintenance (every action is a logical
+    // no-op commit or checked swap): the census is ORACLE-EXACT over
+    // the MOR-deleted state, and the action/idempotence evidence
+    // rides in the same hashed output.
+    QueryDef(
+      "q239_maintenance_autopilot",
+      (s, dir) => {
+        val src = Similarity.freshIndexDir("mnt_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        (0 until 10).foreach { i =>
+          TableVersions.commitAppend(docs.filter(col("doc_id") % 10 === i).coalesce(1), src): Unit
+        }
+        TableVersions.commitDeleteMor(s, src, "doc_id % 17 = 0")
+        def sweep(d: String) = TableVersions.maintain(
+          s,
+          d,
+          checkpointEvery = 8,
+          minSmallFiles = 4,
+          smallBytes = 32L * 1024 * 1024,
+          maxDeadSkipRows = 2
+        )
+        val acts = sweep(src)
+        require(
+          acts.map(_._1) == Seq("checkpoint", "compact_mor", "optimize"),
+          s"unexpected action plan: $acts"
+        )
+        require(sweep(src).isEmpty, "maintain must be idempotent on a healthy table")
+        // the skipping arm fires on CoW churn WITHOUT small-file debt
+        // (optimize and compactMor fold the skipping tables themselves)
+        val src2 = Similarity.freshIndexDir("mnt_store_churn")
+        (0 until 3).foreach { i =>
+          TableVersions
+            .commitAppend(docs.filter(col("doc_id") % 3 === i).repartition(1), src2): Unit
+        }
+        TableVersions.refreshStats(s, src2, Seq("doc_id")): Unit
+        TableVersions.commitDelete(s, src2, "doc_id % 11 = 0")
+        val acts2 = sweep(src2)
+        require(acts2.map(_._1) == Seq("compact_skipping"), s"unexpected churn plan: $acts2")
+        require(sweep(src2).isEmpty, "maintain must be idempotent after the fold")
+        val sess = s
+        import sess.implicits._
+        val census = TableVersions
+          .readVersion(s, src, TableVersions.currentVersion(s, src))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("census").as("probe"), col("lang").as("k"), col("n"))
+        val census2 = TableVersions
+          .readVersion(s, src2, TableVersions.currentVersion(s, src2))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("census_churn").as("probe"), col("lang").as("k"), col("n"))
+        val evidence = (acts.zipWithIndex.map { case ((op, _), i) =>
+          ("action", s"${i + 1}_$op", 1L)
+        } ++ acts2.zipWithIndex.map { case ((op, _), i) =>
+          ("action_churn", s"${i + 1}_$op", 1L)
+        }).toDF("probe", "k", "n")
+        census.unionByName(census2).unionByName(evidence).orderBy("probe", "k")
+      },
+      Some("""WITH census AS (
+          SELECT 'census' AS probe, lang AS k, count(*) AS n
+          FROM documents WHERE doc_id % 17 <> 0 GROUP BY lang),
+        census2 AS (
+          SELECT 'census_churn' AS probe, lang AS k, count(*) AS n
+          FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang),
+        extras AS (
+          SELECT 'action' AS probe, '1_checkpoint' AS k, CAST(1 AS BIGINT) AS n
+          UNION ALL SELECT 'action', '2_compact_mor', 1
+          UNION ALL SELECT 'action', '3_optimize', 1
+          UNION ALL SELECT 'action_churn', '1_compact_skipping', 1)
+        SELECT probe, k, n FROM (
+          SELECT * FROM census UNION ALL SELECT * FROM census2
+          UNION ALL SELECT * FROM extras)
+        ORDER BY probe, k""")
     )
   )
 
