@@ -1004,6 +1004,89 @@ object TextOps {
           .limit(30)
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // E14 (RAKE keyword extraction — Rose et al. 2010): per-document
+    // candidate phrases are maximal stopword-free token runs
+    // (gaps-and-islands on token position, doc-bounded), word scores
+    // are deg/freq over the document's own phrases (deg(w) = sum of
+    // lengths of phrases containing each occurrence of w), a phrase
+    // scores the sum of its words, and the top-3 phrases per document
+    // come from the rank-filtered window that TopKRewrite compiles to
+    // the two-phase heap — the engine's own optimization serving its
+    // own operator. All scoring is integer micro-units (deg*10^6 DIV
+    // freq), so the extraction is oracle-exact. 100 TB posture:
+    // every step after the explode is keyed by doc_id (word stats,
+    // phrase folds, ranking) — doc-bounded windows, never a corpus
+    // sort; phrase reassembly is an in-group ordered fold
+    // (sort_array . collect_list over unique positions).
+    QueryDef(
+      "q240_rake_keywords",
+      (s, dir) => {
+        val stop = Seq("a", "an", "the", "and", "or", "of", "to", "in", "is")
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .filter(length(col("col")) > 0)
+          .select(col("doc_id"), col("pos"), col("col").as("w"))
+        val inPhrase = toks
+          .filter(!col("w").isin(stop: _*))
+          .withColumn(
+            "grp",
+            col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+          )
+        val phrases = inPhrase
+          .groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("plen"))
+        val wordScore = inPhrase
+          .join(phrases, Seq("doc_id", "grp"))
+          .groupBy("doc_id", "w")
+          .agg((sum("plen") * lit(1000000L)).as("deg6"), count(lit(1)).as("freq"))
+          .select(col("doc_id"), col("w"), expr("deg6 DIV freq").as("wscore"))
+        val scored = inPhrase
+          .join(wordScore, Seq("doc_id", "w"))
+          .groupBy("doc_id", "grp")
+          .agg(
+            sum("wscore").as("score"),
+            expr("array_join(transform(sort_array(collect_list(struct(pos, w))), x -> x.w), ' ')")
+              .as("phrase")
+          )
+        val w3 = Window.partitionBy("doc_id").orderBy(desc("score"), asc("phrase"), asc("grp"))
+        scored
+          .withColumn("rn", row_number().over(w3))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"), col("phrase"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, i - 1 AS pos, ws[i] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                       unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                FROM documents)
+          WHERE len(ws[i]) > 0),
+        ip AS (
+          SELECT doc_id, pos, w,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM toks
+          WHERE w NOT IN ('a', 'an', 'the', 'and', 'or', 'of', 'to', 'in', 'is')),
+        ph AS (SELECT doc_id, grp, count(*) AS plen FROM ip GROUP BY 1, 2),
+        ws AS (
+          SELECT ip.doc_id, ip.w,
+                 (sum(ph.plen) * 1000000) // count(*) AS wscore
+          FROM ip JOIN ph USING (doc_id, grp) GROUP BY 1, 2),
+        scored AS (
+          SELECT ip.doc_id, ip.grp,
+                 CAST(sum(ws.wscore) AS BIGINT) AS score,
+                 string_agg(ip.w, ' ' ORDER BY ip.pos) AS phrase
+          FROM ip JOIN ws ON ip.doc_id = ws.doc_id AND ip.w = ws.w
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, phrase, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, phrase, grp) AS rn
+          FROM scored)
+        SELECT doc_id, CAST(rn AS BIGINT) AS rn, phrase, score
+        FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""")
     )
   )
 }
