@@ -43,6 +43,7 @@ object GraftSession {
       // optimizer rules (Rule[LogicalPlan]) — see graft.plans
       .withExtensions(graft.plans.ViewRewrite.install)
       .withExtensions(graft.plans.TopKRewrite.install)
+      .withExtensions(graft.plans.JoinElim.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

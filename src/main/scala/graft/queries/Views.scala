@@ -176,6 +176,71 @@ object Views {
                                         ORDER BY p_retailprice DESC, p_partkey) AS rk
               FROM part)
         WHERE rk <= 3 ORDER BY p_brand, rk""")
+    ),
+
+    // ------------------------------------------------------------------
+    // JOIN ELIMINATION from informational referential constraints
+    // (plans/JoinElim — the engine's second query-rewriting Rule).
+    // lineitem.l_orderkey → orders.o_orderkey is declared (and
+    // VALIDATED: pk unique, fk non-null, zero orphans) as a RELY
+    // foreign key; two consumers then join fact to dimension the way
+    // generated BI SQL always does — and reference only fact columns,
+    // so the optimizer REMOVES the join: the 100 TB fact table never
+    // shuffles against orders at all. Both consumers REQUIRE a
+    // join-free optimized plan (a silent fallback would still return
+    // right values); values are ORACLE-EXACT against DuckDB EXECUTING
+    // THE JOIN — the elimination is only right if it is invisible.
+    // Guard rails (filtered dimensions, dim-column references, outer
+    // joins, undeclared pairs) are pinned by JoinElimSpec.
+    QueryDef(
+      "q241_join_elimination",
+      (s, dir) => {
+        val factDir = s"$dir/lineitem.parquet"
+        val dimDir = s"$dir/orders.parquet"
+        graft.plans.JoinElim.declare(s, factDir, "l_orderkey", dimDir, "o_orderkey")
+        try {
+          val fact = s.read.parquet(factDir)
+          val dim = s.read.parquet(dimDir)
+          val agg = fact
+            .join(dim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(expr("CAST(round(l_extendedprice * 100) AS bigint)")).as("cents")
+            )
+            .select(lit("agg").as("probe"), col("yr"), col("n"), col("cents"))
+          val proj = dim
+            .join(fact, col("o_orderkey") === col("l_orderkey")) // dim on the LEFT
+            .filter(col("l_quantity") >= 49.0)
+            .groupBy(col("l_orderkey").as("yr"))
+            .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("cents"))
+            .select(lit("proj").as("probe"), col("yr"), col("n"), col("cents"))
+          Seq(agg, proj).foreach { q =>
+            val joins = q.queryExecution.optimizedPlan.collect {
+              case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+            }
+            require(
+              joins.isEmpty,
+              s"join elimination did not fire:\n${q.queryExecution.optimizedPlan}"
+            )
+          }
+          agg.unionByName(proj).orderBy("probe", "yr")
+        } finally graft.plans.JoinElim.undeclare(s, factDir, "l_orderkey")
+      },
+      Some("""WITH a AS (
+          SELECT 'agg' AS probe, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 2),
+        p AS (
+          SELECT 'proj' AS probe, l_orderkey AS yr, count(*) AS n,
+                 CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS cents
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity >= 49.0
+          GROUP BY 2)
+        SELECT probe, yr, n, cents FROM (SELECT * FROM a UNION ALL SELECT * FROM p)
+        ORDER BY probe, yr""")
     )
   )
 }
