@@ -1899,6 +1899,84 @@ object Versioned {
           SELECT * FROM census UNION ALL SELECT * FROM census2
           UNION ALL SELECT * FROM extras)
         ORDER BY probe, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // EXACTLY-ONCE FILE INGESTION (operators/AutoIngest — the
+    // Autoloader contract): sweeps of a landing zone commit each new
+    // file into the store exactly once, with the ingested rows' OWN
+    // provenance column as the registry (data + provenance in one
+    // commit — crash before = no loss, crash after = no duplication;
+    // a side registry needs a transaction to say the same). Three
+    // delivery waves arrive between sweeps; a no-op sweep between
+    // them ingests nothing and commits nothing; a REDELIVERED wave-1
+    // file under its same path is skipped. ORACLE-EXACT: per-(wave,
+    // lang) census over the three waves' slices plus each sweep's
+    // file count — a double-ingested or dropped file breaks the hash.
+    QueryDef(
+      "q242_auto_ingest",
+      (s, dir) => {
+        import graft.operators.AutoIngest
+        val landing = Similarity.freshIndexDir("ai_landing")
+        val store = Similarity.freshIndexDir("ai_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        def deliver(wave: Int, mod: Int): Unit =
+          docs
+            .filter(col("doc_id") % 3 === mod)
+            .repartition(2)
+            .write
+            .mode("overwrite")
+            .parquet(s"$landing/wave$wave")
+        deliver(1, 0)
+        val s1 = AutoIngest.discover(s, landing, store)
+        val s1b = AutoIngest.discover(s, landing, store) // no-op sweep
+        deliver(2, 1)
+        deliver(3, 2)
+        val s2 = AutoIngest.discover(s, landing, store)
+        // redelivery: wave1's files reappear byte-identical at their
+        // SAME paths (fs-level copy out and back) — next sweep must
+        // skip them
+        val fs = new org.apache.hadoop.fs.Path(landing)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val conf = s.sparkContext.hadoopConfiguration
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$landing/wave1"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val tmp = new org.apache.hadoop.fs.Path(st.getPath.toString + ".redeliver")
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, tmp, false, conf)
+            fs.delete(st.getPath, false)
+            fs.rename(tmp, st.getPath)
+          }
+        val s3Files = AutoIngest.discover(s, landing, store)
+        require(s1 == 2L && s1b == 0L && s2 == 4L, s"sweep counts: $s1, $s1b, $s2")
+        require(s3Files == 0L, s"redelivered files were re-ingested: $s3Files")
+        // exactly one commit per non-empty sweep
+        require(
+          TableVersions.currentVersion(s, store) == 1L,
+          "expected exactly two commits (one per non-empty sweep)"
+        )
+        val sess = s
+        import sess.implicits._
+        val census = TableVersions
+          .readVersion(s, store, 1L)
+          .groupBy(
+            regexp_extract(col("__ingest_src"), "(wave[0-9]+)", 1).as("wave"),
+            col("lang")
+          )
+          .agg(count(lit(1)).as("n"))
+        val meta = Seq(("sweeps", "files_ingested", s1 + s2))
+          .toDF("wave", "lang", "n")
+        census.unionByName(meta).orderBy("wave", "lang")
+      },
+      Some("""WITH waves AS (
+          SELECT 'wave1' AS wave, lang FROM documents WHERE doc_id % 3 = 0
+          UNION ALL SELECT 'wave2', lang FROM documents WHERE doc_id % 3 = 1
+          UNION ALL SELECT 'wave3', lang FROM documents WHERE doc_id % 3 = 2),
+        census AS (
+          SELECT wave, lang, count(*) AS n FROM waves GROUP BY wave, lang),
+        meta AS (SELECT 'sweeps' AS wave, 'files_ingested' AS lang, CAST(6 AS BIGINT) AS n)
+        SELECT wave, lang, n FROM (SELECT * FROM census UNION ALL SELECT * FROM meta)
+        ORDER BY wave, lang""")
     )
   )
 
