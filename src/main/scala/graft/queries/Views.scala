@@ -241,6 +241,61 @@ object Views {
           GROUP BY 2)
         SELECT probe, yr, n, cents FROM (SELECT * FROM a UNION ALL SELECT * FROM p)
         ORDER BY probe, yr""")
+    ),
+
+    // ------------------------------------------------------------------
+    // COLUMN-LEVEL LINEAGE (plans/ColumnLineage): the catalog metadata
+    // every governed pipeline owes — for each output column, the
+    // (source table, source column) pairs that feed it, extracted by
+    // a bottom-up dataflow closure over the ANALYZED plan's
+    // expression ids (Catalyst already knows; this says it out loud).
+    // Probe 1 is the BI shape (join + aggregate): the revenue column
+    // traces to both lineitem price columns, the priority key to
+    // orders, and count(1) — honestly — to nothing. Probe 2 is the
+    // expression/window shape: a cross-table sum traces to both
+    // tables, and a rank traces to its partition AND order columns
+    // (rank is value-flow from the ordering). Driver-side plan walk,
+    // no job runs; deterministic, so the report itself is
+    // ORACLE-EXACT as a constant relation.
+    QueryDef(
+      "q243_column_lineage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val q1 = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+            count(lit(1)).as("n")
+          )
+        val q2 = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_extendedprice") + col("o_totalprice")).as("mix"),
+            row_number()
+              .over(W.partitionBy("o_orderpriority").orderBy("l_orderkey", "l_linenumber"))
+              .as("rk")
+          )
+        val sess = s
+        import sess.implicits._
+        (graft.plans.ColumnLineage.edges(q1).map { case (c, t, sc) => ("q1", c, t, sc) } ++
+          graft.plans.ColumnLineage.edges(q2).map { case (c, t, sc) => ("q2", c, t, sc) })
+          .toDF("probe", "out_col", "src_table", "src_col")
+          .orderBy("probe", "out_col", "src_table", "src_col")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('q1', 'pri', 'orders',   'o_orderpriority'),
+          ('q1', 'rev', 'lineitem', 'l_discount'),
+          ('q1', 'rev', 'lineitem', 'l_extendedprice'),
+          ('q2', 'mix', 'lineitem', 'l_extendedprice'),
+          ('q2', 'mix', 'orders',   'o_totalprice'),
+          ('q2', 'rk',  'lineitem', 'l_linenumber'),
+          ('q2', 'rk',  'lineitem', 'l_orderkey'),
+          ('q2', 'rk',  'orders',   'o_orderpriority')
+        ) AS t(probe, out_col, src_table, src_col)
+        ORDER BY probe, out_col, src_table, src_col""")
     )
   )
 }
