@@ -1181,6 +1181,63 @@ object Extras {
                                    // datediff('day', pd, nd)) AS value_micros,
                CASE WHEN obs IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
         FROM j WHERE user_id < 120 ORDER BY user_id, day""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E5/E14 (robust anomaly screening, median/MAD): the data-quality
+    // gate that survives the outliers it hunts — per event type, flag
+    // values beyond 3 median-absolute-deviations. Values are integer
+    // micro-units, so both medians land on exact .0/.5 doubles and
+    // the 3·MAD comparison is bit-identical across engines (a
+    // mean/stddev screen would both drift and be corrupted by the
+    // outliers themselves). Two grouped exact medians + two broadcast
+    // joins back (the group table is categorical-small); the per-type
+    // exact median is a sort-based aggregate within each group — at
+    // 100 TB swap in a quantile sketch if groups become data-scaled,
+    // but a screen's thresholds should not be approximate when they
+    // can be exact.
+    QueryDef(
+      "q244_mad_anomaly",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(
+            col("event_type"),
+            col("event_id"),
+            expr("CAST(round(value * 1000000) AS bigint)").as("v")
+          )
+        val med = ev.groupBy("event_type").agg(median(col("v")).as("med"))
+        val dev = ev
+          .join(broadcast(med), Seq("event_type"))
+          .withColumn("d", abs(col("v") - col("med")))
+        val mad = dev.groupBy("event_type").agg(median(col("d")).as("mad"))
+        dev
+          .join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("d") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_anom"),
+            max(when(col("d") > lit(3.0) * col("mad"), col("d"))).as("max_anom_dev")
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 1000000) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        med AS (SELECT event_type, median(v) AS med FROM ev GROUP BY 1),
+        dev AS (
+          SELECT ev.event_type, abs(v - med) AS d, med
+          FROM ev JOIN med USING (event_type)),
+        mad AS (SELECT event_type, median(d) AS mad FROM dev GROUP BY 1)
+        SELECT dev.event_type, count(*) AS n,
+               max(dev.med) AS med, max(mad.mad) AS mad,
+               CAST(sum(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+               max(CASE WHEN d > 3.0 * mad.mad THEN d END) AS max_anom_dev
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type ORDER BY dev.event_type""")
     )
   )
 
