@@ -1371,6 +1371,87 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc) AS rank
           FROM scored)
         WHERE rank <= 5 ORDER BY q_doc, rank""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E13 (Matryoshka truncation sweep — Kusupati et al. 2022): how
+    // many leading dimensions does retrieval actually need? For each
+    // truncation d ∈ {8, 16, 32}, rank the corpus by cosine over the
+    // FIRST d dimensions and measure top-10 overlap against the
+    // full-64-dim ranking, per query — the evaluation that decides
+    // whether an MRL-style index can serve d ≪ D and re-rank, the
+    // same build-vs-serve trade the IVFADC family already exploits
+    // for codes. All cuts are bounded heaps with total (score, id)
+    // orders; OVERLAPS are integers, so the whole report is
+    // oracle-exact (the sliced-cosine doubles never reach the
+    // output). One corpus scan per truncation (4 scans total, each a
+    // broadcast of 8 query vectors — no corpus-scaled exchange).
+    QueryDef(
+      "q245_matryoshka_eval",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        def top10(d: Int): DataFrame = {
+          val (qc, vc) =
+            if (d >= 64) (col("qv"), col("v"))
+            else (expr(s"slice(qv, 1, $d)"), expr(s"slice(v, 1, $d)"))
+          e.crossJoin(broadcast(q))
+            .filter(col("q_id") =!= col("vec_id"))
+            .withColumn("qs", qc)
+            .withColumn("vs", vc)
+            .withColumn("cos", expr("cosine_sim(qs, vs)"))
+            .filter(col("cos").isNotNull)
+            .groupBy("q_id")
+            .agg(expr("top_k_structs(struct(-cos AS nc, vec_id), 10)").as("top"))
+            .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
+        }
+        val full = top10(64)
+        val sess = s
+        import sess.implicits._
+        val spine = Seq(8, 16, 32)
+          .flatMap(d => (0L until 8L).map(qid => (d.toLong, qid)))
+          .toDF("d", "q_id")
+        val overlaps = Seq(8, 16, 32)
+          .map(d =>
+            top10(d)
+              .join(full, Seq("q_id", "vec_id"), "left_semi")
+              .groupBy("q_id")
+              .agg(count(lit(1)).as("overlap"))
+              .select(lit(d.toLong).as("d"), col("q_id"), col("overlap"))
+          )
+          .reduce(_ unionByName _)
+        spine
+          .join(overlaps, Seq("d", "q_id"), "left")
+          .select(col("d"), col("q_id"), coalesce(col("overlap"), lit(0L)).as("overlap_at_10"))
+          .orderBy("d", "q_id")
+      },
+      Some("""WITH n AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 8),
+        ds AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        pairs AS (
+          SELECT d, q_id, vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, d + 1), i -> qv[i] * v[i])), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, d + 1), i -> qv[i] * qv[i])), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, d + 1), i -> v[i] * v[i])), (a, b) -> a + b)))
+                   AS cos
+          FROM n CROSS JOIN q CROSS JOIN ds
+          WHERE q_id <> vec_id),
+        ranked AS (
+          SELECT d, q_id, vec_id,
+                 row_number() OVER (PARTITION BY d, q_id ORDER BY cos DESC, vec_id) AS rk
+          FROM pairs WHERE cos IS NOT NULL),
+        tops AS (SELECT d, q_id, vec_id FROM ranked WHERE rk <= 10)
+        SELECT CAST(t.d AS BIGINT) AS d, t.q_id AS q_id,
+               CAST(count(f.vec_id) AS BIGINT) AS overlap_at_10
+        FROM (SELECT * FROM tops WHERE d < 64) t
+        LEFT JOIN (SELECT q_id, vec_id FROM tops WHERE d = 64) f
+          ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+        GROUP BY t.d, t.q_id ORDER BY d, t.q_id""")
     )
   )
 
