@@ -1977,6 +1977,65 @@ object Versioned {
         meta AS (SELECT 'sweeps' AS wave, 'files_ingested' AS lang, CAST(6 AS BIGINT) AS n)
         SELECT wave, lang, n FROM (SELECT * FROM census UNION ALL SELECT * FROM meta)
         ORDER BY wave, lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DATA-SUBJECT ACCESS REQUEST (the access right completing the
+    // governance triad: q236 erases atomically, q232's samples
+    // forget, THIS enumerates): one sweep gathers every record a
+    // subject owns across the primary tables AND the derived
+    // artifacts — here the per-lang inspection sample, which retains
+    // subject rows a table-only sweep would miss. Each source is a
+    // keyed filter (at scale: bloom/stats point reads, the q196/q188
+    // paths); the report is the union tagged by provenance.
+    // ORACLE-EXACT: DuckDB re-derives the subject's rows from the
+    // base tables and REPLAYS the sample fold — a record missed in
+    // any source (the access-request failure mode) breaks the hash.
+    QueryDef(
+      "q246_dsar_export",
+      (s, dir) => {
+        import graft.operators.SampleView
+        val dDir = Similarity.freshIndexDir("dsar_docs")
+        val eDir = Similarity.freshIndexDir("dsar_events")
+        val view = Similarity.freshIndexDir("dsar_sample")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 50).as("owner"), col("lang"), col("n_chars"))
+        val evs = Tables(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 50).as("owner"), col("event_type"))
+        TableVersions.commitAppend(docs.repartition(4), dDir)
+        TableVersions.commitAppend(evs.repartition(4), eDir)
+        SampleView.init(s, dDir, view, "lang", "doc_id", "owner", buf = 8)
+        val subject = 7L
+        val head = (d: String) => TableVersions.readVersion(s, d, TableVersions.currentVersion(s, d))
+        val fromDocs = head(dDir)
+          .filter(col("owner") === subject)
+          .select(lit("docs").as("src"), col("doc_id").as("rec_id"), col("lang").as("attr"))
+        val fromEvents = head(eDir)
+          .filter(col("owner") === subject)
+          .select(lit("events").as("src"), col("event_id").as("rec_id"), col("event_type").as("attr"))
+        val fromSample = SampleView
+          .read(s, view, 8)
+          .filter(col("val") === subject) // val carries the owner
+          .select(lit("sample").as("src"), col("key").cast("long").as("rec_id"), col("grp").as("attr"))
+        fromDocs.unionByName(fromEvents).unionByName(fromSample).orderBy("src", "rec_id")
+      },
+      Some("""WITH d AS (
+          SELECT 'docs' AS src, doc_id AS rec_id, lang AS attr
+          FROM documents WHERE doc_id % 50 = 7),
+        e AS (
+          SELECT 'events', event_id, event_type
+          FROM events WHERE user_id % 50 = 7),
+        sample AS (
+          SELECT lang AS grp, doc_id, doc_id % 50 AS owner,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             CAST(doc_id AS VARCHAR)) AS rn
+          FROM documents),
+        sv AS (
+          SELECT 'sample', doc_id, grp FROM sample WHERE rn <= 8 AND owner = 7)
+        SELECT src, rec_id, attr FROM (
+          SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM sv)
+        ORDER BY src, rec_id""")
     )
   )
 
