@@ -484,6 +484,58 @@ object Corpus {
                     ELSE 'suppress' END AS disposition
         FROM cells c JOIN langs l ON l.lang = c.lang
         ORDER BY c.lang, c.source""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E12/E14 (l-diversity — Machanavajjhala et al. 2007, the
+    // anonymity check k-anonymity misses): a QI group can be large
+    // (k-anonymous) yet leak its members' SENSITIVE attribute when
+    // every member shares one value. Quasi-identifiers here are
+    // (lang, n_chars÷100 bucket); the sensitive attribute is
+    // `source`. Per QI group: size, number of distinct sensitive
+    // values (l), the max single-value share in per-mille (the
+    // recursive-(c,l) input), and the disposition — `diverse` when
+    // l ≥ 3, `homogeneous` when a group is k-anonymous but l-poor
+    // (the attack case), `small` otherwise. One grouped aggregate
+    // over (QI, sensitive) then a groups-scaled rollup; everything
+    // integer. The 100 TB shape is two keyed exchanges, both
+    // map-side-combined.
+    QueryDef(
+      "q247_l_diversity",
+      (s, dir) => {
+        val cells = Tables(s, dir, "documents")
+          .groupBy(
+            col("lang"),
+            (col("n_chars").cast("long") / 100L).cast("long").as("len_bucket"),
+            col("source")
+          )
+          .agg(count(lit(1)).as("nv"))
+        cells
+          .groupBy("lang", "len_bucket")
+          .agg(
+            sum("nv").as("n"),
+            count(lit(1)).as("l"),
+            expr("(max(nv) * 1000L) DIV sum(nv)").as("top_share_pm")
+          )
+          .withColumn(
+            "disposition",
+            when(col("l") >= 3, "diverse")
+              .when(col("n") >= 5, "homogeneous")
+              .otherwise("small")
+          )
+          .orderBy("lang", "len_bucket")
+      },
+      Some("""WITH cells AS (
+          SELECT lang, CAST(n_chars AS BIGINT) // 100 AS len_bucket, source,
+                 count(*) AS nv
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT lang, len_bucket, CAST(sum(nv) AS BIGINT) AS n,
+               count(*) AS l,
+               CAST((max(nv) * 1000) // sum(nv) AS BIGINT) AS top_share_pm,
+               CASE WHEN count(*) >= 3 THEN 'diverse'
+                    WHEN sum(nv) >= 5 THEN 'homogeneous'
+                    ELSE 'small' END AS disposition
+        FROM cells GROUP BY 1, 2 ORDER BY lang, len_bucket""")
     )
   )
 }
