@@ -1127,6 +1127,109 @@ object Dedup {
           LEFT JOIN kept k USING (doc_id))
         SELECT doc_id, CAST(len(clean_text) AS BIGINT) AS clean_len, clean_text
         FROM finalt ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E11/E12 (content-defined chunking — the LBFS/FastCDC boundary
+    // rule): chunk boundaries fall where the hash of the trailing
+    // 16-char window ≡ 0 (mod 32), so boundaries are a function of
+    // CONTENT, not offset — a prefix insertion shifts every
+    // fixed-stride chunk but leaves CDC boundaries beyond it intact.
+    // The fixture plants exactly that trap: every 10th document gets
+    // a prefix-shifted twin, and the output compares both chunkers on
+    // the same corpus: the twins' chars land in duplicated CDC chunks
+    // at ~10× the rate of fixed-stride chunks. Everything is
+    // doc-bounded after the one corpus-scaled window-hash pass
+    // (O(total chars) rows, the q226/q227 shape) and all metrics are
+    // integers — ORACLE-EXACT. The unconstrained boundary rule (no
+    // min/max chunk clamp) keeps both engines' chunkings identical;
+    // production CDC adds clamps for variance, not correctness.
+    QueryDef(
+      "q248_cdc_chunk_dedup",
+      (s, dir) => {
+        val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(
+            base
+              .filter(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("zz shifted prefix zz "), col("text")).as("text"))
+          )
+          .localCheckpoint()
+        val h60 = "cast(conv(substring(md5(win), 1, 15), 16, 10) AS bigint)"
+        val cuts = corpus
+          .select(col("doc_id"), explode(expr("sequence(16, length(text))")).as("i"), col("text"))
+          .withColumn("win", expr("substring(text, i - 15, 16)"))
+          .filter(expr(s"$h60 % 32 = 0"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("i"))).as("cuts"))
+        val cdc = corpus
+          .join(cuts, Seq("doc_id"), "left")
+          .withColumn(
+            "bnds",
+            expr("array_distinct(concat(array(0), coalesce(cuts, array()), array(length(text))))")
+          )
+          .select(
+            col("doc_id"),
+            explode(
+              expr(
+                "transform(sequence(1, size(bnds) - 1), " +
+                  "j -> substring(text, element_at(bnds, j) + 1, element_at(bnds, j + 1) - element_at(bnds, j)))"
+              )
+            ).as("chunk")
+          )
+          .select(lit("cdc").as("method"), col("doc_id"), col("chunk"))
+        val fixed = corpus
+          .select(col("doc_id"), explode(expr("sequence(1, length(text), 32)")).as("i"), col("text"))
+          .select(lit("fixed").as("method"), col("doc_id"), expr("substring(text, i, 32)").as("chunk"))
+        val chunks = cdc.unionByName(fixed)
+        val counts = chunks.groupBy("method", "chunk").agg(count(lit(1)).as("cnt"))
+        chunks
+          .join(counts, Seq("method", "chunk"))
+          .groupBy("method")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            countDistinct(col("chunk")).as("n_distinct"),
+            sum(when(col("cnt") >= 2, length(col("chunk")).cast("long")).otherwise(0L)).as("dup_chars"),
+            expr(
+              "CAST(sum(CASE WHEN doc_id >= 100000 AND cnt >= 2 THEN length(chunk) ELSE 0 END) * 1000 " +
+                "DIV sum(CASE WHEN doc_id >= 100000 THEN length(chunk) ELSE 0 END) AS bigint)"
+            ).as("twin_dup_pm")
+          )
+          .orderBy("method")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 100000, 'zz shifted prefix zz ' || text
+          FROM base WHERE doc_id % 10 = 0),
+        cuts AS (
+          SELECT doc_id, list_sort(list(i)) AS cuts
+          FROM (
+            SELECT doc_id, i,
+                   CAST(('0x' || substr(md5(substring(text, i - 15, 16)), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, text, unnest(range(16, length(text) + 1)) AS i FROM corpus))
+          WHERE h % 32 = 0 GROUP BY doc_id),
+        bnds AS (
+          SELECT c.doc_id, c.text,
+                 list_sort(list_distinct([0] || coalesce(k.cuts, []) || [length(c.text)])) AS b
+          FROM corpus c LEFT JOIN cuts k USING (doc_id)),
+        cdc AS (
+          SELECT 'cdc' AS method, doc_id,
+                 substring(text, b[j] + 1, b[j + 1] - b[j]) AS chunk
+          FROM (SELECT doc_id, text, b, unnest(range(1, len(b))) AS j FROM bnds)),
+        fixed AS (
+          SELECT 'fixed' AS method, doc_id, substring(text, i, 32) AS chunk
+          FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1, 32)) AS i FROM corpus)),
+        chunks AS (SELECT * FROM cdc UNION ALL SELECT * FROM fixed),
+        counts AS (SELECT method, chunk, count(*) AS cnt FROM chunks GROUP BY 1, 2)
+        SELECT ch.method, count(*) AS n_chunks,
+               CAST(count(DISTINCT ch.chunk) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN cnt >= 2 THEN length(ch.chunk) ELSE 0 END) AS BIGINT) AS dup_chars,
+               CAST(sum(CASE WHEN ch.doc_id >= 100000 AND cnt >= 2 THEN length(ch.chunk) ELSE 0 END) * 1000
+                    // sum(CASE WHEN ch.doc_id >= 100000 THEN length(ch.chunk) ELSE 0 END) AS BIGINT) AS twin_dup_pm
+        FROM chunks ch JOIN counts USING (method, chunk)
+        GROUP BY ch.method ORDER BY ch.method""")
     )
   )
 }
