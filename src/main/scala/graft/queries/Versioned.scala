@@ -2036,6 +2036,65 @@ object Versioned {
         SELECT src, rec_id, attr FROM (
           SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM sv)
         ORDER BY src, rec_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // TOKENIZATION VAULT (format-preserving pseudonymization, the
+    // governance pattern between plaintext and irreversible hashing):
+    // a sensitive column is replaced by a deterministic keyed token
+    // (md5(salt‖value) — same value, same token, so joins/group-bys
+    // on the tokenized corpus still work), and the token→value map
+    // lives in a separate access-controlled VAULT table, the only
+    // place detokenization is possible. The query proves all three
+    // contracts at once: (1) analytics on tokens equal analytics on
+    // plaintext group-for-group, (2) the vault is value-scaled (one
+    // row per distinct value, not per data row), (3) the vault join
+    // restores the original exactly. Salt rotation = rebuild with a
+    // new salt; erasing a value from the vault makes all its tokens
+    // permanently opaque — the crypto-shredding move. ORACLE-EXACT
+    // (md5 is the engines' shared primitive).
+    QueryDef(
+      "q249_tokenization_vault",
+      (s, dir) => {
+        val salt = "graft-vault-r12"
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        val tokenized = docs
+          .withColumn("source_tok", md5(concat(lit(salt), lit("|"), col("source"))))
+          .drop("source")
+        val vault = docs
+          .select(col("source"))
+          .distinct()
+          .select(md5(concat(lit(salt), lit("|"), col("source"))).as("source_tok"), col("source"))
+        val tokCensus = tokenized
+          .groupBy("source_tok")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("chars"))
+        val restored = tokCensus
+          .join(vault, Seq("source_tok"))
+          .select(lit("restored").as("probe"), col("source").as("k"), col("n"), col("chars"))
+        val direct = docs
+          .groupBy(col("source").as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("chars"))
+          .select(lit("plaintext").as("probe"), col("k"), col("n"), col("chars"))
+        val vaultSize = vault
+          .agg(count(lit(1)).as("n"))
+          .select(lit("vault").as("probe"), lit("n_values").as("k"), col("n"), lit(0L).as("chars"))
+        restored.unionByName(direct).unionByName(vaultSize).orderBy("probe", "k")
+      },
+      Some("""WITH direct AS (
+          SELECT 'plaintext' AS probe, source AS k, count(*) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY source),
+        restored AS (
+          SELECT 'restored' AS probe, k, n, chars FROM direct),
+        vault AS (
+          SELECT 'vault' AS probe, 'n_values' AS k,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n, CAST(0 AS BIGINT) AS chars
+          FROM documents)
+        SELECT probe, k, n, chars FROM (
+          SELECT * FROM restored UNION ALL
+          SELECT 'plaintext', k, n, chars FROM direct UNION ALL
+          SELECT * FROM vault)
+        ORDER BY probe, k""")
     )
   )
 
