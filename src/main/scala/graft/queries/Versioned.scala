@@ -2095,6 +2095,70 @@ object Versioned {
           SELECT 'plaintext', k, n, chars FROM direct UNION ALL
           SELECT * FROM vault)
         ORDER BY probe, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // STATS-ADVISED JOIN (operators/StatsAdvisor): ANALYZE's persisted
+    // column statistics drive the broadcast decision Spark can't make
+    // from file sizes alone for a versioned table (pre-vacuum logs
+    // overcount; AQE only learns sizes after the first shuffle). A
+    // tiny lang dimension prices under the threshold → its head comes
+    // back broadcast-HINTED and the plan must carry the hint (not
+    // rely on AQE's luck); the fact-sized "dimension" prices over →
+    // no hint, the join left for AQE to plan (asserted on the
+    // logical Join's hint, which is AQE-independent). Values are
+    // ORACLE-EXACT either way — an advisor is only safe if it can
+    // never change answers.
+    QueryDef(
+      "q250_stats_advised_join",
+      (s, dir) => {
+        import graft.operators.StatsAdvisor
+        val dimDir = Similarity.freshIndexDir("sa_dim")
+        val bigDir = Similarity.freshIndexDir("sa_big")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars", "text")
+        val dim = docs
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", (lit(1000) + ascii(substring(col("lang"), 1, 1))).cast("long"))
+        TableVersions.commitAppend(dim.coalesce(1), dimDir)
+        TableVersions.commitAppend(docs.repartition(4), bigDir)
+        TableVersions.analyzeTable(s, dimDir, Seq("lang", "n_docs", "w"))
+        TableVersions.analyzeTable(s, bigDir, Seq("doc_id", "lang", "n_chars", "text"))
+        require(
+          StatsAdvisor.estimatedBytes(s, dimDir) < StatsAdvisor.estimatedBytes(s, bigDir),
+          "stats must price the dimension under the fact"
+        )
+        def hintsOf(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan
+            .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint }
+        val facts = docs.select("doc_id", "lang", "n_chars")
+        val small = facts
+          .join(StatsAdvisor.adviseDim(s, dimDir, maxBytes = 64 * 1024), Seq("lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), max("w").as("w"))
+          .select(lit("hinted").as("probe"), col("lang"), col("n"), col("w"))
+        val hs = hintsOf(small)
+        require(
+          hs.exists(h => h.rightHint.exists(_.strategy.nonEmpty)),
+          s"dimension under threshold must carry a broadcast hint: $hs"
+        )
+        val unhinted = facts
+          .join(
+            StatsAdvisor
+              .adviseDim(s, bigDir, maxBytes = 64 * 1024)
+              .select(col("doc_id").as("d2"), col("n_chars").as("nc2")),
+            col("doc_id") === col("d2")
+          )
+        val hu = hintsOf(unhinted)
+        require(
+          hu.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+          s"fact-sized side must stay unhinted: $hu"
+        )
+        small.orderBy("lang")
+      },
+      Some("""SELECT 'hinted' AS probe, lang, count(*) AS n,
+               CAST(1000 + ascii(substring(lang, 1, 1)) AS BIGINT) AS w
+        FROM documents GROUP BY lang ORDER BY lang""")
     )
   )
 
