@@ -1128,8 +1128,99 @@ object StreamGate {
                  row_number() OVER (PARTITION BY grp ORDER BY h, key) AS rn FROM s2)
         SELECT grp, CAST(rn AS BIGINT) AS rn, key, val
         FROM ranked WHERE rn <= 5 ORDER BY grp, rn""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1/E13 (streaming as-of index maintenance): q234's
+    // time-travel-consistent text search over a table BUILT LIVE —
+    // one append commit + one index sync per micro-batch (sync
+    // O(batch tokens), idempotent by overwrite: a replayed batch
+    // rewrites its own segment instead of duplicating postings), then
+    // a post-drain erasure whose sync tombstones the forgotten docs
+    // at their version. The output probes EVERY version of the
+    // streamed history: v0 = the base corpus, v1 = base ∪ the
+    // streamed batch, v2 = minus the erased docs — each answered from
+    // ONE index. ORACLE-EXACT: DuckDB re-derives all three states'
+    // conjunctive hits; a posting leaking across versions (the
+    // streaming-index failure mode) breaks the hash.
+    QueryDef(
+      "q251_stream_asof_search",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runAsOfSearchStream(
+          gs,
+          Similarity.freshIndexDir("asof_stream_src"),
+          Similarity.freshIndexDir("asof_stream_idx"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 =!= 0)
+            .select("doc_id", "text")
+        )
+      },
+      Some("""WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        s1 AS (SELECT doc_id, text FROM documents),
+        s2 AS (SELECT * FROM s1 WHERE doc_id % 13 <> 0),
+        states AS (
+          SELECT 0 AS v, * FROM s0 UNION ALL SELECT 1, * FROM s1
+          UNION ALL SELECT 2, * FROM s2),
+        toks AS (
+          SELECT v, doc_id, tok, count(*) AS tf
+          FROM (SELECT v, doc_id, unnest(string_split(text, ' ')) AS tok FROM states)
+          WHERE len(tok) > 0 GROUP BY 1, 2, 3)
+        SELECT CAST(v AS BIGINT) AS v, doc_id, CAST(sum(tf) AS BIGINT) AS score
+        FROM toks WHERE tok IN ('spark', 'join')
+        GROUP BY v, doc_id HAVING count(DISTINCT tok) = 2
+        ORDER BY v, doc_id""")
     )
   )
+
+  /** q234's as-of index driven live: one append commit + one index
+    * sync per micro-batch (each sync O(batch tokens), idempotent by
+    * overwrite — a replayed batch rewrites its own segment), then a
+    * post-drain erasure delete whose sync tombstones the forgotten
+    * docs AT THEIR VERSION. Returns conjunctive probes AS OF every
+    * version of the streamed history — time-travel-consistent search
+    * over a table that was built live. */
+  private[graft] def runAsOfSearchStream(
+      gs: SparkSession,
+      srcDir: String,
+      idxDir: String,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    graft.operators.TableVersions.commitAppend(base, srcDir)
+    graft.operators.AsOfIndex.init(gs, srcDir, idxDir)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TableVersions.commitAppend(batch.toDF(), srcDir): Unit
+          graft.operators.AsOfIndex.sync(gs, srcDir, idxDir): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("asof_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    graft.operators.TableVersions.commitDelete(gs, srcDir, "doc_id % 13 = 0")
+    graft.operators.AsOfIndex.sync(gs, srcDir, idxDir)
+    val head = graft.operators.TableVersions.currentVersion(gs, srcDir)
+    (0L to head)
+      .map(v =>
+        graft.operators.AsOfIndex
+          .conjunctiveAsOf(gs, idxDir, Seq("spark", "join"), v)
+          .select(lit(v).as("v"), col("doc_id"), col("score"))
+      )
+      .reduce(_ unionByName _)
+      .orderBy("v", "doc_id")
+  }
 
   /** q232's sample fold driven live: one append commit + one sample
     * sync per micro-batch, post-drain erasure retracted by the final
