@@ -82,6 +82,28 @@ object AutoIngest {
     val fresh =
       files.filter(f => !seen.contains(new Path(f).toUri.getPath.stripPrefix(prefixPath)))
     if (fresh.isEmpty) return 0L
+    // schema-drift guard: a landing file whose columns disagree with
+    // the store refuses the WHOLE sweep loudly (nothing half-ingests;
+    // the bad file is named) — silent unionByName would null-fill a
+    // renamed column forever, the worst loader failure mode. Schema
+    // evolution is an explicit store operation (TableVersions
+    // add-column), not something a stray file gets to decide.
+    if (TableVersions.currentVersion(s, storeDir) >= 0) {
+      val want = TableVersions
+        .readVersion(s, storeDir, TableVersions.currentVersion(s, storeDir))
+        .schema
+        .fieldNames
+        .filterNot(_ == "__ingest_src")
+        .sorted
+        .toSeq
+      fresh.foreach { f =>
+        val got = s.read.parquet(f).schema.fieldNames.sorted.toSeq
+        require(
+          got == want,
+          s"schema drift in $f: columns [${got.mkString(", ")}] vs store [${want.mkString(", ")}] — sweep refused"
+        )
+      }
+    }
     val rows = s.read
       .parquet(fresh: _*)
       .withColumn(
