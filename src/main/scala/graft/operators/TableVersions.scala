@@ -1692,6 +1692,8 @@ object TableVersions {
     }
     val m = head.agg(count(lit(1)).as("__n"), momentAggs: _*).collect()(0)
     val nRows = m.getLong(m.fieldIndex("__n"))
+    // empty head (a table whose rows were all deleted): every SUM/MAX
+    // aggregate is NULL — surface zeros/NULLs, not an NPE
     def optLong(r: org.apache.spark.sql.Row, f: String): Option[Long] =
       if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getLong(r.fieldIndex(f)))
 
@@ -1726,7 +1728,7 @@ object TableVersions {
 
     val out = cols.map { c =>
       val (mm, kth, est) = ndv.getOrElse(c, (0L, 0L, 0L))
-      (c, nRows, m.getLong(m.fieldIndex(s"__nn_$c")), est, mm, kth,
+      (c, nRows, optLong(m, s"__nn_$c").getOrElse(0L), est, mm, kth,
         optLong(m, s"__ml_$c"), optLong(m, s"__tl_$c"))
     }
     val sess = s

@@ -778,6 +778,25 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(st1("id").getAs[Long]("stats_version") == 1L)
   }
 
+  test("analyzeTable: an all-NULL column yields zero NDV and empty length stats") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    (0L until 50L)
+      .map(i => (i, null.asInstanceOf[String]))
+      .toDF("id", "tag")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/seed")
+    TableVersions.commitAppend(spark.read.parquet(s"$dir/seed"), dir)
+    TableVersions.analyzeTable(spark, dir, Seq("tag")): Unit
+    val r = TableVersions.columnStats(spark, dir).head()
+    assert(r.getLong(r.fieldIndex("n_rows")) == 50L)
+    assert(r.getLong(r.fieldIndex("n_nulls")) == 50L)
+    assert(r.getLong(r.fieldIndex("ndv_est")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("max_len")))
+  }
+
   test("CHECK constraints: NULL passes, refusals strand nothing, drop re-enables") {
     val s = spark
     import s.implicits._
