@@ -425,6 +425,103 @@ object PipelineOps {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
                bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT)) AS fp_xor
         FROM documents GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E-family (budget WATER-FILLING — the allocation step of data
+    // mixing): split a token budget across sources proportionally to
+    // priority weights, but no source can give more than it has.
+    // The exact solution needs no iteration: sort sources by their
+    // saturation breakpoint cap/w ascending; the number of SATURATED
+    // sources k* is the largest prefix where the residual water level
+    // still reaches the prefix's own breakpoint — checked in exact
+    // integer CROSS-MULTIPLICATION ((B − prefixCap)·w ≥ cap·suffixW),
+    // never a float threshold; everyone past k* gets floor(w·λ) via
+    // one integer DIV. Budget = 60% of total capacity, so saturation
+    // is real. The breakpoint sort key is one IEEE division of exact
+    // integers — identical in both engines — and every allocation is
+    // integer, so the whole solve is ORACLE-EXACT. Groups-scaled
+    // end to end: one keyed aggregate over the corpus, then windows
+    // over the source-count-sized table.
+    QueryDef(
+      "q252_budget_waterfill",
+      (s, dir) => {
+        val caps = Tables(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(col("n_chars").cast("long")).as("cap"))
+          .withColumn("w", (expr("CAST(substring(source, 4, 2) AS int) % 3") + 1).cast("long"))
+        val tot = caps.agg(
+          sum("cap").as("tcap"),
+          sum("w").as("tw"),
+          expr("(sum(cap) * 6) DIV 10").as("budget")
+        )
+        val win = Window.orderBy(col("ratio"), col("source"))
+        val ranked = caps
+          .crossJoin(broadcast(tot))
+          .withColumn("ratio", col("cap").cast("double") / col("w").cast("double"))
+          .withColumn("rn", row_number().over(win).cast("long"))
+          .withColumn("prefix_cap", sum("cap").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("suffix_w", col("tw") - sum("w").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn(
+            "feasible",
+            col("budget") - col("prefix_cap") >= 0L &&
+              (col("budget") - col("prefix_cap")) * col("w") >= col("cap") * col("suffix_w")
+          )
+        val kstar = ranked
+          .agg(coalesce(max(when(col("feasible"), col("rn"))), lit(0L)).as("kstar"))
+        val level = ranked
+          .crossJoin(broadcast(kstar))
+          .filter(col("rn") === col("kstar"))
+          .select(
+            (col("budget") - col("prefix_cap")).as("rbudget"),
+            col("suffix_w").as("rw"),
+            col("kstar")
+          )
+          .unionByName(
+            // kstar = 0: nothing saturates — the level uses the full pools
+            kstar
+              .filter(col("kstar") === 0L)
+              .crossJoin(broadcast(tot))
+              .select(col("budget").as("rbudget"), col("tw").as("rw"), col("kstar"))
+          )
+        ranked
+          .crossJoin(broadcast(level))
+          .select(
+            col("source"),
+            col("w"),
+            col("cap"),
+            when(col("rn") <= col("kstar"), col("cap"))
+              .otherwise(least(col("cap"), expr("(w * rbudget) DIV rw")))
+              .as("alloc")
+          )
+          .orderBy("source")
+      },
+      Some("""WITH caps AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap,
+                 CAST(CAST(substring(source, 4, 2) AS INT) % 3 + 1 AS BIGINT) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(cap) AS tcap, sum(w) AS tw, (sum(cap) * 6) // 10 AS budget FROM caps),
+        ranked AS (
+          SELECT source, cap, w, budget, tw,
+                 row_number() OVER ord AS rn,
+                 sum(cap) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_cap,
+                 tw - sum(w) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix_w
+          FROM caps CROSS JOIN tot
+          WINDOW ord AS (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source)),
+        feas AS (
+          SELECT *, (budget - prefix_cap >= 0 AND (budget - prefix_cap) * w >= cap * suffix_w) AS feasible
+          FROM ranked),
+        ks AS (SELECT coalesce(max(CASE WHEN feasible THEN rn END), 0) AS kstar FROM feas),
+        lvl AS (
+          SELECT budget - prefix_cap AS rbudget, suffix_w AS rw, kstar
+          FROM feas CROSS JOIN ks WHERE rn = kstar
+          UNION ALL
+          SELECT budget, tw, kstar FROM tot CROSS JOIN ks WHERE kstar = 0)
+        SELECT f.source, f.w, f.cap,
+               CAST(CASE WHEN f.rn <= l.kstar THEN f.cap
+                    ELSE least(f.cap, (f.w * l.rbudget) // l.rw) END AS BIGINT) AS alloc
+        FROM feas f CROSS JOIN lvl l
+        ORDER BY f.source""")
     )
   )
 }

@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q169_cdc_index_sync", // 16-row broadcast centroid table (probe, same as q133)
     "q180_quantizer_eval", // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
     "q245_matryoshka_eval", // 8 broadcast query vectors scored per truncation (q40's shape ×4)
+    "q252_budget_waterfill", // 1-row broadcast budget/level scalars over a source-count-sized table
     "q183_rotated_serving" // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
   )
 
