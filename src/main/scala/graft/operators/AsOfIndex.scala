@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *     delete/update_preimage events at their commit versions.
   *   - `floor/v<F>/` — marker: versions below F are not answerable
   *     (init version, raised by [[compact]]).
+  *   - `done/v<H>/` — COMMIT MARKER, written only after BOTH the
+  *     window's segment and tombstone directories have landed. The
+  *     cursor is the max done marker — never the seg/tomb listing,
+  *     which a crashed sync can leave half-written: deriving the
+  *     cursor from `seg` alone would make a crash between the segment
+  *     and tombstone writes look complete, the replayed sync would
+  *     no-op, and the window's deletions would be lost forever.
+  *     Orphan seg/tomb dirs above the cursor are harmless (every read
+  *     filters `added_v`/`v` ≤ the queried version ≤ cursor) and are
+  *     overwritten by the replayed sync.
   *
   * Visibility of a posting `(d, added_v)` at version `v`:
   *
@@ -73,9 +83,12 @@ object AsOfIndex {
         .sorted
   }
 
-  /** The highest source version folded into the index. */
+  /** The highest source version FULLY folded into the index — the max
+    * `done` commit marker, not the seg/tomb listing (see the layout
+    * doc: a crashed sync leaves orphan dirs that must not advance the
+    * cursor, or its tombstones are lost to the no-op replay). */
   def cursor(s: SparkSession, idxDir: String): Long = {
-    val vs = numbered(s, s"$idxDir/seg") ++ numbered(s, s"$idxDir/tomb")
+    val vs = numbered(s, s"$idxDir/done")
     require(vs.nonEmpty, s"index $idxDir not initialized")
     vs.max
   }
@@ -110,6 +123,10 @@ object AsOfIndex {
   private def markFloor(s: SparkSession, idxDir: String, f: Long): Unit =
     fsOf(s, idxDir).mkdirs(new Path(s"$idxDir/floor/v$f")): Unit
 
+  /** Commit marker: the sync that reached `h` wrote BOTH its dirs. */
+  private def markDone(s: SparkSession, idxDir: String, h: Long): Unit =
+    fsOf(s, idxDir).mkdirs(new Path(s"$idxDir/done/v$h")): Unit
+
   /** Index the source's current head — the only full-corpus pass.
     * Returns the captured version (also the initial floor). */
   def init(s: SparkSession, srcDir: String, idxDir: String): Long = {
@@ -120,6 +137,7 @@ object AsOfIndex {
       .select(col("doc_id"), col("text"), lit(v).as("__v"))
     writeSeg(postingsAt(rows), idxDir, v)
     markFloor(s, idxDir, v)
+    markDone(s, idxDir, v)
     v
   }
 
@@ -143,6 +161,9 @@ object AsOfIndex {
       .write
       .mode("overwrite")
       .parquet(s"$idxDir/tomb/v$head")
+    // the marker commits the window: a crash before this line leaves
+    // the cursor at `cur`, and the replay overwrites both dirs whole
+    markDone(s, idxDir, head)
     head
   }
 
@@ -165,6 +186,13 @@ object AsOfIndex {
       s"version $v is below the index floor ${floor(s, idxDir)} (compacted away)"
     )
     require(v <= cursor(s, idxDir), s"version $v not yet synced (cursor ${cursor(s, idxDir)})")
+    // loud, not empty: a crash mid-[[compact]] swap can leave no live
+    // segment layout — refuse rather than answer from nothing (re-run
+    // compact to resume the swap)
+    require(
+      fsOf(s, idxDir).exists(new Path(s"$idxDir/seg")),
+      s"index $idxDir has no segment layout — interrupted compact? re-run compact to recover"
+    )
     val pruned =
       if (terms.isEmpty) allOf(s, idxDir + "/seg", segSchema)
       else {
@@ -237,6 +265,17 @@ object AsOfIndex {
     val c = cursor(s, idxDir)
     val fs = fsOf(s, idxDir)
     val staged = new Path(s"$idxDir/seg_compacted")
+    val live = new Path(s"$idxDir/seg")
+    // resume an interrupted swap: the staged layout is complete iff the
+    // live one is gone (the delete below runs only after staging
+    // finished), so finishing the rename is the only recovery needed
+    if (!fs.exists(live) && fs.exists(staged)) {
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"compact: failed to resume swap of $staged")
+      val leftover = new Path(s"$idxDir/tomb")
+      if (fs.exists(leftover)) fs.delete(leftover, /* recursive = */ true): Unit
+      return
+    }
     visibleAt(s, idxDir, c, Seq.empty)
       .repartition(col("bkt"))
       .sortWithinPartitions("tok", "doc_id")
@@ -245,12 +284,17 @@ object AsOfIndex {
       .mode("overwrite")
       .partitionBy("bkt")
       .parquet(s"$staged/v$c")
-    val live = new Path(s"$idxDir/seg")
+    // the floor rises BEFORE the layout swap: a crash in the window
+    // leaves a too-HIGH floor over the old layout, which refuses
+    // below-C queries loudly — the safe failure. Raising it after the
+    // swap would invert that: below-C queries accepted but answered
+    // from the compacted base, which already dropped postings deleted
+    // in (v, C] — silently wrong.
+    markFloor(s, idxDir, c)
     if (!fs.delete(live, /* recursive = */ true))
       throw new java.io.IOException(s"compact: failed to remove old layout $live")
     if (!fs.rename(staged, live))
       throw new java.io.IOException(s"compact: failed to swap $staged into place")
-    markFloor(s, idxDir, c)
     val tombs = new Path(s"$idxDir/tomb")
     if (fs.exists(tombs) && !fs.delete(tombs, /* recursive = */ true))
       throw new java.io.IOException(s"compact: failed to clear tombstones $tombs")

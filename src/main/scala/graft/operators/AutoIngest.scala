@@ -104,11 +104,24 @@ object AutoIngest {
         )
       }
     }
+    // the landing prefix is stripped as an ANCHORED leading match,
+    // quoted wholesale (Pattern.quote) — a `replace()` would substitute
+    // the prefix anywhere in the path and mangle any path that embeds
+    // it mid-string, and splicing the raw prefix into a SQL string
+    // breaks on quotes/regex metacharacters in directory names. Column
+    // arguments keep the prefix out of the SQL parser entirely, so the
+    // stored provenance always equals the driver-side
+    // `toUri.getPath.stripPrefix(prefixPath)` used for the seen-probe.
+    val anchored = "^" + java.util.regex.Pattern.quote(prefixPath)
     val rows = s.read
       .parquet(fresh: _*)
       .withColumn(
         "__ingest_src",
-        expr(s"replace(regexp_replace(input_file_name(), '^[a-z0-9+.-]+:/+', '/'), '$prefixPath', '')")
+        regexp_replace(
+          regexp_replace(input_file_name(), lit("^[a-z0-9+.-]+:/+"), lit("/")),
+          lit(anchored),
+          lit("")
+        )
       )
     TableVersions.commitAppend(rows, storeDir): Unit
     fresh.size.toLong

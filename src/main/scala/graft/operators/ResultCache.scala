@@ -20,16 +20,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     source changes its `currentVersion`, the key changes, and the
   *     stale entry is simply never addressed again (no invalidation
   *     protocol, no TTL guessing — the log IS the invalidation
-  *     signal). Stale entries are garbage, collectable by dropping
-  *     the cache dir.
+  *     signal). Stale entries are garbage, collected by [[evict]]
+  *     (each entry stores its pins in a `pins` sidecar so the sweep
+  *     is a metadata read per entry, never a recompute).
   *
   * A miss computes the query ONCE, persists the result through a
   * staged rename (concurrent misses race benignly — both compute the
   * same deterministic result; the loser's rename fails and it serves
-  * its own computed frame), then serves the parquet. A hit costs one
-  * metadata probe + a result-scaled read — the table is not touched,
-  * which at 100 TB is the entire point: dashboard-shaped aggregates
-  * re-run per viewer collapse to O(result) reads between commits.
+  * its own computed frame), then serves the parquet. Before
+  * PUBLISHING, the pins are re-read: a query that follows the head
+  * (rather than reading via version-pinned `readVersion`) may have
+  * scanned data from a commit that landed mid-compute, and storing
+  * that result under the pre-commit key would serve post-commit data
+  * as a "hit" for the old versions. Versions only grow, so pins equal
+  * before AND after the compute proves the head never moved during
+  * it — the entry is published; otherwise the result is still
+  * returned but never cached. A hit costs one metadata probe + a
+  * result-scaled read — the table is not touched, which at 100 TB is
+  * the entire point: dashboard-shaped aggregates re-run per viewer
+  * collapse to O(result) reads between commits.
   *
   * HONEST LIMITS: only sound for DETERMINISTIC plans over the named
   * sources (a query reading tables outside `sources` will serve stale
@@ -47,16 +56,15 @@ object ResultCache {
       .map("%02x".format(_))
       .mkString
 
-  /** The cache key for `df` against the current versions of
-    * `sources`. */
-  private[operators] def fingerprint(
-      s: SparkSession,
-      sources: Seq[String],
-      df: DataFrame
-  ): String = {
-    val pins = sources.sorted.map(d => s"$d@${TableVersions.currentVersion(s, d)}")
-    md5hex(df.queryExecution.optimizedPlan.canonicalized.toString + "\n" + pins.mkString("|"))
-  }
+  private def pinsOf(s: SparkSession, sources: Seq[String]): Seq[(String, Long)] =
+    sources.sorted.map(d => d -> TableVersions.currentVersion(s, d))
+
+  /** The cache key for `df` against the given source pins. */
+  private[operators] def fingerprint(df: DataFrame, pins: Seq[(String, Long)]): String =
+    md5hex(
+      df.queryExecution.optimizedPlan.canonicalized.toString + "\n" +
+        pins.map { case (d, v) => s"$d@$v" }.mkString("|")
+    )
 
   /** Serve `df` from the cache when (plan, source versions) match a
     * stored entry; compute-and-store otherwise. Returns (result,
@@ -68,17 +76,70 @@ object ResultCache {
       df: DataFrame
   ): (DataFrame, Boolean) = {
     require(sources.nonEmpty, "name the versioned sources the query reads")
-    val fp = fingerprint(s, sources, df)
+    val pins = pinsOf(s, sources)
+    val fp = fingerprint(df, pins)
     val entry = new Path(s"$cacheDir/$fp/data")
     val fs = entry.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(entry)) return (s.read.parquet(entry.toString), true)
     val staged = new Path(s"$cacheDir/$fp/data_staged_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staged.toString)
+    // publish only when the pins still hold — a commit landing during
+    // the compute means the plan may have read NEWER data than the key
+    // claims (versions are monotone, so equal-before-and-after proves
+    // no movement). The computed frame is still returned either way.
+    if (pinsOf(s, sources) != pins) {
+      fs.delete(staged, /* recursive = */ true): Unit
+      return (df, false)
+    }
+    // the pins sidecar feeds [[evict]]; its content is determined by
+    // the key, so concurrent writers overwrite it with identical rows
+    import s.implicits._
+    pins
+      .toDF("source_dir", "version")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$cacheDir/$fp/pins")
     if (!fs.rename(staged, entry)) {
       // a concurrent miss won the rename — its entry holds the same
       // deterministic result; drop ours and serve the computed frame
       fs.delete(staged, /* recursive = */ true): Unit
     }
     (df, false)
+  }
+
+  /** Drop every entry whose pinned source versions are behind their
+    * table's CURRENT head — such an entry can never be addressed
+    * again (the key embeds the current versions), it is pure garbage.
+    * Entries without a pins sidecar (interrupted publish) are dropped
+    * too: losing a cache entry only costs a recompute. Returns the
+    * number of entries removed. Folded into [[TableVersions.maintain]]
+    * via its `resultCacheDir` hook.
+    */
+  def evict(s: SparkSession, cacheDir: String): Long = {
+    val root = new Path(cacheDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    // one listing; per-entry cost is a single tiny parquet read plus a
+    // currentVersion directory listing per distinct source (memoized)
+    val heads = scala.collection.mutable.Map[String, Long]()
+    def headOf(d: String): Long =
+      heads.getOrElseUpdate(d, TableVersions.currentVersion(s, d))
+    var dropped = 0L
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val pinsPath = new Path(st.getPath, "pins")
+      val dead =
+        if (!fs.exists(pinsPath)) true // interrupted publish — unreachable entry
+        else
+          s.read
+            .parquet(pinsPath.toString)
+            .collect()
+            .exists(r => headOf(r.getString(0)) != r.getLong(1))
+      if (dead) {
+        fs.delete(st.getPath, /* recursive = */ true): Unit
+        dropped += 1
+      }
+    }
+    dropped
   }
 }

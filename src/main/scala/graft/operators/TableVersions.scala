@@ -1784,7 +1784,8 @@ object TableVersions {
       checkpointEvery: Int = 8,
       minSmallFiles: Int = 8,
       smallBytes: Long = 32L * 1024 * 1024,
-      maxDeadSkipRows: Long = 64
+      maxDeadSkipRows: Long = 64,
+      resultCacheDir: Option[String] = None
   ): Seq[(String, String)] = {
     val actions = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val v = currentVersion(s, dir)
@@ -1821,6 +1822,13 @@ object TableVersions {
     if (dead > maxDeadSkipRows) {
       compactSkipping(s, dir)
       actions += ("compact_skipping" -> s"folded $dead dead index rows")
+    }
+    // result-cache retention: entries pinned behind any source head are
+    // unaddressable garbage (the key embeds current versions) — sweep
+    // them with the rest of the table's debt
+    resultCacheDir.foreach { c =>
+      val n = ResultCache.evict(s, c)
+      if (n > 0) actions += ("evict_result_cache" -> s"dropped $n stale entries")
     }
     actions.toSeq
   }

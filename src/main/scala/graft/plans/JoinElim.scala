@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
@@ -39,8 +39,14 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
   * Structural guards: inner joins only, single-equality condition on
   * the declared pair, the dimension side must be its bare scan
   * (possibly column-pruned — a filtered dimension can drop rows and
-  * the join becomes selective), and the surviving output must
-  * reference fact columns only.
+  * the join becomes selective), the surviving output must reference
+  * fact columns only, and the fk attribute must TRACE (by exprId,
+  * through value-preserving, non-null-extending operators only) to
+  * the declared fact relation's own scan output — a derived column
+  * renamed to the fk, an fk surfaced from a different relation in a
+  * multi-relation fact side, or an fk null-extended by an outer join
+  * below all carry values the declaration never validated, and the
+  * rule declines.
   */
 object JoinElim {
 
@@ -103,22 +109,74 @@ object JoinElim {
     case _ => None
   }
 
+  /** The scan that PRODUCES `attr` with its values unmodified — the
+    * fk soundness anchor. Follows the attribute's exprId down the
+    * fact side, admitting only operators that neither derive the
+    * column nor null-extend its side: pass-through projections (the
+    * attribute itself, or an alias of a bare attribute), filters,
+    * subquery aliases, and joins where the attribute's side keeps its
+    * rows non-null-extended (filtering/duplicating the fact side is
+    * fine — surviving fk values remain a subset of the validated
+    * ones). Anything else — a COMPUTED alias (`fk + 1` renamed back),
+    * a union (rows from OTHER relations flow out under the first
+    * child's attribute ids), an aggregate, the null-producing side of
+    * an outer join — returns None and the rewrite declines. Returns
+    * the scan AND its output attribute so the caller matches the
+    * declared column by its SCAN-level name, not whatever the query
+    * renamed it to. */
+  private def producerScan(
+      plan: LogicalPlan,
+      attr: Attribute
+  ): Option[(LogicalRelation, Attribute)] = plan match {
+    case l: LogicalRelation =>
+      if (l.outputSet.contains(attr)) Some((l, attr)) else None
+    case p: Project =>
+      p.projectList.find(_.exprId == attr.exprId).flatMap {
+        case ar: AttributeReference => producerScan(p.child, ar)
+        case al: Alias =>
+          al.child match {
+            case c: AttributeReference => producerScan(p.child, c)
+            case _                     => None // derived column — not the scan's values
+          }
+        case _ => None
+      }
+    case f: Filter       => producerScan(f.child, attr)
+    case a: SubqueryAlias => producerScan(a.child, attr)
+    case j: Join =>
+      val fromLeft = j.left.outputSet.contains(attr)
+      val child = if (fromLeft) j.left else j.right
+      if (!fromLeft && !j.right.outputSet.contains(attr)) None
+      else {
+        val notNullExtended = j.joinType match {
+          case Inner | Cross                   => true
+          case LeftOuter | LeftSemi | LeftAnti => fromLeft
+          case RightOuter                      => !fromLeft
+          case _                               => false // full outer etc.
+        }
+        if (notNullExtended) producerScan(child, attr) else None
+      }
+    case _ => None
+  }
+
   private def declaredFor(
       factSide: LogicalPlan,
       dimScan: LogicalRelation,
       fkAttr: Attribute,
       pkAttr: Attribute
   ): Boolean = {
-    val factRoots = factSide.collect { case l: LogicalRelation => rootOf(l) }.flatten
     val dimRoot = rootOf(dimScan)
-    dimRoot.exists(dr =>
-      registry
-        .stream()
-        .anyMatch(f =>
-          f.dimDir == dr && f.pkCol == pkAttr.name && f.fkCol == fkAttr.name &&
-            factRoots.contains(f.factDir)
-        )
-    )
+    producerScan(factSide, fkAttr).exists { case (scan, scanAttr) =>
+      rootOf(scan).exists { fr =>
+        dimRoot.exists { dr =>
+          registry
+            .stream()
+            .anyMatch(f =>
+              f.dimDir == dr && f.pkCol == pkAttr.name &&
+                f.fkCol == scanAttr.name && f.factDir == fr
+            )
+        }
+      }
+    }
   }
 
   /** The fact side, when the join is provably a per-row no-op for a

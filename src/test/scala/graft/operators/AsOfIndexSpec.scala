@@ -94,4 +94,51 @@ class AsOfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(AsOfIndex.sync(spark, src, idx) == 2L)
     assert(AsOfIndex.cursor(spark, idx) == 2L)
   }
+
+  test("a sync crash between the segment and tombstone writes loses nothing on replay") {
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    TableVersions.commitAppend(docs((0L until 50L).map(i => (i, s"kappa w${i % 6}"))), src)
+    AsOfIndex.init(spark, src, idx)
+    TableVersions.commitDelete(spark, src, "doc_id % 5 = 0") // v1: tombstones matter
+    AsOfIndex.sync(spark, src, idx)
+    val at1 = conjSet(idx, Seq("kappa"), 1L)
+    assert(at1.size == 40)
+    // simulate the crash: the v1 segment landed but the tombstone dir
+    // and the commit marker did not — the exact window ADVICE named
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/tomb/v1"), true))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/done/v1"), true))
+    // the cursor must NOT report v1 as folded (a seg-derived cursor
+    // would, and the replay below would no-op, losing the deletes)
+    assert(AsOfIndex.cursor(spark, idx) == 0L)
+    assert(AsOfIndex.sync(spark, src, idx) == 1L)
+    assert(conjSet(idx, Seq("kappa"), 1L) == at1)
+  }
+
+  test("an interrupted compact swap refuses loudly and the re-run recovers") {
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    TableVersions.commitAppend(docs((0L until 60L).map(i => (i, s"sigma w${i % 7}"))), src)
+    AsOfIndex.init(spark, src, idx)
+    TableVersions.commitDelete(spark, src, "doc_id % 3 = 2") // v1
+    AsOfIndex.sync(spark, src, idx)
+    val at1 = conjSet(idx, Seq("sigma"), 1L)
+    AsOfIndex.compact(spark, idx)
+    assert(conjSet(idx, Seq("sigma"), 1L) == at1)
+    // simulate a crash between the old-layout delete and the staged
+    // rename: the live layout is gone, the staged one is complete
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(
+      fs.rename(
+        new org.apache.hadoop.fs.Path(s"$idx/seg"),
+        new org.apache.hadoop.fs.Path(s"$idx/seg_compacted")
+      )
+    )
+    // queries refuse loudly instead of answering from nothing
+    intercept[IllegalArgumentException] { conjSet(idx, Seq("sigma"), 1L) }
+    // the re-run resumes the swap and answers return unchanged
+    AsOfIndex.compact(spark, idx)
+    assert(conjSet(idx, Seq("sigma"), 1L) == at1)
+  }
 }

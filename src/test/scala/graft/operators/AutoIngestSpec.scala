@@ -60,4 +60,28 @@ class AutoIngestSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(seen.size == 2 && seen.forall(p => p.startsWith("w1/") || p.startsWith("w3/")))
   }
+
+  test("provenance strips ONLY the leading prefix, even under regex-hostile dir names") {
+    val s = spark
+    import s.implicits._
+    // a landing dir whose name holds regex metacharacters and a
+    // sub-path that EMBEDS the landing dir's own name mid-path — the
+    // two shapes an unanchored replace() mangles
+    val landing = fresh("ais_meta") + "/zone+'a.b(1)"
+    val store = fresh("ais_meta_store")
+    val nested = s"$landing/deep/zone+'a.b(1)/w1"
+    (0L until 10L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1).write.parquet(nested)
+    assert(AutoIngest.discover(spark, landing, store) == 1L)
+    val seen = TableVersions
+      .readVersion(spark, store, TableVersions.currentVersion(spark, store))
+      .select("__ingest_src")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    assert(seen.length == 1)
+    // zone-relative: the embedded copy of the dir name survives intact
+    assert(seen.head.startsWith("deep/zone+'a.b(1)/w1/"), seen.head)
+    // idempotent: the seen-probe matches and the re-sweep is a no-op
+    assert(AutoIngest.discover(spark, landing, store) == 0L)
+  }
 }

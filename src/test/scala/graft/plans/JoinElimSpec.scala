@@ -58,6 +58,51 @@ class JoinElimSpec extends AnyFunSuite with SparkSpec {
       // guard: outer joins keep the join
       val outer = fd.join(dd, col("fk") === col("pk"), "left").select("fk", "x")
       assert(joins(outer) == 1)
+
+      // guard: a DERIVED column renamed to the fk is not the validated
+      // column — values like fk+1 may be orphans, the join filters
+      val derived = fd
+        .withColumn("fk", col("fk") + 1)
+        .join(dd, col("fk") === col("pk"))
+        .groupBy("fk")
+        .agg(sum("x").as("sx"))
+      assert(joins(derived) == 1, derived.queryExecution.optimizedPlan.toString)
+
+      // guard: an fk surfaced from a DIFFERENT relation in a fact side
+      // that also contains the declared fact (union) was never
+      // validated — rows from the other relation may be orphans
+      val other = fresh("je_other")
+      val s2 = spark
+      import s2.implicits._
+      Seq((9000L, 9999L, 1.0)).toDF("row_id", "fk", "x").write.mode("overwrite").parquet(other)
+      val unioned = fd
+        .unionByName(spark.read.parquet(other))
+        .join(dd, col("fk") === col("pk"))
+        .groupBy("fk")
+        .agg(sum("x").as("sx"))
+      assert(joins(unioned) == 1, unioned.queryExecution.optimizedPlan.toString)
+
+      // guard: an fk null-extended by an outer join below (fact on the
+      // null-producing side) can be NULL at the dim join — keep it
+      val probe = fresh("je_probe")
+      Seq((9999L, 1L)).toDF("row_id", "tag").write.mode("overwrite").parquet(probe)
+      val nullExtended = spark.read
+        .parquet(probe)
+        .join(fd, Seq("row_id"), "left")
+        .join(dd, col("fk") === col("pk"))
+        .groupBy("fk")
+        .agg(sum("x").as("sx"))
+      assert(joins(nullExtended) == 2, nullExtended.queryExecution.optimizedPlan.toString)
+
+      // positive: a FILTERED fact (and an inner self-equi-join below)
+      // still eliminates — surviving fk values are a subset of the
+      // validated ones, traced to the scan through the filter/join
+      val filteredFact = fd
+        .filter(col("x") > 10)
+        .join(dd, col("fk") === col("pk"))
+        .groupBy("fk")
+        .agg(sum("x").as("sx"))
+      assert(joins(filteredFact) == 0, filteredFact.queryExecution.optimizedPlan.toString)
     } finally JoinElim.undeclare(spark, fact, "fk")
     // undeclared: the join stays
     val fd = spark.read.parquet(fact)
