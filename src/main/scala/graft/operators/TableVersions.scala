@@ -664,6 +664,217 @@ object TableVersions {
     v
   }
 
+  /** One committed version's log entry: (op, adds, removes). */
+  private def logEntry(s: SparkSession, dir: String, w: Long): (String, Seq[String], Seq[String]) = {
+    val rows = s.read
+      .schema(logSchema)
+      .parquet(s"${logDir(dir)}/version=$w")
+      .select("op", "file", "action")
+      .collect()
+    val op = rows.headOption.map(_.getString(0)).getOrElse("noop")
+    (
+      op,
+      rows.filter(_.getString(2) == "add").map(_.getString(1)).toSeq.sorted,
+      rows.filter(_.getString(2) == "remove").map(_.getString(1)).toSeq.sorted
+    )
+  }
+
+  /** CONFLICT-CHECKED copy-on-write delete — two racing rewrites on
+    * disjoint data both land without manual retry; see
+    * [[rewriteWhereChecked]]. */
+  def commitDeleteChecked(s: SparkSession, dir: String, cond: String): Long =
+    rewriteWhereChecked(s, dir, cond, identity, "delete")
+
+  /** CONFLICT-CHECKED copy-on-write update; see
+    * [[rewriteWhereChecked]]. */
+  def commitUpdateChecked(
+      s: SparkSession,
+      dir: String,
+      cond: String,
+      transform: DataFrame => DataFrame
+  ): Long =
+    rewriteWhereChecked(s, dir, cond, transform, "update")
+
+  /** Copy-on-write rewrite with OPTIMISTIC conflict detection — the
+    * Delta-ConflictChecker half of the concurrency story that
+    * [[commitAppendRetry]]'s contract doc promised a caller would have
+    * to hand-roll: [[rewriteWhere]] claims its version BEFORE any work
+    * (losing a race costs nothing, but every lost race surfaces as
+    * [[ConcurrentCommitException]] and the CALLER re-executes), while
+    * this path computes FIRST against the head snapshot — hit-set
+    * resolution, the rewritten batch, the change rows, all staged
+    * under neutral names — and only then enters the claim loop. A
+    * rival commit that landed in between is read back from the log and
+    * VALIDATED instead of assumed fatal:
+    *
+    *   - a rival that REMOVED any file this rewrite resolved into its
+    *     hit set invalidates the computed batch (double-remove /
+    *     resurrection) → conflict;
+    *   - a rival merge-on-read delete whose deletion vector targets a
+    *     hit file would be silently undone by the replacement batch
+    *     (fresh adds anchor above the DV) → conflict;
+    *   - a rival that ADDED files is read back (O(rival's change), not
+    *     O(table)) and conflicts iff any added row MATCHES this
+    *     rewrite's predicate — rows the already-computed hit set
+    *     missed. Appends/rewrites whose rows all miss the predicate
+    *     commute with this rewrite and pass.
+    *
+    * Disjoint rivals therefore REBASE for free: the staged batch is
+    * renamed into place and logged at the later version — the final
+    * state is exactly serial execution, with zero recompute. A genuine
+    * overlap releases the claim, discards the staging, and throws
+    * [[ConcurrentCommitException]] naming the rival version — the
+    * fail-safe contract kept, now raised only when the snapshot was
+    * ACTUALLY invalidated. An in-flight rival (claimed, log not yet
+    * materialized) is polled briefly and then treated as a conflict —
+    * indistinguishable from a crash, same conservative call
+    * [[safeHead]] makes.
+    *
+    * At 100 TB this is what makes maintenance + CoW workloads
+    * concurrent instead of serial: an OPTIMIZE over cold partitions
+    * and a GDPR delete over one subject's files validate as disjoint
+    * and both land, and the validation costs O(rival log entry +
+    * rival change data) — never a table scan.
+    *
+    * `beforeClaim` is a test seam: it runs after the snapshot work is
+    * staged and before the claim loop — the exact window a rival
+    * commit exploits — so specs can interleave deterministically.
+    */
+  private[graft] def rewriteWhereChecked(
+      s: SparkSession,
+      dir: String,
+      cond: String,
+      transform: DataFrame => DataFrame,
+      op: String,
+      maxAttempts: Int = 16,
+      rivalLogPollMs: Long = 5000L,
+      beforeClaim: () => Unit = () => ()
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+
+    // ---- compute phase: resolve + rewrite against snapshot `prev`,
+    // staged under neutral names, NO claim held ----
+    val adds = liveFileAdds(s, dir, prev)
+    val withFile = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+      .withColumn("__file", col("__dv_file"))
+    val matches = coalesce(expr(cond), lit(false))
+    val hit = withFile
+      .filter(matches)
+      .select("__file")
+      .distinct()
+      .collect()
+      .map(r => qualified(s, new Path(r.getString(0))))
+      .toSet
+    val stageId = java.util.UUID.randomUUID().toString
+    val stagedBatch = new Path(s"$dir/data/stage-$stageId")
+    val stagedCdf = new Path(s"${cdfDir(dir)}/stage-$stageId")
+    if (hit.nonEmpty) {
+      val hitAdds = adds.filter(a => hit.contains(a._1))
+      val hitDf = applyDv(s, dir, prev, hitAdds, readMerged(s, hit.toSeq.sorted))
+      val keep = hitDf.filter(!matches)
+      val replaced = op match {
+        case "delete" => keep
+        case _        => keep.unionByName(transform(hitDf.filter(matches)))
+      }
+      if (op != "delete") enforceConstraints(transform(hitDf.filter(matches)), dir, op)
+      val cdf = op match {
+        case "delete" =>
+          hitDf.filter(matches).withColumn("_change_type", lit("delete"))
+        case _ =>
+          hitDf
+            .filter(matches)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(
+              transform(hitDf.filter(matches))
+                .withColumn("_change_type", lit("update_postimage"))
+            )
+      }
+      cdf.write.mode("errorifexists").parquet(stagedCdf.toString)
+      replaced.write.mode("errorifexists").parquet(stagedBatch.toString)
+    }
+    beforeClaim()
+
+    def discardStaging(): Unit =
+      Seq(stagedBatch, stagedCdf).foreach { p =>
+        if (fs.exists(p)) fs.delete(p, /* recursive = */ true): Unit
+      }
+
+    // conflict rules vs one committed rival entry; returns the reason
+    def conflictWith(w: Long): Option[String] = {
+      val (rop, radds, rremoves) = logEntry(s, dir, w)
+      if (rremoves.toSet.intersect(hit).nonEmpty)
+        Some(s"rival $rop at v$w removed files in this rewrite's hit set")
+      else if (rop == "mor_delete" && fs.exists(new Path(s"${dvDir(dir)}/v$w")) && {
+          s.read
+            .parquet(s"${dvDir(dir)}/v$w")
+            .select("file")
+            .distinct()
+            .collect()
+            .exists(r => hit.contains(qualified(s, new Path(r.getString(0)))))
+        })
+        Some(s"rival deletion vector at v$w targets files in this rewrite's hit set")
+      else if (radds.nonEmpty && !readMerged(s, radds).filter(matches).isEmpty)
+        Some(s"rival $rop at v$w added rows matching this rewrite's predicate")
+      else None
+    }
+
+    // ---- claim loop: claim the next free version, then validate every
+    // rival version in (prev, candidate) before publishing ----
+    var candidate = currentVersion(s, dir) + 1
+    var attempt = 1
+    while (true) {
+      val won =
+        try { claimVersion(s, dir, candidate); true }
+        catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= maxAttempts) {
+              discardStaging()
+              throw new ConcurrentCommitException(
+                s"$op on $dir lost $maxAttempts version races — giving up (${e.getMessage})"
+              )
+            }
+            attempt += 1
+            candidate = math.max(currentVersion(s, dir) + 1, candidate + 1)
+            false
+        }
+      if (won) {
+        def failSafe(reason: String): Nothing = {
+          releaseStaleClaim(s, dir, candidate)
+          discardStaging()
+          throw new ConcurrentCommitException(
+            s"$op on $dir (snapshot v$prev) conflicts: $reason — re-execute from the head"
+          )
+        }
+        ((prev + 1) until candidate).foreach { w =>
+          // wait for an in-flight rival's log to materialize — an entry
+          // that never lands is indistinguishable from a crash and
+          // fails safe, the same conservative call safeHead makes
+          val logP = new Path(s"${logDir(dir)}/version=$w")
+          val deadline = System.nanoTime() + rivalLogPollMs * 1000000L
+          while (!fs.exists(logP) && System.nanoTime() < deadline) Thread.sleep(50L)
+          if (!fs.exists(logP))
+            failSafe(s"rival claim at v$w never committed (in flight or crashed)")
+          conflictWith(w).foreach(failSafe)
+        }
+        // validated: publish the staged work under the claimed version
+        if (hit.isEmpty) {
+          appendLog(s, dir, candidate, op, Nil, Nil)
+        } else {
+          val batch = s"$dir/data/b$candidate"
+          if (!fs.rename(stagedBatch, new Path(batch)))
+            failSafe(s"failed to publish staged batch $stagedBatch")
+          if (!fs.rename(stagedCdf, new Path(s"${cdfDir(dir)}/v$candidate")))
+            failSafe(s"failed to publish staged change feed $stagedCdf")
+          appendLog(s, dir, candidate, op, listParquet(s, batch), hit.toSeq.sorted)
+        }
+        return candidate
+      }
+    }
+    -1L // unreachable
+  }
+
   private def cdfDir(dir: String) = s"$dir/_cdf"
 
   /** Persist one commit's change rows (data columns + `_change_type`)

@@ -2159,6 +2159,130 @@ object Versioned {
       Some("""SELECT 'hinted' AS probe, lang, count(*) AS n,
                CAST(1000 + ascii(substring(lang, 1, 1)) AS BIGINT) AS w
         FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CONFLICT-CHECKED COPY-ON-WRITE — the Delta-ConflictChecker
+    // protocol that upgrades q217's append-only OCC to REWRITES: a
+    // delete resolves and stages against its snapshot, a rival delete
+    // lands in the claim window (the test seam interleaves them
+    // deterministically), and the loser VALIDATES the rival's log
+    // entry instead of failing — disjoint file sets rebase for free
+    // (both writers land, no manual retry, no recompute), while a
+    // genuinely overlapping rival (probed here with a same-file
+    // delete) fails safe with the staging discarded and the table
+    // byte-identical. The oracle restates the serial execution of
+    // both deletes — a lost rival write, a resurrected row, or a
+    // half-published rebase all break the hash. ORACLE-EXACT;
+    // ConflictCheckSpec pins the protocol edges (matching rival
+    // adds, rival deletion vectors, in-flight rivals, claim reuse).
+    QueryDef(
+      "q254_conflict_checked_rewrite",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("ccw_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        // two files: evens and odds land separately, so the two
+        // writers' hit sets are provably disjoint
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).coalesce(1), tdir) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1).coalesce(1), tdir) // v1
+        // writer A stages its odd-file delete; writer B's even-file
+        // delete commits inside A's claim window; A rebases onto v3
+        val v = TableVersions.rewriteWhereChecked(
+          s,
+          tdir,
+          "doc_id % 2 = 1 AND doc_id % 5 = 0",
+          identity,
+          "delete",
+          beforeClaim = () => {
+            TableVersions.commitDelete(s, tdir, "doc_id % 2 = 0 AND doc_id % 7 = 0"): Unit
+          }
+        )
+        require(v == 3L, s"disjoint rival must rebase to v3, got v$v")
+        // fail-safe probe: an overlapping rival (same odd file) must
+        // refuse and leave the head untouched
+        val headBefore = TableVersions.currentVersion(s, tdir)
+        val refused =
+          try {
+            TableVersions.rewriteWhereChecked(
+              s,
+              tdir,
+              "doc_id % 2 = 1 AND doc_id % 3 = 0",
+              identity,
+              "delete",
+              beforeClaim = () => {
+                TableVersions.commitDelete(s, tdir, "doc_id % 2 = 1 AND doc_id % 11 = 0"): Unit
+              }
+            )
+            false
+          } catch { case _: TableVersions.ConcurrentCommitException => true }
+        require(refused, "overlapping rival must fail safe")
+        // serial re-execution from the new head then lands cleanly
+        TableVersions.commitDeleteChecked(s, tdir, "doc_id % 2 = 1 AND doc_id % 3 = 0"): Unit
+        require(
+          TableVersions.currentVersion(s, tdir) == headBefore + 2,
+          "rival + re-executed delete must both advance the head"
+        )
+        TableVersions
+          .readVersion(s, tdir, TableVersions.currentVersion(s, tdir))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        WHERE NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)
+          AND NOT (doc_id % 2 = 0 AND doc_id % 7 = 0)
+          AND NOT (doc_id % 2 = 1 AND doc_id % 11 = 0)
+          AND NOT (doc_id % 2 = 1 AND doc_id % 3 = 0)
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // RESULT-CACHE RETENTION — closes q237's honest gap: entries are
+    // keyed by (canonical plan, source versions), so a commit makes
+    // the old entry UNADDRESSABLE garbage that nothing ever reclaimed.
+    // Each entry now stores its version pins in a sidecar, and
+    // maintain()'s retention sweep drops exactly the entries pinned
+    // behind their source's head — the live entry survives and still
+    // HITS (required in-query), the dead one is gone (directory count
+    // asserted). The oracle restates the cached aggregate at the
+    // post-commit head — a sweep that dropped the live entry, or a hit
+    // served from the stale one, both break the hash. ORACLE-EXACT;
+    // ResultCacheSpec pins the sweep's idempotence and the mid-compute
+    // commit race (pins re-validated before publish).
+    QueryDef(
+      "q255_result_cache_eviction",
+      (s, dir) => {
+        import graft.operators.ResultCache
+        val tdir = Similarity.freshIndexDir("rce_store")
+        val cache = Similarity.freshIndexDir("rce_cache")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs, tdir) // v0
+        def rollup() = TableVersions
+          .readVersion(s, tdir, TableVersions.currentVersion(s, tdir))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        val (_, h0) = ResultCache.run(s, cache, Seq(tdir), rollup())
+        require(!h0, "first run must miss")
+        TableVersions.commitDelete(s, tdir, "doc_id % 9 = 4") // v1: old entry now dead
+        val (_, h1) = ResultCache.run(s, cache, Seq(tdir), rollup())
+        require(!h1, "post-commit run must miss (new key)")
+        val fs = new org.apache.hadoop.fs.Path(cache)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(fs.listStatus(new org.apache.hadoop.fs.Path(cache)).length == 2)
+        val actions = TableVersions.maintain(s, tdir, resultCacheDir = Some(cache))
+        require(
+          actions.exists(_._1 == "evict_result_cache"),
+          s"maintain must sweep the dead entry: $actions"
+        )
+        require(
+          fs.listStatus(new org.apache.hadoop.fs.Path(cache)).length == 1,
+          "exactly the live entry survives"
+        )
+        val (served, hit) = ResultCache.run(s, cache, Seq(tdir), rollup())
+        require(hit, "the surviving entry must still hit")
+        served.orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 9 <> 4
+        GROUP BY lang ORDER BY lang""")
     )
   )
 

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins the conflict-checked rewrite protocol (q254's oracle restates
+  * the happy path only): two interleaved copy-on-write writers on
+  * DISJOINT data both land without manual retry (the rebase), every
+  * genuine overlap — hit-file removal, matching rival adds, a rival
+  * deletion vector on a hit file, an in-flight rival that never
+  * commits — fails safe with the staging discarded and the table
+  * byte-identical, and the rebased history equals serial execution.
+  */
+class ConflictCheckSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(tag: String) = graft.queries.Similarity.freshIndexDir(tag)
+
+  /** Two files: keys 0-49 land in one, 50-99 in the other — so
+    * predicates under 50 and at-or-over 90 resolve DISJOINT hit sets
+    * while two under-50 predicates resolve the SAME file. */
+  private def twoFileTable(): String = {
+    val s = spark
+    import s.implicits._
+    val dir = fresh("ccs")
+    TableVersions.commitAppend(
+      (0L until 50L).map(i => (i, s"low$i")).toDF("k", "payload").coalesce(1),
+      dir
+    )
+    TableVersions.commitAppend(
+      (50L until 100L).map(i => (i, s"high$i")).toDF("k", "payload").coalesce(1),
+      dir
+    )
+    dir
+  }
+
+  private def keysAtHead(dir: String): Set[Long] =
+    TableVersions
+      .readVersion(spark, dir, TableVersions.currentVersion(spark, dir))
+      .select("k")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+
+  test("disjoint interleaved CoW deletes both land without manual retry") {
+    val dir = twoFileTable()
+    // writer A resolves+stages its delete of the high file, then —
+    // in the window before A claims — writer B deletes from the low
+    // file and commits. A must validate B as disjoint and rebase.
+    val v = TableVersions.rewriteWhereChecked(
+      spark,
+      dir,
+      "k >= 90",
+      identity,
+      "delete",
+      beforeClaim = () => { TableVersions.commitDelete(spark, dir, "k < 10"): Unit }
+    )
+    assert(v == 3L) // B took v2; A rebased onto v3
+    assert(keysAtHead(dir) == (10L until 90L).toSet)
+    // the rebased history equals serial execution: every version reads
+    assert(TableVersions.readVersion(spark, dir, 2L).count() == 90L)
+    // and A's change feed landed under its rebased version
+    val cdf = TableVersions.changesFeed(spark, dir, 2L, 3L)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 10L)
+  }
+
+  test("a rival removing a hit file fails safe; staging discarded; table unchanged") {
+    val dir = twoFileTable()
+    val before = keysAtHead(dir)
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.rewriteWhereChecked(
+        spark,
+        dir,
+        "k < 50",
+        identity,
+        "delete",
+        beforeClaim = () => { TableVersions.commitDelete(spark, dir, "k < 5"): Unit }
+      )
+    }
+    assert(e.getMessage.contains("removed files"), e.getMessage)
+    // the rival's delete holds; ours left no trace
+    assert(keysAtHead(dir) == before -- (0L until 5L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("stage-"))
+    assert(stray.isEmpty, stray.mkString(","))
+    // and the version the loser claimed is reusable (claim released)
+    TableVersions.commitAppend(
+      { val s = spark; import s.implicits._; Seq((500L, "new")).toDF("k", "payload") },
+      dir
+    )
+    assert(keysAtHead(dir).contains(500L))
+  }
+
+  test("a rival APPEND with matching rows conflicts; with missing rows it rebases") {
+    val s = spark
+    import s.implicits._
+    // matching rival rows: the staged delete missed them -> fail safe
+    val dir1 = twoFileTable()
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.rewriteWhereChecked(
+        spark,
+        dir1,
+        "k between 90 and 99",
+        identity,
+        "delete",
+        beforeClaim =
+          () => { TableVersions.commitAppend(Seq((95L, "late")).toDF("k", "payload"), dir1): Unit }
+      )
+    }
+    assert(e.getMessage.contains("matching"), e.getMessage)
+    // non-matching rival rows commute -> rebase
+    val dir2 = twoFileTable()
+    val v = TableVersions.rewriteWhereChecked(
+      spark,
+      dir2,
+      "k between 90 and 99",
+      identity,
+      "delete",
+      beforeClaim =
+        () => { TableVersions.commitAppend(Seq((200L, "late")).toDF("k", "payload"), dir2): Unit }
+    )
+    assert(v == 3L)
+    assert(keysAtHead(dir2) == (0L until 90L).toSet + 200L)
+  }
+
+  test("a rival deletion vector targeting a hit file conflicts; on the other file it rebases") {
+    val dir = twoFileTable()
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.rewriteWhereChecked(
+        spark,
+        dir,
+        "k < 50",
+        identity,
+        "delete",
+        beforeClaim = () => { TableVersions.commitDeleteMor(spark, dir, "k = 7"): Unit }
+      )
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    val dir2 = twoFileTable()
+    val v = TableVersions.rewriteWhereChecked(
+      spark,
+      dir2,
+      "k < 50",
+      identity,
+      "delete",
+      beforeClaim = () => { TableVersions.commitDeleteMor(spark, dir2, "k = 77"): Unit }
+    )
+    assert(v == 3L)
+    assert(keysAtHead(dir2) == ((50L until 100L).toSet - 77L))
+  }
+
+  test("an in-flight rival that never commits fails safe after the poll window") {
+    val dir = twoFileTable()
+    val before = keysAtHead(dir)
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.rewriteWhereChecked(
+        spark,
+        dir,
+        "k >= 90",
+        identity,
+        "delete",
+        rivalLogPollMs = 300L,
+        // a rival claims the next version and crashes before its log
+        beforeClaim = () => TableVersions.claimVersion(spark, dir, 2L)
+      )
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+    assert(keysAtHead(dir) == before)
+    // recovery path: release the stranded claim, re-run, lands clean
+    TableVersions.releaseStaleClaim(spark, dir, 2L)
+    assert(TableVersions.commitDeleteChecked(spark, dir, "k >= 90") == 2L)
+    assert(keysAtHead(dir) == (0L until 90L).toSet)
+  }
+
+  test("checked UPDATE rebases past a disjoint rival and enforces constraints") {
+    val s = spark
+    import s.implicits._
+    val dir = twoFileTable()
+    TableVersions.addConstraint(spark, dir, "k_nonneg", "k >= 0")
+    val v = TableVersions.rewriteWhereChecked(
+      spark,
+      dir,
+      "k >= 95",
+      df => df.withColumn("payload", concat(col("payload"), lit("!"))),
+      "update",
+      beforeClaim = () => { TableVersions.commitDelete(spark, dir, "k < 3"): Unit }
+    )
+    assert(v == 3L)
+    val head = TableVersions.readVersion(spark, dir, 3L)
+    assert(head.filter(col("payload").endsWith("!")).count() == 5L)
+    assert(head.count() == 97L)
+    // a violating update refuses at compute time, before any claim
+    intercept[IllegalArgumentException] {
+      TableVersions.commitUpdateChecked(
+        spark,
+        dir,
+        "k = 50",
+        df => df.withColumn("k", lit(-1L))
+      )
+    }
+    assert(TableVersions.currentVersion(spark, dir) == 3L)
+  }
+}
