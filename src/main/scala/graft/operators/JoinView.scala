@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * (expand (A+ΔA)⋈(B+ΔB): folding ΔA against the NEW B head absorbs
   * the cross term, so ΔB must join the OLD A snapshot — which time
-  * travel provides exactly). Both joins are delta × table with the
-  * delta side broadcast; the table sides are version-store reads that
-  * inherit the store's pruning. Cursors live INSIDE the same merge
+  * travel provides exactly). Both joins are delta × table; a
+  * micro-batch-sized delta broadcasts, a backfill-sized window falls
+  * back to a co-partitioned sort-merge join ([[deltaJoin]] — the
+  * build side is never driver-memory-bound). The table sides are
+  * version-store reads that inherit the store's pruning. Cursors
+  * live INSIDE the same merge
   * commit as the deltas, so a crashed sync leaves both-or-neither —
   * a restarted consumer can never double-apply or skip a window
   * (same atomic-fold contract as [[FeedView]]).
@@ -94,6 +97,26 @@ object JoinView {
   /** Fold both feed windows `(cursorA, headA] × (cursorB, headB]`
     * into the view as ONE merge commit. No-op when neither source has
     * moved. Returns the new (cursorA, cursorB). */
+  /** Delta × snapshot join in the right REGIME for the window's size:
+    * a micro-batch-sized delta broadcasts (map-side join, the snapshot
+    * side never shuffles); a backfill-sized delta would OOM the build
+    * side, so it falls back to a co-partitioned sort-merge join — both
+    * sides exchange on the join key, change-scaled × matched-scaled,
+    * never driver-memory-bound. The regime gate is an exact count of
+    * the delta, already materialized (localCheckpoint) so the count
+    * and the join share one computation — the same
+    * broadcast-vs-partitioned split q204 registers for triangles. */
+  private def deltaJoin(
+      delta: DataFrame,
+      snap: DataFrame,
+      joinCol: String,
+      broadcastMaxRows: Long
+  ): DataFrame = {
+    val d = delta.localCheckpoint()
+    if (d.count() <= broadcastMaxRows) broadcast(d).join(snap, Seq(joinCol))
+    else d.hint("merge").join(snap, Seq(joinCol))
+  }
+
   def sync(
       s: SparkSession,
       aDir: String,
@@ -101,7 +124,8 @@ object JoinView {
       viewDir: String,
       joinCol: String,
       aCols: Seq[String],
-      bCols: Seq[String]
+      bCols: Seq[String],
+      broadcastMaxRows: Long = 100000L
   ): (Long, Long) = {
     // safeHead, not currentVersion: under concurrent appends a head
     // can run ahead of an in-flight lower-versioned commit (see
@@ -112,7 +136,8 @@ object JoinView {
     if (ha <= ca && hb <= cb) return (ca, cb)
     val out = joinCol +: (aCols ++ bCols)
 
-    // ΔA ⋈ B@hb — the delta side is the window's changes: broadcast it
+    // ΔA ⋈ B@hb — the delta side is the window's changes; regime
+    // (broadcast vs co-partitioned SMJ) picked by the window's size
     val dVa: Option[DataFrame] =
       if (ha <= ca) None
       else {
@@ -122,7 +147,7 @@ object JoinView {
         val bNew = TableVersions
           .readVersion(s, bDir, hb)
           .select((joinCol +: bCols).map(col): _*)
-        Some(broadcast(dA).join(bNew, Seq(joinCol)))
+        Some(deltaJoin(dA, bNew, joinCol, broadcastMaxRows))
       }
     // A@ca ⋈ ΔB — ΔB joins the OLD A snapshot (time travel), which is
     // what cancels the ΔA⋈ΔB cross term
@@ -135,14 +160,25 @@ object JoinView {
         val aOld = TableVersions
           .readVersion(s, aDir, ca)
           .select((joinCol +: aCols).map(col): _*)
-        Some(aOld.join(broadcast(dB), Seq(joinCol)))
+        Some(deltaJoin(dB, aOld, joinCol, broadcastMaxRows))
       }
+    // MATERIALIZED once (change-scaled, cheap): commitMerge evaluates
+    // its source several times (duplicate-key check, constraint check,
+    // hit resolution, change feed, batch write) — pinning the netted
+    // deltas makes every evaluation read the same blocks instead of
+    // re-running the two delta joins per pass, and guards the
+    // retraction algebra against any evaluation-order variance in the
+    // un-materialized two-join + union + aggregate subtree (observed
+    // under the forced-SMJ regime inside the merge's composite plans:
+    // a +1/−1 pair for one content key escaped un-netted;
+    // JoinViewRegimeSpec pins the fix)
     val deltas = (dVa.toSeq ++ dVb.toSeq)
       .map(_.select(out.map(col) :+ col("__ivm_w"): _*))
       .reduce(_ unionByName _)
       .groupBy(out.map(col): _*)
       .agg(sum(col("__ivm_w")).as("d"))
       .filter(col("d") =!= 0)
+      .localCheckpoint()
 
     val head = TableVersions.currentVersion(s, viewDir)
     val state = TableVersions

@@ -1176,6 +1176,52 @@ object StreamGate {
         FROM toks WHERE tok IN ('spark', 'join')
         GROUP BY v, doc_id HAVING count(DISTINCT tok) = 2
         ORDER BY v, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E1/E11 (streaming JOIN-view maintenance): q228's delta-join
+    // IVM kept live — the one IVM surface that still lacked its gate
+    // twin. Each micro-batch of fact rows lands as ONE append commit on
+    // A and the view syncs the exact two-term delta (ΔA⋈B@head +
+    // A@cursor⋈ΔB) in the same tick. After the drain the DIMENSION
+    // side moves — an en payload update plus a LATE-ARRIVING zh join
+    // key (the view must grow rows for docs it streamed long before) —
+    // and a fact takedown lands; the final sync folds all three in one
+    // merge commit, with the retraction algebra netting the
+    // delete×update overlap to zero before the merge sees it. Inner
+    // joins of weighted multiplicities are batch-order-independent, so
+    // the drained view is split-invariant (StreamJoinViewSpec pins the
+    // forced 3-batch replay AND that the broadcast and co-partitioned
+    // SMJ delta regimes drain bit-equal). ORACLE-EXACT: the final
+    // A@head ⋈ B@head restated over `documents`.
+    QueryDef(
+      "q253_stream_join_view",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runJoinViewStream(
+          gs,
+          Similarity.freshIndexDir("joinview_stream_a"),
+          Similarity.freshIndexDir("joinview_stream_b"),
+          Similarity.freshIndexDir("joinview_stream_view"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id", "lang", "n_chars"),
+          docs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 === 1)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""SELECT lang, doc_id, n_chars,
+               CAST(1000 + ascii(substr(lang, 2, 1))
+                    + CASE WHEN lang = 'en' THEN 7 ELSE 0 END AS BIGINT) AS w,
+               CAST(1 AS BIGINT) AS mult
+        FROM documents
+        WHERE doc_id % 3 IN (0, 1) AND doc_id % 11 <> 4 AND lang <> 'de'
+        ORDER BY doc_id""")
     )
   )
 
@@ -1220,6 +1266,63 @@ object StreamGate {
       )
       .reduce(_ unionByName _)
       .orderBy("v", "doc_id")
+  }
+
+  /** q228's delta-join view driven live: one fact append commit + one
+    * view sync per micro-batch; after the drain the dimension updates,
+    * a late join key arrives, and a fact takedown lands — all folded
+    * by the final sync. `broadcastMaxRows` selects the delta-join
+    * regime (broadcast vs co-partitioned SMJ) for every sync. Returns
+    * the drained joined rows. */
+  private[graft] def runJoinViewStream(
+      gs: SparkSession,
+      aDir: String,
+      bDir: String,
+      viewDir: String,
+      baseA: DataFrame,
+      allDocs: DataFrame,
+      stream: DataFrame,
+      broadcastMaxRows: Long = 100000L
+  ): DataFrame = {
+    import graft.operators.{JoinView, TableVersions}
+    val w = (lit(1000) + ascii(substring(col("lang"), 2, 1))).cast("long").as("w")
+    val dims = allDocs.select("lang").distinct().select(col("lang"), w)
+    TableVersions.commitAppend(baseA, aDir)
+    TableVersions.commitAppend(dims.filter(!col("lang").isin("de", "zh")).coalesce(1), bDir)
+    JoinView.init(gs, aDir, bDir, viewDir, "lang", Seq("doc_id", "n_chars"), Seq("w"))
+    def syncNow(): Unit =
+      JoinView.sync(
+        gs,
+        aDir,
+        bDir,
+        viewDir,
+        "lang",
+        Seq("doc_id", "n_chars"),
+        Seq("w"),
+        broadcastMaxRows
+      ): Unit
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TableVersions.commitAppend(batch.toDF(), aDir): Unit
+          syncNow()
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("joinview_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // the dimension moves and a takedown lands AFTER the drain — the
+    // final sync must fold a payload update, a late join key, and a
+    // fact retraction in one window
+    TableVersions.commitUpdate(gs, bDir, "lang = 'en'", _.withColumn("w", col("w") + 7))
+    TableVersions.commitAppend(dims.filter(col("lang") === "zh").coalesce(1), bDir)
+    TableVersions.commitDelete(gs, aDir, "doc_id % 11 = 4")
+    syncNow()
+    JoinView.read(gs, viewDir).orderBy("doc_id")
   }
 
   /** q232's sample fold driven live: one append commit + one sample
