@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{Catalog, FeedView, InvertedIndex, ShingleIndex, TableVersions}
+import graft.operators.{AsOfIndex, Catalog, FeedView, InvertedIndex, ShingleIndex, TableVersions}
 
 /** Multi-version table store queries (operators/TableVersions): time
   * travel (q166) and change-data-capture between versions (q167). The
@@ -2283,6 +2283,162 @@ object Versioned {
       Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE doc_id % 9 <> 4
         GROUP BY lang ORDER BY lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CATALOG-ROUTED ERASURE ACROSS EVERY DERIVED INDEX — closes the
+    // gap q236 left: that query erases across two TABLES atomically,
+    // but the inverted, shingle, and as-of indexes still synced
+    // erasure per-artifact (q202/q203/q206), so a reader could resolve
+    // a corpus that forgot a subject next to an index that still
+    // serves it. Here ONE catalog transaction carries the corpus
+    // delete AND all three index propagations, and readers resolve
+    // corpus + index state through the SAME pinned snapshot (the
+    // as-of index is queried AT the pinned corpus version; the
+    // head-only indexes are tombstoned before the publish). The
+    // negative case is the point: a simulated CRASH after the corpus
+    // delete but before any index sync leaves the catalog head
+    // untouched — in-query requires assert the pinned corpus STILL
+    // SERVES the subject (consistent pre-erasure pair, never the torn
+    // forgot-but-indexed state) — and the recovery transaction is
+    // FEED-DRIVEN (tombstones derive from the CDC window between the
+    // pinned and current corpus versions), so it replays the crashed
+    // half-erasure exactly once, idempotently. ORACLE-EXACT: corpus
+    // census + token-hit probes restated per snapshot over
+    // `documents`; a subject leaking through any probe at snapshot 1,
+    // or the crash leaking into snapshot 0, breaks the hash.
+    QueryDef(
+      "q256_catalog_index_erasure",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("cie_cat")
+        val corpus = Similarity.freshIndexDir("cie_corpus")
+        val inv = Similarity.freshIndexDir("cie_inv")
+        val shingle = Similarity.freshIndexDir("cie_shingle")
+        val asof = Similarity.freshIndexDir("cie_asof")
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select("doc_id", "lang", "text")
+        val subjectCond = "doc_id % 17 = 3"
+
+        // txn 0: corpus + all three indexes born in one snapshot
+        Catalog.transact(s, cat) { _ =>
+          val v0 = TableVersions.commitAppend(docs.repartition(4), corpus)
+          val head = TableVersions.readVersion(s, corpus, v0)
+          InvertedIndex.build(head.select("doc_id", "text"), inv)
+          ShingleIndex.build(head.select("doc_id", "text"), shingle)
+          AsOfIndex.init(s, corpus, asof)
+          Map(
+            "corpus" -> Catalog.Pin(corpus, v0),
+            "inv" -> Catalog.Pin(inv, v0),
+            "shingle" -> Catalog.Pin(shingle, v0),
+            "asof" -> Catalog.Pin(asof, v0)
+          )
+        }
+
+        // the feed-driven erasure transaction: corpus delete (skipped
+        // when a crashed attempt already landed it), index tombstones
+        // from the CDC window (pinned, head] — replay-safe — and the
+        // as-of sync; pins move together or not at all
+        def erasureBody(crashBeforeIndexes: Boolean)(
+            cur: Map[String, Catalog.Pin]
+        ): Map[String, Catalog.Pin] = {
+          val pinned = cur("corpus").version
+          val headV = TableVersions.safeHead(s, corpus)
+          val still = !TableVersions.readVersion(s, corpus, headV).filter(subjectCond).isEmpty
+          val afterDelete =
+            if (still) TableVersions.commitDelete(s, corpus, subjectCond) else headV
+          if (crashBeforeIndexes) throw new RuntimeException("simulated crash mid-erasure")
+          val confirmed = TableVersions
+            .changesFeed(s, corpus, pinned, afterDelete)
+            .filter(col("_change_type") === "delete")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint()
+          InvertedIndex.delete(confirmed, inv)
+          ShingleIndex.delete(confirmed, shingle)
+          AsOfIndex.sync(s, corpus, asof)
+          Map(
+            "corpus" -> Catalog.Pin(corpus, afterDelete),
+            "inv" -> Catalog.Pin(inv, afterDelete),
+            "shingle" -> Catalog.Pin(shingle, afterDelete),
+            "asof" -> Catalog.Pin(asof, afterDelete)
+          )
+        }
+
+        // CRASH: the corpus delete lands, nothing else does
+        val crashed =
+          try { Catalog.transact(s, cat)(erasureBody(crashBeforeIndexes = true)); false }
+          catch { case _: RuntimeException => true }
+        require(crashed, "the simulated crash must abort the transaction")
+        require(Catalog.head(s, cat) == 0L, "a crashed erasure must publish nothing")
+        // unobservability: the PINNED corpus still serves the subject,
+        // consistent with every index — never forgot-but-indexed
+        val pinnedCorpus = Catalog.readTable(s, cat, 0L, "corpus")
+        require(
+          !pinnedCorpus.filter(subjectCond).isEmpty,
+          "catalog-routed read must still serve the subject after the crash"
+        )
+        val pin0 = Catalog.pinsAt(s, cat, 0L)("asof").version
+        require(
+          !AsOfIndex
+            .conjunctiveAsOf(s, asof, Seq("the"), pin0)
+            .filter("doc_id % 17 = 3")
+            .isEmpty,
+          "the as-of index at the pinned version must still serve the subject"
+        )
+
+        // RECOVERY: the same feed-driven body, replayed to completion
+        Catalog.transact(s, cat)(erasureBody(crashBeforeIndexes = false))
+        require(Catalog.head(s, cat) == 1L, "recovery must publish exactly one snapshot")
+        // head-only indexes hold no subject shingles/postings anymore
+        require(
+          ShingleIndex
+            .liveRows(s, shingle)
+            .filter("doc_id % 17 = 3")
+            .isEmpty,
+          "subject shingles must be tombstoned after the recovery transaction"
+        )
+
+        // probes, routed through the catalog at BOTH snapshots
+        val sess = s
+        import sess.implicits._
+        (0L to Catalog.head(s, cat))
+          .flatMap { snap =>
+            val pins = Catalog.pinsAt(s, cat, snap)
+            val c = Catalog.readTable(s, cat, snap, "corpus")
+            val cr = c
+              .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
+              .head()
+            val hits = AsOfIndex
+              .conjunctiveAsOf(s, asof, Seq("spark", "join"), pins("asof").version)
+            val hr = hits
+              .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
+              .head()
+            Seq(
+              (snap, "corpus", cr.getLong(0), cr.getLong(1)),
+              (snap, "asof_spark_join", hr.getLong(0), hr.getLong(1))
+            )
+          }
+          .toDF("snap", "probe", "n", "n_subject")
+          .orderBy("snap", "probe")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text, CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS subj
+          FROM documents WHERE doc_id % 3 = 0),
+        hits AS (
+          SELECT doc_id, subj FROM (
+            SELECT d.doc_id, d.subj, tok FROM d,
+              unnest(string_split(d.text, ' ')) AS t(tok)
+            WHERE len(tok) > 0 AND tok IN ('spark', 'join'))
+          GROUP BY doc_id, subj HAVING count(DISTINCT tok) = 2),
+        states AS (
+          SELECT 0 AS snap, 'corpus' AS probe, subj FROM d
+          UNION ALL SELECT 0, 'asof_spark_join', subj FROM hits
+          UNION ALL SELECT 1, 'corpus', subj FROM d WHERE subj = 0
+          UNION ALL SELECT 1, 'asof_spark_join', subj FROM hits WHERE subj = 0)
+        SELECT CAST(snap AS BIGINT) AS snap, probe, count(*) AS n,
+               CAST(sum(subj) AS BIGINT) AS n_subject
+        FROM states GROUP BY snap, probe ORDER BY snap, probe""")
     )
   )
 
