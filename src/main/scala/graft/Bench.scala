@@ -77,7 +77,34 @@ object Bench {
   private val WarmupRuns = 1
   private val MeasuredRuns = 3
   private val RunsPerQuery = WarmupRuns + MeasuredRuns
-  private val QueriesPerPart = 12
+
+  // ------------------------------------------------------------------
+  // Part PINNING (round 13): parts were previously `sorted.grouped(12)`
+  // — deterministic within a round, but every newly-registered query
+  // shifts the packing of everything lexicographically after it, so a
+  // query's JVM cohort changes round over round and unchanged queries'
+  // medians move 2-5× with their part (r12: q29 floor 0.23→1.06 purely
+  // from re-packing next to heavier neighbors). Assignment is now a
+  // STABLE HASH of the query name modulo a FIXED part count — a query
+  // keeps its part (and most of its cohort) forever; new queries hash
+  // into existing parts without moving anyone. Lifecycle-fixture
+  // queries (the version-store/catalog family from Versioned.defs,
+  // which build multi-commit histories per run and dominate their
+  // JVM's page-cache/GC profile) get their OWN part space so they
+  // never share a JVM with lightweight scan-shaped queries; the
+  // streaming gates keep their dedicated part as before.
+  // ------------------------------------------------------------------
+  private val BatchParts = 18
+  private val LifecycleParts = 6
+
+  /** Stable part index for a query name: md5-based, JVM/version
+    * independent (String.hashCode would also be stable, but md5 makes
+    * the independence explicit). */
+  private[graft] def stablePart(name: String, mod: Int): Int =
+    (BigInt(
+      1,
+      java.security.MessageDigest.getInstance("MD5").digest(name.getBytes("UTF-8"))
+    ) % mod).toInt
 
   // resolved ONCE so the measurement path and the JSON labels cannot
   // disagree if the environment were mutated between resolution points
@@ -334,12 +361,17 @@ object Bench {
 
   private def runParent(): Unit = {
     val all = SparkEntry.queries.keys.toSeq.sorted
-    val (stream, batch) = all.partition(StreamingGates)
-    val parts = batch.grouped(QueriesPerPart).toSeq :+ stream
+    val (stream, rest) = all.partition(StreamingGates)
+    val lifecycle = graft.queries.Versioned.defs.map(_.name).toSet
+    val (life, batch) = rest.partition(lifecycle)
+    val parts: Seq[(String, Seq[String])] =
+      batch.groupBy(n => f"b${stablePart(n, BatchParts)}%s").toSeq ++
+        life.groupBy(n => f"v${stablePart(n, LifecycleParts)}%s").toSeq :+
+        ("stream" -> stream)
     var merged = Map.empty[String, Either[String, Seq[Double]]]
-    parts.zipWithIndex.foreach { case (names, i) =>
-      merged ++= forkPart(i.toString, names)
-      names.foreach(n => partOf(n) = i.toString)
+    parts.sortBy(_._1).foreach { case (idx, names) =>
+      merged ++= forkPart(idx, names.sorted)
+      names.foreach(n => partOf(n) = idx)
     }
 
     // drift gate: re-measure inverted queries in fresh JVMs (streaming

@@ -48,6 +48,17 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.inverted(Seq(3.0, 3.2, 3.1, 3.3)))
   }
 
+  test("part assignment is a pinned stable hash — new registrations move nobody") {
+    // literal expected values: a change to the hash or modulus shows up
+    // here BEFORE it silently re-packs every part and breaks
+    // round-over-round median comparability (the r12 q29 cluster)
+    assert(Bench.stablePart("q29_median", 18) == 16)
+    assert(Bench.stablePart("q194_triangles", 18) == 1)
+    assert(Bench.stablePart("q01_pricing_summary", 18) == 7)
+    // assignment depends only on the name — not on what else exists
+    assert(Bench.stablePart("q29_median", 18) == Bench.stablePart("q29_median", 18))
+  }
+
   test("host-contention spread (>3x across runs) triggers best-of-2 escalation") {
     // the r7 driver-machine profiles the escalation was built for:
     // q33 [7.9, 1.8, 16.1, 3.4] and q110 [4.8, 24.9, 3.6, 2.5]
