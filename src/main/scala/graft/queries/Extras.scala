@@ -1238,6 +1238,157 @@ object Extras {
                max(CASE WHEN d > 3.0 * mad.mad THEN d END) AS max_anom_dev
         FROM dev JOIN mad USING (event_type)
         GROUP BY dev.event_type ORDER BY dev.event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // RETENTION COHORT MATRIX — the product-analytics staple: users
+    // grouped by their FIRST-activity day (the cohort), each later
+    // active day attributed to (cohort, day offset) with distinct-user
+    // counts — the diagonal decay every growth dashboard plots. One
+    // keyed min + one join + one distinct aggregate; at 100 TB the
+    // first-touch table is user-scaled and broadcastable per cohort
+    // shard, and the distinct count shuffles (cohort, offset, user)
+    // triples once. ORACLE-EXACT (dates rendered as strings so both
+    // engines hash identical bytes).
+    QueryDef(
+      "q257_retention_cohort",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+        ev.join(first, Seq("user_id"))
+          .select(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+            col("user_id")
+          )
+          .groupBy("cohort", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CUSUM CHANGEPOINT SCREEN — the classic sequential drift detector
+    // (Page 1954) over per-type daily event counts, made RELATIONAL by
+    // the prefix identity: the recursion s_d = max(0, s_{d-1} + x_d −
+    // target − slack) equals P_d − min(0, min_{j≤d} P_j) with P the
+    // running sum of (x − target − slack) — so the whole detector is
+    // two ordered windows per key (running sum + running min), no
+    // sequential fold, no driver loop, and DuckDB restates the
+    // identical windows. Integer target/slack/threshold (mean daily
+    // count, a tenth of it, 2× it) keep every value exact. Windows are
+    // DAY-scaled per key — at 100 TB the daily rollup shrinks the
+    // series to O(days × types) before any window runs.
+    QueryDef(
+      "q258_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("d"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("x"))
+        val params = daily
+          .groupBy("event_type")
+          .agg(expr("sum(x) DIV count(1)").as("target"), count(lit(1)).as("n_days"))
+          .withColumn("slack", expr("target DIV 10"))
+          .withColumn("h", expr("2 * target"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val cusum = daily
+          .join(broadcast(params), Seq("event_type"))
+          .withColumn("p", sum(col("x") - col("target") - col("slack")).over(w))
+          .withColumn("s", col("p") - least(lit(0L), min("p").over(w)))
+        cusum
+          .groupBy("event_type")
+          .agg(
+            max("n_days").as("n_days"),
+            max("target").as("target"),
+            max("s").as("max_s"),
+            min(when(col("s") > col("h"), date_format(col("d"), "yyyy-MM-dd"))).as("first_alarm"),
+            sum(when(col("s") > col("h"), 1L).otherwise(0L)).as("n_alarm_days")
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+          FROM events GROUP BY 1, 2),
+        params AS (
+          SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target,
+                 count(*) AS n_days
+          FROM daily GROUP BY 1),
+        cusum AS (
+          SELECT daily.event_type, d, n_days, target,
+                 target // 10 AS slack, 2 * target AS h,
+                 CAST(sum(x - target - (target // 10))
+                   OVER (PARTITION BY daily.event_type ORDER BY d) AS BIGINT) AS p
+          FROM daily JOIN params USING (event_type)),
+        s AS (
+          SELECT *, p - least(0, min(p) OVER
+                   (PARTITION BY event_type ORDER BY d)) AS s
+          FROM cusum)
+        SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+               CAST(max(target) AS BIGINT) AS target, CAST(max(s) AS BIGINT) AS max_s,
+               min(CASE WHEN s > h THEN strftime(d, '%Y-%m-%d') END) AS first_alarm,
+               CAST(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        FROM s GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // INTEGER EWMA FORECAST — exponential smoothing over the same
+    // per-type daily series, with the floor-division recursion
+    // ewma_d = (7·ewma_{d-1} + x_d) DIV 8 that has no closed form —
+    // the genuine sequential-fold case, expressed as an `aggregate`
+    // higher-order function over the day-sorted series (seeded with
+    // day 1, so both engines fold the identical chain; DuckDB's
+    // list_reduce seeds from the first element natively). The fold
+    // runs over a DAY-scaled array per key — at 100 TB the daily
+    // rollup exchange dominates and the fold is free. Counts and
+    // value mass (exact cents) each get a smoothed forecast.
+    QueryDef(
+      "q259_ewma_forecast",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .select(
+            col("event_type"),
+            to_date(col("ts")).as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")
+          )
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("x"), sum("cents").as("vc"))
+        daily
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct(col("d"), col("x"), col("vc")))).as("xs")
+          )
+          .select(
+            col("event_type"),
+            col("n_days"),
+            expr("""aggregate(slice(xs, 2, size(xs) - 1), xs[0].x,
+                     (a, e) -> (7L * a + e.x) DIV 8L)""").as("ewma_count"),
+            expr("""aggregate(slice(xs, 2, size(xs) - 1), xs[0].vc,
+                     (a, e) -> (7L * a + e.vc) DIV 8L)""").as("ewma_cents")
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT event_type, count(*) AS n_days,
+                 list(x ORDER BY d) AS xl, list(vc ORDER BY d) AS vl
+          FROM daily GROUP BY 1)
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(list_reduce(xl, (a, e) -> (7 * a + e) // 8) AS BIGINT) AS ewma_count,
+               CAST(list_reduce(vl, (a, e) -> (7 * a + e) // 8) AS BIGINT) AS ewma_cents
+        FROM series ORDER BY event_type""")
     )
   )
 

@@ -420,8 +420,68 @@ object Graph {
           SELECT CAST(n AS VARCHAR) AS node, CAST(d AS BIGINT) AS core_deg FROM top
           UNION ALL SELECT 'ALL', (SELECT count(*) FROM s3))
         ORDER BY core_deg DESC, node""")
+    ),
+
+    // ------------------------------------------------------------------
+    // EDGE EMBEDDEDNESS (per-edge neighborhood Jaccard) — the
+    // link-strength score behind tie-strength ranking and weak-link
+    // pruning (Granovetter-style): for every co-purchase edge (u,v),
+    // |N(u)∩N(v)| / |N(u)∪N(v) \ {u,v}| in exact ppm. Unlike the
+    // triangle census (whose orientation bounds arrays at O(√m)), the
+    // DENOMINATOR needs full neighborhoods, so this is the
+    // broadcast-analog regime: adjacency arrays are degree-scaled and
+    // the intersection runs compute-local in one projection —
+    // exchanges carry each edge + two adjacency rows, never the wedge
+    // stream. The half graph (orderMod=2) keeps the bench honest; a
+    // hub-capped variant (top-c neighbors by id) would be the 100 TB
+    // fallback, documented not built — the score itself then becomes
+    // approximate. Min-degree floor 3 keeps the ratio meaningful;
+    // ties broken by (u, v), so the top-20 is deterministic.
+    // ORACLE-EXACT against the symmetric-adjacency SQL restatement.
+    QueryDef(
+      "q267_edge_jaccard",
+      (s, dir) => {
+        val e = partEdges(s, dir, orderMod = 2L)
+        val sym = e
+          .select(col("u").as("n"), col("v").as("nb"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+        val adj = sym.groupBy("n").agg(sort_array(collect_list("nb")).as("ns"))
+        e.join(adj.select(col("n").as("u"), col("ns").as("nu")), Seq("u"))
+          .join(adj.select(col("n").as("v"), col("ns").as("nv")), Seq("v"))
+          .select(
+            col("u"),
+            col("v"),
+            size(expr("array_intersect(nu, nv)")).cast("long").as("common"),
+            size(col("nu")).cast("long").as("du"),
+            size(col("nv")).cast("long").as("dv")
+          )
+          .filter(col("du") >= 3 && col("dv") >= 3)
+          .withColumn("jac_ppm", expr("common * 1000000L DIV (du + dv - common - 2)"))
+          .orderBy(desc("jac_ppm"), asc("u"), asc("v"))
+          .limit(20)
+      },
+      Some(edgeJaccardOracle("WHERE l_orderkey % 2 = 0"))
     )
   )
+
+  /** q267's DuckDB restatement: per-edge common-neighbor counts from
+    * the symmetric adjacency, Jaccard over the union excluding the
+    * endpoints themselves. */
+  private def edgeJaccardOracle(liFilter: String): String = s"""WITH ${edgeCteOver(liFilter)},
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT u AS n, count(*) AS d FROM sym GROUP BY 1),
+        com AS (SELECT e.u, e.v, count(*) AS c
+                FROM e0 e JOIN sym a ON a.u = e.u JOIN sym b ON b.u = e.v AND b.v = a.v
+                GROUP BY 1, 2),
+        j AS (SELECT e.u, e.v, COALESCE(c.c, 0) AS common, du.d AS du, dv.d AS dv
+              FROM e0 e
+              LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+              JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v)
+        SELECT u, v, CAST(common AS BIGINT) AS common,
+               CAST(du AS BIGINT) AS du, CAST(dv AS BIGINT) AS dv,
+               CAST(common * 1000000 // (du + dv - common - 2) AS BIGINT) AS jac_ppm
+        FROM j WHERE du >= 3 AND dv >= 3
+        ORDER BY jac_ppm DESC, u, v LIMIT 20"""
 
   /** q194/q204's DuckDB restatement — id-ordered triangle enumeration
     * over the (optionally filtered) co-purchase graph, with an OUTER

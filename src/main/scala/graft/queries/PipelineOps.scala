@@ -522,6 +522,194 @@ object PipelineOps {
                     ELSE least(f.cap, (f.w * l.rbudget) // l.rw) END AS BIGINT) AS alloc
         FROM feas f CROSS JOIN lvl l
         ORDER BY f.source""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CONVERSATION-STRUCTURE VALIDATION (SFT-data hygiene, round 13):
+    // multi-turn training conversations must be CONTIGUOUS (turn
+    // indexes 0..n-1, no gaps), ALTERNATING (no two consecutive turns
+    // by one role), user-first and assistant-final — the four checks
+    // every chat-SFT pipeline runs before packing. Conversations are
+    // synthesized deterministically from `documents` (6 turns per
+    // conv, roles by turn parity) with two planted defect classes:
+    // dropped turns (doc_id % 17 = 5 → gaps) and role flips
+    // (doc_id % 23 = 7 → alternation breaks). Each conv gets the
+    // FIRST failing verdict in a fixed rule order, so the census is
+    // deterministic; all checks are one conv-keyed aggregate + one
+    // lag window — conv-bounded, never corpus-sorted. ORACLE-EXACT.
+    QueryDef(
+      "q262_conversation_validate",
+      (s, dir) => {
+        val turns = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 17 =!= 5) // planted gaps
+          .select(
+            (col("doc_id") / 6).cast("long").as("conv_id"),
+            (col("doc_id") % 6).as("turn_idx"),
+            when(col("doc_id") % 23 === 7, lit("user")) // planted role flips
+              .otherwise(when(col("doc_id") % 2 === 0, "user").otherwise("assistant"))
+              .as("role"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")
+          )
+        val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        val per = turns
+          .withColumn("prev_role", lag("role", 1).over(w))
+          .groupBy("conv_id")
+          .agg(
+            count(lit(1)).as("n_turns"),
+            sum("n_tok").as("tokens"),
+            min("turn_idx").as("min_i"),
+            max("turn_idx").as("max_i"),
+            sum(when(col("role") === col("prev_role"), 1L).otherwise(0L)).as("n_same"),
+            min(when(col("turn_idx") === 0, col("role"))).as("first_role"),
+            max(struct(col("turn_idx"), col("role"))).as("last")
+          )
+          .withColumn(
+            "verdict",
+            when(col("min_i") =!= 0 || col("max_i") =!= col("n_turns") - 1, "gap")
+              .when(col("n_same") > 0, "role_break")
+              .when(col("first_role") =!= "user", "not_user_first")
+              .when(col("last.role") =!= "assistant", "not_assistant_final")
+              .otherwise("ok")
+          )
+        per
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_convs"), sum("n_turns").as("n_turns"), sum("tokens").as("tokens"))
+          .orderBy("verdict")
+      },
+      Some("""WITH turns AS (
+          SELECT doc_id // 6 AS conv_id, doc_id % 6 AS turn_idx,
+                 CASE WHEN doc_id % 23 = 7 THEN 'user'
+                      WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents WHERE doc_id % 17 <> 5),
+        lagged AS (
+          SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+          FROM turns),
+        per AS (
+          SELECT conv_id, count(*) AS n_turns, sum(n_tok) AS tokens,
+                 min(turn_idx) AS min_i, max(turn_idx) AS max_i,
+                 sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS n_same,
+                 min(CASE WHEN turn_idx = 0 THEN role END) AS first_role,
+                 max_by(role, turn_idx) AS last_role
+          FROM lagged GROUP BY conv_id),
+        verdicts AS (
+          SELECT *,
+                 CASE WHEN min_i <> 0 OR max_i <> n_turns - 1 THEN 'gap'
+                      WHEN n_same > 0 THEN 'role_break'
+                      WHEN first_role <> 'user' THEN 'not_user_first'
+                      WHEN last_role <> 'assistant' THEN 'not_assistant_final'
+                      ELSE 'ok' END AS verdict
+          FROM per)
+        SELECT verdict, count(*) AS n_convs,
+               CAST(sum(n_turns) AS BIGINT) AS n_turns,
+               CAST(sum(tokens) AS BIGINT) AS tokens
+        FROM verdicts GROUP BY verdict ORDER BY verdict""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DPO PREFERENCE-PAIR CONSTRUCTION (round 13): per prompt group,
+    // emit (chosen, rejected) = (best, worst) response by an integer
+    // quality score, kept only when the margin clears a floor — the
+    // preference-data prep step for direct preference optimization.
+    // Groups are deterministic doc buckets; the score is n_chars with
+    // an md5 tiebreak so argmax/argmin are total. Both extremes come
+    // from ONE window pass each (row_number over the group — compiled
+    // by TopKRewrite into the bounded-heap operator, so no group is
+    // ever sorted whole). ORACLE-EXACT.
+    QueryDef(
+      "q263_dpo_pairs",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(
+            col("lang"),
+            (col("doc_id") / 50).cast("long").as("grp"),
+            col("doc_id"),
+            col("n_chars").cast("long").as("score"),
+            md5(col("doc_id").cast("string")).as("tb")
+          )
+        val up = Window.partitionBy("lang", "grp").orderBy(desc("score"), asc("tb"))
+        val dn = Window.partitionBy("lang", "grp").orderBy(asc("score"), desc("tb"))
+        val chosen = docs
+          .withColumn("rn", row_number().over(up))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("grp"), col("doc_id").as("chosen"), col("score").as("cs"))
+        val rejected = docs
+          .withColumn("rn", row_number().over(dn))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("grp"), col("doc_id").as("rejected"), col("score").as("rs"))
+        chosen
+          .join(rejected, Seq("lang", "grp"))
+          .withColumn("margin", col("cs") - col("rs"))
+          .filter(col("margin") >= 50)
+          .select("lang", "grp", "chosen", "rejected", "margin")
+          .orderBy("lang", "grp")
+      },
+      Some("""WITH docs AS (
+          SELECT lang, doc_id // 50 AS grp, doc_id,
+                 CAST(n_chars AS BIGINT) AS score,
+                 md5(CAST(doc_id AS VARCHAR)) AS tb
+          FROM documents),
+        up AS (SELECT lang, grp, doc_id AS chosen, score AS cs FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang, grp
+                        ORDER BY score DESC, tb ASC) AS rn FROM docs) WHERE rn = 1),
+        dn AS (SELECT lang, grp, doc_id AS rejected, score AS rs FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang, grp
+                        ORDER BY score ASC, tb DESC) AS rn FROM docs) WHERE rn = 1)
+        SELECT up.lang, up.grp, chosen, rejected, cs - rs AS margin
+        FROM up JOIN dn ON up.lang = dn.lang AND up.grp = dn.grp
+        WHERE cs - rs >= 50
+        ORDER BY up.lang, up.grp""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CURRICULUM ORDERING MANIFEST (round 13): training-order prep —
+    // docs bucketed into difficulty STAGES by fixed length thresholds,
+    // deterministically shuffled within a stage by md5, and emitted as
+    // a (stage, shard) MANIFEST (16 md5 shards per stage: counts,
+    // token mass, an order-independent XOR fingerprint of member ids)
+    // rather than one totally-ordered list — the q148 handoff shape,
+    // which is what keeps curriculum emission DISTRIBUTED at 100 TB:
+    // a loader streams shards in (stage, shard) order and shuffles
+    // within a shard buffer, so no stage is ever a single sorted
+    // partition. ORACLE-EXACT including the fingerprints.
+    QueryDef(
+      "q264_curriculum_manifest",
+      (s, dir) => {
+        val staged = Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            when(col("n_chars") < 150, 0L)
+              .when(col("n_chars") < 300, 1L)
+              .when(col("n_chars") < 450, 2L)
+              .otherwise(3L)
+              .as("stage"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .withColumn("shard", expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1").cast("long"))
+        staged
+          .withColumn("fp", expr("cast(conv(substring(h, 2, 15), 16, 10) AS bigint)"))
+          .groupBy("stage", "shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("tokens"),
+            expr("bit_xor(fp)").as("fp_xor")
+          )
+          .orderBy("stage", "shard")
+      },
+      Some("""WITH staged AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 300 THEN 1
+                      WHEN n_chars < 450 THEN 2 ELSE 3 END AS stage,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+        SELECT CAST(stage AS BIGINT) AS stage,
+               CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) AS shard,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+               bit_xor(CAST(('0x' || substring(h, 2, 15)) AS BIGINT)) AS fp_xor
+        FROM staged GROUP BY 1, 2 ORDER BY 1, 2""")
     )
   )
 }

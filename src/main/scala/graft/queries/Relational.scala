@@ -916,6 +916,72 @@ object Relational {
           )
           .orderBy("l_returnflag"),
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // MARKET-BASKET LIFT (association mining, round 13): brand pairs
+    // co-appearing in one order, ranked by exact-integer lift
+    // (P(ab)/(P(a)P(b)) in ppm: cnt_ab·n_baskets·10⁶ DIV cnt_a·cnt_b)
+    // with a support floor. The pair stream is BASKET-BOUNDED (the
+    // q194 discipline: per-order sorted brand set, local pair
+    // expansion — never an order-keyed self-join whose skew follows
+    // the biggest basket), and the brand space is small so the
+    // marginals broadcast. The n_baskets scalar rides a 1-row cross
+    // join, keeping the whole plan declarative. ORACLE-EXACT.
+    QueryDef(
+      "q261_basket_lift",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .join(
+            broadcast(
+              Tables(s, dir, "part").select(col("p_partkey").as("pk"), col("p_brand").as("b"))
+            ),
+            Seq("pk")
+          )
+          .select("ok", "b")
+          .distinct()
+        val nb = items.select(countDistinct("ok").as("n_baskets"))
+        val marg = items.groupBy("b").agg(count(lit(1)).as("cb"))
+        val pairs = items
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("b"))).as("bs"))
+          .select(
+            explode(
+              expr(
+                "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"
+              )
+            ).as("pr")
+          )
+          .select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
+          .groupBy("b1", "b2")
+          .agg(count(lit(1)).as("cab"))
+        pairs
+          .join(broadcast(marg.select(col("b").as("b1"), col("cb").as("ca"))), Seq("b1"))
+          .join(broadcast(marg.select(col("b").as("b2"), col("cb").as("cb2"))), Seq("b2"))
+          .crossJoin(broadcast(nb))
+          .filter(col("cab") >= 5)
+          .withColumn("lift_ppm", expr("cab * n_baskets * 1000000L DIV (ca * cb2)"))
+          .select("b1", "b2", "cab", "lift_ppm")
+          .orderBy(desc("lift_ppm"), asc("b1"), asc("b2"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON p_partkey = l_partkey),
+        nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+        marg AS (SELECT b, count(*) AS cb FROM items GROUP BY 1),
+        pairs AS (
+          SELECT a.b AS b1, c.b AS b2, count(*) AS cab
+          FROM items a JOIN items c ON a.ok = c.ok AND a.b < c.b
+          GROUP BY 1, 2)
+        SELECT b1, b2, cab,
+               CAST(cab * n_baskets * 1000000 // (ma.cb * mb.cb) AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN marg ma ON ma.b = b1 JOIN marg mb ON mb.b = b2
+        CROSS JOIN nb
+        WHERE cab >= 5
+        ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""")
     )
   )
 }
