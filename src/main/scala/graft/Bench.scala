@@ -152,7 +152,8 @@ object Bench {
     "q103_stream_join", "q109_stream_session", "q111_stream_enrich",
     "q112_stream_sink", "q113_stream_typed_state", "q132_stream_metrics",
     "q135_stream_outer_join", "q141_stream_ivf_ingest", "q149_stream_admission",
-    "q155_stream_ivf_delete", "q168_stream_count_min", "q179_stream_funnel"
+    "q155_stream_ivf_delete", "q168_stream_count_min", "q179_stream_funnel",
+    "q268_stream_cusum"
   )
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -1989,6 +1989,80 @@ object TableVersions {
     * destroying time travel is a retention decision, not hygiene.
     * Returns the (action, detail) pairs it executed.
     */
+  private def histDir(dir: String) = s"$dir/_hist"
+
+  /** Exact EQUI-DEPTH HISTOGRAM of an integral column at the head —
+    * the selectivity statistic ANALYZE's moment stats can't give
+    * (NDV + min/max say nothing about mass concentration; range
+    * estimates need depth). Construction is VALUE-GRANULAR so it
+    * stays distributed: one per-value count aggregate (the only
+    * data-scaled exchange, partial-combining), then the cumulative
+    * bucket assignment runs over DISTINCT VALUES only —
+    * `bkt = cum_before·B DIV n` — which is cardinality-scaled, the
+    * standard compressed-histogram construction. A heavy value never
+    * splits across buckets, so buckets go honest-uneven instead of
+    * lying about depth. Persisted under `_hist/v<head>/col=<c>` as
+    * (bkt, lo, hi, n); readers never touch the table. Returns the
+    * analyzed version.
+    */
+  def analyzeHistogram(s: SparkSession, dir: String, column: String, buckets: Int = 16): Long = {
+    require(buckets > 0, "buckets must be positive")
+    val v = currentVersion(s, dir)
+    require(v >= 0, s"$dir not initialized")
+    val vals = readVersion(s, dir, v)
+      .select(col(column).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("x")
+      .agg(count(lit(1)).as("c"))
+    val total = vals.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    require(total > 0, s"no non-NULL values in $column")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    vals
+      .withColumn("cum_before", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("bkt", expr(s"cum_before * $buckets DIV ${total}L"))
+      .groupBy("bkt")
+      .agg(min("x").as("lo"), max("x").as("hi"), sum("c").as("n"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"${histDir(dir)}/v$v/col=$column")
+    v
+  }
+
+  /** The latest persisted histogram for `column`. */
+  def histogram(s: SparkSession, dir: String, column: String): DataFrame = {
+    val vs = listNumbered(s, histDir(dir), "v")
+    require(vs.nonEmpty, s"no histogram under $dir — run analyzeHistogram first")
+    s.read.parquet(s"${histDir(dir)}/v${vs.max}/col=$column")
+  }
+
+  /** Metadata-only row-count estimate for `lo ≤ column ≤ hi`: fully
+    * covered buckets contribute their depth, edge buckets interpolate
+    * linearly in exact integer arithmetic (`n·overlap DIV width`) —
+    * the textbook histogram estimator, deterministic so the oracle
+    * can restate it digit for digit. Never reads the table. */
+  def estimateRange(s: SparkSession, dir: String, column: String, lo: Long, hi: Long): Long =
+    histogram(s, dir, column)
+      .agg(
+        coalesce(
+          sum(
+            expr(
+              s"""CASE
+                   WHEN hi < ${lo}L OR lo > ${hi}L THEN 0L
+                   WHEN lo >= ${lo}L AND hi <= ${hi}L THEN n
+                   ELSE n * (least(hi, ${hi}L) - greatest(lo, ${lo}L) + 1)
+                        DIV (hi - lo + 1)
+                 END"""
+            )
+          ),
+          lit(0L)
+        )
+      )
+      .head()
+      .getLong(0)
+
   def maintain(
       s: SparkSession,
       dir: String,
@@ -2196,16 +2270,58 @@ object TableVersions {
 
   /** The shared z-order rewrite: cluster exactly `files` along the
     * Morton curve and commit (remove `files`, add the replacements). */
+  /** HILBERT d-index (the standard iterative xy2d): walk bit levels
+    * top-down, accumulating the sub-square index and applying the
+    * quadrant rotation to (x, y) as a struct fold — O(bits) integer
+    * ops per row, compute-local, no UDF. Hilbert beats Morton on range
+    * locality (consecutive d values are always grid-adjacent — no
+    * curve-order jumps across quadrant boundaries), at the price of
+    * the rotation state that makes it 2-D-only here. Rotated
+    * coordinates are MASKED to the bits below the current level
+    * (future levels read only those; an unmasked `s-1-y` goes negative
+    * when higher bits are set and corrupts every later level).
+    * `sx`/`sy` are SQL expressions yielding non-negative bigints below
+    * 2^bits. Exposed for the spec's reference-implementation check. */
+  private[operators] def hilbertExpr(sx: String, sy: String, bits: Int): String =
+    s"""aggregate(
+          sequence(${bits - 1}, 0, -1),
+          named_struct('x', $sx, 'y', $sy, 'd', cast(0 AS bigint)),
+          (a, k) -> named_struct(
+            'x', CASE WHEN ((a.y >> k) & 1) = 0 AND ((a.x >> k) & 1) = 1
+                        THEN shiftleft(1L, k) - 1 - (a.y & (shiftleft(1L, k) - 1))
+                      WHEN ((a.y >> k) & 1) = 0
+                        THEN a.y & (shiftleft(1L, k) - 1)
+                      ELSE a.x END,
+            'y', CASE WHEN ((a.y >> k) & 1) = 0 AND ((a.x >> k) & 1) = 1
+                        THEN shiftleft(1L, k) - 1 - (a.x & (shiftleft(1L, k) - 1))
+                      WHEN ((a.y >> k) & 1) = 0
+                        THEN a.x & (shiftleft(1L, k) - 1)
+                      ELSE a.y END,
+            'd', a.d + shiftleft(1L, k) * shiftleft(1L, k)
+                   * ((3 * ((a.x >> k) & 1)) ^ ((a.y >> k) & 1))),
+          a -> a.d)"""
+
+  /** OPTIMIZE HILBERT — [[optimizeZorder]]'s 2-column sibling on the
+    * Hilbert curve: same logical-no-op commit, same stats/bloom
+    * interplay, better range locality per clustered dimension. */
+  def optimizeHilbert(s: SparkSession, dir: String, cols: Seq[String], nOut: Int): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    zorderRewrite(s, dir, cols, nOut, prev, liveFiles(s, dir, prev), curve = "hilbert")
+  }
+
   private def zorderRewrite(
       s: SparkSession,
       dir: String,
       cols: Seq[String],
       nOut: Int,
       prev: Long,
-      files: Seq[String]
+      files: Seq[String],
+      curve: String = "morton"
   ): Long = {
     require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
     require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
+    require(curve != "hilbert" || cols.size == 2, "the hilbert curve supports exactly 2 columns")
     val adds = liveFileAdds(s, dir, prev).filter(a => files.contains(a._1))
     // DVs applied — the clustered rewrite must not resurrect
     // merge-on-read-deleted rows
@@ -2254,12 +2370,15 @@ object TableVersions {
           s"cast((coalesce(${numericView(c)}, $lo) - $lo) / (${hi - lo}) * $maxVal.0 AS bigint)"
       }
     }
-    // Morton interleave: bit k of column i lands at position k*n + i
-    val zExpr = scaled.zipWithIndex
-      .map { case (sc, i) =>
-        s"aggregate(sequence(0, ${bitsPer - 1}), cast(0 AS bigint), (acc, k) -> acc | shiftleft(($sc >> k) & 1, k * $n + $i))"
-      }
-      .mkString(" | ")
+    val zExpr =
+      if (curve == "hilbert") hilbertExpr(scaled(0), scaled(1), bitsPer)
+      else
+        // Morton interleave: bit k of column i lands at position k*n + i
+        scaled.zipWithIndex
+          .map { case (sc, i) =>
+            s"aggregate(sequence(0, ${bitsPer - 1}), cast(0 AS bigint), (acc, k) -> acc | shiftleft(($sc >> k) & 1, k * $n + $i))"
+          }
+          .mkString(" | ")
     val v = prev + 1
     claimVersion(s, dir, v)
     val batch = s"$dir/data/b$v"
@@ -2270,7 +2389,7 @@ object TableVersions {
       .write
       .mode("errorifexists")
       .parquet(batch)
-    appendLog(s, dir, v, "zorder", listParquet(s, batch), files)
+    appendLog(s, dir, v, if (curve == "hilbert") "hilbert" else "zorder", listParquet(s, batch), files)
     compactSkipping(s, dir)
     v
   }
@@ -2529,7 +2648,7 @@ object TableVersions {
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
     val fs = fsOf(s, dir)
-    val logicalNoOps = Set("optimize", "zorder", "mor_compact")
+    val logicalNoOps = Set("optimize", "zorder", "hilbert", "mor_compact")
     val cdfOps = Set("delete", "update", "merge", "mor_delete")
     val claimed = claimedVersions(s, dir).toSet
     val frames: Seq[DataFrame] = (vOld + 1 to vNew).toSeq.flatMap { w =>

@@ -1288,55 +1288,8 @@ object Extras {
     // series to O(days × types) before any window runs.
     QueryDef(
       "q258_cusum_changepoint",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val daily = Tables(s, dir, "events")
-          .select(col("event_type"), to_date(col("ts")).as("d"))
-          .groupBy("event_type", "d")
-          .agg(count(lit(1)).as("x"))
-        val params = daily
-          .groupBy("event_type")
-          .agg(expr("sum(x) DIV count(1)").as("target"), count(lit(1)).as("n_days"))
-          .withColumn("slack", expr("target DIV 10"))
-          .withColumn("h", expr("2 * target"))
-        val w = Window.partitionBy("event_type").orderBy("d")
-        val cusum = daily
-          .join(broadcast(params), Seq("event_type"))
-          .withColumn("p", sum(col("x") - col("target") - col("slack")).over(w))
-          .withColumn("s", col("p") - least(lit(0L), min("p").over(w)))
-        cusum
-          .groupBy("event_type")
-          .agg(
-            max("n_days").as("n_days"),
-            max("target").as("target"),
-            max("s").as("max_s"),
-            min(when(col("s") > col("h"), date_format(col("d"), "yyyy-MM-dd"))).as("first_alarm"),
-            sum(when(col("s") > col("h"), 1L).otherwise(0L)).as("n_alarm_days")
-          )
-          .orderBy("event_type")
-      },
-      Some("""WITH daily AS (
-          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
-          FROM events GROUP BY 1, 2),
-        params AS (
-          SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target,
-                 count(*) AS n_days
-          FROM daily GROUP BY 1),
-        cusum AS (
-          SELECT daily.event_type, d, n_days, target,
-                 target // 10 AS slack, 2 * target AS h,
-                 CAST(sum(x - target - (target // 10))
-                   OVER (PARTITION BY daily.event_type ORDER BY d) AS BIGINT) AS p
-          FROM daily JOIN params USING (event_type)),
-        s AS (
-          SELECT *, p - least(0, min(p) OVER
-                   (PARTITION BY event_type ORDER BY d)) AS s
-          FROM cusum)
-        SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
-               CAST(max(target) AS BIGINT) AS target, CAST(max(s) AS BIGINT) AS max_s,
-               min(CASE WHEN s > h THEN strftime(d, '%Y-%m-%d') END) AS first_alarm,
-               CAST(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
-        FROM s GROUP BY event_type ORDER BY event_type""")
+      (s, dir) => cusumReport(Tables(s, dir, "events").select("event_type", "ts")),
+      Some(cusumOracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -1442,4 +1395,62 @@ object Extras {
     val n1 = withT1.filter(col("t1").isNotNull).select("user_id").distinct().count()
     (n1, t2.count(), t3.count())
   }
+
+  /** q258's detector over any (event_type, ts) frame — shared with the
+    * live q268 gate (CUSUM is a whole-history statistic: the target,
+    * the prefix minima, and the alarm all depend on every day seen, so
+    * the stream twin stages and recomputes rather than incrementing
+    * per batch). */
+  private[graft] def cusumReport(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("x"))
+    val params = daily
+      .groupBy("event_type")
+      .agg(expr("sum(x) DIV count(1)").as("target"), count(lit(1)).as("n_days"))
+      .withColumn("slack", expr("target DIV 10"))
+      .withColumn("h", expr("2 * target"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val cusum = daily
+      .join(broadcast(params), Seq("event_type"))
+      .withColumn("p", sum(col("x") - col("target") - col("slack")).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min("p").over(w)))
+    cusum
+      .groupBy("event_type")
+      .agg(
+        max("n_days").as("n_days"),
+        max("target").as("target"),
+        max("s").as("max_s"),
+        min(when(col("s") > col("h"), date_format(col("d"), "yyyy-MM-dd"))).as("first_alarm"),
+        sum(when(col("s") > col("h"), 1L).otherwise(0L)).as("n_alarm_days")
+      )
+      .orderBy("event_type")
+  }
+
+  /** Shared by q258 and its live twin q268 — the drained stream must
+    * hash-match the same SQL. */
+  private[queries] lazy val cusumOracleSql: String = """WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+          FROM events GROUP BY 1, 2),
+        params AS (
+          SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target,
+                 count(*) AS n_days
+          FROM daily GROUP BY 1),
+        cusum AS (
+          SELECT daily.event_type, d, n_days, target,
+                 target // 10 AS slack, 2 * target AS h,
+                 CAST(sum(x - target - (target // 10))
+                   OVER (PARTITION BY daily.event_type ORDER BY d) AS BIGINT) AS p
+          FROM daily JOIN params USING (event_type)),
+        s AS (
+          SELECT *, p - least(0, min(p) OVER
+                   (PARTITION BY event_type ORDER BY d)) AS s
+          FROM cusum)
+        SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+               CAST(max(target) AS BIGINT) AS target, CAST(max(s) AS BIGINT) AS max_s,
+               min(CASE WHEN s > h THEN strftime(d, '%Y-%m-%d') END) AS first_alarm,
+               CAST(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        FROM s GROUP BY event_type ORDER BY event_type"""
 }

@@ -1222,6 +1222,36 @@ object StreamGate {
         FROM documents
         WHERE doc_id % 3 IN (0, 1) AND doc_id % 11 <> 4 AND lang <> 'de'
         ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E14 (streaming CUSUM drift screen): q258's changepoint
+    // detector run live. CUSUM is a WHOLE-HISTORY statistic — the
+    // target is the all-days mean, the score is a prefix-min identity
+    // over the full series, and the alarm is the first crossing — so
+    // per-batch incremental updates would be order-wrong; the gate
+    // stages each micro-batch (one append, O(batch)) and recomputes
+    // the day-scaled detector over the staged set after the drain
+    // (the q179 funnel contract). Recompute cost is the daily rollup,
+    // O(staged events) with a days×types-scaled window — the honest
+    // price of a statistic with no incremental form. Drained output
+    // hash-checks against the SAME SQL as batch q258, so the gate is
+    // split-invariant by construction.
+    QueryDef(
+      "q268_stream_cusum",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/events.parquet").schema
+        runCusumStream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .select("event_type", "ts")
+        )
+      },
+      Some(Extras.cusumOracleSql)
     )
   )
 
@@ -1819,6 +1849,26 @@ object StreamGate {
     * parquet and the counts are computed once over the drained set,
     * making the result independent of micro-batch boundaries.
     */
+  /** q258's CUSUM detector driven live via stage-and-recompute (the
+    * statistic has no incremental form — see the q268 registration). */
+  private[graft] def runCusumStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("cusum_staging")
+    val ck = Similarity.freshIndexDir("cusum_ck")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(staging)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Extras.cusumReport(gs.read.parquet(staging))
+  }
+
   private[graft] def runFunnelStream(gs: SparkSession, stream: DataFrame): DataFrame = {
     val staging = Similarity.freshIndexDir("funnel_staging")
     val ck = Similarity.freshIndexDir("funnel_ck")

@@ -2439,6 +2439,123 @@ object Versioned {
         SELECT CAST(snap AS BIGINT) AS snap, probe, count(*) AS n,
                CAST(sum(subj) AS BIGINT) AS n_subject
         FROM states GROUP BY snap, probe ORDER BY snap, probe""")
+    ),
+
+    // ------------------------------------------------------------------
+    // EQUI-DEPTH HISTOGRAM STATISTICS (round 13): the selectivity
+    // statistic q230's ANALYZE can't provide — NDV + min/max say
+    // nothing about mass concentration, so range estimates need
+    // depth. Construction is VALUE-granular (one per-value count
+    // exchange; cumulative bucket assignment over distinct values
+    // only — a heavy value never splits, buckets go honest-uneven),
+    // persisted under `_hist/v<head>`, and the range ESTIMATOR is the
+    // textbook full-bucket + integer-interpolated-edge-bucket sum —
+    // metadata-only, deterministic, restated digit for digit by the
+    // oracle next to the TRUE counts so the estimate's honesty is
+    // itself hash-checked. Built at the HEAD (an append + a CoW
+    // delete precede the analyze). ORACLE-EXACT.
+    QueryDef(
+      "q265_equidepth_histogram",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("hist_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0).repartition(4), tdir)
+        TableVersions.commitDelete(s, tdir, "doc_id % 11 = 6")
+        TableVersions.analyzeHistogram(s, tdir, "n_chars", buckets = 8)
+        val sess = s
+        import sess.implicits._
+        val hist = TableVersions
+          .histogram(s, tdir, "n_chars")
+          .select(lit("bucket").as("kind"), col("bkt").as("k"), col("lo"), col("hi"), col("n"))
+        val ranges = Seq((100L, 200L), (0L, 150L), (400L, 10000L))
+        val head = TableVersions.readVersion(s, tdir, TableVersions.currentVersion(s, tdir))
+        val probes = ranges.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq(
+            ("est", i.toLong, a, b, TableVersions.estimateRange(s, tdir, "n_chars", a, b)),
+            (
+              "true",
+              i.toLong,
+              a,
+              b,
+              head.filter(col("n_chars") >= a && col("n_chars") <= b).count()
+            )
+          )
+        }
+        hist
+          .unionByName(probes.toDF("kind", "k", "lo", "hi", "n"))
+          .orderBy("kind", "k")
+      },
+      Some("""WITH state AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id % 11 <> 6),
+        vals AS (SELECT x, count(*) AS c FROM state GROUP BY 1),
+        tot AS (SELECT sum(c) AS total FROM vals),
+        cum AS (
+          SELECT x, c, COALESCE(sum(c) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM vals),
+        hist AS (
+          SELECT CAST(cb * 8 // total AS BIGINT) AS bkt,
+                 min(x) AS lo, max(x) AS hi, CAST(sum(c) AS BIGINT) AS n
+          FROM cum CROSS JOIN tot GROUP BY 1),
+        ranges AS (SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(100 AS BIGINT), CAST(200 AS BIGINT)),
+          (1, 0, 150), (2, 400, 10000)) AS t(k, a, b)),
+        est AS (
+          SELECT 'est' AS kind, r.k, r.a AS lo, r.b AS hi,
+                 CAST(sum(CASE
+                   WHEN h.hi < r.a OR h.lo > r.b THEN 0
+                   WHEN h.lo >= r.a AND h.hi <= r.b THEN h.n
+                   ELSE h.n * (least(h.hi, r.b) - greatest(h.lo, r.a) + 1)
+                        // (h.hi - h.lo + 1) END) AS BIGINT) AS n
+          FROM ranges r CROSS JOIN hist h GROUP BY 1, 2, 3, 4),
+        tru AS (
+          SELECT 'true' AS kind, r.k, r.a AS lo, r.b AS hi,
+                 CAST((SELECT count(*) FROM state
+                       WHERE x >= r.a AND x <= r.b) AS BIGINT) AS n
+          FROM ranges r)
+        SELECT kind, k, lo, hi, n FROM (
+          SELECT 'bucket' AS kind, bkt AS k, lo, hi, n FROM hist
+          UNION ALL SELECT * FROM est
+          UNION ALL SELECT * FROM tru)
+        ORDER BY kind, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // OPTIMIZE HILBERT (round 13): q200's multi-dimensional clustering
+    // on the HILBERT curve instead of Morton — consecutive curve
+    // positions are always grid-adjacent (no quadrant-seam jumps), so
+    // range reads on either clustered dimension touch fewer files for
+    // the same layout budget. Same contract as every clustering
+    // rewrite: a LOGICAL NO-OP commit (reads byte-equivalent, CDC
+    // empty — HilbertCurveSpec pins both, plus the bijection +
+    // unit-step-adjacency property that proves the fold is a genuine
+    // Hilbert curve), stats refreshed after, and both dimensions'
+    // pruned range reads restated by the oracle as plain filters —
+    // pruning can cost speed, never rows. ORACLE-EXACT.
+    QueryDef(
+      "q266_hilbert_cluster",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_hilbert")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.repartition(8), tdir)
+        TableVersions.optimizeHilbert(s, tdir, Seq("n_chars", "doc_id"), nOut = 16)
+        TableVersions.refreshStats(s, tdir, Seq("n_chars", "doc_id"))
+        def shaped(dim: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(dim).as("dim"), col("doc_id"), col("lang"), col("n_chars"))
+        shaped("by_chars", TableVersions.readVersionPruned(s, tdir, 1L, "n_chars", 100d, 300d))
+          .unionByName(
+            shaped("by_id", TableVersions.readVersionPruned(s, tdir, 1L, "doc_id", 1000d, 2000d))
+          )
+          .orderBy("dim", "doc_id")
+      },
+      Some("""SELECT 'by_chars' AS dim, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE n_chars BETWEEN 100 AND 300
+        UNION ALL
+        SELECT 'by_id', doc_id, lang, CAST(n_chars AS BIGINT)
+        FROM documents WHERE doc_id BETWEEN 1000 AND 2000
+        ORDER BY dim, doc_id""")
     )
   )
 

@@ -296,6 +296,60 @@ object Views {
           ('q2', 'rk',  'orders',   'o_orderpriority')
         ) AS t(probe, out_col, src_table, src_col)
         ORDER BY probe, out_col, src_table, src_col""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BITMAP INDEX (round 13): low-cardinality membership packed as
+    // one BIGINT per (value, 64-key word) — COUNT, AND, OR answered
+    // by word-aligned integer algebra on |keys|/64 rows per value,
+    // never a row-level pass over the table (operators/BitmapIndex;
+    // the exact-count AND/OR complement of the bloom index's
+    // probabilistic point SKIPPING). The query builds bitmaps over
+    // documents.lang and documents.source, then answers per-lang
+    // counts, three cross-column AND counts, a within-column OR, and
+    // a conjunctive count the fact table never sees — all restated by
+    // DuckDB over the raw rows, so a single flipped or misplaced bit
+    // breaks the hash. ORACLE-EXACT.
+    QueryDef(
+      "q260_bitmap_index",
+      (s, dir) => {
+        import graft.operators.BitmapIndex
+        val idx = Similarity.freshIndexDir("bitmap_idx")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "source")
+        BitmapIndex.build(docs, "doc_id", "lang", idx)
+        BitmapIndex.build(docs, "doc_id", "source", idx)
+        val sess = s
+        import sess.implicits._
+        val perLang = BitmapIndex
+          .valueCounts(s, idx, "lang")
+          .select(lit("lang").as("probe"), col("value").as("k"), col("n"))
+        val ands = Seq(("en", "src0"), ("fr", "src1"), ("zh", "src2")).map { case (l, src) =>
+          (s"and:$l&$src", BitmapIndex.intersectCount(s, idx, "lang", l, "source", src))
+        }
+        val or = Seq(
+          ("or:en|fr", BitmapIndex.unionCount(s, idx, "lang", "en", "lang", "fr"))
+        )
+        val probes = (ands ++ or)
+          .toDF("k", "n")
+          .select(lit("setop").as("probe"), col("k"), col("n"))
+        perLang.unionByName(probes).orderBy("probe", "k")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source FROM documents)
+        SELECT probe, k, n FROM (
+          SELECT 'lang' AS probe, lang AS k, count(*) AS n FROM d GROUP BY 2
+          UNION ALL
+          SELECT 'setop', 'and:en&src0',
+                 count(*) FROM d WHERE lang = 'en' AND source = 'src0'
+          UNION ALL
+          SELECT 'setop', 'and:fr&src1',
+                 count(*) FROM d WHERE lang = 'fr' AND source = 'src1'
+          UNION ALL
+          SELECT 'setop', 'and:zh&src2',
+                 count(*) FROM d WHERE lang = 'zh' AND source = 'src2'
+          UNION ALL
+          SELECT 'setop', 'or:en|fr',
+                 count(*) FROM d WHERE lang IN ('en', 'fr'))
+        ORDER BY probe, k""")
     )
   )
 }
