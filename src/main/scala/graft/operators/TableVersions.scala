@@ -801,11 +801,60 @@ object TableVersions {
         if (fs.exists(p)) fs.delete(p, /* recursive = */ true): Unit
       }
 
-    // conflict rules vs one committed rival entry; returns the reason
+    claimValidated(
+      s,
+      dir,
+      op,
+      prev,
+      hit,
+      addsConflict = radds =>
+        if (radds.nonEmpty && !readMerged(s, radds).filter(matches).isEmpty)
+          Some("added rows matching this rewrite's predicate")
+        else None,
+      discard = () => discardStaging(),
+      maxAttempts,
+      rivalLogPollMs
+    ) { (candidate, failSafe) =>
+      // validated: publish the staged work under the claimed version
+      if (hit.isEmpty) {
+        appendLog(s, dir, candidate, op, Nil, Nil)
+      } else {
+        val batch = s"$dir/data/b$candidate"
+        if (!fs.rename(stagedBatch, new Path(batch)))
+          failSafe(s"failed to publish staged batch $stagedBatch")
+        if (!fs.rename(stagedCdf, new Path(s"${cdfDir(dir)}/v$candidate")))
+          failSafe(s"failed to publish staged change feed $stagedCdf")
+        appendLog(s, dir, candidate, op, listParquet(s, batch), hit.toSeq.sorted)
+      }
+    }
+  }
+
+  /** The shared OCC commit loop for CHECKED (compute-first) commits:
+    * claim the next free version, WAIT for and VALIDATE every rival
+    * version in (prev, candidate) — structural conflicts (rival
+    * removed a file in this commit's hit set; rival deletion vector
+    * targets one) are checked here, op-specific semantic conflicts
+    * through the caller's `addsConflict` probe over a rival's added
+    * files — then run `publish` under the claimed version. Any
+    * conflict releases the claim, runs `discard`, and throws
+    * [[ConcurrentCommitException]]; the caller re-executes from the
+    * head. Returns the committed version. */
+  private def claimValidated(
+      s: SparkSession,
+      dir: String,
+      op: String,
+      prev: Long,
+      hit: Set[String],
+      addsConflict: Seq[String] => Option[String],
+      discard: () => Unit,
+      maxAttempts: Int,
+      rivalLogPollMs: Long
+  )(publish: (Long, String => Nothing) => Unit): Long = {
+    val fs = fsOf(s, dir)
     def conflictWith(w: Long): Option[String] = {
       val (rop, radds, rremoves) = logEntry(s, dir, w)
       if (rremoves.toSet.intersect(hit).nonEmpty)
-        Some(s"rival $rop at v$w removed files in this rewrite's hit set")
+        Some(s"rival $rop at v$w removed files in this commit's hit set")
       else if (rop == "mor_delete" && fs.exists(new Path(s"${dvDir(dir)}/v$w")) && {
           s.read
             .parquet(s"${dvDir(dir)}/v$w")
@@ -814,14 +863,10 @@ object TableVersions {
             .collect()
             .exists(r => hit.contains(qualified(s, new Path(r.getString(0)))))
         })
-        Some(s"rival deletion vector at v$w targets files in this rewrite's hit set")
-      else if (radds.nonEmpty && !readMerged(s, radds).filter(matches).isEmpty)
-        Some(s"rival $rop at v$w added rows matching this rewrite's predicate")
+        Some(s"rival deletion vector at v$w targets files in this commit's hit set")
+      else if (radds.nonEmpty) addsConflict(radds).map(r => s"rival $rop at v$w $r")
       else None
     }
-
-    // ---- claim loop: claim the next free version, then validate every
-    // rival version in (prev, candidate) before publishing ----
     var candidate = currentVersion(s, dir) + 1
     var attempt = 1
     while (true) {
@@ -830,7 +875,7 @@ object TableVersions {
         catch {
           case e: ConcurrentCommitException =>
             if (attempt >= maxAttempts) {
-              discardStaging()
+              discard()
               throw new ConcurrentCommitException(
                 s"$op on $dir lost $maxAttempts version races — giving up (${e.getMessage})"
               )
@@ -842,7 +887,7 @@ object TableVersions {
       if (won) {
         def failSafe(reason: String): Nothing = {
           releaseStaleClaim(s, dir, candidate)
-          discardStaging()
+          discard()
           throw new ConcurrentCommitException(
             s"$op on $dir (snapshot v$prev) conflicts: $reason — re-execute from the head"
           )
@@ -858,17 +903,7 @@ object TableVersions {
             failSafe(s"rival claim at v$w never committed (in flight or crashed)")
           conflictWith(w).foreach(failSafe)
         }
-        // validated: publish the staged work under the claimed version
-        if (hit.isEmpty) {
-          appendLog(s, dir, candidate, op, Nil, Nil)
-        } else {
-          val batch = s"$dir/data/b$candidate"
-          if (!fs.rename(stagedBatch, new Path(batch)))
-            failSafe(s"failed to publish staged batch $stagedBatch")
-          if (!fs.rename(stagedCdf, new Path(s"${cdfDir(dir)}/v$candidate")))
-            failSafe(s"failed to publish staged change feed $stagedCdf")
-          appendLog(s, dir, candidate, op, listParquet(s, batch), hit.toSeq.sorted)
-        }
+        publish(candidate, failSafe)
         return candidate
       }
     }
@@ -1747,6 +1782,107 @@ object TableVersions {
     v
   }
 
+  /** CONFLICT-CHECKED MERGE — [[commitMerge]]'s compute-first sibling
+    * on the [[claimValidated]] protocol (the same rebase-or-fail-safe
+    * contract as [[commitDeleteChecked]]): the upsert resolves and
+    * stages against the head snapshot with NO claim held; rivals that
+    * landed in between rebase for free when they touched none of this
+    * merge's hit files AND added no row carrying one of its KEYS (a
+    * rival-added row with a merged key is a row this merge should
+    * have replaced — fail safe); the key probe reads only the rival's
+    * change-scaled adds. `beforeClaim` is the same test seam. */
+  private[graft] def commitMergeChecked(
+      source: DataFrame,
+      dir: String,
+      key: String,
+      maxAttempts: Int = 16,
+      rivalLogPollMs: Long = 5000L,
+      beforeClaim: () => Unit = () => ()
+  ): Long = {
+    val s = source.sparkSession
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+    val dup = source
+      .agg(count(lit(1)).as("n"), count(col(key)).as("nn"), countDistinct(col(key)).as("k"))
+      .head()
+    require(dup.getLong(0) == dup.getLong(1), s"merge source has NULL $key keys")
+    require(dup.getLong(1) == dup.getLong(2), "merge source has duplicate keys")
+    enforceConstraints(source, dir, "merge")
+    val adds = liveFileAdds(s, dir, prev)
+    val files = adds.map(_._1)
+    val withFile = applyDv(s, dir, prev, adds, readMerged(s, files), keepMeta = true)
+      .withColumn("__file", col("__dv_file"))
+    val targetCols =
+      withFile.columns.filterNot(Set("__file", "__dv_file", "__dv_pos")).toSeq
+    val srcKeys = source.select(col(key)).localCheckpoint()
+    val hit = withFile
+      .join(srcKeys, Seq(key), "left_semi")
+      .select("__file")
+      .distinct()
+      .collect()
+      .map(r => qualified(s, new Path(r.getString(0))))
+      .toSet
+    val alignedSource = source.select(targetCols.map(col): _*)
+    val replaced =
+      if (hit.isEmpty) alignedSource
+      else
+        applyDv(s, dir, prev, adds.filter(a => hit.contains(a._1)), readMerged(s, hit.toSeq.sorted))
+          .join(srcKeys, Seq(key), "left_anti")
+          .select(targetCols.map(col): _*)
+          .unionByName(alignedSource)
+    val preImages =
+      if (hit.isEmpty) None
+      else
+        Some(
+          applyDv(s, dir, prev, adds.filter(a => hit.contains(a._1)), readMerged(s, hit.toSeq.sorted))
+            .join(srcKeys, Seq(key), "left_semi")
+            .select(targetCols.map(col): _*)
+            .localCheckpoint()
+        )
+    val matchedKeys = preImages.map(_.select(col(key)))
+    val post = matchedKeys.map(mk =>
+      alignedSource.join(mk, Seq(key), "left_semi").withColumn("_change_type", lit("update_postimage"))
+    )
+    val inserts = matchedKeys
+      .map(mk => alignedSource.join(mk, Seq(key), "left_anti"))
+      .getOrElse(alignedSource)
+      .withColumn("_change_type", lit("insert"))
+    val cdf = (preImages.map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
+      post.toSeq :+ inserts).reduce(_ unionByName _)
+    val stageId = java.util.UUID.randomUUID().toString
+    val stagedBatch = new Path(s"$dir/data/stage-$stageId")
+    val stagedCdf = new Path(s"${cdfDir(dir)}/stage-$stageId")
+    cdf.write.mode("errorifexists").parquet(stagedCdf.toString)
+    replaced.write.mode("errorifexists").parquet(stagedBatch.toString)
+    beforeClaim()
+    def discardStaging(): Unit =
+      Seq(stagedBatch, stagedCdf).foreach { p =>
+        if (fs.exists(p)) fs.delete(p, /* recursive = */ true): Unit
+      }
+    claimValidated(
+      s,
+      dir,
+      "merge",
+      prev,
+      hit,
+      addsConflict = radds =>
+        if (!readMerged(s, radds).join(srcKeys, Seq(key), "left_semi").isEmpty)
+          Some("added rows carrying keys this merge replaces")
+        else None,
+      discard = () => discardStaging(),
+      maxAttempts,
+      rivalLogPollMs
+    ) { (candidate, failSafe) =>
+      val batch = s"$dir/data/b$candidate"
+      if (!fs.rename(stagedBatch, new Path(batch)))
+        failSafe(s"failed to publish staged batch $stagedBatch")
+      if (!fs.rename(stagedCdf, new Path(s"${cdfDir(dir)}/v$candidate")))
+        failSafe(s"failed to publish staged change feed $stagedCdf")
+      appendLog(s, dir, candidate, "merge", listParquet(s, batch), hit.toSeq.sorted)
+    }
+  }
+
   /** Small-file compaction as a COMMIT (Delta OPTIMIZE): live files
     * under `smallBytes` are bin-packed into ~`targetBytes` outputs and
     * swapped in atomically through the log (`remove` the inputs, `add`
@@ -1788,6 +1924,63 @@ object TableVersions {
     appendLog(s, dir, v, "optimize", listParquet(s, batch), small)
     compactSkipping(s, dir)
     v
+  }
+
+  /** CONFLICT-CHECKED OPTIMIZE — compute-first small-file compaction
+    * on the [[claimValidated]] protocol, completing the checked
+    * family (delete/update/merge/optimize): the packed batch stages
+    * against the head snapshot with no claim held, and because a
+    * compaction is a LOGICAL NO-OP over its input files, EVERY rival
+    * that did not touch those inputs rebases for free — appends,
+    * other-file rewrites, even predicate-carrying deletes (their hit
+    * sets are disjoint from our inputs by the structural check); only
+    * a rival that removed or deletion-vectored one of the inputs
+    * invalidates the packed bytes and fails safe. This is the pairing
+    * the 100 TB brief actually needs: background OPTIMIZE and
+    * foreground governance deletes land concurrently instead of
+    * serializing. `beforeClaim` is the same test seam. */
+  private[graft] def optimizeChecked(
+      s: SparkSession,
+      dir: String,
+      smallBytes: Long = 128L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxAttempts: Int = 16,
+      rivalLogPollMs: Long = 5000L,
+      beforeClaim: () => Unit = () => ()
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+    val adds = liveFileAdds(s, dir, prev)
+    val sized = adds.map { case (f, _) => f -> fs.getFileStatus(new Path(f)).getLen }
+    val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
+    if (small.size < 2) return prev
+    val total = sized.filter(s => small.contains(s._1)).map(_._2).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val stagedBatch = new Path(s"$dir/data/stage-${java.util.UUID.randomUUID()}")
+    applyDv(s, dir, prev, adds.filter(a => small.contains(a._1)), s.read.parquet(small: _*))
+      .repartition(nOut)
+      .write
+      .mode("errorifexists")
+      .parquet(stagedBatch.toString)
+    beforeClaim()
+    claimValidated(
+      s,
+      dir,
+      "optimize",
+      prev,
+      small.toSet,
+      addsConflict = _ => None, // a pure re-clustering commutes with any rival ADD
+      discard = () => { if (fs.exists(stagedBatch)) fs.delete(stagedBatch, true): Unit },
+      maxAttempts,
+      rivalLogPollMs
+    ) { (candidate, failSafe) =>
+      val batch = s"$dir/data/b$candidate"
+      if (!fs.rename(stagedBatch, new Path(batch)))
+        failSafe(s"failed to publish staged batch $stagedBatch")
+      appendLog(s, dir, candidate, "optimize", listParquet(s, batch), small)
+      compactSkipping(s, dir)
+    }
   }
 
   /** Metadata GC for the skipping indexes, run at OPTIMIZE cadence

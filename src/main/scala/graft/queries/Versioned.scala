@@ -2556,6 +2556,76 @@ object Versioned {
         SELECT 'by_id', doc_id, lang, CAST(n_chars AS BIGINT)
         FROM documents WHERE doc_id BETWEEN 1000 AND 2000
         ORDER BY dim, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CONCURRENT MAINTENANCE + GOVERNANCE (round 13): the pairing the
+    // checked-commit family exists for — a background OPTIMIZE packs
+    // the table's small files while a foreground erasure delete lands
+    // INSIDE its claim window (the test seam interleaves them
+    // deterministically), and BOTH commit without manual retry: the
+    // delete's hit file is the big file the compaction never touched,
+    // so the optimize validates the rival as disjoint and rebases its
+    // already-packed batch onto the next version. Before the checked
+    // protocol this exact workload degraded to serial-with-manual-
+    // retry (the round-12 verdict's #1 missing item). The oracle
+    // restates the final head — a lost delete, a resurrected row, or
+    // a half-published pack all break the hash; ConflictCheckSpec
+    // pins the fail-safe side (a rival removing a pack INPUT refuses).
+    // ORACLE-EXACT.
+    QueryDef(
+      "q269_concurrent_maintenance",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("ccm_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars", "text")
+        // two SMALL files + one BIG file (5x-replicated text)
+        TableVersions.commitAppend(
+          docs.filter(col("doc_id") % 3 === 1).drop("text").coalesce(1),
+          tdir
+        ) // v0
+        TableVersions.commitAppend(
+          docs.filter(col("doc_id") % 3 === 2).drop("text").coalesce(1),
+          tdir
+        ) // v1
+        TableVersions.commitAppend(
+          docs
+            .filter(col("doc_id") % 3 === 0)
+            .withColumn("big", expr("repeat(text, 5)"))
+            .drop("text")
+            .coalesce(1),
+          tdir
+        ) // v2 (schema-evolved big file; reads NULL-fill the others)
+        val fs = new org.apache.hadoop.fs.Path(tdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bigBytes = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$tdir/data/b2"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen)
+          .max
+        // the compaction stages {v0, v1}'s files; the governance delete
+        // lands in its claim window and hits ONLY the big v2 file
+        val v = TableVersions.optimizeChecked(
+          s,
+          tdir,
+          smallBytes = bigBytes,
+          beforeClaim = () => {
+            TableVersions.commitDeleteChecked(
+              s,
+              tdir,
+              "doc_id % 3 = 0 AND doc_id % 7 = 1"
+            ): Unit
+          }
+        )
+        require(v == 4L, s"optimize must rebase past the delete to v4, got v$v")
+        TableVersions
+          .readVersion(s, tdir, v, mergeSchema = true)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE NOT (doc_id % 3 = 0 AND doc_id % 7 = 1)
+        ORDER BY doc_id""")
     )
   )
 

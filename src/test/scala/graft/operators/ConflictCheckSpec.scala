@@ -176,6 +176,67 @@ class ConflictCheckSpec extends AnyFunSuite with SparkSpec {
     assert(keysAtHead(dir) == (0L until 90L).toSet)
   }
 
+  test("checked MERGE rebases past disjoint rivals; a rival add with a merged key fails safe") {
+    val s = spark
+    import s.implicits._
+    val dir = twoFileTable()
+    // rebase: the rival deletes low keys; the merge upserts high keys
+    val src = Seq((95L, "updated95"), (200L, "fresh200")).toDF("k", "payload")
+    val v = TableVersions.commitMergeChecked(
+      src,
+      dir,
+      "k",
+      beforeClaim = () => { TableVersions.commitDelete(spark, dir, "k < 5"): Unit }
+    )
+    assert(v == 3L)
+    val head = keysAtHead(dir)
+    assert(head == ((5L until 100L).toSet + 200L))
+    assert(
+      TableVersions
+        .readVersion(spark, dir, 3L)
+        .filter(col("k") === 95L)
+        .head()
+        .getString(1) == "updated95"
+    )
+    // fail safe: a rival append lands a row with a key the merge replaces
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.commitMergeChecked(
+        Seq((300L, "x"), (42L, "y")).toDF("k", "payload"),
+        dir,
+        "k",
+        beforeClaim =
+          () => { TableVersions.commitAppend(Seq((42L, "rival")).toDF("k", "payload"), dir): Unit }
+      )
+    }
+    assert(e.getMessage.contains("keys this merge replaces"), e.getMessage)
+  }
+
+  test("checked OPTIMIZE rebases past appends; a rival removing an input fails safe") {
+    val s = spark
+    import s.implicits._
+    val dir = twoFileTable()
+    val v = TableVersions.optimizeChecked(
+      s,
+      dir,
+      beforeClaim =
+        () => { TableVersions.commitAppend(Seq((500L, "late")).toDF("k", "payload"), dir): Unit }
+    )
+    assert(v == 3L)
+    assert(keysAtHead(dir) == (0L until 100L).toSet + 500L)
+    // the packed commit is a logical no-op: CDC across it is empty
+    assert(TableVersions.changesFeed(s, dir, 2L, 3L).isEmpty)
+    val dir2 = twoFileTable()
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.optimizeChecked(
+        s,
+        dir2,
+        beforeClaim = () => { TableVersions.commitDelete(s, dir2, "k = 7"): Unit }
+      )
+    }
+    assert(e.getMessage.contains("removed files"), e.getMessage)
+    assert(keysAtHead(dir2) == (0L until 100L).toSet - 7L)
+  }
+
   test("checked UPDATE rebases past a disjoint rival and enforces constraints") {
     val s = spark
     import s.implicits._
