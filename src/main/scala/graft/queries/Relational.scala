@@ -982,6 +982,206 @@ object Relational {
         CROSS JOIN nb
         WHERE cab >= 5
         ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DATA-QUALITY EXPECTATIONS REPORT (round 13, the Deequ/Great-
+    // Expectations shape): one pass of declarative checks — null
+    // completeness, key uniqueness, referential integrity (anti-join
+    // orphan counts), numeric range bounds, accepted-value domains —
+    // each emitting (check, target, n_checked, n_violations, pass).
+    // Every check is a partial-aggregating scan or a key-only
+    // anti-join; nothing is row-materialized, so the report costs one
+    // read of each table at 100 TB. Deterministic integers end to end.
+    // ORACLE-EXACT — the report itself is the tested artifact, so a
+    // check that under- or over-counts violations breaks the hash.
+    QueryDef(
+      "q270_quality_expectations",
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        def row(check: String, target: String, nChecked: Long, nViol: Long) =
+          (check, target, nChecked, nViol, nViol == 0L)
+        val nullRow = {
+          val r = li
+            .agg(
+              count(lit(1)),
+              sum(when(col("l_partkey").isNull || col("l_orderkey").isNull, 1L).otherwise(0L))
+            )
+            .head()
+          row("completeness", "lineitem.keys", r.getLong(0), r.getLong(1))
+        }
+        val uniqO = {
+          val r = o.agg(count(lit(1)), countDistinct(col("o_orderkey"))).head()
+          row("uniqueness", "orders.o_orderkey", r.getLong(0), r.getLong(0) - r.getLong(1))
+        }
+        val uniqLi = {
+          val r = li
+            .agg(count(lit(1)), countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .head()
+          row("uniqueness", "lineitem.(okey,line)", r.getLong(0), r.getLong(0) - r.getLong(1))
+        }
+        val refLiO = row(
+          "referential",
+          "lineitem.l_orderkey->orders",
+          li.count(),
+          li.join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .count()
+        )
+        val refOC = row(
+          "referential",
+          "orders.o_custkey->customer",
+          o.count(),
+          o.join(c.select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_anti")
+            .count()
+        )
+        val range = {
+          val r = li
+            .agg(
+              count(lit(1)),
+              sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+            )
+            .head()
+          row("range", "lineitem.l_quantity[1,50]", r.getLong(0), r.getLong(1))
+        }
+        val domain = {
+          val r = o
+            .agg(
+              count(lit(1)),
+              sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+                .otherwise(0L))
+            )
+            .head()
+          row("domain", "orders.o_orderpriority", r.getLong(0), r.getLong(1))
+        }
+        Seq(nullRow, uniqO, uniqLi, refLiO, refOC, range, domain)
+          .toDF("check_kind", "target", "n_checked", "n_violations", "pass")
+          .orderBy("check_kind", "target")
+      },
+      Some("""SELECT check_kind, target, n_checked, n_violations,
+               n_violations = 0 AS pass FROM (
+          SELECT 'completeness' AS check_kind, 'lineitem.keys' AS target,
+                 count(*) AS n_checked,
+                 CAST(sum(CASE WHEN l_partkey IS NULL OR l_orderkey IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM lineitem
+          UNION ALL
+          SELECT 'uniqueness', 'orders.o_orderkey', count(*),
+                 count(*) - count(DISTINCT o_orderkey) FROM orders
+          UNION ALL
+          SELECT 'uniqueness', 'lineitem.(okey,line)', count(*),
+                 count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+          UNION ALL
+          SELECT 'referential', 'lineitem.l_orderkey->orders',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          UNION ALL
+          SELECT 'referential', 'orders.o_custkey->customer',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'range', 'lineitem.l_quantity[1,50]', count(*),
+                 CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          UNION ALL
+          SELECT 'domain', 'orders.o_orderpriority', count(*),
+                 CAST(sum(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                          THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        ORDER BY check_kind, target""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DEPENDENCY PROFILING (round 13): the schema-discovery pass a
+    // warehouse runs over unfamiliar data — FUNCTIONAL dependencies
+    // (does X determine Y: violating-LHS count = |{x : ndv(y|x) > 1}|,
+    // via one (x,y)-distinct aggregate) and INCLUSION dependencies
+    // (what fraction of distinct X values appear in Y, in exact ppm,
+    // via distinct + anti-join) — the evidence behind declaring q241's
+    // RELY constraints. All distinct-scaled exchanges; nothing is
+    // row-materialized. ORACLE-EXACT.
+    QueryDef(
+      "q271_profile_dependencies",
+      (s, dir) => {
+        val sess = s
+        import sess.implicits._
+        val li = Tables(s, dir, "lineitem")
+        val docs = Tables(s, dir, "documents")
+        def fd(df: org.apache.spark.sql.DataFrame, x: String, y: String, tag: String) = {
+          val r = df
+            .groupBy(col(x))
+            .agg(countDistinct(col(y)).as("ndv"))
+            .agg(count(lit(1)), sum(when(col("ndv") > 1, 1L).otherwise(0L)))
+            .head()
+          (s"fd:$tag", r.getLong(0), r.getLong(1), if (r.getLong(0) == 0) 0L else r.getLong(1) * 1000000L / r.getLong(0))
+        }
+        def incl(
+            a: org.apache.spark.sql.DataFrame,
+            ax: String,
+            b: org.apache.spark.sql.DataFrame,
+            bx: String,
+            tag: String
+        ) = {
+          val da = a.select(col(ax).as("v")).distinct()
+          val n = da.count()
+          val miss = da.join(b.select(col(bx).as("v")).distinct(), Seq("v"), "left_anti").count()
+          (s"incl:$tag", n, miss, if (n == 0) 0L else (n - miss) * 1000000L / n)
+        }
+        Seq(
+          fd(li, "l_partkey", "l_suppkey", "l_partkey->l_suppkey"),
+          fd(li, "l_orderkey", "l_returnflag", "l_orderkey->l_returnflag"),
+          fd(docs, "lang", "source", "lang->source"),
+          incl(li, "l_suppkey", Tables(s, dir, "supplier"), "s_suppkey", "l_suppkey<=supplier"),
+          incl(Tables(s, dir, "part"), "p_partkey", li, "l_partkey", "p_partkey<=l_partkey")
+        ).toDF("dep", "n_lhs", "n_violating", "ratio_ppm")
+          .orderBy("dep")
+      },
+      Some("""SELECT dep, n_lhs, n_violating, ratio_ppm FROM (
+          SELECT 'fd:l_partkey->l_suppkey' AS dep, count(*) AS n_lhs,
+                 CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                 CAST(CASE WHEN count(*) = 0 THEN 0
+                      ELSE sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                 END AS BIGINT) AS ratio_ppm
+          FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS ndv
+                FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'fd:l_orderkey->l_returnflag', count(*),
+                 CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(CASE WHEN count(*) = 0 THEN 0
+                      ELSE sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                 END AS BIGINT)
+          FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS ndv
+                FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'fd:lang->source', count(*),
+                 CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(CASE WHEN count(*) = 0 THEN 0
+                      ELSE sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                 END AS BIGINT)
+          FROM (SELECT lang, count(DISTINCT source) AS ndv
+                FROM documents GROUP BY 1)
+          UNION ALL
+          SELECT 'incl:l_suppkey<=supplier', n, miss,
+                 CAST(CASE WHEN n = 0 THEN 0 ELSE (n - miss) * 1000000 // n END AS BIGINT)
+          FROM (SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss
+                FROM (SELECT DISTINCT l_suppkey FROM lineitem) a
+                LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) b
+                  ON a.l_suppkey = b.s_suppkey)
+          UNION ALL
+          SELECT 'incl:p_partkey<=l_partkey', n, miss,
+                 CAST(CASE WHEN n = 0 THEN 0 ELSE (n - miss) * 1000000 // n END AS BIGINT)
+          FROM (SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss
+                FROM (SELECT DISTINCT p_partkey FROM part) a
+                LEFT JOIN (SELECT DISTINCT l_partkey AS lp FROM lineitem) b
+                  ON a.p_partkey = b.lp))
+        ORDER BY dep""")
     )
   )
 }
