@@ -1342,6 +1342,128 @@ object Extras {
                CAST(list_reduce(xl, (a, e) -> (7 * a + e) // 8) AS BIGINT) AS ewma_count,
                CAST(list_reduce(vl, (a, e) -> (7 * a + e) // 8) AS BIGINT) AS ewma_cents
         FROM series ORDER BY event_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // LAST-TOUCH ATTRIBUTION (round 13): every purchase is credited to
+    // the user's most recent preceding non-purchase touch (view/click/
+    // error as the "channels") within a 3-day lookback — the marketing
+    // attribution staple. One user-keyed ordered window (last_value of
+    // the running touch over the interleaved event stream) — never a
+    // purchases × touches self-join, whose skew would follow the most
+    // active user. Purchases with no in-window touch credit
+    // 'unattributed'. Value mass in exact cents. ORACLE-EXACT.
+    QueryDef(
+      "q272_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+          .select(
+            col("user_id"),
+            col("ts"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")
+          )
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy("ts", "event_type")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val attributed = ev
+          .withColumn(
+            "touch",
+            last(
+              when(col("event_type") =!= "purchase", struct(col("ts").as("t"), col("event_type").as("ch"))),
+              ignoreNulls = true
+            ).over(w)
+          )
+          .filter(col("event_type") === "purchase")
+          .withColumn(
+            "channel",
+            when(
+              col("touch").isNotNull &&
+                col("ts").cast("long") - col("touch.t").cast("long") <= 3L * 86400L,
+              col("touch.ch")
+            ).otherwise("unattributed")
+          )
+        attributed
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        touched AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN struct_pack(t := ts, ch := event_type) END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_type
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM ev),
+        purchases AS (
+          SELECT CASE WHEN touch IS NOT NULL
+                       AND CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(touch.t)) AS BIGINT) <= 3 * 86400
+                      THEN touch.ch ELSE 'unattributed' END AS channel,
+                 cents
+          FROM touched WHERE event_type = 'purchase')
+        SELECT channel, count(*) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM purchases GROUP BY channel ORDER BY channel""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CONVERSION LATENCY (round 13): time from each user's FIRST view
+    // to their FIRST strictly-later purchase — q177's funnel chain with
+    // the latency distribution attached: per-converting-user seconds,
+    // then exact integer median / min / max per cohort-free rollup.
+    // One user-keyed aggregate; the median runs over the converting
+    // USERS (user-scaled, not event-scaled). ORACLE-EXACT (integer
+    // epoch seconds; medians of BIGINT agree across engines because
+    // the even-count average of two longs is computed identically).
+    QueryDef(
+      "q273_conversion_latency",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+        val v1 = ev
+          .filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min("ts").as("t1"))
+        val p1 = ev
+          .filter(col("event_type") === "purchase")
+          .join(v1, Seq("user_id"))
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id")
+          .agg(min("ts").as("tp"), min("t1").as("t1"))
+          .select(
+            col("user_id"),
+            (col("tp").cast("long") - col("t1").cast("long")).as("latency_s")
+          )
+        p1.agg(
+          count(lit(1)).as("n_converted"),
+          min("latency_s").as("min_s"),
+          expr("CAST(FLOOR(median(latency_s)) AS BIGINT)").as("median_s"),
+          max("latency_s").as("max_s")
+        ).select(lit("view->purchase").as("step"), col("n_converted"), col("min_s"), col("median_s"), col("max_s"))
+      },
+      Some("""WITH v1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        p1 AS (
+          SELECT e.user_id,
+                 CAST(floor(epoch(min(e.ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(v1.t1))) AS BIGINT) AS latency_s
+          FROM events e JOIN v1 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v1.t1
+          GROUP BY 1)
+        SELECT 'view->purchase' AS step,
+               count(*) AS n_converted,
+               CAST(min(latency_s) AS BIGINT) AS min_s,
+               CAST(FLOOR(median(latency_s)) AS BIGINT) AS median_s,
+               CAST(max(latency_s) AS BIGINT) AS max_s
+        FROM p1""")
     )
   )
 
