@@ -50,7 +50,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q180_quantizer_eval", // ≤10 broadcast query vectors in its exact-scan arm (q40's shape)
     "q245_matryoshka_eval", // 8 broadcast query vectors scored per truncation (q40's shape ×4)
     "q252_budget_waterfill", // 1-row broadcast budget/level scalars over a source-count-sized table
-    "q183_rotated_serving" // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
+    "q183_rotated_serving", // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
+    "q261_basket_lift" // 1-row broadcast n_baskets scalar over the 25²-bounded brand-pair table
   )
 
   /** The ANN scan family: top-k selection must be the bounded
