@@ -1252,26 +1252,8 @@ object Extras {
     // engines hash identical bytes).
     QueryDef(
       "q257_retention_cohort",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
-        val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
-        ev.join(first, Seq("user_id"))
-          .select(
-            date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
-            datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
-            col("user_id")
-          )
-          .groupBy("cohort", "day_offset")
-          .agg(countDistinct("user_id").as("n_users"))
-          .orderBy("cohort", "day_offset")
-      },
-      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
-        first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
-        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
-               CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
-               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
-        FROM ev JOIN first USING (user_id)
-        GROUP BY 1, 2 ORDER BY 1, 2""")
+      (s, dir) => cohortReport(Tables(s, dir, "events").select("user_id", "ts")),
+      Some(cohortOracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -1517,6 +1499,35 @@ object Extras {
     val n1 = withT1.filter(col("t1").isNotNull).select("user_id").distinct().count()
     (n1, t2.count(), t3.count())
   }
+
+  /** q257's cohort matrix over any (user_id, ts) frame — shared with
+    * the live q274 gate (cohort membership is whole-history: a later
+    * batch can move a user's first-activity day EARLIER, retroactively
+    * re-attributing every prior cell, so the stream twin stages and
+    * recomputes). */
+  private[graft] def cohortReport(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+        col("user_id")
+      )
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Shared by q257 and its live twin q274. */
+  private[queries] lazy val cohortOracleSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** q258's detector over any (event_type, ts) frame — shared with the
     * live q268 gate (CUSUM is a whole-history statistic: the target,

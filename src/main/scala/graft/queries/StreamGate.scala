@@ -1252,6 +1252,31 @@ object StreamGate {
         )
       },
       Some(Extras.cusumOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × E5/E7 (streaming retention cohorts): q257's cohort matrix
+    // live. Cohort membership is WHOLE-HISTORY (a user's cohort is
+    // their global first-activity day — a later batch can only move it
+    // EARLIER, retroactively re-attributing every prior cell), so the
+    // gate stages each micro-batch and recomputes post-drain, the
+    // q179/q268 contract. Drained output hash-checks against the SAME
+    // SQL as batch q257 — split-invariant by construction.
+    QueryDef(
+      "q274_stream_cohort",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/events.parquet").schema
+        runCohortStream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .select("user_id", "ts")
+        )
+      },
+      Some(Extras.cohortOracleSql)
     )
   )
 
@@ -1849,6 +1874,26 @@ object StreamGate {
     * parquet and the counts are computed once over the drained set,
     * making the result independent of micro-batch boundaries.
     */
+  /** q257's cohort matrix driven live via stage-and-recompute (cohort
+    * membership is whole-history — see the q274 registration). */
+  private[graft] def runCohortStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("cohort_staging")
+    val ck = Similarity.freshIndexDir("cohort_ck")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.mode("append").parquet(staging)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Extras.cohortReport(gs.read.parquet(staging))
+  }
+
   /** q258's CUSUM detector driven live via stage-and-recompute (the
     * statistic has no incremental form — see the q268 registration). */
   private[graft] def runCusumStream(gs: SparkSession, stream: DataFrame): DataFrame = {
