@@ -264,6 +264,75 @@ object Retrieval {
                     THEN (dcg_micros * 1000000) // idcg_micros ELSE 0 END AS ndcg_ppm
         FROM agg a JOIN ideal USING (query_id)
         ORDER BY query_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // EXACT PHRASE SEARCH (round 13): the query the (tok, doc, tf)
+    // index structurally cannot answer — "spark join" as ADJACENT
+    // tokens, not a conjunctive bag. A positional index (tok, doc,
+    // pos) under the house md5 bucketing serves it as the classic
+    // positional join: each phrase term contributes a (doc, pos − i)
+    // frame, occurrences are the frames' equi-join on (doc, start) —
+    // df(term)-scaled, never a text re-scan, pruned to the phrase
+    // tokens' buckets. A 2-gram and a 3-gram probe; the oracle
+    // re-derives every occurrence count from the raw text with the
+    // identical tokenization. ORACLE-EXACT.
+    QueryDef(
+      "q276_phrase_search",
+      (s, dir) => {
+        import graft.operators.PositionalIndex
+        val idx = Similarity.freshIndexDir("pos_idx")
+        PositionalIndex.build(Tables(s, dir, "documents").select("doc_id", "text"), idx)
+        def shaped(tag: String, phrase: Seq[String]) =
+          PositionalIndex
+            .phraseCounts(s, idx, phrase)
+            .select(lit(tag).as("phrase"), col("doc_id"), col("n_occurrences"))
+        shaped("spark join", Seq("spark", "join"))
+          .unionByName(shaped("table value part", Seq("table", "value", "part")))
+          .orderBy("phrase", "doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        h2 AS (
+          SELECT doc_id, len(list_filter(range(1, len(t)),
+                   i -> t[i] = 'spark' AND t[i+1] = 'join')) AS n
+          FROM toks),
+        h3 AS (
+          SELECT doc_id, len(list_filter(range(1, len(t) - 1),
+                   i -> t[i] = 'table' AND t[i+1] = 'value' AND t[i+2] = 'part')) AS n
+          FROM toks)
+        SELECT phrase, doc_id, CAST(n AS BIGINT) AS n_occurrences FROM (
+          SELECT 'spark join' AS phrase, doc_id, n FROM h2 WHERE n > 0
+          UNION ALL
+          SELECT 'table value part', doc_id, n FROM h3 WHERE n > 0)
+        ORDER BY phrase, doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // PREFIX TERM SCAN (round 13): wildcard-style `s*` term statistics
+    // from the same positional index. md5 buckets cannot prune a
+    // prefix (hashing destroys order), but every bucket file is
+    // tok-SORTED, so parquet min/max row-group stats skip within each
+    // file — the honest trade vs a term-dictionary layout, documented
+    // in the operator. ORACLE-EXACT (df + occurrence totals per
+    // matched term).
+    QueryDef(
+      "q277_prefix_search",
+      (s, dir) => {
+        import graft.operators.PositionalIndex
+        val idx = Similarity.freshIndexDir("pos_idx_pre")
+        PositionalIndex.build(Tables(s, dir, "documents").select("doc_id", "text"), idx)
+        PositionalIndex
+          .prefixStats(s, idx, "s")
+          .orderBy("tok")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 AND tok LIKE 's%')
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               count(*) AS n_occurrences
+        FROM toks GROUP BY tok ORDER BY tok""")
     )
   )
 

@@ -350,6 +350,56 @@ object Views {
           SELECT 'setop', 'or:en|fr',
                  count(*) FROM d WHERE lang IN ('en', 'fr'))
         ORDER BY probe, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // BITMAP INDEX MAINTENANCE (round 13): the q260 index made a
+    // LIVING artifact — appends land as OR-mergeable segments (O(batch),
+    // existing segments never read: the shingle-index log-structured
+    // contract), erasure lands as value-agnostic NEGATIVE mask
+    // segments (request-scaled, idempotent — a forgotten key leaves
+    // EVERY value's bitmap), reads fold `bit_or` per word and AND-NOT
+    // the delete mask, and compact() folds everything into one base by
+    // checked staged swap. The query walks the full lifecycle — build
+    // on half the corpus, append the other half, erase a subject set,
+    // probe, compact, and REQUIRE the compacted probes bit-equal —
+    // with every count restated over the raw rows. ORACLE-EXACT.
+    QueryDef(
+      "q275_bitmap_maintenance",
+      (s, dir) => {
+        import graft.operators.BitmapIndex
+        val idx = Similarity.freshIndexDir("bitmap_live")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "source")
+        BitmapIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "lang", idx)
+        BitmapIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", idx)
+        BitmapIndex.delete(docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id", idx)
+        val sess = s
+        import sess.implicits._
+        def probes() = {
+          val perLang = BitmapIndex
+            .valueCounts(s, idx, "lang")
+            .select(lit("lang").as("probe"), col("value").as("k"), col("n"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            .toSeq
+          val or = Seq(
+            ("setop", "or:en|fr", BitmapIndex.unionCount(s, idx, "lang", "en", "lang", "fr"))
+          )
+          (perLang ++ or).sorted
+        }
+        val before = probes()
+        BitmapIndex.compact(s, idx, "lang")
+        require(probes() == before, "compaction must not change a single answer")
+        before.toDF("probe", "k", "n").orderBy("probe", "k")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 3)
+        SELECT probe, k, n FROM (
+          SELECT 'lang' AS probe, lang AS k, count(*) AS n FROM d GROUP BY 2
+          UNION ALL
+          SELECT 'setop', 'or:en|fr',
+                 count(*) FROM d WHERE lang IN ('en', 'fr'))
+        ORDER BY probe, k""")
     )
   )
 }
