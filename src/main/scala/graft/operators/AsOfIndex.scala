@@ -276,6 +276,15 @@ object AsOfIndex {
       if (fs.exists(leftover)) fs.delete(leftover, /* recursive = */ true): Unit
       return
     }
+    // the live layout exists, so any seg_compacted content is a STALE
+    // leftover from a compact that crashed mid-staging. It must go
+    // ENTIRELY before staging anew: the overwrite below only replaces
+    // staged/v<c>, and if syncs advanced the cursor since the crash, a
+    // leftover staged/v<oldC> would be renamed into seg NEXT to the
+    // fresh base — visibleAt unions all segment dirs, so the duplicate
+    // postings would silently inflate tf/df (wrong, not loud)
+    if (fs.exists(staged) && !fs.delete(staged, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to clear stale staging $staged")
     visibleAt(s, idxDir, c, Seq.empty)
       .repartition(col("bkt"))
       .sortWithinPartitions("tok", "doc_id")

@@ -89,8 +89,12 @@ object InvertedIndex {
       .parquet(s"$indexDir/data")
       .join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
       // restore the build-time layout invariant: tok-sorted row groups
-      // inside each bucket so min/max stats keep skipping
-      .repartition(col("bkt"))
+      // inside each bucket so min/max stats keep skipping. (bkt, tok)
+      // fan-out, not bkt alone: partitionBy still routes rows to the
+      // right bucket directory, but write parallelism is the shuffle
+      // width instead of the 16-value bucket domain — a 100 TB rewrite
+      // must not funnel through 16 tasks
+      .repartition(col("bkt"), col("tok"))
       .sortWithinPartitions("tok", "doc_id")
     val staged = new Path(s"$indexDir/data_compacted")
     survivors.write.mode("overwrite").partitionBy("bkt").parquet(staged.toString)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,29 +21,108 @@ import org.apache.spark.sql.functions._
   * set is their equi-join on (doc, start), never a text re-scan. At
   * 100 TB each frame is df(term)-scaled and the join keys on
   * (doc, start) — rare-term phrases cost their rarest term.
+  *
+  * LIFECYCLE (round 14) — the house persisted-index contract
+  * ([[InvertedIndex]]'s, carried over): [[append]] lands a crawl
+  * batch's postings into the bucket layout without reading existing
+  * data (a doc's posting rows are disjoint from every other doc's, so
+  * no merge is ever needed); [[delete]] writes doc-id tombstones that
+  * every read anti-joins out (request-scaled, idempotent — the
+  * erasure path); [[compact]] folds the tombstones into a rewritten
+  * layout by checked staged swap, restoring tok-sorted row groups.
+  * Write fan-out is `repartition(bkt, tok)` — the bucket directory
+  * count (16) must bound WHERE a lookup reads, never how many tasks a
+  * 100 TB build can write with.
   */
 object PositionalIndex {
 
-  /** Index `docs` (doc_id, text): whitespace tokens with positions. */
-  def build(docs: DataFrame, indexDir: String): Unit =
+  private def postings(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
       .withColumn("bkt", expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1"))
-      .repartition(col("bkt"))
+      // (bkt, tok) fan-out: every shuffle partition may hold several
+      // buckets' rows (partitionBy still routes them to the right
+      // directory), so write parallelism is the shuffle width, not the
+      // 16-value bucket domain; tok stays clustered per task so the
+      // local sort keeps row-group min/max stats tight
+      .repartition(col("bkt"), col("tok"))
       .sortWithinPartitions("tok", "doc_id", "pos")
+
+  /** Index `docs` (doc_id, text): whitespace tokens with positions. */
+  def build(docs: DataFrame, indexDir: String): Unit =
+    postings(docs).write.mode("errorifexists").partitionBy("bkt").parquet(s"$indexDir/data")
+
+  /** Incremental maintenance: a new crawl batch's postings append into
+    * the bucket layout — O(batch tokens), existing postings never
+    * re-read (per-doc posting rows are disjoint across docs). */
+  def append(newDocs: DataFrame, indexDir: String): Unit =
+    postings(newDocs).write.mode("append").partitionBy("bkt").parquet(s"$indexDir/data")
+
+  /** Deletion = doc-id tombstones (one tiny write; the erasure path).
+    * Reads anti-join the tombstone set out; duplicates are idempotent
+    * at lookup — identical contract to [[InvertedIndex.delete]]. */
+  def delete(docIds: DataFrame, indexDir: String): Unit =
+    docIds
+      .select(col("doc_id"))
       .write
-      .mode("overwrite")
-      .partitionBy("bkt")
-      .parquet(indexDir)
+      .mode("append")
+      .parquet(s"$indexDir/tombstones")
+
+  /** Fold accumulated tombstones into the posting layout by CHECKED
+    * staged swap (a failed delete/rename throws with the staged
+    * rewrite intact for retry — never a silently destroyed index),
+    * restoring the build-time tok-sorted row groups; the tombstone
+    * table clears last. No-op when no tombstones exist. */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val tombs = new Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombs)) return
+    val survivors = s.read
+      .schema(postingSchema)
+      .parquet(s"$indexDir/data")
+      .join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+      .repartition(col("bkt"), col("tok"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+    val staged = new Path(s"$indexDir/data_compacted")
+    survivors.write.mode("overwrite").partitionBy("bkt").parquet(staged.toString)
+    val live = new Path(s"$indexDir/data")
+    if (!fs.delete(live, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to remove old layout $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"compact: failed to swap $staged into place — staged rewrite preserved at $staged"
+      )
+    if (!fs.delete(tombs, /* recursive = */ true))
+      throw new java.io.IOException(s"compact: failed to clear tombstone table $tombs")
+  }
+
+  /** Explicit schema: an index built from an empty corpus (or read
+    * mid-lifecycle) must not crash schema inference. */
+  private val postingSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType)
+    )
+  )
+
+  private def liveData(s: SparkSession, indexDir: String): DataFrame = {
+    val raw = s.read.schema(postingSchema).parquet(s"$indexDir/data")
+    val tombs = new Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombs))
+      raw.join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+    else raw
+  }
 
   /** Exact-phrase occurrence counts per document. Reads only the
     * phrase tokens' buckets. */
   def phraseCounts(s: SparkSession, indexDir: String, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two tokens")
     val bkts = phrase.map(InvertedIndex.bucketOf).distinct
-    val posts = s.read
-      .parquet(indexDir)
+    val posts = liveData(s, indexDir)
       .filter(col("bkt").isin(bkts: _*) && col("tok").isin(phrase.distinct: _*))
     phrase.zipWithIndex
       .map { case (w, i) =>
@@ -58,8 +138,7 @@ object PositionalIndex {
     * (md5 buckets), but the tok-sorted row groups give min/max
     * skipping within every bucket file. */
   def prefixStats(s: SparkSession, indexDir: String, prefix: String): DataFrame =
-    s.read
-      .parquet(indexDir)
+    liveData(s, indexDir)
       .filter(col("tok").startsWith(prefix))
       .groupBy("tok")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n_occurrences"))

@@ -111,10 +111,20 @@ object ResultCache {
   /** Drop every entry whose pinned source versions are behind their
     * table's CURRENT head — such an entry can never be addressed
     * again (the key embeds the current versions), it is pure garbage.
-    * Entries without a pins sidecar (interrupted publish) are dropped
-    * too: losing a cache entry only costs a recompute. Returns the
-    * number of entries removed. Folded into [[TableVersions.maintain]]
-    * via its `resultCacheDir` hook.
+    * Returns the number of entries removed. Folded into
+    * [[TableVersions.maintain]] via its `resultCacheDir` hook.
+    *
+    * A pins-less entry is NOT automatically garbage: a concurrent
+    * miss in another session writes its `data_staged_*` parquet
+    * BEFORE the pins sidecar, so a sweep racing that window would
+    * recursively delete files under an in-flight write and fail the
+    * writer's own read of its computed frame — worse than a stale
+    * entry. The sweep therefore skips any entry whose children are
+    * all in-flight artifacts (`data_staged_*`, or a pins dir still
+    * mid-write/unreadable); if the publish really crashed, the entry
+    * is unreachable garbage whose only cost is bytes, and the next
+    * sweep after a source commit reclaims it once a reader of the
+    * same key republishes — never worth yanking a live write for.
     */
   def evict(s: SparkSession, cacheDir: String): Long = {
     val root = new Path(cacheDir)
@@ -129,12 +139,20 @@ object ResultCache {
     fs.listStatus(root).filter(_.isDirectory).foreach { st =>
       val pinsPath = new Path(st.getPath, "pins")
       val dead =
-        if (!fs.exists(pinsPath)) true // interrupted publish — unreachable entry
-        else
-          s.read
-            .parquet(pinsPath.toString)
-            .collect()
-            .exists(r => headOf(r.getString(0)) != r.getLong(1))
+        if (!fs.exists(pinsPath)) {
+          // no pins yet: either an in-flight publish (skip — deleting
+          // under it would fail the writer) or an empty husk (safe)
+          fs.listStatus(st.getPath).isEmpty
+        } else
+          scala.util
+            .Try(
+              s.read
+                .parquet(pinsPath.toString)
+                .collect()
+                .exists(r => headOf(r.getString(0)) != r.getLong(1))
+            )
+            // unreadable pins = a sidecar still being written — skip
+            .getOrElse(false)
       if (dead) {
         fs.delete(st.getPath, /* recursive = */ true): Unit
         dropped += 1

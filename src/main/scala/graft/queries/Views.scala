@@ -388,7 +388,7 @@ object Views {
           (perLang ++ or).sorted
         }
         val before = probes()
-        BitmapIndex.compact(s, idx, "lang")
+        BitmapIndex.compact(s, idx)
         require(probes() == before, "compaction must not change a single answer")
         before.toDF("probe", "k", "n").orderBy("probe", "k")
       },

@@ -141,4 +141,35 @@ class AsOfIndexSpec extends AnyFunSuite with SparkSpec {
     AsOfIndex.compact(spark, idx)
     assert(conjSet(idx, Seq("sigma"), 1L) == at1)
   }
+
+  test("a compact crashed MID-STAGING leaves no stale segment to duplicate postings") {
+    val (src, idx) = (fresh("aoi_src"), fresh("aoi_idx"))
+    TableVersions.commitAppend(docs((0L until 40L).map(i => (i, s"tau w${i % 5}"))), src)
+    AsOfIndex.init(spark, src, idx)
+    val at0 = conjSet(idx, Seq("tau"), 0L)
+    // simulate a compact that crashed mid-staging while the live
+    // layout still existed: a partial staged/v0 is left behind, then
+    // syncs advance the cursor before compact re-runs
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs,
+      new org.apache.hadoop.fs.Path(s"$idx/seg"),
+      fs,
+      new org.apache.hadoop.fs.Path(s"$idx/seg_compacted"),
+      /* deleteSource = */ false,
+      spark.sparkContext.hadoopConfiguration
+    )
+    TableVersions.commitDelete(spark, src, "doc_id % 4 = 1") // v1
+    AsOfIndex.sync(spark, src, idx)
+    val at1 = conjSet(idx, Seq("tau"), 1L)
+    AsOfIndex.compact(spark, idx) // cursor is now 1; stale staged/v0 must NOT survive
+    // duplicated postings would inflate tf — the sets (doc, score)
+    // must be EXACTLY the pre-compact answers
+    assert(conjSet(idx, Seq("tau"), 1L) == at1, "stale staging duplicated postings")
+    // and the raised floor refuses v0 loudly rather than serving the
+    // stale copy
+    intercept[IllegalArgumentException] { conjSet(idx, Seq("tau"), 0L) }
+    assert(at0.nonEmpty)
+  }
 }

@@ -76,4 +76,28 @@ class ResultCacheSpec extends AnyFunSuite with SparkSpec {
     // idempotent: a second sweep finds nothing
     assert(ResultCache.evict(spark, cache) == 0L)
   }
+
+  test("a sweep never yanks an in-flight publish; empty husks still drop") {
+    val s = spark
+    import s.implicits._
+    val cache = fresh("rc_inflight")
+    val fs = new org.apache.hadoop.fs.Path(cache)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the race window: a concurrent miss has written its staged data
+    // but not yet the pins sidecar — exactly what another session's
+    // entry looks like mid-publish
+    val entry = new org.apache.hadoop.fs.Path(s"$cache/deadbeef00112233")
+    Seq((1L, "a")).toDF("id", "g").write.parquet(s"$entry/data_staged_racer")
+    assert(ResultCache.evict(spark, cache) == 0L, "sweep deleted an in-flight publish")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$entry/data_staged_racer")))
+    // a pins sidecar that is still being written (unreadable parquet)
+    // is also skipped, not treated as a dead entry
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$entry/pins"))
+    assert(ResultCache.evict(spark, cache) == 0L, "sweep deleted under a mid-write sidecar")
+    // an EMPTY husk has no writer to damage — it drops
+    val husk = new org.apache.hadoop.fs.Path(s"$cache/feedfacecafebeef")
+    fs.mkdirs(husk)
+    assert(ResultCache.evict(spark, cache) == 1L)
+    assert(!fs.exists(husk) && fs.exists(entry))
+  }
 }
