@@ -297,6 +297,29 @@ object BitmapIndex {
       .head()
       .getLong(0)
 
+  /** Point MEMBERSHIP probe: for each key in `keys`, the values whose
+    * bitmap holds it — the DSAR/census surface (which index artifacts
+    * retain this subject?). Cost: the keys' WORDS only — the probe set
+    * is broadcast onto the folded words it touches, never a scan of
+    * the keyspace. */
+  def membership(
+      s: SparkSession,
+      dir: String,
+      valueCol: String,
+      keys: DataFrame,
+      keyCol: String
+  ): DataFrame = {
+    val probe = keys
+      .select(col(keyCol).cast("long").as("k"))
+      .filter(col("k") >= 0)
+      .distinct()
+      .withColumn("word", expr("k DIV 64"))
+    folded(s, dir, valueCol)
+      .join(broadcast(probe), Seq("word"))
+      .filter(expr("((bits >> CAST(k % 64 AS INT)) & 1) = 1"))
+      .select(col("k"), col("value"))
+  }
+
   /** The same counts as ONE DataFrame for registered-query use: every
     * distinct value's cardinality from its bitmap alone. */
   def valueCounts(s: SparkSession, dir: String, valueCol: String): DataFrame =

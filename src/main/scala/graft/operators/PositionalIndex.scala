@@ -133,6 +133,16 @@ object PositionalIndex {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Retained postings per document for the given doc-id set — the
+    * DSAR/census surface (how much of this subject does the index
+    * still hold?). The subject set broadcasts into a semi-join, so
+    * the cost is one pruned pass over the postings, never a collect. */
+  def postingCounts(s: SparkSession, indexDir: String, docIds: DataFrame): DataFrame =
+    liveData(s, indexDir)
+      .join(broadcast(docIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_postings"))
+
   /** Term statistics for every token with the given prefix: document
     * frequency and total occurrences. Bucket pruning is impossible
     * (md5 buckets), but the tok-sorted row groups give min/max

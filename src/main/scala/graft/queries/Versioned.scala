@@ -1994,21 +1994,35 @@ object Versioned {
     QueryDef(
       "q246_dsar_export",
       (s, dir) => {
-        import graft.operators.SampleView
+        import graft.operators.{BitmapIndex, PositionalIndex, SampleView}
         val dDir = Similarity.freshIndexDir("dsar_docs")
         val eDir = Similarity.freshIndexDir("dsar_events")
         val view = Similarity.freshIndexDir("dsar_sample")
+        val bmDir = Similarity.freshIndexDir("dsar_bitmap")
+        val posDir = Similarity.freshIndexDir("dsar_pos")
         val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), (col("doc_id") % 50).as("owner"), col("lang"), col("n_chars"))
+          .select(
+            col("doc_id"),
+            (col("doc_id") % 50).as("owner"),
+            col("lang"),
+            col("n_chars"),
+            col("text")
+          )
         val evs = Tables(s, dir, "events")
           .select(col("event_id"), (col("user_id") % 50).as("owner"), col("event_type"))
         TableVersions.commitAppend(docs.repartition(4), dDir)
         TableVersions.commitAppend(evs.repartition(4), eDir)
         SampleView.init(s, dDir, view, "lang", "doc_id", "owner", buf = 8)
+        // the two round-14 persisted indexes join the sweep: a DSAR
+        // must enumerate EVERY artifact retaining the subject, and
+        // these retain doc membership (bitmap) and token positions
+        // (positional) even if the primary table were dropped
+        BitmapIndex.build(docs, "doc_id", "lang", bmDir)
+        PositionalIndex.build(docs.select("doc_id", "text"), posDir)
         val subject = 7L
         val head = (d: String) => TableVersions.readVersion(s, d, TableVersions.currentVersion(s, d))
-        val fromDocs = head(dDir)
-          .filter(col("owner") === subject)
+        val subjDocs = head(dDir).filter(col("owner") === subject)
+        val fromDocs = subjDocs
           .select(lit("docs").as("src"), col("doc_id").as("rec_id"), col("lang").as("attr"))
         val fromEvents = head(eDir)
           .filter(col("owner") === subject)
@@ -2017,7 +2031,26 @@ object Versioned {
           .read(s, view, 8)
           .filter(col("val") === subject) // val carries the owner
           .select(lit("sample").as("src"), col("key").cast("long").as("rec_id"), col("grp").as("attr"))
-        fromDocs.unionByName(fromEvents).unionByName(fromSample).orderBy("src", "rec_id")
+        // bitmap: point-membership probe over the subject's keys only
+        // (words touched, never the keyspace)
+        val fromBitmap = BitmapIndex
+          .membership(s, bmDir, "lang", subjDocs.select("doc_id"), "doc_id")
+          .select(lit("bitmap").as("src"), col("k").as("rec_id"), col("value").as("attr"))
+        // positional: how many postings the index retains per subject
+        // doc — the per-artifact retention count an access report lists
+        val fromPos = PositionalIndex
+          .postingCounts(s, posDir, subjDocs.select("doc_id"))
+          .select(
+            lit("pos_index").as("src"),
+            col("doc_id").as("rec_id"),
+            concat(lit("postings:"), col("n_postings")).as("attr")
+          )
+        fromDocs
+          .unionByName(fromEvents)
+          .unionByName(fromSample)
+          .unionByName(fromBitmap)
+          .unionByName(fromPos)
+          .orderBy("src", "rec_id")
       },
       Some("""WITH d AS (
           SELECT 'docs' AS src, doc_id AS rec_id, lang AS attr
@@ -2032,9 +2065,19 @@ object Versioned {
                                              CAST(doc_id AS VARCHAR)) AS rn
           FROM documents),
         sv AS (
-          SELECT 'sample', doc_id, grp FROM sample WHERE rn <= 8 AND owner = 7)
+          SELECT 'sample', doc_id, grp FROM sample WHERE rn <= 8 AND owner = 7),
+        bm AS (
+          SELECT 'bitmap', doc_id, lang FROM documents WHERE doc_id % 50 = 7),
+        pos AS (
+          SELECT 'pos_index', doc_id,
+                 'postings:' || CAST(len(list_filter(string_split(text, ' '),
+                                                     tok -> len(tok) > 0)) AS VARCHAR)
+          FROM documents
+          WHERE doc_id % 50 = 7
+            AND len(list_filter(string_split(text, ' '), tok -> len(tok) > 0)) > 0)
         SELECT src, rec_id, attr FROM (
-          SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM sv)
+          SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM sv
+          UNION ALL SELECT * FROM bm UNION ALL SELECT * FROM pos)
         ORDER BY src, rec_id""")
     ),
 
@@ -2310,30 +2353,61 @@ object Versioned {
     QueryDef(
       "q256_catalog_index_erasure",
       (s, dir) => {
+        import graft.operators.{BitmapIndex, PositionalIndex}
         val cat = Similarity.freshIndexDir("cie_cat")
         val corpus = Similarity.freshIndexDir("cie_corpus")
         val inv = Similarity.freshIndexDir("cie_inv")
         val shingle = Similarity.freshIndexDir("cie_shingle")
         val asof = Similarity.freshIndexDir("cie_asof")
+        val bitmap = Similarity.freshIndexDir("cie_bitmap")
+        val posIdx = Similarity.freshIndexDir("cie_pos")
         val docs = Tables(s, dir, "documents")
           .filter(col("doc_id") % 3 === 0)
           .select("doc_id", "lang", "text")
         val subjectCond = "doc_id % 17 = 3"
 
-        // txn 0: corpus + all three indexes born in one snapshot
+        // txn 0: corpus + ALL FIVE derived indexes born in one snapshot
+        // (round 14 folds the bitmap and positional indexes in — the
+        // round-13 gap where the two newest persisted indexes sat
+        // outside the one-transaction erasure)
         Catalog.transact(s, cat) { _ =>
           val v0 = TableVersions.commitAppend(docs.repartition(4), corpus)
           val head = TableVersions.readVersion(s, corpus, v0)
           InvertedIndex.build(head.select("doc_id", "text"), inv)
           ShingleIndex.build(head.select("doc_id", "text"), shingle)
           AsOfIndex.init(s, corpus, asof)
+          BitmapIndex.build(head, "doc_id", "lang", bitmap)
+          PositionalIndex.build(head.select("doc_id", "text"), posIdx)
           Map(
             "corpus" -> Catalog.Pin(corpus, v0),
             "inv" -> Catalog.Pin(inv, v0),
             "shingle" -> Catalog.Pin(shingle, v0),
-            "asof" -> Catalog.Pin(asof, v0)
+            "asof" -> Catalog.Pin(asof, v0),
+            "bitmap" -> Catalog.Pin(bitmap, v0),
+            "positional" -> Catalog.Pin(posIdx, v0)
           )
         }
+
+        // head-state census over the two round-14 indexes — captured
+        // BEFORE the erasure so the crash assertions below can prove
+        // neither index moved while the transaction aborted
+        def bitmapTotal(): Long = BitmapIndex
+          .valueCounts(s, bitmap, "lang")
+          .agg(coalesce(sum("n"), lit(0L)))
+          .head()
+          .getLong(0)
+        def phraseState(): (Long, Long) = {
+          val r = PositionalIndex
+            .phraseCounts(s, posIdx, Seq("spark", "join"))
+            .agg(
+              count(lit(1)),
+              coalesce(sum(when(expr(subjectCond), 1L).otherwise(0L)), lit(0L))
+            )
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val bitmapPre = bitmapTotal()
+        val phrasePre = phraseState()
 
         // the feed-driven erasure transaction: corpus delete (skipped
         // when a crashed attempt already landed it), index tombstones
@@ -2357,11 +2431,15 @@ object Versioned {
           InvertedIndex.delete(confirmed, inv)
           ShingleIndex.delete(confirmed, shingle)
           AsOfIndex.sync(s, corpus, asof)
+          BitmapIndex.delete(confirmed, "doc_id", bitmap)
+          PositionalIndex.delete(confirmed, posIdx)
           Map(
             "corpus" -> Catalog.Pin(corpus, afterDelete),
             "inv" -> Catalog.Pin(inv, afterDelete),
             "shingle" -> Catalog.Pin(shingle, afterDelete),
-            "asof" -> Catalog.Pin(asof, afterDelete)
+            "asof" -> Catalog.Pin(asof, afterDelete),
+            "bitmap" -> Catalog.Pin(bitmap, afterDelete),
+            "positional" -> Catalog.Pin(posIdx, afterDelete)
           )
         }
 
@@ -2386,6 +2464,11 @@ object Versioned {
             .isEmpty,
           "the as-of index at the pinned version must still serve the subject"
         )
+        // ...and the crash reached NONE of the five indexes: the bitmap
+        // census and the positional phrase hits are bit-identical to
+        // their pre-erasure state (consistent pre-erasure snapshot)
+        require(bitmapTotal() == bitmapPre, "crash leaked into the bitmap index")
+        require(phraseState() == phrasePre, "crash leaked into the positional index")
 
         // RECOVERY: the same feed-driven body, replayed to completion
         Catalog.transact(s, cat)(erasureBody(crashBeforeIndexes = false))
@@ -2399,26 +2482,33 @@ object Versioned {
           "subject shingles must be tombstoned after the recovery transaction"
         )
 
-        // probes, routed through the catalog at BOTH snapshots
+        // probes, routed through the catalog at BOTH snapshots for the
+        // versioned artifacts, plus the head-only round-14 indexes'
+        // census at the recovered head (snapshot 1)
         val sess = s
         import sess.implicits._
-        (0L to Catalog.head(s, cat))
-          .flatMap { snap =>
-            val pins = Catalog.pinsAt(s, cat, snap)
-            val c = Catalog.readTable(s, cat, snap, "corpus")
-            val cr = c
-              .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
-              .head()
-            val hits = AsOfIndex
-              .conjunctiveAsOf(s, asof, Seq("spark", "join"), pins("asof").version)
-            val hr = hits
-              .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
-              .head()
-            Seq(
-              (snap, "corpus", cr.getLong(0), cr.getLong(1)),
-              (snap, "asof_spark_join", hr.getLong(0), hr.getLong(1))
-            )
-          }
+        val versionedProbes = (0L to Catalog.head(s, cat)).flatMap { snap =>
+          val pins = Catalog.pinsAt(s, cat, snap)
+          val c = Catalog.readTable(s, cat, snap, "corpus")
+          val cr = c
+            .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
+            .head()
+          val hits = AsOfIndex
+            .conjunctiveAsOf(s, asof, Seq("spark", "join"), pins("asof").version)
+          val hr = hits
+            .agg(count(lit(1)), sum(when(expr(subjectCond), 1L).otherwise(0L)))
+            .head()
+          Seq(
+            (snap, "corpus", cr.getLong(0), cr.getLong(1)),
+            (snap, "asof_spark_join", hr.getLong(0), hr.getLong(1))
+          )
+        }
+        val (phN, phSubj) = phraseState()
+        val headProbes = Seq(
+          (1L, "bitmap_total", bitmapTotal(), 0L),
+          (1L, "phrase_spark_join", phN, phSubj)
+        )
+        (versionedProbes ++ headProbes)
           .toDF("snap", "probe", "n", "n_subject")
           .orderBy("snap", "probe")
       },
@@ -2431,14 +2521,29 @@ object Versioned {
               unnest(string_split(d.text, ' ')) AS t(tok)
             WHERE len(tok) > 0 AND tok IN ('spark', 'join'))
           GROUP BY doc_id, subj HAVING count(DISTINCT tok) = 2),
+        toks AS (SELECT doc_id, subj, string_split(text, ' ') AS t FROM d),
+        ph AS (
+          SELECT doc_id, subj FROM (
+            SELECT doc_id, subj, len(list_filter(range(1, len(t)),
+                     i -> t[i] = 'spark' AND t[i+1] = 'join')) AS n
+            FROM toks) WHERE n > 0),
         states AS (
           SELECT 0 AS snap, 'corpus' AS probe, subj FROM d
           UNION ALL SELECT 0, 'asof_spark_join', subj FROM hits
           UNION ALL SELECT 1, 'corpus', subj FROM d WHERE subj = 0
           UNION ALL SELECT 1, 'asof_spark_join', subj FROM hits WHERE subj = 0)
-        SELECT CAST(snap AS BIGINT) AS snap, probe, count(*) AS n,
-               CAST(sum(subj) AS BIGINT) AS n_subject
-        FROM states GROUP BY snap, probe ORDER BY snap, probe""")
+        SELECT snap, probe, n, n_subject FROM (
+          SELECT CAST(snap AS BIGINT) AS snap, probe, count(*) AS n,
+                 CAST(sum(subj) AS BIGINT) AS n_subject
+          FROM states GROUP BY snap, probe
+          UNION ALL
+          SELECT 1, 'bitmap_total', count(*), CAST(0 AS BIGINT)
+          FROM d WHERE subj = 0
+          UNION ALL
+          SELECT 1, 'phrase_spark_join', count(*),
+                 CAST(coalesce(sum(subj), 0) AS BIGINT)
+          FROM ph WHERE subj = 0)
+        ORDER BY snap, probe""")
     ),
 
     // ------------------------------------------------------------------
