@@ -333,6 +333,76 @@ object Retrieval {
         SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
                count(*) AS n_occurrences
         FROM toks GROUP BY tok ORDER BY tok""")
+    ),
+
+    // ------------------------------------------------------------------
+    // POSITIONAL-INDEX LIFECYCLE (round 14): q276/q277 built their
+    // index once and read it — this walks the full house lifecycle the
+    // operator now carries: BUILD on half the corpus, APPEND the other
+    // half (a crawl batch — O(batch), existing postings never re-read),
+    // ERASE a subject set by doc-id tombstones (idempotent, anti-joined
+    // out of every read), then COMPACT by checked staged swap and
+    // REQUIRE every phrase and prefix answer bit-identical before and
+    // after the fold. The oracle restates phrase occurrences AND prefix
+    // term stats over exactly the surviving documents — a posting
+    // leaked from the erased set, lost in the append, or duplicated by
+    // the compact all break the hash. ORACLE-EXACT.
+    QueryDef(
+      "q278_positional_lifecycle",
+      (s, dir) => {
+        import graft.operators.PositionalIndex
+        val idx = Similarity.freshIndexDir("pos_life")
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        PositionalIndex.build(docs.filter(col("doc_id") % 2 === 0), idx)
+        PositionalIndex.append(docs.filter(col("doc_id") % 2 === 1), idx)
+        PositionalIndex.delete(docs.filter(col("doc_id") % 9 === 2).select("doc_id"), idx)
+        // replayed erasure request — tombstones must stay idempotent
+        PositionalIndex.delete(docs.filter(col("doc_id") % 9 === 2).select("doc_id"), idx)
+        def probes() = {
+          val ph = PositionalIndex
+            .phraseCounts(s, idx, Seq("spark", "join"))
+            .select(
+              lit("phrase:spark join").as("probe"),
+              col("doc_id").cast("string").as("k"),
+              col("n_occurrences").as("n")
+            )
+          val pre = PositionalIndex.prefixStats(s, idx, "st")
+          val occ = pre.select(
+            lit("prefix_occ:st").as("probe"),
+            col("tok").as("k"),
+            col("n_occurrences").as("n")
+          )
+          val df = pre.select(lit("prefix_df:st").as("probe"), col("tok").as("k"), col("df").as("n"))
+          ph.unionByName(occ).unionByName(df)
+        }
+        val before = probes().collect().toSet
+        PositionalIndex.compact(s, idx)
+        val after = probes()
+        require(after.collect().toSet == before, "compaction changed an answer")
+        after.orderBy("probe", "k")
+      },
+      Some("""WITH live AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 2),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM live),
+        ph AS (
+          SELECT doc_id, len(list_filter(range(1, len(t)),
+                   i -> t[i] = 'spark' AND t[i+1] = 'join')) AS n
+          FROM toks),
+        tok1 AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)
+          WHERE len(tok) > 0 AND tok LIKE 'st%'),
+        pre AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                 count(*) AS occ
+          FROM tok1 GROUP BY tok)
+        SELECT probe, k, n FROM (
+          SELECT 'phrase:spark join' AS probe, CAST(doc_id AS VARCHAR) AS k,
+                 CAST(n AS BIGINT) AS n
+          FROM ph WHERE n > 0
+          UNION ALL SELECT 'prefix_occ:st', tok, occ FROM pre
+          UNION ALL SELECT 'prefix_df:st', tok, df FROM pre)
+        ORDER BY probe, k""")
     )
   )
 

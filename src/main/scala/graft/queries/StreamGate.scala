@@ -1277,6 +1277,41 @@ object StreamGate {
         )
       },
       Some(Extras.cohortOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q275 (streaming bitmap-index maintenance, round 14): the
+    // q184 inverted-index pattern applied to the bitmap index — the
+    // crawl stream lands each micro-batch as one OR-mergeable segment
+    // (O(batch); existing segments never read), the erasure stream
+    // lands each batch as one segment-versioned delete mask (a set
+    // union — request-scaled, idempotent), and compaction stays the
+    // separately-scheduled batch job, folding everything before the
+    // final census. Split-invariance is BY CONSTRUCTION: appends are
+    // disjoint key bits folded by bit_or (associative/commutative) and
+    // masks a bit union, so the folded words are identical under any
+    // micro-batch split — StreamBitmapSpec pins drained == batch q275
+    // under a forced 3-file/3-batch replay, and the drained census
+    // carries q275's oracle end to end.
+    QueryDef(
+      "q279_stream_bitmap",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        def docStream =
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+        runBitmapMaintenance(
+          gs,
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"),
+          docStream.filter(col("doc_id") % 2 === 1).select("doc_id", "lang"),
+          docStream.filter(col("doc_id") % 7 === 3).select("doc_id")
+        )
+      },
+      Some(Views.bitmapMaintainOracle)
     )
   )
 
@@ -1751,6 +1786,59 @@ object StreamGate {
     graft.operators.InvertedIndex
       .conjunctiveQuery(gs, idx, Seq("spark", "join"))
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Drive q275's bitmap-index lifecycle with LIVE streams: build on
+    * `base`, drain `ingest` landing each micro-batch as one
+    * OR-mergeable segment, drain `forgets` landing each batch as one
+    * segment-versioned delete mask, compact once after the drains (the
+    * scheduled batch maintenance job), and return the q275 census.
+    * Micro-batch independence is structural: segment bits fold by
+    * bit_or (associative + commutative) and masks by bit union, so the
+    * folded words are the same under any source split —
+    * StreamBitmapSpec pins it with a forced 3-file/3-batch replay. */
+  private[graft] def runBitmapMaintenance(
+      gs: SparkSession,
+      base: DataFrame,
+      ingest: DataFrame,
+      forgets: DataFrame
+  ): DataFrame = {
+    import graft.operators.BitmapIndex
+    val idx = Similarity.freshIndexDir("bitmap_stream")
+    BitmapIndex.build(base, "doc_id", "lang", idx)
+    def drain(src: DataFrame, ckPrefix: String)(
+        sink: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => Unit
+    ): Unit = {
+      val q = src.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            sink(batch)
+        }
+        .option("checkpointLocation", Similarity.freshIndexDir(ckPrefix))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        q.stop()
+        org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+      }
+    }
+    drain(ingest, "bm_ingest_ck") { batch =>
+      BitmapIndex.append(batch.toDF(), "doc_id", "lang", idx)
+    }
+    drain(forgets, "bm_forget_ck") { batch =>
+      BitmapIndex.delete(batch.toDF(), "doc_id", idx)
+    }
+    BitmapIndex.compact(gs, idx)
+    val sess = gs
+    import sess.implicits._
+    val perLang = BitmapIndex
+      .valueCounts(gs, idx, "lang")
+      .collect()
+      .map(r => ("lang", r.getString(0), r.getLong(1)))
+      .toSeq
+    val or = Seq(("setop", "or:en|fr", BitmapIndex.unionCount(gs, idx, "lang", "en", "lang", "fr")))
+    (perLang ++ or).toDF("probe", "k", "n").orderBy("probe", "k")
   }
 
   /** Drive an admission-check stream to completion and return the

@@ -392,14 +392,20 @@ object Views {
         require(probes() == before, "compaction must not change a single answer")
         before.toDF("probe", "k", "n").orderBy("probe", "k")
       },
-      Some("""WITH d AS (
+      Some(bitmapMaintainOracle)
+    )
+  )
+
+  /** The post-lifecycle bitmap census shared by batch q275 and the
+    * live q279 gate: per-lang exact counts plus one OR probe over the
+    * corpus minus the erased (doc_id % 7 = 3) keys. */
+  private[queries] lazy val bitmapMaintainOracle: String =
+    """WITH d AS (
           SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 3)
         SELECT probe, k, n FROM (
           SELECT 'lang' AS probe, lang AS k, count(*) AS n FROM d GROUP BY 2
           UNION ALL
           SELECT 'setop', 'or:en|fr',
                  count(*) FROM d WHERE lang IN ('en', 'fr'))
-        ORDER BY probe, k""")
-    )
-  )
+        ORDER BY probe, k"""
 }
