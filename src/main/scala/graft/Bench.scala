@@ -96,6 +96,14 @@ object Bench {
   // ------------------------------------------------------------------
   private val BatchParts = 18
   private val LifecycleParts = 6
+  // round 14: StreamGate fixtures that are NOT replay gates (the
+  // version-store lifecycle drains — q206/q189/q253 and family) used to
+  // hash into the ordinary batch parts, where their state-store/page-
+  // cache residue raised lightweight neighbors' floors 1.5-2× with
+  // unchanged code (r13 finding #1: q206 6.1→8.8 s purely from
+  // co-scheduling). They now get their OWN part space, like the
+  // Versioned lifecycle family before them.
+  private val StreamLifecycleParts = 3
 
   /** Stable part index for a query name: md5-based, JVM/version
     * independent (String.hashCode would also be stable, but md5 makes
@@ -363,11 +371,14 @@ object Bench {
   private def runParent(): Unit = {
     val all = SparkEntry.queries.keys.toSeq.sorted
     val (stream, rest) = all.partition(StreamingGates)
+    val streamLifecycle = graft.queries.StreamGate.defs.map(_.name).toSet -- StreamingGates
+    val (slife, rest2) = rest.partition(streamLifecycle)
     val lifecycle = graft.queries.Versioned.defs.map(_.name).toSet
-    val (life, batch) = rest.partition(lifecycle)
+    val (life, batch) = rest2.partition(lifecycle)
     val parts: Seq[(String, Seq[String])] =
       batch.groupBy(n => f"b${stablePart(n, BatchParts)}%s").toSeq ++
-        life.groupBy(n => f"v${stablePart(n, LifecycleParts)}%s").toSeq :+
+        life.groupBy(n => f"v${stablePart(n, LifecycleParts)}%s").toSeq ++
+        slife.groupBy(n => f"sl${stablePart(n, StreamLifecycleParts)}%s").toSeq :+
         ("stream" -> stream)
     var merged = Map.empty[String, Either[String, Seq[Double]]]
     parts.sortBy(_._1).foreach { case (idx, names) =>
@@ -389,8 +400,10 @@ object Bench {
       if (escalated.nonEmpty)
         System.err.println(s"[bench] drift gate: >3x spread, best-of-2 for ${escalated.mkString(", ")}")
       def rerunOnce(tag: String, names: Seq[String]): Map[String, Either[String, Seq[Double]]] = {
-        val (s, b) = names.partition(StreamingGates)
+        val (s, ns) = names.partition(StreamingGates)
+        val (sl, b) = ns.partition(streamLifecycle)
         (if (b.nonEmpty) forkPart(s"rerun$tag", b) else Map.empty[String, Either[String, Seq[Double]]]) ++
+          (if (sl.nonEmpty) forkPart(s"rerun_slife$tag", sl) else Map.empty) ++
           (if (s.nonEmpty) forkPart(s"rerun_stream$tag", s) else Map.empty)
       }
       val first = rerunOnce("", suspects)
@@ -400,7 +413,10 @@ object Bench {
         if (candidates.nonEmpty) {
           val best = candidates.minBy(medianOf)
           merged += n -> Right(best)
-          val base = if (StreamingGates(n)) "rerun_stream" else "rerun"
+          val base =
+            if (StreamingGates(n)) "rerun_stream"
+            else if (streamLifecycle(n)) "rerun_slife"
+            else "rerun"
           partOf(n) = if (second.get(n).contains(Right(best))) base + "2" else base
         }
       }
