@@ -993,6 +993,119 @@ object TableVersions {
     v
   }
 
+  /** Merge-on-read DELETE with OPTIMISTIC conflict detection — the
+    * [[rewriteWhereChecked]] protocol extended to the DV path, closing
+    * the round-13 gap where [[commitDeleteMor]] blind-failed on any
+    * version race. Compute first against the head snapshot (matched
+    * positions and the change rows staged under neutral names, no
+    * claim held), then enter the shared [[claimValidated]] loop. The
+    * conflict rules follow from what a deletion vector MEANS —
+    * positions into a specific file at a specific anchor:
+    *
+    *   - a rival that REMOVED any file this DV targets invalidates the
+    *     positions outright (the file is gone or its rows were
+    *     rewritten under fresh anchors the DV would silently miss) →
+    *     conflict;
+    *   - a rival DV targeting any of the SAME files may delete rows
+    *     this commit's matched-set resolution already counted (the
+    *     positions were computed with DVs-at-prev applied), so the two
+    *     masks could double-report change rows → conflict — but two
+    *     writers DV-deleting DIFFERENT files commute and both land;
+    *   - a rival that ADDED files conflicts iff any added row matches
+    *     this delete's predicate (rows the staged DV cannot reach).
+    *
+    * Disjoint rivals therefore rebase for free: the staged DV is
+    * published at the later version with its `dv_version` stamped at
+    * publish time (DV applicability anchors on the COMMITTED version,
+    * so the stamp must be the claimed one, not the snapshot guess) —
+    * final state identical to serial execution, zero recompute. */
+  def commitDeleteMorChecked(
+      s: SparkSession,
+      dir: String,
+      cond: String,
+      maxAttempts: Int = 16,
+      rivalLogPollMs: Long = 5000L,
+      beforeClaim: () => Unit = () => ()
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val fs = fsOf(s, dir)
+
+    // ---- compute phase: resolve matched positions at snapshot `prev`,
+    // staged under neutral names, NO claim held ----
+    val adds = liveFileAdds(s, dir, prev)
+    val matches = coalesce(expr(cond), lit(false))
+    val matched = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+      .filter(matches)
+      .localCheckpoint()
+    val hit = matched
+      .select(canonPathCol(col("__dv_file")).as("file"))
+      .distinct()
+      .collect()
+      .map(r => qualified(s, new Path(r.getString(0))))
+      .toSet
+    val stageId = java.util.UUID.randomUUID().toString
+    // NOT under _dv: readers fold the whole DV directory, and a staged
+    // (version-less) fragment there would break every concurrent read
+    val stagedDv = new Path(s"$dir/_dvstage/stage-$stageId")
+    val stagedCdf = new Path(s"${cdfDir(dir)}/stage-$stageId")
+    if (hit.nonEmpty) {
+      matched
+        .select(canonPathCol(col("__dv_file")).as("file"), col("__dv_pos").as("pos"))
+        .coalesce(1)
+        .write
+        .mode("errorifexists")
+        .parquet(stagedDv.toString)
+      matched
+        .drop("__dv_file", "__dv_pos")
+        .withColumn("_change_type", lit("delete"))
+        .write
+        .mode("errorifexists")
+        .parquet(stagedCdf.toString)
+    }
+    beforeClaim()
+
+    def discardStaging(): Unit =
+      Seq(stagedDv, stagedCdf).foreach { p =>
+        if (fs.exists(p)) fs.delete(p, /* recursive = */ true): Unit
+      }
+
+    claimValidated(
+      s,
+      dir,
+      "mor_delete",
+      prev,
+      hit,
+      addsConflict = radds =>
+        if (radds.nonEmpty && !readMerged(s, radds).filter(matches).isEmpty)
+          Some("added rows matching this delete's predicate")
+        else None,
+      discard = () => discardStaging(),
+      maxAttempts,
+      rivalLogPollMs
+    ) { (candidate, failSafe) =>
+      if (hit.isEmpty) {
+        appendLog(s, dir, candidate, "mor_delete", Nil, Nil)
+      } else {
+        // dv_version is stamped at PUBLISH: applicability reads the
+        // committed version, and a rebase moved it past the snapshot
+        // guess. The DV is O(matched) and single-file — rewriting it
+        // here is metadata-scale, unlike re-resolving the positions.
+        s.read
+          .parquet(stagedDv.toString)
+          .withColumn("dv_version", lit(candidate))
+          .coalesce(1)
+          .write
+          .mode("errorifexists")
+          .parquet(s"${dvDir(dir)}/v$candidate")
+        if (!fs.rename(stagedCdf, new Path(s"${cdfDir(dir)}/v$candidate")))
+          failSafe(s"failed to publish staged change feed $stagedCdf")
+        fs.delete(stagedDv, /* recursive = */ true): Unit
+        appendLog(s, dir, candidate, "mor_delete", Nil, Nil)
+      }
+    }
+  }
+
   /** The DV rows applicable when reading at `v`, given the live files'
     * add anchors — (file, pos) pairs to anti-join out; None when no DV
     * can apply. Resolution is metadata-scale: the `_dv` listing is

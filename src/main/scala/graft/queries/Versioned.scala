@@ -2278,6 +2278,85 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // CONFLICT-CHECKED MERGE-ON-READ DELETE (round 14) — q254's
+    // protocol extended to the DV path, closing the r13 gap where
+    // commitDeleteMor blind-failed on any version race. Two writers
+    // DV-deleting DIFFERENT files commute: positions anchor per file,
+    // so disjoint target sets rebase for free (the staged DV republishes
+    // under the claimed version — applicability anchors on the
+    // COMMITTED version, so the stamp moves with the rebase). A rival
+    // COPY-ON-WRITE delete that rewrites a targeted file fails safe:
+    // the staged positions anchor to a dead file and would silently
+    // miss the rewritten rows. The fixture interleaves both cases via
+    // the test seam, re-executes the refused delete serially, folds
+    // everything with compactMor, and the oracle restates the serial
+    // execution — identical final state to q254, now reached through
+    // O(matched)-cost deletes. ORACLE-EXACT; ConflictCheckSpec pins the
+    // protocol edges (same-file rival DVs, matching rival adds, time
+    // travel across the rebased DV).
+    QueryDef(
+      "q280_mor_conflict_delete",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("morc_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).coalesce(1), tdir) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1).coalesce(1), tdir) // v1
+        // writer A stages its odd-file DV; writer B's even-file DV
+        // commits inside A's claim window; disjoint files — A rebases
+        val v = TableVersions.commitDeleteMorChecked(
+          s,
+          tdir,
+          "doc_id % 2 = 1 AND doc_id % 5 = 0",
+          beforeClaim = () => {
+            TableVersions.commitDeleteMor(s, tdir, "doc_id % 2 = 0 AND doc_id % 7 = 0"): Unit
+          }
+        )
+        require(v == 3L, s"disjoint rival DV must rebase to v3, got v$v")
+        // fail-safe probe: a rival CoW delete REWRITES the odd file —
+        // the staged positions anchor to a dead file and must refuse
+        val headBefore = TableVersions.currentVersion(s, tdir)
+        val refused =
+          try {
+            TableVersions.commitDeleteMorChecked(
+              s,
+              tdir,
+              "doc_id % 2 = 1 AND doc_id % 3 = 0",
+              beforeClaim = () => {
+                TableVersions.commitDelete(s, tdir, "doc_id % 2 = 1 AND doc_id % 11 = 0"): Unit
+              }
+            )
+            false
+          } catch { case _: TableVersions.ConcurrentCommitException => true }
+        require(refused, "a rival rewriting a targeted file must fail safe")
+        // serial re-execution from the new head lands cleanly
+        TableVersions.commitDeleteMorChecked(s, tdir, "doc_id % 2 = 1 AND doc_id % 3 = 0"): Unit
+        require(
+          TableVersions.currentVersion(s, tdir) == headBefore + 2,
+          "rival + re-executed delete must both advance the head"
+        )
+        // compaction folds the rebased DVs into the layout — answers
+        // must be identical before and after
+        val before = TableVersions
+          .readVersion(s, tdir, TableVersions.currentVersion(s, tdir))
+          .orderBy("doc_id")
+          .collect()
+          .toSeq
+        TableVersions.compactMor(s, tdir)
+        val after = TableVersions
+          .readVersion(s, tdir, TableVersions.currentVersion(s, tdir))
+          .orderBy("doc_id")
+        require(after.collect().toSeq == before, "compactMor changed the head state")
+        after
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        WHERE NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)
+          AND NOT (doc_id % 2 = 0 AND doc_id % 7 = 0)
+          AND NOT (doc_id % 2 = 1 AND doc_id % 11 = 0)
+          AND NOT (doc_id % 2 = 1 AND doc_id % 3 = 0)
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // RESULT-CACHE RETENTION — closes q237's honest gap: entries are
     // keyed by (canonical plan, source versions), so a commit makes
     // the old entry UNADDRESSABLE garbage that nothing ever reclaimed.

@@ -265,4 +265,91 @@ class ConflictCheckSpec extends AnyFunSuite with SparkSpec {
     }
     assert(TableVersions.currentVersion(spark, dir) == 3L)
   }
+
+  test("two writers DV-deleting DIFFERENT files both land; the SAME file fails safe") {
+    // rebase: A stages its DV on the high file; B MOR-deletes from the
+    // low file and commits in A's claim window. Disjoint target files
+    // commute — both masks apply at the head.
+    val dir = twoFileTable()
+    val v = TableVersions.commitDeleteMorChecked(
+      spark,
+      dir,
+      "k >= 90",
+      beforeClaim = () => { TableVersions.commitDeleteMor(spark, dir, "k < 10"): Unit }
+    )
+    assert(v == 3L) // B took v2; A's DV rebased onto v3
+    assert(keysAtHead(dir) == (10L until 90L).toSet)
+    // both change feeds landed under their own versions
+    assert(TableVersions.changesFeed(spark, dir, 1L, 2L).count() == 10L)
+    assert(TableVersions.changesFeed(spark, dir, 2L, 3L).count() == 10L)
+    // fail safe: a rival DV on the SAME file could double-report rows
+    // this writer's matched-set already counted
+    val dir2 = twoFileTable()
+    val before = keysAtHead(dir2)
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.commitDeleteMorChecked(
+        spark,
+        dir2,
+        "k < 50",
+        beforeClaim = () => { TableVersions.commitDeleteMor(spark, dir2, "k = 7"): Unit }
+      )
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    assert(keysAtHead(dir2) == before - 7L) // the rival holds; ours left no trace
+  }
+
+  test("a MOR delete fails safe when a rival REWRITES a targeted file, rebases past appends") {
+    val s = spark
+    import s.implicits._
+    // a CoW rival rewrote the low file: the staged positions anchor to
+    // a dead file and would silently miss the rewritten rows
+    val dir = twoFileTable()
+    val e = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.commitDeleteMorChecked(
+        spark,
+        dir,
+        "k < 50",
+        beforeClaim = () => { TableVersions.commitDelete(spark, dir, "k < 5"): Unit }
+      )
+    }
+    assert(e.getMessage.contains("removed files"), e.getMessage)
+    assert(keysAtHead(dir) == (5L until 100L).toSet)
+    // no stray DV staging left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$dir/_dvstage")
+    val stray =
+      if (!fs.exists(stageRoot)) Array.empty[String]
+      else fs.listStatus(stageRoot).map(_.getPath.getName)
+    assert(stray.isEmpty, stray.mkString(","))
+    // a rival APPEND with rows matching the predicate fails safe; with
+    // non-matching rows the DV rebases
+    val dir2 = twoFileTable()
+    val e2 = intercept[TableVersions.ConcurrentCommitException] {
+      TableVersions.commitDeleteMorChecked(
+        spark,
+        dir2,
+        "k between 90 and 99",
+        beforeClaim =
+          () => { TableVersions.commitAppend(Seq((95L, "late")).toDF("k", "payload"), dir2): Unit }
+      )
+    }
+    assert(e2.getMessage.contains("matching"), e2.getMessage)
+    val dir3 = twoFileTable()
+    val v = TableVersions.commitDeleteMorChecked(
+      spark,
+      dir3,
+      "k between 90 and 99",
+      beforeClaim =
+        () => { TableVersions.commitAppend(Seq((200L, "late")).toDF("k", "payload"), dir3): Unit }
+    )
+    assert(v == 3L)
+    assert(keysAtHead(dir3) == (0L until 90L).toSet + 200L)
+    // the rebased DV applies at the head AND time travel below it is
+    // unaffected (applicability anchors on the committed version)
+    assert(TableVersions.readVersion(spark, dir3, 2L).count() == 101L)
+    // compaction folds the rebased DV away with identical answers
+    TableVersions.compactMor(spark, dir3)
+    assert(keysAtHead(dir3) == (0L until 90L).toSet + 200L)
+  }
 }
