@@ -2607,9 +2607,63 @@ object TableVersions {
                    * ((3 * ((a.x >> k) & 1)) ^ ((a.y >> k) & 1))),
           a -> a.d)"""
 
-  /** OPTIMIZE HILBERT — [[optimizeZorder]]'s 2-column sibling on the
-    * Hilbert curve: same logical-no-op commit, same stats/bloom
-    * interplay, better range locality per clustered dimension. */
+  /** N-DIMENSIONAL Hilbert d-index — Skilling's transform
+    * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004),
+    * which generalizes the 2-D rotation state to any dimension by
+    * working on the TRANSPOSED code: an inverse-undo pass per bit
+    * level (top-down), a Gray decode across axes, a parity fold, then
+    * the d-index is the plain bit-interleave of the transposed axes
+    * (axis 0 most significant at every level). All three passes are
+    * sequential folds with an array<bigint> accumulator — expressed as
+    * nested `aggregate`/`transform` HOFs, O(bits × n) integer ops per
+    * row, compute-local, no UDF (the same discipline as the 2-D
+    * [[hilbertExpr]], which stays the n = 2 fast path). Lambda
+    * variables are uniquely named per nesting level — shadowed names
+    * across nested HOF scopes are the one foot-gun here. `coords` are
+    * SQL expressions yielding non-negative bigints below 2^bits.
+    * HilbertCurveSpec pins bijection + unit-step adjacency on full 3-D
+    * and 4-D grids — any mis-derived pass fails unit-step. */
+  private[operators] def hilbertNdExpr(coords: Seq[String], bits: Int): String = {
+    val n = coords.size
+    require(n >= 2 && n <= 4, "the n-d Hilbert fold supports 2-4 columns")
+    val xs = coords.map(c => s"cast(($c) AS bigint)").mkString(", ")
+    // t = parity fold over the LAST transposed axis's bits
+    val tOfA =
+      s"""aggregate(sequence(${bits - 1}, 1, -1), cast(0 AS bigint),
+            (tt, qq) -> CASE WHEN (element_at(A2, $n) & shiftleft(1L, qq)) != 0
+                        THEN tt ^ (shiftleft(1L, qq) - 1) ELSE tt END)"""
+    s"""aggregate(
+          sequence(2, $n),
+          aggregate(
+            sequence(${bits - 1}, 1, -1),
+            array($xs),
+            (X1, k1) -> aggregate(
+              sequence(1, $n),
+              X1,
+              (A1, i1) -> CASE
+                WHEN (element_at(A1, i1) & shiftleft(1L, k1)) != 0 THEN
+                  transform(A1, (v1, j1) ->
+                    CASE WHEN j1 = 0 THEN v1 ^ (shiftleft(1L, k1) - 1) ELSE v1 END)
+                ELSE
+                  transform(A1, (v1, j1) -> CASE
+                    WHEN j1 = 0 OR (j1 = i1 - 1 AND i1 > 1)
+                      THEN v1 ^ ((element_at(A1, 1) ^ element_at(A1, i1))
+                                   & (shiftleft(1L, k1) - 1))
+                    ELSE v1 END)
+                END)),
+          (G1, p1) -> transform(G1, (vg, jg) ->
+            CASE WHEN jg = p1 - 1 THEN vg ^ element_at(G1, p1 - 1) ELSE vg END),
+          A2 -> aggregate(sequence(1, $n), cast(0 AS bigint), (acc, i2) ->
+                  acc | aggregate(sequence(0, ${bits - 1}), cast(0 AS bigint), (accb, k2) ->
+                    accb | shiftleft(((element_at(A2, i2) ^ $tOfA) >> k2) & 1,
+                                     k2 * $n + ($n - i2)))))"""
+  }
+
+  /** OPTIMIZE HILBERT — [[optimizeZorder]]'s sibling on the Hilbert
+    * curve: same logical-no-op commit, same stats/bloom interplay,
+    * better range locality per clustered dimension. 2 columns use the
+    * rotation-state fold ([[hilbertExpr]]); 3-4 columns the Skilling
+    * transpose ([[hilbertNdExpr]]). */
   def optimizeHilbert(s: SparkSession, dir: String, cols: Seq[String], nOut: Int): Long = {
     val prev = currentVersion(s, dir)
     require(prev >= 0, s"$dir not initialized")
@@ -2627,7 +2681,6 @@ object TableVersions {
   ): Long = {
     require(cols.size >= 2, "zorder needs at least two columns (else sort plainly)")
     require(cols.size <= 4, "the bigint interleave supports at most 4 columns")
-    require(curve != "hilbert" || cols.size == 2, "the hilbert curve supports exactly 2 columns")
     val adds = liveFileAdds(s, dir, prev).filter(a => files.contains(a._1))
     // DVs applied — the clustered rewrite must not resurrect
     // merge-on-read-deleted rows
@@ -2677,7 +2730,8 @@ object TableVersions {
       }
     }
     val zExpr =
-      if (curve == "hilbert") hilbertExpr(scaled(0), scaled(1), bitsPer)
+      if (curve == "hilbert" && n == 2) hilbertExpr(scaled(0), scaled(1), bitsPer)
+      else if (curve == "hilbert") hilbertNdExpr(scaled, bitsPer)
       else
         // Morton interleave: bit k of column i lands at position k*n + i
         scaled.zipWithIndex

@@ -2743,6 +2743,80 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // 3-D HILBERT CLUSTERING (round 14): q266's curve generalized past
+    // two dimensions with Skilling's transform ("Programming the
+    // Hilbert curve", 2004) — the transposed-code inverse-undo / Gray
+    // decode / parity fold as nested SQL aggregates, O(bits × n)
+    // integer ops per row (TableVersions.hilbertNdExpr;
+    // HilbertCurveSpec pins bijection + unit-step adjacency on full
+    // 3-D and 4-D grids, the property Morton fails). The fixture
+    // clusters events on (user_id, value, event_id), then PROVES the
+    // layout localizes EVERY dimension: for each of the three
+    // clustered columns, an in-query require checks the per-file stats
+    // ranges exclude at least one file from that dimension's probe —
+    // pruning that costs speed but never rows, with all three pruned
+    // reads restated by the oracle as plain filters. ORACLE-EXACT.
+    QueryDef(
+      "q281_hilbert_3d",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("versioned_hilbert3")
+        val evs = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        TableVersions.commitAppend(evs.repartition(8), tdir)
+        // 32 output files: a 3-D curve segment spans ~(1/nOut)^(1/3) of
+        // EACH dimension, so per-dimension pruning needs enough
+        // segments that a narrow probe clears whole files — 16 was too
+        // coarse (each file spanned ~40% of every dim)
+        TableVersions.optimizeHilbert(s, tdir, Seq("user_id", "value", "event_id"), nOut = 32)
+        TableVersions.refreshStats(s, tdir, Seq("user_id", "value", "event_id"))
+        // the value probe targets the SPARSE tail: min/max scaling
+        // spends most of the curve's value axis on outliers, so the
+        // dense head (0-80, ~90% of mass) spans nearly every curve
+        // segment — the standard equal-width-scaling-vs-skew trade
+        // (q265's equi-depth histogram is the stats-side answer);
+        // tail ranges localize and prune, head ranges read widely
+        val probes = Seq(
+          ("by_user", "user_id", 2d, 4d),
+          ("by_value", "value", 100d, 200d),
+          ("by_event", "event_id", 100d, 249d)
+        )
+        // the layout must LOCALIZE each dimension: every probe's stats
+        // ranges exclude at least one clustered file
+        val stats = s.read
+          .parquet(s"$tdir/_stats")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        probes.foreach { case (tag, c, lo, hi) =>
+          val rows = stats.filter(_._2 == c)
+          val hit = rows.count(r => r._4 >= lo && r._3 <= hi)
+          require(
+            hit < rows.length,
+            s"$tag: probe [$lo, $hi] on $c prunes nothing (${rows.length} files all intersect)"
+          )
+        }
+        probes
+          .map { case (tag, c, lo, hi) =>
+            TableVersions
+              .readVersionPruned(s, tdir, 1L, c, lo, hi)
+              .select(lit(tag).as("dim"), col("event_id"), col("user_id"),
+                col("event_type"), col("value"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("dim", "event_id")
+      },
+      Some("""SELECT dim, event_id, user_id, event_type, value FROM (
+          SELECT 'by_user' AS dim, event_id, user_id, event_type, value
+          FROM events WHERE user_id BETWEEN 2 AND 4
+          UNION ALL
+          SELECT 'by_value', event_id, user_id, event_type, value
+          FROM events WHERE value BETWEEN 100 AND 200
+          UNION ALL
+          SELECT 'by_event', event_id, user_id, event_type, value
+          FROM events WHERE event_id BETWEEN 100 AND 249)
+        ORDER BY dim, event_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // CONCURRENT MAINTENANCE + GOVERNANCE (round 13): the pairing the
     // checked-commit family exists for — a background OPTIMIZE packs
     // the table's small files while a foreground erasure delete lands
