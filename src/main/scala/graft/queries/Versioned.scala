@@ -2743,6 +2743,93 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // CDC-MAINTAINED COVERING INDEX (round 14) — the secondary-index
+    // shape Hyperspace and every lakehouse point-lookup story use: a
+    // key-sorted projection of (key, included columns) kept current by
+    // consuming the table's CHANGE FEED (operators/CoveringIndex), so
+    // a point lookup reads a few key-sorted row groups instead of the
+    // table. The layout is a parquet LSM: each sync folds its whole
+    // CDC window (here an append + an update + a delete in ONE window,
+    // then a second single-commit window) into one segment of per-key
+    // final states; reads resolve latest-wins with a single
+    // max(struct(seg, …)) aggregate — no window sort. In-query
+    // requires pin the contracts the oracle can't see: the index view
+    // equals the table head EXACTLY (both-direction except), the
+    // lookup plan's input files all live under the INDEX directory
+    // (the table is never touched), and compaction folds the segments
+    // without changing an answer. ORACLE-EXACT: lookup rows + a
+    // per-lang census restated over `documents` with the update and
+    // both deletes applied.
+    QueryDef(
+      "q282_covering_index",
+      (s, dir) => {
+        import graft.operators.CoveringIndex
+        val tdir = Similarity.freshIndexDir("cov_store")
+        val idx = Similarity.freshIndexDir("cov_idx")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        val key = "doc_id"
+        val cols = Seq("lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(2), tdir)
+        CoveringIndex.init(s, tdir, idx, key, cols)
+        // one multi-commit window: append + update + delete fold into
+        // a single segment of per-key final states
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1).repartition(2), tdir)
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        )
+        TableVersions.commitDelete(s, tdir, "doc_id % 7 = 5")
+        require(CoveringIndex.sync(s, tdir, idx, key, cols) == 3L, "sync must reach v3")
+        // a second, single-commit window
+        TableVersions.commitDelete(s, tdir, "doc_id % 11 = 2")
+        require(CoveringIndex.sync(s, tdir, idx, key, cols) == 4L, "sync must reach v4")
+        // the index IS the table's projection: equal in both directions
+        val head = TableVersions
+          .readVersion(s, tdir, 4L)
+          .select((key +: cols).map(col): _*)
+        val view = CoveringIndex.read(s, idx, key, cols)
+        require(view.exceptAll(head).isEmpty && head.exceptAll(view).isEmpty,
+          "index view diverged from the table head")
+        // point lookups never touch the table
+        val probeKeys = Seq(3L, 10L, 35L, 77L, 110L, 154L, 231L, 308L, 385L, 462L)
+        def probe() = CoveringIndex.lookup(s, idx, key, cols, probeKeys)
+        require(
+          probe().inputFiles.nonEmpty && probe().inputFiles.forall(_.contains("cov_idx")),
+          s"lookup must read only the index: ${probe().inputFiles.take(3).mkString(",")}"
+        )
+        val before = probe().collect().toSet
+        CoveringIndex.compact(s, idx, key, cols)
+        require(probe().collect().toSet == before, "compaction changed a lookup answer")
+        // a FRESH read: the pre-compact view's file listing is dead
+        // after the staged swap
+        val census = CoveringIndex
+          .read(s, idx, key, cols)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("k"), sum("n_chars").as("n_chars"))
+          .select(lit("census").as("probe"), col("k").as("doc_id"), col("lang"), col("n_chars"))
+        probe()
+          .select(lit("lookup").as("probe"), col("doc_id"), col("lang"), col("n_chars"))
+          .unionByName(census)
+          .orderBy("probe", "doc_id", "lang")
+      },
+      Some("""WITH final AS (
+          SELECT doc_id, lang,
+                 CAST(n_chars + CASE WHEN lang = 'zh' THEN 1000 ELSE 0 END AS BIGINT)
+                   AS n_chars
+          FROM documents
+          WHERE doc_id % 7 <> 5 AND doc_id % 11 <> 2)
+        SELECT probe, doc_id, lang, n_chars FROM (
+          SELECT 'lookup' AS probe, doc_id, lang, n_chars FROM final
+          WHERE doc_id IN (3, 10, 35, 77, 110, 154, 231, 308, 385, 462)
+          UNION ALL
+          SELECT 'census', count(*), lang, CAST(sum(n_chars) AS BIGINT)
+          FROM final GROUP BY lang)
+        ORDER BY probe, doc_id, lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // 3-D HILBERT CLUSTERING (round 14): q266's curve generalized past
     // two dimensions with Skilling's transform ("Programming the
     // Hilbert curve", 2004) — the transposed-code inverse-undo / Gray

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins the covering-index contracts the q282 oracle can't see: a
+  * sync crash between the segment publish and the cursor move replays
+  * idempotently (latest-wins absorbs the duplicate segment), a
+  * delete-then-reinsert key resolves to the reinserted row, an
+  * interrupted compact swap resumes, and the lookup plan pushes the
+  * probed keys into the segment scans.
+  */
+class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(tag: String) = graft.queries.Similarity.freshIndexDir(tag)
+
+  private def table(n: Long): (String, String) = {
+    val s = spark
+    import s.implicits._
+    val dir = fresh("ci_src")
+    TableVersions.commitAppend(
+      (0L until n).map(i => (i, s"g${i % 3}", i * 10)).toDF("k", "g", "v"),
+      dir
+    )
+    dir -> fresh("ci_idx")
+  }
+  private val cols = Seq("g", "v")
+
+  private def viewOf(idx: String): Set[(Long, String, Long)] =
+    CoveringIndex
+      .read(spark, idx, "k", cols)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+  test("a sync crash between segment publish and cursor move replays idempotently") {
+    val s = spark
+    import s.implicits._
+    val (src, idx) = table(60)
+    CoveringIndex.init(spark, src, idx, "k", cols)
+    TableVersions.commitDelete(spark, src, "k % 5 = 0")
+    TableVersions.commitAppend(Seq((500L, "gx", 7L)).toDF("k", "g", "v"), src)
+    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L)
+    val want = viewOf(idx)
+    // simulate the crash: the segment landed, the cursor marker didn't
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_cursor/v2"), true))
+    assert(CoveringIndex.cursor(spark, idx) == 0L)
+    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L) // replay
+    assert(viewOf(idx) == want, "replayed window changed the view")
+    assert(CoveringIndex.cursor(spark, idx) == 2L)
+  }
+
+  test("delete-then-reinsert resolves to the reinserted row; updates to the post-image") {
+    val s = spark
+    import s.implicits._
+    val (src, idx) = table(30)
+    CoveringIndex.init(spark, src, idx, "k", cols)
+    TableVersions.commitDelete(spark, src, "k = 7")
+    TableVersions.commitAppend(Seq((7L, "reborn", 777L)).toDF("k", "g", "v"), src)
+    TableVersions.commitUpdate(spark, src, "k = 8", _.withColumn("v", lit(888L)))
+    CoveringIndex.sync(spark, src, idx, "k", cols)
+    val view = viewOf(idx)
+    assert(view.contains((7L, "reborn", 777L)), "reinserted key lost to the earlier delete")
+    assert(view.contains((8L, "g2", 888L)), "update must resolve to the post-image")
+    // and the index still equals the table head exactly
+    val head = TableVersions
+      .readVersion(spark, src, TableVersions.currentVersion(spark, src))
+      .select("k", "g", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(view == head)
+  }
+
+  test("an interrupted compact swap resumes; lookups push probed keys into the scan") {
+    val (src, idx) = table(50)
+    CoveringIndex.init(spark, src, idx, "k", cols)
+    TableVersions.commitDelete(spark, src, "k % 4 = 1")
+    CoveringIndex.sync(spark, src, idx, "k", cols)
+    val want = viewOf(idx)
+    CoveringIndex.compact(spark, idx, "k", cols)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state: live gone, staged complete
+    assert(
+      fs.rename(
+        new org.apache.hadoop.fs.Path(s"$idx/data"),
+        new org.apache.hadoop.fs.Path(s"$idx/data_compacted")
+      )
+    )
+    CoveringIndex.compact(spark, idx, "k", cols) // must resume, not fail
+    assert(viewOf(idx) == want)
+    // probed keys reach the parquet reader as pushed filters
+    val plan = CoveringIndex
+      .lookup(spark, idx, "k", cols, Seq(2L, 30L))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"), "probe keys not pushed")
+  }
+}
