@@ -1446,6 +1446,127 @@ object Extras {
                CAST(FLOOR(median(latency_s)) AS BIGINT) AS median_s,
                CAST(max(latency_s) AS BIGINT) AS max_s
         FROM p1""")
+    ),
+
+    // ------------------------------------------------------------------
+    // EVENT TRANSITION MATRIX (round 14): the first-order Markov view
+    // of user behavior — for every (from, to) event-type pair, how
+    // often does `to` immediately follow `from` in a user's timeline,
+    // and what fraction of `from`'s transitions does that represent
+    // (exact ppm — integer DIV, no float drift). One user-keyed
+    // ordered window (lead) + one pair-keyed aggregate + one
+    // from-keyed window sum: event-scaled, never a self-join, and the
+    // per-user window never concentrates more than one user's events
+    // on a task. Deterministic tie order (ts, event_id — unique).
+    // ORACLE-EXACT.
+    QueryDef(
+      "q284_event_transitions",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev.withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum("n").over(Window.partitionBy("from_type")))
+          .select(
+            col("from_type"),
+            col("to_type"),
+            col("n"),
+            expr("(n * 1000000) DIV tot").as("p_ppm")
+          )
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        t AS (
+          SELECT event_type AS from_type, to_type, count(*) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+                 AS BIGINT) AS p_ppm
+        FROM t ORDER BY from_type, to_type""")
+    ),
+
+    // ------------------------------------------------------------------
+    // RFM SEGMENTATION (round 14): the classic customer scoring —
+    // recency (days since last event, integer epoch-micros DIV),
+    // frequency (event count), monetary (exact cents: floor(value*100)
+    // is one IEEE product + floor, bit-identical across engines) —
+    // each scored 1-5 by DETERMINISTIC quintile (row_number with the
+    // user id as tiebreak, then integer bucket arithmetic; ntile's
+    // tie placement is engine-defined and would break the hash).
+    // Plan: one user-keyed aggregate (event-scaled) + three global
+    // rank windows over USERS (user-scaled — the small side; at 100 TB
+    // the events never pass through a single partition, only the
+    // per-user rollup does, and a user-count-scaled sort is the
+    // standard price of exact global quantile scores). ORACLE-EXACT.
+    QueryDef(
+      "q285_rfm_segmentation",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("user_id", "ts", "value")
+        val per = ev
+          .groupBy("user_id")
+          .agg(
+            max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("monetary_c")
+          )
+        val maxUs = per.agg(max("last_us")).head().getLong(0)
+        val n = per.count()
+        val scored = per
+          .withColumn("r_days", expr(s"(${maxUs}L - last_us) DIV 86400000000"))
+          .withColumn(
+            "rr",
+            row_number().over(Window.orderBy(col("r_days"), col("user_id")))
+          )
+          .withColumn(
+            "fr",
+            row_number().over(Window.orderBy(col("freq").desc, col("user_id")))
+          )
+          .withColumn(
+            "mr",
+            row_number().over(Window.orderBy(col("monetary_c").desc, col("user_id")))
+          )
+          .select(
+            col("user_id"),
+            col("r_days"),
+            col("freq"),
+            col("monetary_c"),
+            expr(s"5 - (((rr - 1) * 5) DIV ${n}L)").as("r_score"),
+            expr(s"5 - (((fr - 1) * 5) DIV ${n}L)").as("f_score"),
+            expr(s"5 - (((mr - 1) * 5) DIV ${n}L)").as("m_score")
+          )
+          .withColumn("rfm", expr("r_score * 100 + f_score * 10 + m_score"))
+        scored.orderBy("user_id")
+      },
+      Some("""WITH per AS (
+          SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                 count(*) AS freq,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+          FROM events GROUP BY 1),
+        anchor AS (SELECT max(last_us) AS mx, count(*) AS n FROM per),
+        base AS (
+          SELECT user_id, CAST((mx - last_us) // 86400000000 AS BIGINT) AS r_days,
+                 freq, monetary_c, n
+          FROM per, anchor),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY r_days, user_id) AS rr,
+                 row_number() OVER (ORDER BY freq DESC, user_id) AS fr,
+                 row_number() OVER (ORDER BY monetary_c DESC, user_id) AS mr
+          FROM base)
+        SELECT user_id, r_days, freq, monetary_c,
+               CAST(5 - (((rr - 1) * 5) // n) AS BIGINT) AS r_score,
+               CAST(5 - (((fr - 1) * 5) // n) AS BIGINT) AS f_score,
+               CAST(5 - (((mr - 1) * 5) // n) AS BIGINT) AS m_score,
+               CAST((5 - (((rr - 1) * 5) // n)) * 100
+                    + (5 - (((fr - 1) * 5) // n)) * 10
+                    + (5 - (((mr - 1) * 5) // n)) AS BIGINT) AS rfm
+        FROM ranked ORDER BY user_id""")
     )
   )
 

@@ -2830,6 +2830,101 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // WRITE-AUDIT-PUBLISH (round 14) — the Netflix/Iceberg WAP pattern
+    // on the house catalog: a batch COMMITS to the table (a real
+    // version, fully written) but stays INVISIBLE to readers until a
+    // post-write audit passes and the catalog pin advances — staging
+    // by reference, not by copy. The fixture lands a clean batch
+    // (audit passes → pin published), then a batch with PLANTED
+    // defects (negative n_chars): the audit fails, the pin stays, and
+    // an in-query require proves catalog-routed readers still see the
+    // pre-batch state even though the bad version physically exists.
+    // Remediation is itself a commit (delete the defective rows) whose
+    // audit passes and publishes. The catalog's atomic pin swap is
+    // what makes "audit" meaningful at 100 TB: no copy of the batch,
+    // no rollback machinery — an unpublished version is just a pin
+    // that never moved. ORACLE-EXACT: per-snapshot census (count, char
+    // sum, violation count — zero in every PUBLISHED snapshot, the WAP
+    // guarantee) restated over `documents`.
+    QueryDef(
+      "q283_write_audit_publish",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("wap_cat")
+        val tdir = Similarity.freshIndexDir("wap_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        Catalog.transact(s, cat) { _ =>
+          val v0 = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir)
+          Map("docs" -> Catalog.Pin(tdir, v0))
+        }
+        def violations(v: Long): Long =
+          TableVersions
+            .readVersion(s, tdir, v)
+            .filter(col("n_chars") <= 0 || col("doc_id").isNull || col("lang").isNull)
+            .count()
+        def publish(v: Long): Unit =
+          Catalog.transact(s, cat)(_ => Map("docs" -> Catalog.Pin(tdir, v))): Unit
+
+        // WAP batch 1 — clean: write, audit, publish
+        val v1 = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), tdir)
+        require(violations(v1) == 0L, "clean batch must pass its audit")
+        publish(v1)
+
+        // WAP batch 2 — planted defects: write, audit FAILS, pin stays
+        val dirty = docs
+          .filter(col("doc_id") % 3 === 2)
+          .withColumn(
+            "n_chars",
+            when(col("doc_id") % 13 === 4, lit(-1L)).otherwise(col("n_chars"))
+          )
+        val v2 = TableVersions.commitAppend(dirty, tdir)
+        require(violations(v2) > 0L, "planted defects must fail the audit")
+        // the catalog still serves the last AUDITED state — the staged
+        // version physically exists but no reader can resolve it
+        require(Catalog.head(s, cat) == 1L, "a failed audit must not publish")
+        require(
+          Catalog
+            .readTable(s, cat, 1L, "docs")
+            .filter(col("doc_id") % 3 === 2)
+            .isEmpty,
+          "catalog-routed readers must not see the unaudited batch"
+        )
+
+        // remediation: delete the defective rows, re-audit, publish
+        val v3 = TableVersions.commitDelete(s, tdir, "n_chars <= 0")
+        require(violations(v3) == 0L, "remediated batch must pass")
+        publish(v3)
+
+        val sess = s
+        import sess.implicits._
+        (0L to Catalog.head(s, cat))
+          .map { snap =>
+            val t = Catalog.readTable(s, cat, snap, "docs")
+            val r = t
+              .agg(
+                count(lit(1)),
+                sum("n_chars"),
+                sum(when(col("n_chars") <= 0, 1L).otherwise(0L))
+              )
+              .head()
+            (snap, r.getLong(0), r.getLong(1), r.getLong(2))
+          }
+          .toDF("snap", "n_docs", "sum_chars", "n_bad")
+          .orderBy("snap")
+      },
+      Some("""WITH pub AS (
+          SELECT 0 AS snap, doc_id, n_chars FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 1, doc_id, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)
+          UNION ALL
+          SELECT 2, doc_id, n_chars FROM documents
+          WHERE doc_id % 3 IN (0, 1)
+             OR (doc_id % 3 = 2 AND doc_id % 13 <> 4))
+        SELECT CAST(snap AS BIGINT) AS snap, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(0 AS BIGINT) AS n_bad
+        FROM pub GROUP BY snap ORDER BY snap""")
+    ),
+
+    // ------------------------------------------------------------------
     // 3-D HILBERT CLUSTERING (round 14): q266's curve generalized past
     // two dimensions with Skilling's transform ("Programming the
     // Hilbert curve", 2004) — the transposed-code inverse-undo / Gray
