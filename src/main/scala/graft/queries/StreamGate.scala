@@ -1280,6 +1280,49 @@ object StreamGate {
     ),
 
     // ------------------------------------------------------------------
+    // E15 × q282 (streaming covering-index maintenance, round 14): the
+    // CDC-maintained covering index driven live — each micro-batch
+    // commits to the versioned table and the index syncs its window
+    // (one O(batch) fold into one LSM segment); after the drain an
+    // update and an erasure land and the final sync folds both. The
+    // drained point lookups and census are served from the INDEX alone
+    // (the in-query require from q282 carries over via the shared
+    // read path) and hash-check against the same final-state oracle
+    // a batch build would produce; StreamCoveringSpec pins a forced
+    // 3-batch replay equal to the single-batch run (per-window folds
+    // compose because latest-wins is associative across segments).
+    QueryDef(
+      "q286_stream_covering_index",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runCoveringIndexStream(
+          gs,
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""WITH final AS (
+          SELECT doc_id, lang,
+                 CAST(n_chars + CASE WHEN lang = 'zh' THEN 1000 ELSE 0 END AS BIGINT)
+                   AS n_chars
+          FROM documents WHERE doc_id % 7 <> 5)
+        SELECT probe, doc_id, lang, n_chars FROM (
+          SELECT 'lookup' AS probe, doc_id, lang, n_chars FROM final
+          WHERE doc_id IN (3, 10, 35, 77, 110, 154, 231, 308, 385, 462)
+          UNION ALL
+          SELECT 'census', count(*), lang, CAST(sum(n_chars) AS BIGINT)
+          FROM final GROUP BY lang)
+        ORDER BY probe, doc_id, lang""")
+    ),
+
+    // ------------------------------------------------------------------
     // E15 × q275 (streaming bitmap-index maintenance, round 14): the
     // q184 inverted-index pattern applied to the bitmap index — the
     // crawl stream lands each micro-batch as one OR-mergeable segment
@@ -1786,6 +1829,63 @@ object StreamGate {
     graft.operators.InvertedIndex
       .conjunctiveQuery(gs, idx, Seq("spark", "join"))
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Drive q282's covering index with LIVE streams: one table commit +
+    * one index sync per micro-batch (each sync folds exactly its CDC
+    * window into one LSM segment — O(batch), the table never re-read);
+    * after the drain an UPDATE and an ERASURE land and the final sync
+    * folds both through the same change feed. Split-invariance holds
+    * because latest-wins is associative across segments: however the
+    * stream splits, a key's final state is its last commit's state.
+    * Returns the q282-shaped lookup + census, served from the index.
+    */
+  private[graft] def runCoveringIndexStream(
+      gs: SparkSession,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    import graft.operators.{CoveringIndex, TableVersions}
+    val tdir = Similarity.freshIndexDir("cov_stream_store")
+    val idx = Similarity.freshIndexDir("cov_stream_idx")
+    val key = "doc_id"
+    val cols = Seq("lang", "n_chars")
+    TableVersions.commitAppend(base, tdir)
+    CoveringIndex.init(gs, tdir, idx, key, cols)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TableVersions.commitAppend(batch.toDF(), tdir): Unit
+          CoveringIndex.sync(gs, tdir, idx, key, cols): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("cov_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // post-drain maintenance window: an update and an erasure fold
+    // through the same feed in one final sync
+    TableVersions.commitUpdate(gs, tdir, "lang = 'zh'", _.withColumn("n_chars", col("n_chars") + 1000))
+    TableVersions.commitDelete(gs, tdir, "doc_id % 7 = 5")
+    CoveringIndex.sync(gs, tdir, idx, key, cols)
+    val probeKeys = Seq(3L, 10L, 35L, 77L, 110L, 154L, 231L, 308L, 385L, 462L)
+    val lookup = CoveringIndex.lookup(gs, idx, key, cols, probeKeys)
+    require(
+      lookup.inputFiles.nonEmpty && lookup.inputFiles.forall(_.contains("cov_stream_idx")),
+      "lookup must read only the index"
+    )
+    val census = CoveringIndex
+      .read(gs, idx, key, cols)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum("n_chars").as("n_chars"))
+      .select(lit("census").as("probe"), col("k").as("doc_id"), col("lang"), col("n_chars"))
+    lookup
+      .select(lit("lookup").as("probe"), col("doc_id"), col("lang"), col("n_chars"))
+      .unionByName(census)
+      .orderBy("probe", "doc_id", "lang")
   }
 
   /** Drive q275's bitmap-index lifecycle with LIVE streams: build on
