@@ -1567,6 +1567,87 @@ object Extras {
                     + (5 - (((fr - 1) * 5) // n)) * 10
                     + (5 - (((mr - 1) * 5) // n)) AS BIGINT) AS rfm
         FROM ranked ORDER BY user_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // A/B TWO-PROPORTION Z-TEST (round 14): the experimentation
+    // primitive — conversion-rate difference between two user cohorts
+    // (conversion = a high-value purchase; plain "any purchase" is
+    // degenerate on this data — every user converts, the pooled
+    // variance is 0, and the z statistic is 0/0, which ANSI mode
+    // rightly refuses) with the pooled-variance z statistic. Counts
+    // are exact integers from one user-keyed rollup; the z value is
+    // ONE textually identical sequence of correctly-rounded double ops
+    // on both engines (all literals spelled `1e0` — `1.0` parses as
+    // DECIMAL in BOTH engines and would drag the arithmetic through
+    // engine-specific decimal scales; every intermediate is an IEEE
+    // double of exact-integer inputs < 2^53, sqrt is correctly
+    // rounded, floor of the identical double is identical), and the
+    // verdict thresholds the integer micros at the two-sided 5%
+    // critical value. ORACLE-EXACT.
+    QueryDef(
+      "q288_ab_proportion_test",
+      (s, dir) => {
+        val zExpr =
+          """CAST(floor(
+               ((CAST(c0 AS DOUBLE) / n0) - (CAST(c1 AS DOUBLE) / n1))
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1e0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1e0 / n0 + 1e0 / n1))
+               * 1000000e0) AS BIGINT)"""
+        Tables(s, dir, "events")
+          .select("user_id", "event_type", "value")
+          .groupBy("user_id")
+          .agg(
+            max(
+              when(col("event_type") === "purchase" && col("value") > 100, 1L).otherwise(0L)
+            ).as("conv")
+          )
+          .withColumn("cohort", col("user_id") % 2)
+          .agg(
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("c0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("c1")
+          )
+          .select(
+            col("n0"),
+            col("c0"),
+            col("n1"),
+            col("c1"),
+            expr("(c0 * 1000000) DIV n0").as("rate0_ppm"),
+            expr("(c1 * 1000000) DIV n1").as("rate1_ppm"),
+            expr(zExpr).as("z_micros"),
+            expr(s"abs($zExpr) > 1959964").as("significant")
+          )
+      },
+      Some("""WITH u AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' AND value > 100
+                     THEN 1 ELSE 0 END) AS conv,
+                 user_id % 2 AS cohort
+          FROM events GROUP BY user_id),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+          FROM u),
+        z AS (
+          SELECT *,
+                 CAST(floor(
+                   ((CAST(c0 AS DOUBLE) / n0) - (CAST(c1 AS DOUBLE) / n1))
+                   / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1e0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1e0 / n0 + 1e0 / n1))
+                   * 1000000e0) AS BIGINT) AS z_micros
+          FROM agg)
+        SELECT n0, c0, n1, c1,
+               (c0 * 1000000) // n0 AS rate0_ppm,
+               (c1 * 1000000) // n1 AS rate1_ppm,
+               z_micros,
+               abs(z_micros) > 1959964 AS significant
+        FROM z""")
     )
   )
 

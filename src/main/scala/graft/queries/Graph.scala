@@ -461,6 +461,64 @@ object Graph {
           .limit(20)
       },
       Some(edgeJaccardOracle("WHERE l_orderkey % 2 = 0"))
+    ),
+
+    // ------------------------------------------------------------------
+    // BOUNDED MULTI-SOURCE BFS (round 14): shortest-hop distances from
+    // a source set over the co-purchase graph, 3 supersteps of frontier
+    // relaxation — the Pregel iteration shape (one frontier ⋈ edges
+    // join + one anti join against the settled set per hop, frontiers
+    // localCheckpointed so lineage stays one superstep deep, the
+    // PageRank/k-core discipline). Per superstep the exchange carries
+    // the FRONTIER's adjacency, not the graph: expansion is
+    // Σ deg(frontier) — at 100 TB the bound is the hop limit, which is
+    // exactly why production reachability queries are hop-bounded.
+    // The census (per-distance node count + id checksum) pins every
+    // settled distance. ORACLE-EXACT (DuckDB recursive CTE, min-dist
+    // per node).
+    QueryDef(
+      "q287_bfs_distances",
+      (s, dir) => {
+        val e = partEdges(s, dir, orderMod = 2L)
+        val sym = e
+          .select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+          .localCheckpoint()
+        var dists = sym
+          .select(col("src").as("node"))
+          .distinct()
+          .filter(col("node") % 97 === 1)
+          .withColumn("dist", lit(0L))
+          .localCheckpoint()
+        var frontier = dists
+        (1 to 3).foreach { d =>
+          frontier = frontier
+            .join(sym, frontier("node") === sym("src"))
+            .select(col("dst").as("node"))
+            .distinct()
+            .join(dists, Seq("node"), "left_anti")
+            .withColumn("dist", lit(d.toLong))
+            .localCheckpoint()
+          dists = dists.unionByName(frontier).localCheckpoint()
+        }
+        dists
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node"))
+          .orderBy("dist")
+      },
+      Some(s"""WITH RECURSIVE ${edgeCteOver("WHERE l_orderkey % 2 = 0")},
+        sym AS (SELECT u AS src, v AS dst FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        srcs AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 1),
+        bfs AS (
+          SELECT node, 0 AS dist FROM srcs
+          UNION
+          SELECT s.dst, b.dist + 1 FROM bfs b
+          JOIN sym s ON s.src = b.node WHERE b.dist < 3),
+        settled AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY 1)
+        SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS sum_node
+        FROM settled GROUP BY dist ORDER BY dist""")
     )
   )
 
