@@ -2925,6 +2925,164 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // SCD2 FROM THE CHANGE FEED (round 14): q137 detects change points
+    // INSIDE a static table; this derives the type-2 slowly-changing
+    // dimension FROM THE COMMIT HISTORY itself — every key's validity
+    // intervals [from_version, to_version) reconstructed from the CDC
+    // feed in ONE keyed window pass: an insert/post-image OPENS an
+    // interval, the key's next event (any type) CLOSES it, a delete
+    // closes without opening. No per-version loop, no join of
+    // adjacent versions — O(change events) with one exchange on the
+    // key. The honest contrast with a warehouse SCD2 MERGE: here the
+    // version store already recorded every transition, so the
+    // dimension history is a PROJECTION of the log, not a maintained
+    // table. ORACLE-EXACT: the fixture's four commits (base, zh
+    // update, erasure, en update) give every key a closed-form
+    // interval set the oracle restates — including the subtlety that
+    // a row deleted at v2 is NOT reopened by the v3 update (updates
+    // touch live rows only). to_version = -1 encodes "current" (NULL
+    // would also work, but an integer keeps the hash comparison
+    // NULL-free).
+    QueryDef(
+      "q289_scd2_from_feed",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("scd2_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs, tdir) // v0: base
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v1
+        TableVersions.commitDelete(s, tdir, "doc_id % 7 = 5") // v2
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'en'",
+          _.withColumn("n_chars", col("n_chars") + 7)
+        ) // v3
+        val head = TableVersions.currentVersion(s, tdir)
+        // v0's rows enter as synthetic inserts; the feed carries v1..head
+        val v0 = TableVersions
+          .readVersion(s, tdir, 0L)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+        val events = TableVersions
+          .changesFeed(s, tdir, 0L, head)
+          .select("doc_id", "lang", "n_chars", "_change_type", "_commit_version")
+          .unionByName(v0.select("doc_id", "lang", "n_chars", "_change_type", "_commit_version"))
+          // pre-images are the closing half of an update — the
+          // post-image at the same version both closes the previous
+          // interval (via lead) and opens the new one
+          .filter(col("_change_type") =!= "update_preimage")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy("_commit_version")
+        events
+          .withColumn("to_version", coalesce(lead("_commit_version", 1).over(w), lit(-1L)))
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            col("_commit_version").as("from_version"),
+            col("to_version")
+          )
+          .orderBy("doc_id", "from_version")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+                         FROM documents),
+        rows_ AS (
+          SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS from_version,
+                 CAST(CASE WHEN lang = 'zh' THEN 1
+                           WHEN doc_id % 7 = 5 THEN 2
+                           WHEN lang = 'en' THEN 3
+                           ELSE -1 END AS BIGINT) AS to_version
+          FROM d
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 1000, 1,
+                 CASE WHEN doc_id % 7 = 5 THEN 2 ELSE -1 END
+          FROM d WHERE lang = 'zh'
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 7, 3, -1
+          FROM d WHERE lang = 'en' AND doc_id % 7 <> 5)
+        SELECT doc_id, lang, n_chars, from_version, to_version
+        FROM rows_ ORDER BY doc_id, from_version""")
+    ),
+
+    // ------------------------------------------------------------------
+    // COLUMN MASKING + ROW FILTER POLICIES (round 14) — the governance
+    // layer as DATA (operators/ColumnPolicy; the Snowflake masking-
+    // policy / Unity row-filter shape): policies persist as one tiny
+    // parquet table, and the governed view compiles the caller's ROLE
+    // into an ordinary projection + filter — masks are codegen'd
+    // Catalyst expressions, row filters push to the scan, policy
+    // changes are data changes. The fixture governs `documents` for an
+    // `analyst` (source md5-pseudonymized but still JOINABLE — the
+    // group census over the mask equals the plaintext census; text
+    // redacted to typed NULL; doc_id bucketed to hundreds; rows
+    // limited to two languages) and proves the `admin` path is
+    // byte-identical to the raw table. ORACLE-EXACT: both roles'
+    // censuses restated over `documents` (md5 is the engines' shared
+    // primitive).
+    QueryDef(
+      "q290_column_policies",
+      (s, dir) => {
+        import graft.operators.ColumnPolicy
+        import graft.operators.ColumnPolicy.Policy
+        val pdir = Similarity.freshIndexDir("policy_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "source", "text", "n_chars")
+        ColumnPolicy.register(
+          s,
+          pdir,
+          Seq(
+            Policy("hash", "source", "analyst", ""),
+            Policy("redact", "text", "analyst", ""),
+            Policy("zero_bucket", "doc_id", "analyst", "100"),
+            Policy("row_filter", "", "analyst", "lang IN ('en', 'fr')")
+          )
+        )
+        val analyst = ColumnPolicy.apply(s, pdir, docs, "analyst")
+        require(
+          analyst.filter(col("text").isNotNull).isEmpty,
+          "redacted column leaked content"
+        )
+        val admin = ColumnPolicy.apply(s, pdir, docs, "admin")
+        require(
+          admin.exceptAll(docs).isEmpty && docs.exceptAll(admin).isEmpty,
+          "a role with no policies must read the table unchanged"
+        )
+        val aCensus = analyst
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("n_chars").as("chars"),
+            countDistinct("doc_id").as("n_buckets")
+          )
+          .select(lit("analyst").as("role"), col("lang"), col("source"), col("n"), col("chars"), col("n_buckets"))
+        val dCensus = admin
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"), countDistinct("doc_id").as("n_buckets"))
+          .select(lit("admin").as("role"), col("lang"), lit("all").as("source"), col("n"), col("chars"), col("n_buckets"))
+        aCensus.unionByName(dCensus).orderBy("role", "lang", "source")
+      },
+      Some("""WITH a AS (
+          SELECT 'analyst' AS role, lang, md5(source) AS source, count(*) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 CAST(count(DISTINCT (doc_id // 100) * 100) AS BIGINT) AS n_buckets
+          FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang, md5(source)),
+        d AS (
+          SELECT 'admin', lang, 'all', count(*),
+                 CAST(sum(n_chars) AS BIGINT),
+                 CAST(count(DISTINCT doc_id) AS BIGINT)
+          FROM documents GROUP BY lang)
+        SELECT role, lang, source, n, chars, n_buckets FROM (
+          SELECT * FROM a UNION ALL SELECT * FROM d)
+        ORDER BY role, lang, source""")
+    ),
+
+    // ------------------------------------------------------------------
     // 3-D HILBERT CLUSTERING (round 14): q266's curve generalized past
     // two dimensions with Skilling's transform ("Programming the
     // Hilbert curve", 2004) — the transposed-code inverse-undo / Gray
