@@ -55,6 +55,36 @@ object PageRank {
       dst: String,
       iters: Int = 3,
       pinEdgePartitioning: Boolean = false
+  ): DataFrame =
+    core(edges, src, dst, iters, pinEdgePartitioning, sourcePred = None)
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport
+    * mass lands ONLY on the nodes satisfying `sourcePred` (a SQL
+    * predicate over the `node` column), so ranks measure proximity TO
+    * THE SOURCE SET instead of global centrality — the
+    * recommendation / related-entity signal (Gleich 2015 §5). Same
+    * fixed-point integer contract and per-iteration plan as [[ranks]];
+    * only the restart vector changes: init = SCALE/|S| on S (0
+    * elsewhere), teleport = 15%·SCALE/|S| on S per round. Nodes
+    * unreachable from S stay at exactly 0 — integer arithmetic keeps
+    * that crisp where float PPR leaves denormal dust. */
+  def personalizedRanks(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      sourcePred: String,
+      iters: Int = 3,
+      pinEdgePartitioning: Boolean = false
+  ): DataFrame =
+    core(edges, src, dst, iters, pinEdgePartitioning, Some(sourcePred))
+
+  private def core(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iters: Int,
+      pinEdgePartitioning: Boolean,
+      sourcePred: Option[String]
   ): DataFrame = {
     import CheckpointTracking.checkpointTracked
 
@@ -100,11 +130,21 @@ object PageRank {
         CheckpointTracking.checkpointHashPartitioned(nodeUniverse, Seq("node"), Seq("node"))
       else checkpointTracked(nodeUniverse)
 
-    val n = nodes.count() // one scalar action; the node count is a constant of the run
+    // teleport targets: the whole universe (classic) or the restart
+    // set (personalized); |targets| is the only count the run needs
+    val n = sourcePred match {
+      case None    => nodes.count()
+      case Some(p) => nodes.filter(expr(p)).count()
+    }
+    require(n > 0, "personalized PageRank needs a non-empty source set")
     val base = (15L * Scale) / (100L * math.max(n, 1L))
+    val isTarget = sourcePred.map(expr).getOrElse(lit(true))
 
     var (rank, prevBlocks) = checkpointTracked(
-      nodes.withColumn("rank_e12", lit(Scale / math.max(n, 1L)))
+      nodes.withColumn(
+        "rank_e12",
+        when(isTarget, lit(Scale / math.max(n, 1L))).otherwise(lit(0L))
+      )
     )
     for (_ <- 1 to iters) {
       val contribs = edgesWithDeg
@@ -112,13 +152,14 @@ object PageRank {
         .select(col("dst"), expr("rank_e12 div outdeg").as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("s"))
-      // every node keeps receiving the teleport mass even with no
-      // in-edges, hence the left join from the full node universe
+      // every teleport target keeps receiving its restart mass even
+      // with no in-edges, hence the left join from the full universe
       val next = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(
           col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank_e12")
+          (when(isTarget, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank_e12")
         )
       val (ck, blocks) = checkpointTracked(next)
       CheckpointTracking.free(ck, prevBlocks)

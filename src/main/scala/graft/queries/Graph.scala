@@ -519,6 +519,72 @@ object Graph {
         SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
                CAST(sum(node) AS BIGINT) AS sum_node
         FROM settled GROUP BY dist ORDER BY dist""")
+    ),
+
+    // ------------------------------------------------------------------
+    // PERSONALIZED PAGERANK (round 14): q104's power iteration with the
+    // teleport RESTRICTED to a restart set (random walk with restart,
+    // Gleich 2015 §5) — ranks measure proximity to the sources, the
+    // recommendation / related-entity signal. Same fixed-point integer
+    // contract (restart mass SCALE/|S| on S, 0 elsewhere; 15% restart +
+    // 85% damped flow per round, all DIV arithmetic, so the distributed
+    // run is bit-identical to the SQL restatement), same one-join-per-
+    // iteration plan. Nodes unreachable from S hold exactly 0.
+    // ORACLE-EXACT (3 iterations unrolled as CTEs, top-100).
+    QueryDef(
+      "q292_personalized_pagerank",
+      (s, dir) => top100(
+        PageRank.personalizedRanks(
+          purchaseGraph(s, dir, orderMod = 2L),
+          "src",
+          "dst",
+          sourcePred = "node % 97 = 1",
+          iters = 3
+        )
+      ),
+      Some(s"""WITH fwd AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderkey % 2 = 0),
+        sym AS (SELECT src, dst FROM fwd
+                UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
+        deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+        ed AS (SELECT s.src, s.dst, d.outdeg FROM sym s JOIN deg d ON d.src = s.src),
+        p AS (SELECT count(*) AS n FROM nodes WHERE node % 97 = 1),
+        r0 AS (SELECT node, CASE WHEN node % 97 = 1
+                 THEN 1000000000000 // n ELSE 0 END AS rank_e12 FROM nodes, p),
+        r1 AS (SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 97 = 1
+                        THEN 15000000000000 // (100 * p.n) ELSE 0 END
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r0.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r0 ON r0.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        r2 AS (SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 97 = 1
+                        THEN 15000000000000 // (100 * p.n) ELSE 0 END
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r1.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r1 ON r1.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        r3 AS (SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 97 = 1
+                        THEN 15000000000000 // (100 * p.n) ELSE 0 END
+                   + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_e12
+               FROM nodes CROSS JOIN p
+               LEFT JOIN (SELECT ed.dst, sum(r2.rank_e12 // ed.outdeg) AS s
+                          FROM ed JOIN r2 ON r2.node = ed.src GROUP BY 1) c
+                 ON c.dst = nodes.node),
+        top AS (SELECT node AS nid, rank_e12 FROM r3
+                ORDER BY rank_e12 DESC, node LIMIT 100)
+        SELECT CASE WHEN nid % 2 = 0 THEN 'c' || CAST(nid // 2 AS VARCHAR)
+                    ELSE 's' || CAST(nid // 2 AS VARCHAR) END AS node,
+               rank_e12
+        FROM top ORDER BY rank_e12 DESC, nid""")
     )
   )
 

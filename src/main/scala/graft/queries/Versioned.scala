@@ -3012,6 +3012,109 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // POINT-IN-TIME JOIN OVER THE SCD2 DIMENSION (round 14): the
+    // training-data reproducibility primitive — each fact joins to the
+    // dimension row that was VALID WHEN THE FACT HAPPENED
+    // (from_version ≤ v < to_version), never today's row (the feature-
+    // leakage bug PIT joins exist to kill; Feast/Tecton call this the
+    // point-in-time correctness guarantee). The dimension history is
+    // q289's one-pass SCD2 projection of the commit log; facts carry
+    // the version at which they were observed. Plan: the interval
+    // table is key-dominated (≤ 3 rows per key here, bounded by the
+    // key's commit count in general), so the join is an ordinary equi
+    // join ON THE KEY with the interval predicate as a residual —
+    // broadcast when the dimension fits, hash otherwise; never a
+    // cross-interval range explosion. ORACLE-EXACT: facts at three
+    // observation versions, each resolving a different validity row
+    // (or none, for facts observing an erased key after its delete).
+    QueryDef(
+      "q291_pit_join",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("pit_store")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs, tdir) // v0
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v1
+        TableVersions.commitDelete(s, tdir, "doc_id % 7 = 5") // v2
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'en'",
+          _.withColumn("n_chars", col("n_chars") + 7)
+        ) // v3
+        val head = TableVersions.currentVersion(s, tdir)
+        val v0 = TableVersions
+          .readVersion(s, tdir, 0L)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy("_commit_version")
+        val scd2 = TableVersions
+          .changesFeed(s, tdir, 0L, head)
+          .select("doc_id", "lang", "n_chars", "_change_type", "_commit_version")
+          .unionByName(v0.select("doc_id", "lang", "n_chars", "_change_type", "_commit_version"))
+          .filter(col("_change_type") =!= "update_preimage")
+          .withColumn("to_version", coalesce(lead("_commit_version", 1).over(w), lit(Long.MaxValue)))
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            col("_commit_version").as("from_version"),
+            col("to_version")
+          )
+        // facts: every third doc observed at versions 0, 2, and 3
+        val sess = s
+        import sess.implicits._
+        val facts = docs
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"))
+          .crossJoin(broadcast(Seq(0L, 2L, 3L).toDF("obs_v")))
+        facts
+          .join(
+            scd2,
+            facts("doc_id") === scd2("doc_id") &&
+              col("from_version") <= col("obs_v") && col("obs_v") < col("to_version")
+          )
+          .select(
+            facts("doc_id"),
+            col("obs_v"),
+            col("lang"),
+            col("n_chars").as("pit_chars")
+          )
+          .orderBy("doc_id", "obs_v")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+          WHERE doc_id % 3 = 0),
+        obs AS (SELECT unnest([0, 2, 3]) AS obs_v),
+        pit AS (
+          SELECT doc_id, obs_v, lang,
+                 CASE
+                   -- at v0 every key serves its base row
+                   WHEN obs_v = 0 THEN n_chars
+                   -- at v2: zh rows carry the v1 update; erased keys
+                   -- (doc_id % 7 = 5, deleted AT v2) serve nothing
+                   WHEN obs_v = 2 AND doc_id % 7 = 5 THEN NULL
+                   WHEN obs_v = 2 AND lang = 'zh' THEN n_chars + 1000
+                   WHEN obs_v = 2 THEN n_chars
+                   -- at v3: the en update applies to surviving rows
+                   WHEN obs_v = 3 AND doc_id % 7 = 5 THEN NULL
+                   WHEN obs_v = 3 AND lang = 'zh' THEN n_chars + 1000
+                   WHEN obs_v = 3 AND lang = 'en' THEN n_chars + 7
+                   ELSE n_chars END AS pit_chars
+          FROM d CROSS JOIN obs)
+        SELECT doc_id, CAST(obs_v AS BIGINT) AS obs_v, lang, pit_chars
+        FROM pit WHERE pit_chars IS NOT NULL
+        ORDER BY doc_id, obs_v""")
+    ),
+
+    // ------------------------------------------------------------------
     // COLUMN MASKING + ROW FILTER POLICIES (round 14) — the governance
     // layer as DATA (operators/ColumnPolicy; the Snowflake masking-
     // policy / Unity row-filter shape): policies persist as one tiny
