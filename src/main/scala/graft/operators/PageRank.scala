@@ -136,7 +136,13 @@ object PageRank {
       case None    => nodes.count()
       case Some(p) => nodes.filter(expr(p)).count()
     }
-    require(n > 0, "personalized PageRank needs a non-empty source set")
+    // an empty GRAPH yields an empty rank table for either variant
+    // (the max(n, 1) guards below); a non-empty graph whose restart
+    // set matches nothing is a caller error — every rank would be 0
+    require(
+      sourcePred.isEmpty || n > 0 || nodes.isEmpty,
+      "personalized PageRank needs a non-empty source set"
+    )
     val base = (15L * Scale) / (100L * math.max(n, 1L))
     val isTarget = sourcePred.map(expr).getOrElse(lit(true))
 
