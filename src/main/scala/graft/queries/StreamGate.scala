@@ -1323,6 +1323,42 @@ object StreamGate {
     ),
 
     // ------------------------------------------------------------------
+    // E15 × q283 (streaming write-audit-publish, round 14): the WAP
+    // gate live — every micro-batch COMMITS to the table (a real
+    // version), is AUDITED post-write, and the catalog pin advances
+    // ONLY for clean batches; a batch carrying planted defects lands
+    // as an unpublished version that catalog-routed readers provably
+    // never see, and the post-drain remediation (delete the defective
+    // rows at the head) re-audits and publishes. Whatever the source
+    // split, the same defect rows exist and the same remediation
+    // removes them, so the drained published state is split-invariant
+    // (StreamWapSpec forces a 3-batch replay: each held batch stays
+    // unpublished while any clean batch publishes around it — the
+    // ship-what-passed semantics WAP exists for).
+    QueryDef(
+      "q293_stream_wap",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runWapStream(
+          gs,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id", "lang", "n_chars"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 3 =!= 0)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE NOT (doc_id % 3 <> 0 AND doc_id % 13 = 4)
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
     // E15 × q275 (streaming bitmap-index maintenance, round 14): the
     // q184 inverted-index pattern applied to the bitmap index — the
     // crawl stream lands each micro-batch as one OR-mergeable segment
@@ -1829,6 +1865,69 @@ object StreamGate {
     graft.operators.InvertedIndex
       .conjunctiveQuery(gs, idx, Seq("spark", "join"))
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Drive q283's write-audit-publish with LIVE streams: each
+    * micro-batch commits (defects PLANTED on doc_id % 13 = 4 rows —
+    * n_chars forced negative), is audited post-write, and publishes
+    * its catalog pin only when clean; dirty batches stay unpublished
+    * (asserted mid-drain: the catalog head never serves a negative
+    * n_chars). Post-drain, remediation deletes the defective rows at
+    * the table head, re-audits, and publishes — so the drained
+    * published state is the clean corpus regardless of how the source
+    * split scattered the defects. Returns the catalog-routed head.
+    */
+  private[graft] def runWapStream(
+      gs: SparkSession,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    import graft.operators.{Catalog, TableVersions}
+    val cat = Similarity.freshIndexDir("wap_stream_cat")
+    val tdir = Similarity.freshIndexDir("wap_stream_store")
+    Catalog.transact(gs, cat) { _ =>
+      val v0 = TableVersions.commitAppend(base, tdir)
+      Map("docs" -> Catalog.Pin(tdir, v0))
+    }
+    def violations(v: Long): Long =
+      TableVersions.readVersion(gs, tdir, v).filter(col("n_chars") <= 0).count()
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the crawl batch arrives with planted defects
+          val dirty = batch
+            .toDF()
+            .withColumn(
+              "n_chars",
+              when(col("doc_id") % 13 === 4, lit(-1L)).otherwise(col("n_chars"))
+            )
+          val v = TableVersions.commitAppend(dirty, tdir)
+          if (violations(v) == 0L)
+            Catalog.transact(gs, cat)(_ => Map("docs" -> Catalog.Pin(tdir, v))): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("wap_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // no published snapshot ever served a defective row
+    require(
+      Catalog
+        .readTable(gs, cat, Catalog.head(gs, cat), "docs")
+        .filter(col("n_chars") <= 0)
+        .isEmpty,
+      "a published snapshot served an unaudited defect"
+    )
+    // remediation: one audited delete commit publishes everything else
+    val vFix = TableVersions.commitDelete(gs, tdir, "n_chars <= 0")
+    require(violations(vFix) == 0L, "remediation must pass its audit")
+    Catalog.transact(gs, cat)(_ => Map("docs" -> Catalog.Pin(tdir, vFix)))
+    Catalog
+      .readTable(gs, cat, Catalog.head(gs, cat), "docs")
+      .orderBy("doc_id")
   }
 
   /** Drive q282's covering index with LIVE streams: one table commit +
