@@ -3068,13 +3068,12 @@ object Versioned {
             col("_commit_version").as("from_version"),
             col("to_version")
           )
-        // facts: every third doc observed at versions 0, 2, and 3
-        val sess = s
-        import sess.implicits._
+        // facts: every third doc observed at versions 0, 2, and 3 — an
+        // exploded array literal, not a joined 3-row frame (the same
+        // rows without a BroadcastNestedLoopJoin in the plan)
         val facts = docs
           .filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"))
-          .crossJoin(broadcast(Seq(0L, 2L, 3L).toDF("obs_v")))
+          .select(col("doc_id"), explode(expr("array(0L, 2L, 3L)")).as("obs_v"))
         facts
           .join(
             scd2,
