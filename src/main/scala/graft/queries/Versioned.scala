@@ -2000,6 +2000,7 @@ object Versioned {
         val view = Similarity.freshIndexDir("dsar_sample")
         val bmDir = Similarity.freshIndexDir("dsar_bitmap")
         val posDir = Similarity.freshIndexDir("dsar_pos")
+        val covDir = Similarity.freshIndexDir("dsar_cov")
         val docs = Tables(s, dir, "documents")
           .select(
             col("doc_id"),
@@ -2019,6 +2020,7 @@ object Versioned {
         // (positional) even if the primary table were dropped
         BitmapIndex.build(docs, "doc_id", "lang", bmDir)
         PositionalIndex.build(docs.select("doc_id", "text"), posDir)
+        graft.operators.CoveringIndex.init(s, dDir, covDir, "doc_id", Seq("lang")): Unit
         val subject = 7L
         val head = (d: String) => TableVersions.readVersion(s, d, TableVersions.currentVersion(s, d))
         val subjDocs = head(dDir).filter(col("owner") === subject)
@@ -2045,11 +2047,17 @@ object Versioned {
             col("doc_id").as("rec_id"),
             concat(lit("postings:"), col("n_postings")).as("attr")
           )
+        // covering index: the subject's retained (key, payload) rows
+        val fromCov = graft.operators.CoveringIndex
+          .read(s, covDir, "doc_id", Seq("lang"))
+          .filter(col("doc_id") % 50 === subject)
+          .select(lit("cov_index").as("src"), col("doc_id").as("rec_id"), col("lang").as("attr"))
         fromDocs
           .unionByName(fromEvents)
           .unionByName(fromSample)
           .unionByName(fromBitmap)
           .unionByName(fromPos)
+          .unionByName(fromCov)
           .orderBy("src", "rec_id")
       },
       Some("""WITH d AS (
@@ -2068,6 +2076,8 @@ object Versioned {
           SELECT 'sample', doc_id, grp FROM sample WHERE rn <= 8 AND owner = 7),
         bm AS (
           SELECT 'bitmap', doc_id, lang FROM documents WHERE doc_id % 50 = 7),
+        cov AS (
+          SELECT 'cov_index' AS src, doc_id, lang FROM documents WHERE doc_id % 50 = 7),
         pos AS (
           SELECT 'pos_index', doc_id,
                  'postings:' || CAST(len(list_filter(string_split(text, ' '),
@@ -2077,7 +2087,8 @@ object Versioned {
             AND len(list_filter(string_split(text, ' '), tok -> len(tok) > 0)) > 0)
         SELECT src, rec_id, attr FROM (
           SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM sv
-          UNION ALL SELECT * FROM bm UNION ALL SELECT * FROM pos)
+          UNION ALL SELECT * FROM bm UNION ALL SELECT * FROM pos
+          UNION ALL SELECT * FROM cov)
         ORDER BY src, rec_id""")
     ),
 
@@ -2440,14 +2451,15 @@ object Versioned {
         val asof = Similarity.freshIndexDir("cie_asof")
         val bitmap = Similarity.freshIndexDir("cie_bitmap")
         val posIdx = Similarity.freshIndexDir("cie_pos")
+        val covIdx = Similarity.freshIndexDir("cie_cov")
         val docs = Tables(s, dir, "documents")
           .filter(col("doc_id") % 3 === 0)
           .select("doc_id", "lang", "text")
         val subjectCond = "doc_id % 17 = 3"
 
-        // txn 0: corpus + ALL FIVE derived indexes born in one snapshot
-        // (round 14 folds the bitmap and positional indexes in — the
-        // round-13 gap where the two newest persisted indexes sat
+        // txn 0: corpus + ALL SIX derived indexes born in one snapshot
+        // (round 14 folds the bitmap, positional, and covering indexes
+        // in — the round-13 gap where the newest persisted indexes sat
         // outside the one-transaction erasure)
         Catalog.transact(s, cat) { _ =>
           val v0 = TableVersions.commitAppend(docs.repartition(4), corpus)
@@ -2457,13 +2469,15 @@ object Versioned {
           AsOfIndex.init(s, corpus, asof)
           BitmapIndex.build(head, "doc_id", "lang", bitmap)
           PositionalIndex.build(head.select("doc_id", "text"), posIdx)
+          graft.operators.CoveringIndex.init(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
           Map(
             "corpus" -> Catalog.Pin(corpus, v0),
             "inv" -> Catalog.Pin(inv, v0),
             "shingle" -> Catalog.Pin(shingle, v0),
             "asof" -> Catalog.Pin(asof, v0),
             "bitmap" -> Catalog.Pin(bitmap, v0),
-            "positional" -> Catalog.Pin(posIdx, v0)
+            "positional" -> Catalog.Pin(posIdx, v0),
+            "covering" -> Catalog.Pin(covIdx, v0)
           )
         }
 
@@ -2485,8 +2499,19 @@ object Versioned {
             .head()
           (r.getLong(0), r.getLong(1))
         }
+        def covState(): (Long, Long) = {
+          val r = graft.operators.CoveringIndex
+            .read(s, covIdx, "doc_id", Seq("lang"))
+            .agg(
+              count(lit(1)),
+              coalesce(sum(when(expr(subjectCond), 1L).otherwise(0L)), lit(0L))
+            )
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
         val bitmapPre = bitmapTotal()
         val phrasePre = phraseState()
+        val covPre = covState()
 
         // the feed-driven erasure transaction: corpus delete (skipped
         // when a crashed attempt already landed it), index tombstones
@@ -2512,13 +2537,17 @@ object Versioned {
           AsOfIndex.sync(s, corpus, asof)
           BitmapIndex.delete(confirmed, "doc_id", bitmap)
           PositionalIndex.delete(confirmed, posIdx)
+          // the covering index is CDC-maintained — the same feed the
+          // tombstones derive from drives its sync
+          graft.operators.CoveringIndex.sync(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
           Map(
             "corpus" -> Catalog.Pin(corpus, afterDelete),
             "inv" -> Catalog.Pin(inv, afterDelete),
             "shingle" -> Catalog.Pin(shingle, afterDelete),
             "asof" -> Catalog.Pin(asof, afterDelete),
             "bitmap" -> Catalog.Pin(bitmap, afterDelete),
-            "positional" -> Catalog.Pin(posIdx, afterDelete)
+            "positional" -> Catalog.Pin(posIdx, afterDelete),
+            "covering" -> Catalog.Pin(covIdx, afterDelete)
           )
         }
 
@@ -2548,6 +2577,7 @@ object Versioned {
         // their pre-erasure state (consistent pre-erasure snapshot)
         require(bitmapTotal() == bitmapPre, "crash leaked into the bitmap index")
         require(phraseState() == phrasePre, "crash leaked into the positional index")
+        require(covState() == covPre, "crash leaked into the covering index")
 
         // RECOVERY: the same feed-driven body, replayed to completion
         Catalog.transact(s, cat)(erasureBody(crashBeforeIndexes = false))
@@ -2583,9 +2613,11 @@ object Versioned {
           )
         }
         val (phN, phSubj) = phraseState()
+        val (covN, covSubj) = covState()
         val headProbes = Seq(
           (1L, "bitmap_total", bitmapTotal(), 0L),
-          (1L, "phrase_spark_join", phN, phSubj)
+          (1L, "phrase_spark_join", phN, phSubj),
+          (1L, "covering_live", covN, covSubj)
         )
         (versionedProbes ++ headProbes)
           .toDF("snap", "probe", "n", "n_subject")
@@ -2621,7 +2653,10 @@ object Versioned {
           UNION ALL
           SELECT 1, 'phrase_spark_join', count(*),
                  CAST(coalesce(sum(subj), 0) AS BIGINT)
-          FROM ph WHERE subj = 0)
+          FROM ph WHERE subj = 0
+          UNION ALL
+          SELECT 1, 'covering_live', count(*), CAST(0 AS BIGINT)
+          FROM d WHERE subj = 0)
         ORDER BY snap, probe""")
     ),
 
