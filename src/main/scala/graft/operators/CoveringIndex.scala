@@ -78,13 +78,22 @@ object CoveringIndex {
   private def sorted(df: DataFrame, key: String): DataFrame =
     df.repartitionByRange(col(key)).sortWithinPartitions(key)
 
-  /** Build the index at the source head: one projection pass. */
+  /** Build the index at the source head: one projection pass. Refuses
+    * a table with duplicate keys LOUDLY — latest-wins over a
+    * non-unique key would silently drop rows on every read, the exact
+    * wrong-not-loud failure this layer must never have. The check
+    * rides the same pass (one extra aggregate over the projection). */
   def init(s: SparkSession, srcDir: String, idxDir: String, key: String, cols: Seq[String]): Long = {
     val v = TableVersions.currentVersion(s, srcDir)
     require(v >= 0, s"$srcDir not initialized")
     val head = TableVersions
       .readVersion(s, srcDir, v)
       .select((key +: cols).map(col) :+ lit(false).as("_deleted"): _*)
+    val dup = head.groupBy(col(key)).count().filter(col("count") > 1).limit(1).collect()
+    require(
+      dup.isEmpty,
+      s"covering index requires unique keys; '$key' = ${dup.head.get(0)} appears ${dup.head.getLong(1)} times"
+    )
     publishSegment(s, idxDir, sorted(head, key), v)
     v
   }
@@ -102,6 +111,23 @@ object CoveringIndex {
     val live = when(col("_change_type").isin("insert", "update_postimage"), 1).otherwise(0)
     val packed = struct(
       (col("_commit_version") +: live.as("_live") +: cols.map(col)): _*
+    )
+    // unique-key guard, window-scaled: two OPEN rows for one key at one
+    // version means the source violated the merge-key contract — the
+    // latest-wins fold would then pick a payload arbitrarily (wrong,
+    // not loud). Deletes + the matching post-image share a version
+    // legitimately; two inserts of one key in one commit do not.
+    val dup = changes
+      .filter(live === 1)
+      .groupBy(col(key), col("_commit_version"))
+      .count()
+      .filter(col("count") > 1)
+      .limit(1)
+      .collect()
+    require(
+      dup.isEmpty,
+      s"covering index sync: key '${if (dup.isEmpty) "" else dup.head.get(0)}' has multiple " +
+        "live rows in one commit — the source table's keys are not unique"
     )
     val folded = changes
       .groupBy(col(key))

@@ -75,6 +75,33 @@ class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
     assert(view == head)
   }
 
+  test("non-unique keys refuse loudly at init and at sync") {
+    val s = spark
+    import s.implicits._
+    // init: duplicate keys already in the table
+    val dupDir = fresh("ci_dup_src")
+    TableVersions.commitAppend(
+      Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 3L)).toDF("k", "g", "v"),
+      dupDir
+    )
+    intercept[IllegalArgumentException] {
+      CoveringIndex.init(spark, dupDir, fresh("ci_dup_idx"), "k", cols)
+    }
+    // sync: a later append violates the key contract
+    val (src, idx) = table(10)
+    CoveringIndex.init(spark, src, idx, "k", cols)
+    TableVersions.commitAppend(Seq((3L, "dup", 99L)).toDF("k", "g", "v"), src)
+    intercept[IllegalArgumentException] {
+      // key 3 now has two live rows... within ONE commit it does not,
+      // so force the single-commit violation directly
+      TableVersions.commitAppend(
+        Seq((500L, "x", 1L), (500L, "y", 2L)).toDF("k", "g", "v"),
+        src
+      )
+      CoveringIndex.sync(spark, src, idx, "k", cols)
+    }
+  }
+
   test("an interrupted compact swap resumes; lookups push probed keys into the scan") {
     val (src, idx) = table(50)
     CoveringIndex.init(spark, src, idx, "k", cols)
