@@ -1648,6 +1648,292 @@ object Extras {
                z_micros,
                abs(z_micros) > 1959964 AS significant
         FROM z""")
+    ),
+
+    // ------------------------------------------------------------------
+    // MANN-WHITNEY U TEST (round 14): the rank-based complement to
+    // q288's parametric z — does the purchase-value DISTRIBUTION
+    // differ between two user cohorts, with no normality assumption?
+    // Values are coarsened to integer floors so ties are real and the
+    // tie machinery is exercised, not vestigial. All rank arithmetic
+    // is exact-integer: average ranks are half-integers, so ranks are
+    // carried ×2 (2·avgrank = 2·rank_min + t − 1 for a tie group of
+    // size t), the rank-sum and U fold without a single float, and
+    // the tie correction Σ(t³−t) falls out of the SAME ranked pass as
+    // sum(t²−1) — one global rank window + one aggregate, no second
+    // scan, no scalar cross join. The normal-approximation z is then
+    // ONE textually identical double sequence over those exact
+    // integers (q288's discipline: `1e0` literals, floor at micros).
+    // Plan: the rank window is global but runs over PURCHASES ONLY —
+    // the filtered small side, the q285 trade (an exact global rank
+    // has a user-count-scaled sort; the event stream never enters it).
+    // ORACLE-EXACT.
+    QueryDef(
+      "q294_mann_whitney",
+      (s, dir) => {
+        val zExpr =
+          """CAST(floor(
+               ((CAST(r0_2 - n0 * (n0 + 1) AS DOUBLE) / 2e0)
+                 - CAST(n0 AS DOUBLE) * n1 / 2e0)
+               / sqrt(CAST(n0 AS DOUBLE) * n1 / 12e0
+                      * ((CAST(n0 + n1 AS DOUBLE) + 1e0)
+                         - CAST(tie3 AS DOUBLE)
+                           / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))
+               * 1000000e0) AS BIGINT)"""
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(
+            expr("CAST(floor(value) AS BIGINT)").as("v"),
+            (col("user_id") % 2).as("cohort")
+          )
+          .withColumn("r_lo", rank().over(Window.orderBy("v")).cast("long"))
+          .withColumn("t", count(lit(1)).over(Window.partitionBy("v")))
+          .agg(
+            sum(when(col("cohort") === 0, expr("2 * r_lo + t - 1")).otherwise(0L)).as("r0_2"),
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"),
+            // Σ_v (t³ − t) = Σ_rows (t² − 1): each of the t rows in a tie
+            // group contributes t²−1, so the tie term needs no group-by
+            sum(expr("t * t - 1")).as("tie3")
+          )
+          .select(
+            col("n0"),
+            col("n1"),
+            expr("(r0_2 - n0 * (n0 + 1)) DIV 2").as("u0"),
+            expr("n0 * n1 - (r0_2 - n0 * (n0 + 1)) DIV 2").as("u1"),
+            col("tie3"),
+            expr(zExpr).as("z_micros"),
+            expr(s"abs($zExpr) > 1959964").as("significant")
+          )
+      },
+      Some("""WITH p AS (
+          SELECT CAST(floor(value) AS BIGINT) AS v, user_id % 2 AS cohort
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT cohort,
+                 CAST(rank() OVER (ORDER BY v) AS BIGINT) AS r_lo,
+                 CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS t
+          FROM p),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN cohort = 0 THEN 2 * r_lo + t - 1 ELSE 0 END) AS BIGINT) AS r0_2,
+                 CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(t * t - 1) AS BIGINT) AS tie3
+          FROM r),
+        z AS (
+          SELECT *,
+                 CAST(floor(
+                   ((CAST(r0_2 - n0 * (n0 + 1) AS DOUBLE) / 2e0)
+                     - CAST(n0 AS DOUBLE) * n1 / 2e0)
+                   / sqrt(CAST(n0 AS DOUBLE) * n1 / 12e0
+                          * ((CAST(n0 + n1 AS DOUBLE) + 1e0)
+                             - CAST(tie3 AS DOUBLE)
+                               / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))
+                   * 1000000e0) AS BIGINT) AS z_micros
+          FROM agg)
+        SELECT n0, n1,
+               (r0_2 - n0 * (n0 + 1)) // 2 AS u0,
+               n0 * n1 - (r0_2 - n0 * (n0 + 1)) // 2 AS u1,
+               tie3, z_micros,
+               abs(z_micros) > 1959964 AS significant
+        FROM z""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CHI-SQUARED INDEPENDENCE TEST (round 14): is event mix
+    // independent of user cohort? The contingency table is cohort
+    // (user_id % 3) × event_type with exact integer observed counts;
+    // expected counts are row·col/N doubles. Float summation order is
+    // engine-defined in a plain SUM, so the statistic is folded over
+    // the cell contributions IN SORTED CELL ORDER via the q259
+    // aggregate-HOF discipline — both engines execute the identical
+    // left-fold over the identical doubles, making a 15-cell double
+    // sum bit-reproducible. Plan: one event-scaled aggregate down to
+    // |cohorts|×|types| cells, then windows + the fold over that tiny
+    // frame — nothing data-scaled touches a window. The 5% critical
+    // value for df = (3−1)(5−1) = 8 is 15.50731 (pinned in micros).
+    // ORACLE-EXACT.
+    QueryDef(
+      "q295_chi_squared",
+      (s, dir) => {
+        val xExpr =
+          """(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+             * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+             / (CAST(r AS DOUBLE) * c / n)"""
+        Tables(s, dir, "events")
+          .groupBy((col("user_id") % 3).as("cohort"), col("event_type"))
+          .agg(count(lit(1)).as("o"))
+          .withColumn("r", sum("o").over(Window.partitionBy("cohort")))
+          .withColumn("c", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("x", expr(xExpr))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            countDistinct("cohort").as("n_rows"),
+            countDistinct("event_type").as("n_cols"),
+            sort_array(collect_list(struct(col("cohort"), col("event_type"), col("x")))).as("xs")
+          )
+          .select(
+            col("n_cells"),
+            expr("(n_rows - 1) * (n_cols - 1)").as("df"),
+            expr("CAST(floor(aggregate(xs, CAST(0 AS DOUBLE), (a, e) -> a + e.x) * 1000000e0) AS BIGINT)")
+              .as("chi2_micros"),
+            expr("CAST(floor(aggregate(xs, CAST(0 AS DOUBLE), (a, e) -> a + e.x) * 1000000e0) AS BIGINT) > 15507313")
+              .as("significant")
+          )
+      },
+      Some("""WITH cells AS (
+          SELECT user_id % 3 AS cohort, event_type, count(*) AS o
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT cohort, event_type, o,
+                 sum(o) OVER (PARTITION BY cohort) AS r,
+                 sum(o) OVER (PARTITION BY event_type) AS c,
+                 sum(o) OVER () AS n
+          FROM cells),
+        contrib AS (
+          SELECT cohort, event_type,
+                 (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+                 * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+                 / (CAST(r AS DOUBLE) * c / n) AS x
+          FROM tot),
+        folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(count(DISTINCT cohort) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_cols,
+                 list(x ORDER BY cohort, event_type) AS xs
+          FROM contrib)
+        SELECT n_cells,
+               (n_rows - 1) * (n_cols - 1) AS df,
+               CAST(floor(list_reduce(xs, (a, e) -> a + e) * 1000000e0) AS BIGINT) AS chi2_micros,
+               CAST(floor(list_reduce(xs, (a, e) -> a + e) * 1000000e0) AS BIGINT) > 15507313 AS significant
+        FROM folded""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CUPED VARIANCE REDUCTION (round 14): the experimentation
+    // platform's workhorse adjustment — each user's post-period
+    // purchase spend (days 15+) is adjusted by their PRE-period spend
+    // (days 1-14) via θ = cov(X,Y)/var(X), shrinking metric variance
+    // by the squared correlation without biasing the treatment
+    // difference (Deng et al., WSDM'13). Moments are EXACT integer
+    // sums of cents (the q56 discipline — a built-in covar_samp merges
+    // float partials in partition order and is not reproducible);
+    // θ, the adjusted means, and the variance-reduction ratio are one
+    // textually identical double sequence over those integers. Plan:
+    // one user-keyed rollup (event-scaled) + one 6-sum global
+    // aggregate + one 2-row cohort aggregate. The date split is the
+    // fixture midpoint (the generator's January window), not a data
+    // scan. ORACLE-EXACT.
+    QueryDef(
+      "q296_cuped",
+      (s, dir) => {
+        val per = Tables(s, dir, "events")
+          .select("user_id", "ts", "event_type", "value")
+          .groupBy("user_id")
+          .agg(
+            sum(
+              when(
+                col("ts") < lit("2024-01-15").cast("timestamp")
+                  && col("event_type") === "purchase",
+                expr("CAST(round(value * 100) AS BIGINT)")
+              ).otherwise(0L)
+            ).as("x"),
+            sum(
+              when(
+                col("ts") >= lit("2024-01-15").cast("timestamp")
+                  && col("event_type") === "purchase",
+                expr("CAST(round(value * 100) AS BIGINT)")
+              ).otherwise(0L)
+            ).as("y")
+          )
+          .withColumn("cohort", col("user_id") % 2)
+        val g = per
+          .agg(
+            count(lit(1)).as("n"),
+            sum("x").as("sx"),
+            sum("y").as("sy"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr("x * y")).as("sxy"),
+            sum(expr("y * y")).as("syy")
+          )
+        val thExpr =
+          """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"""
+        val varredExpr =
+          """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"""
+        per
+          .join(
+            broadcast(
+              g.select(
+                col("n"),
+                col("sx"),
+                expr(thExpr).as("th"),
+                expr(varredExpr).as("vr")
+              )
+            )
+          )
+          .groupBy("cohort")
+          .agg(
+            count(lit(1)).as("n_users"),
+            first("n").as("n"),
+            first("sx").as("sx"),
+            first("th").as("th"),
+            first("vr").as("vr"),
+            sum("x").as("cx"),
+            sum("y").as("cy")
+          )
+          .select(
+            col("cohort"),
+            col("n_users"),
+            expr("CAST(floor(CAST(cy AS DOUBLE) / n_users * 10e0) AS BIGINT)").as("y_mean_milli_c"),
+            expr(
+              """CAST(floor((CAST(cy AS DOUBLE) / n_users
+                   - th * (CAST(cx AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+                   * 10e0) AS BIGINT)"""
+            ).as("adj_y_milli_c"),
+            expr("CAST(floor(th * 1000000e0) AS BIGINT)").as("theta_micros"),
+            expr("CAST(floor(vr * 1000000e0) AS BIGINT)").as("varred_ppm")
+          )
+          .orderBy("cohort")
+      },
+      Some("""WITH per AS (
+          SELECT user_id, user_id % 2 AS cohort,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                               AND event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                               AND event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM per),
+        th AS (
+          SELECT n, sx,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS th,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS vr
+          FROM g)
+        SELECT p.cohort, count(*) AS n_users,
+               CAST(floor(CAST(sum(p.y) AS DOUBLE) / count(*) * 10e0) AS BIGINT) AS y_mean_milli_c,
+               CAST(floor((CAST(sum(p.y) AS DOUBLE) / count(*)
+                    - t.th * (CAST(sum(p.x) AS DOUBLE) / count(*)
+                              - CAST(t.sx AS DOUBLE) / t.n)) * 10e0) AS BIGINT) AS adj_y_milli_c,
+               CAST(floor(t.th * 1000000e0) AS BIGINT) AS theta_micros,
+               CAST(floor(t.vr * 1000000e0) AS BIGINT) AS varred_ppm
+        FROM per p, th t
+        GROUP BY p.cohort, t.th, t.vr, t.sx, t.n
+        ORDER BY p.cohort""")
     )
   )
 
