@@ -245,4 +245,114 @@ object Catalog {
     }
     sys.error("unreachable")
   }
+
+  // ------------------------------------------------------------------
+  // Branches (round 14): Nessie-style named refs over the same snapshot
+  // machinery. A branch is its OWN snapshot log under
+  // `refs/<name>/` — every existing operation (head/pinsAt/readTable/
+  // transact/publish) works on a branch by addressing
+  // [[branchDir]](cat, name) instead of the main catalog dir, so a
+  // branch gets the full CAS/claim/recovery discipline for free. The
+  // branch records its FORK POINT (the main snapshot its s0 copied) in
+  // an exclusively-created `base` file; [[merge]] is a TABLE-GRANULAR
+  // three-way merge: tables changed only on the branch adopt the
+  // branch pins, tables changed only on main keep main's, a table
+  // changed on BOTH sides refuses loudly ([[BranchConflictException]])
+  // — rebasing (re-fork + replay) is the caller's move, exactly
+  // Nessie's contract. When main has not moved since the fork, merge
+  // degenerates to a fast-forward.
+  //
+  // Why this is the right isolation primitive: WAP (q283) stages ONE
+  // table version behind the pin; a branch stages an arbitrary
+  // multi-table, multi-commit WORKFLOW — the nightly rebuild that
+  // touches a corpus and three indexes runs to completion on the
+  // branch, is audited there, and lands on main as one atomic
+  // publish. Branch commits write to the same table logs as
+  // unreferenced-by-main versions, so an abandoned branch costs only
+  // unreferenced files (vacuum-reclaimable) — no copies, no rollback.
+  // ------------------------------------------------------------------
+
+  /** A table changed on both main and the branch since the fork point
+    * — the merge cannot pick a side without losing the other's
+    * commits. Re-fork from the new main head and replay. */
+  final class BranchConflictException(msg: String) extends RuntimeException(msg)
+
+  /** The snapshot-log directory of branch `name` — pass to any Catalog
+    * operation to read/commit on the branch. */
+  def branchDir(catDir: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid branch name '$name'")
+    s"$catDir/refs/$name"
+  }
+
+  /** Fork branch `name` from main snapshot `fromSnap`: records the
+    * fork point (exclusive create — one creator wins) and publishes
+    * the branch's s0 as a copy of main's pins at `fromSnap`. O(tables)
+    * metadata; no data moves. */
+  def createBranch(s: SparkSession, catDir: String, name: String, fromSnap: Long): String = {
+    val pins = pinsAt(s, catDir, fromSnap) // fails loudly on unpublished snaps
+    val bdir = branchDir(catDir, name)
+    val fs = fsOf(s, bdir)
+    fs.mkdirs(new Path(bdir))
+    val base = new Path(s"$bdir/base")
+    // content is written to a temp file FIRST, then renamed onto `base`
+    // — the rename is the exclusive claim (it fails when base exists),
+    // so a winner's fork point is never observable half-written
+    val tmp = new Path(s"$bdir/.base.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(fromSnap.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, base)) {
+      fs.delete(tmp, false): Unit
+      throw new IllegalArgumentException(s"branch '$name' of $catDir already exists")
+    }
+    publish(s, bdir, pins, expectedHead = -1L)
+    bdir
+  }
+
+  /** The main snapshot branch `name` forked from. */
+  def forkPoint(s: SparkSession, catDir: String, name: String): Long = {
+    val base = new Path(s"${branchDir(catDir, name)}/base")
+    val fs = fsOf(s, base.toString)
+    require(fs.exists(base), s"branch '$name' of $catDir does not exist")
+    val in = fs.open(base)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  /** Land the branch's head on main as ONE atomic snapshot — the
+    * table-granular three-way merge against the fork point. Returns
+    * the new main snapshot. Fast-forward when main has not moved;
+    * [[BranchConflictException]] when any table changed on both sides
+    * (fail safe — neither side's commits are lost or replayed);
+    * [[ConcurrentSnapshotException]] on a publish race (retryable —
+    * re-derivation happens here, so callers may simply call again). */
+  def merge(s: SparkSession, catDir: String, name: String): Long = {
+    val fork = forkPoint(s, catDir, name)
+    val basePins = pinsAt(s, catDir, fork)
+    val bdir = branchDir(catDir, name)
+    val bHead = head(s, bdir)
+    // a creation that crashed between the base rename and publishing s0
+    // must refuse here, not merge an empty pin map as "every table
+    // removed" — delete refs/<name> and re-fork
+    require(bHead >= 0, s"branch '$name' of $catDir has no snapshots — creation crashed before s0")
+    val branchPins = pinsAt(s, bdir, bHead)
+    val mainHead = head(s, catDir)
+    val mainPins = pinsAt(s, catDir, mainHead)
+    def changed(now: Map[String, Pin]): Set[String] =
+      (now.keySet ++ basePins.keySet).filter(t => basePins.get(t) != now.get(t))
+    val branchChanged = changed(branchPins)
+    val mainChanged = changed(mainPins)
+    val conflicts = branchChanged.intersect(mainChanged)
+    if (conflicts.nonEmpty)
+      throw new BranchConflictException(
+        s"branch '$name' and main both changed ${conflicts.toSeq.sorted.mkString(", ")} " +
+          s"since fork snapshot $fork — re-fork from snapshot $mainHead and replay"
+      )
+    // branch-changed tables adopt the branch's state — including a
+    // REMOVAL (present at the fork, dropped on the branch): repinning
+    // from mainPins alone would silently resurrect a dropped table
+    val merged = (mainPins ++ branchPins.view.filterKeys(branchChanged).toMap) --
+      branchChanged.filterNot(branchPins.contains)
+    publish(s, catDir, merged, mainHead)
+  }
 }

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * The contract mirrors the other persisted indexes:
   *   - sync cost is O(window changes) — the table is never re-read;
-  *   - a sync segment lands by staged rename BEFORE the cursor marker
-  *     moves, so a crash between them replays the window into a
-  *     content-identical segment (latest-wins absorbs the duplicate);
+  *   - a segment carries its own cursor marker (`_v<version>`, stamped
+  *     while staged), so the staged rename publishes data + cursor in
+  *     ONE atomic operation — a crashed sync leaves only unreadable
+  *     staging trash, never a segment without a cursor or a cursor
+  *     without its segment, and re-running sync resumes exactly where
+  *     the last published segment left off;
   *   - [[compact]] folds all segments into one live base by checked
   *     staged swap (tombstones physically dropped);
   *   - keys must be UNIQUE in the source table (the [[TableVersions
@@ -37,6 +40,13 @@ import org.apache.spark.sql.functions._
   * milliseconds and a table scan.
   */
 object CoveringIndex {
+
+  /** Sync's unique-key guard probes the index with pushed point
+    * lookups when the window touches at most this many keys; above it,
+    * one key-column segment scan (still a single narrow columnar read)
+    * seeds the liveness balance instead — a 10⁵-literal isin would
+    * cost more in analysis than the scan it avoids. */
+  private val UniqueGuardProbeLimit = 1000L
 
   private def fsOf(s: SparkSession, dir: String) =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -53,26 +63,37 @@ object CoveringIndex {
         .sorted
   }
 
-  /** The highest source version folded into the index. */
+  /** The highest source version folded into the index — the max over
+    * the per-segment `_v<version>` markers. The marker is written into
+    * the segment WHILE STAGED, so segment and cursor entry land in the
+    * same atomic rename: there is no crash window in which a segment
+    * exists without its version (or the reverse), and [[read]] is
+    * always exactly the state at [[cursor]]. (Files starting with `_`
+    * are parquet metadata by convention — scans ignore them.) */
   def cursor(s: SparkSession, idxDir: String): Long = {
-    val p = new Path(s"$idxDir/_cursor")
     val fs = fsOf(s, idxDir)
-    require(fs.exists(p), s"$idxDir is not an initialized covering index")
-    fs.listStatus(p).map(_.getPath.getName.stripPrefix("v").toLong).max
+    require(
+      fs.exists(new Path(s"$idxDir/data")),
+      s"$idxDir is not an initialized covering index"
+    )
+    val marks = fs.globStatus(new Path(s"$idxDir/data/seg=*/_v*"))
+    require(marks.nonEmpty, s"$idxDir has no published segments")
+    marks.map(_.getPath.getName.stripPrefix("_v").toLong).max
   }
 
   /** Stage a segment's rows OUTSIDE data/ (a partial write must never
-    * be readable), rename into place, THEN advance the cursor. */
+    * be readable), stamp the staged dir with its `_v<upTo>` cursor
+    * marker, then rename into place — one atomic publish. */
   private def publishSegment(s: SparkSession, idxDir: String, rows: DataFrame, upTo: Long): Unit = {
     val fs = fsOf(s, idxDir)
     val staged = new Path(s"$idxDir/_staging/${java.util.UUID.randomUUID()}")
     rows.write.mode("errorifexists").parquet(staged.toString)
+    fs.create(new Path(staged, s"_v$upTo"), false).close()
     val next = (segments(s, idxDir) :+ -1).max + 1
     val dest = new Path(s"$idxDir/data/seg=$next")
     fs.mkdirs(dest.getParent)
     if (!fs.rename(staged, dest))
       throw new java.io.IOException(s"covering index: failed to publish segment $staged")
-    fs.mkdirs(new Path(s"$idxDir/_cursor/v$upTo")): Unit
   }
 
   private def sorted(df: DataFrame, key: String): DataFrame =
@@ -112,23 +133,52 @@ object CoveringIndex {
     val packed = struct(
       (col("_commit_version") +: live.as("_live") +: cols.map(col)): _*
     )
-    // unique-key guard, window-scaled: two OPEN rows for one key at one
-    // version means the source violated the merge-key contract — the
-    // latest-wins fold would then pick a payload arbitrarily (wrong,
-    // not loud). Deletes + the matching post-image share a version
-    // legitimately; two inserts of one key in one commit do not.
-    val dup = changes
-      .filter(live === 1)
-      .groupBy(col(key), col("_commit_version"))
-      .count()
-      .filter(col("count") > 1)
-      .limit(1)
-      .collect()
-    require(
-      dup.isEmpty,
-      s"covering index sync: key '${if (dup.isEmpty) "" else dup.head.get(0)}' has multiple " +
-        "live rows in one commit — the source table's keys are not unique"
-    )
+    // unique-key guard: at NO point across the window may a key have
+    // two live rows — not within one commit (two inserts of one key in
+    // one version) and not ACROSS commits (an append of a key that was
+    // already live before the window: the table then carries two rows
+    // while latest-wins serves one — silent row loss, the exact
+    // wrong-not-loud failure this layer must never have). The check is
+    // a per-key running balance over the window's inserts (+1) and
+    // deletes (−1), seeded with whether the key was live in the index
+    // before the window; a prefix ever reaching 2 refuses the sync.
+    // Updates net to zero and are excluded; a same-version
+    // delete+insert (MERGE's rewrite) orders the delete first. Cost:
+    // the balance itself is window-scaled (one key-partitioned window
+    // over the delta rows); the liveness seed probes the index —
+    // pushed point lookups when the window touches few keys, one
+    // key-column segment scan otherwise (the JoinView regime
+    // discipline: pick by exact count).
+    val deltas = changes
+      .filter(col("_change_type").isin("insert", "delete"))
+      .select(
+        col(key),
+        col("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(-1).as("_d")
+      )
+    val deltaKeys = deltas.select(col(key)).distinct()
+    val nDeltaKeys = deltaKeys.count()
+    if (nDeltaKeys > 0) {
+      val live0 =
+        (if (nDeltaKeys <= UniqueGuardProbeLimit)
+           lookup(s, idxDir, key, Seq.empty, deltaKeys.collect().map(_.getLong(0)).toSeq)
+         else read(s, idxDir, key, Seq.empty))
+          .select(col(key), lit(1).as("_l0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key))
+        .orderBy(col("_commit_version"), col("_d")) // delete before insert within a version
+      val breach = deltas
+        .join(live0, Seq(key), "left")
+        .withColumn("_bal", coalesce(col("_l0"), lit(0)) + sum(col("_d")).over(w))
+        .filter(col("_bal") > 1)
+        .limit(1)
+        .collect()
+      require(
+        breach.isEmpty,
+        s"covering index sync: key '${if (breach.isEmpty) "" else breach.head.get(0)}' would have " +
+          "two live rows — the source table's keys are not unique (an insert landed on a live key)"
+      )
+    }
     val folded = changes
       .groupBy(col(key))
       .agg(max(packed).as("top"))
@@ -184,11 +234,15 @@ object CoveringIndex {
     }
     if (fs.exists(staged) && !fs.delete(staged, true))
       throw new java.io.IOException(s"covering index compact: failed to clear stale $staged")
+    val at = cursor(s, idxDir) // resolve BEFORE the live layout goes away
     val base = sorted(
       read(s, idxDir, key, cols).withColumn("_deleted", lit(false)),
       key
     )
     base.write.mode("overwrite").parquet(s"$staged/seg=0")
+    // the folded base carries the cursor forward — stamped while staged,
+    // so the swap publishes data + cursor atomically (same as sync)
+    fs.create(new Path(s"$staged/seg=0/_v$at"), false).close()
     if (!fs.delete(live, true))
       throw new java.io.IOException(s"covering index compact: failed to remove $live")
     if (!fs.rename(staged, live))

@@ -3361,6 +3361,171 @@ object Versioned {
         FROM documents
         WHERE NOT (doc_id % 3 = 0 AND doc_id % 7 = 1)
         ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // CATALOG BRANCHES (round 14): Nessie-style refs over the q223
+    // catalog — an isolated multi-table, multi-commit WORKFLOW lands
+    // on main as ONE atomic snapshot. q283's WAP stages a single table
+    // version behind the pin; a branch stages a whole pipeline run:
+    // here the "etl" branch appends a crawl batch AND applies an
+    // erasure to the docs table (two commits), while main concurrently
+    // grows the archive table — merge is table-granular three-way
+    // (branch-changed tables adopt branch pins, main-changed keep
+    // main's; a table changed on BOTH sides refuses loudly, pinned by
+    // the "rogue" branch arm + CatalogSpec). In-query REQUIREs pin the
+    // isolation guarantee: before the merge, main's readers see none
+    // of the branch's commits. Scale posture: a branch is O(tables)
+    // metadata — fork, commit, and merge never copy data; branch
+    // commits write the same per-table logs as unreferenced-by-main
+    // versions (abandoned branches cost only vacuum-reclaimable
+    // files). ORACLE-EXACT: per-snapshot census over main's history —
+    // the merge snapshot serves exactly branch-docs + main-archive.
+    QueryDef(
+      "q297_table_branch",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("branch_cat")
+        val docsDir = Similarity.freshIndexDir("branch_docs")
+        val archDir = Similarity.freshIndexDir("branch_arch")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        Catalog.transact(s, cat) { _ =>
+          val dv = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), docsDir)
+          val av = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), archDir)
+          Map("docs" -> Catalog.Pin(docsDir, dv), "archive" -> Catalog.Pin(archDir, av))
+        } // main s0
+
+        // the etl branch: crawl append + erasure, committed ON THE REF
+        val bdir = Catalog.createBranch(s, cat, "etl", fromSnap = 0L)
+        Catalog.transact(s, bdir) { pins =>
+          TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), docsDir): Unit
+          val dv = TableVersions.commitDelete(s, docsDir, "lang = 'en'")
+          pins + ("docs" -> Catalog.Pin(docsDir, dv))
+        }
+
+        // main moves CONCURRENTLY, but only on the archive table
+        Catalog.transact(s, cat) { pins =>
+          val av = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 2), archDir)
+          pins + ("archive" -> Catalog.Pin(archDir, av))
+        } // main s1
+
+        // isolation: main's head serves the PRE-branch docs exactly
+        require(
+          Catalog.pinsAt(s, cat, 1L)("docs").version == 0L,
+          "branch commits must be invisible on main before the merge"
+        )
+
+        // disjoint tables -> the merge lands atomically as main s2
+        val merged = Catalog.merge(s, cat, "etl")
+        require(merged == 2L, s"merge must publish main snapshot 2, got $merged")
+
+        // a branch that raced main ON THE SAME TABLE refuses loudly
+        Catalog.createBranch(s, cat, "rogue", fromSnap = 0L)
+        Catalog.transact(s, Catalog.branchDir(cat, "rogue")) { pins =>
+          val av = TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), archDir)
+          pins + ("archive" -> Catalog.Pin(archDir, av))
+        }
+        val refused =
+          try { Catalog.merge(s, cat, "rogue"); false }
+          catch { case _: Catalog.BranchConflictException => true }
+        require(refused, "a both-sides-changed table must refuse the merge")
+        require(Catalog.head(s, cat) == 2L, "a refused merge must publish nothing")
+
+        val sess = s
+        import sess.implicits._
+        (0L to Catalog.head(s, cat))
+          .map { snap =>
+            val d = Catalog
+              .readTable(s, cat, snap, "docs")
+              .agg(count(lit(1)), sum("n_chars"))
+              .head()
+            val a = Catalog.readTable(s, cat, snap, "archive").count()
+            (snap, d.getLong(0), d.getLong(1), a)
+          }
+          .toDF("snap", "n_docs", "docs_chars", "n_archive")
+          .orderBy("snap")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+                         FROM documents),
+        snaps AS (
+          SELECT 0 AS snap,
+                 (SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS n_docs,
+                 (SELECT sum(n_chars) FROM d WHERE doc_id % 3 = 0) AS docs_chars,
+                 (SELECT count(*) FROM d WHERE doc_id % 3 = 1) AS n_archive
+          UNION ALL
+          SELECT 1,
+                 (SELECT count(*) FROM d WHERE doc_id % 3 = 0),
+                 (SELECT sum(n_chars) FROM d WHERE doc_id % 3 = 0),
+                 (SELECT count(*) FROM d WHERE doc_id % 3 IN (1, 2))
+          UNION ALL
+          SELECT 2,
+                 (SELECT count(*) FROM d WHERE doc_id % 3 IN (0, 1) AND lang <> 'en'),
+                 (SELECT sum(n_chars) FROM d WHERE doc_id % 3 IN (0, 1) AND lang <> 'en'),
+                 (SELECT count(*) FROM d WHERE doc_id % 3 IN (1, 2)))
+        SELECT CAST(snap AS BIGINT) AS snap, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(docs_chars AS BIGINT) AS docs_chars,
+               CAST(n_archive AS BIGINT) AS n_archive
+        FROM snaps ORDER BY snap""")
+    ),
+
+    // ------------------------------------------------------------------
+    // INDEX-SERVED DIMENSION JOIN (round 14): the q282 covering index
+    // serving a fact→dim equi join INSTEAD of the dimension table —
+    // the Hyperspace join-acceleration shape. The dim side is the
+    // index's latest-wins fold (key + included columns only), so the
+    // join reads a narrow key-sorted projection and the dimension
+    // TABLE contributes zero input files (REQUIREd in-query from the
+    // executed plan's file list). The index is CDC-current: built at
+    // v0, then an update + an erasure land and one sync folds them —
+    // the join must serve post-update attributes and drop erased keys.
+    // Plan: the fold exchanges on the key once; the fact join reuses
+    // that hash partitioning. At 100 TB the win is the difference
+    // between shuffling a wide dimension table and a (key, 2-col)
+    // projection. ORACLE-EXACT: events joined to the closed-form dim
+    // state in SQL.
+    QueryDef(
+      "q298_index_join",
+      (s, dir) => {
+        val docsDir = Similarity.freshIndexDir("ixj_docs")
+        val idxDir = Similarity.freshIndexDir("ixj_idx")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs, docsDir) // v0
+        graft.operators.CoveringIndex.init(s, docsDir, idxDir, "doc_id", Seq("lang", "n_chars"))
+        TableVersions.commitUpdate(
+          s,
+          docsDir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v1
+        TableVersions.commitDelete(s, docsDir, "doc_id % 7 = 5") // v2
+        graft.operators.CoveringIndex.sync(s, docsDir, idxDir, "doc_id", Seq("lang", "n_chars"))
+        val dim = graft.operators.CoveringIndex.read(s, idxDir, "doc_id", Seq("lang", "n_chars"))
+        val facts = Tables(s, dir, "events")
+          .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val joined = facts
+          .join(dim, facts("user_id") === dim("doc_id"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_facts"),
+            sum("cents").as("cents"),
+            sum("n_chars").as("sum_chars")
+          )
+          .orderBy("lang")
+        require(
+          joined.inputFiles.nonEmpty && joined.inputFiles.forall(!_.contains("ixj_docs")),
+          "the dimension side must be served from the index alone — the table contributed files"
+        )
+        joined
+      },
+      Some("""WITH dim AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN lang = 'zh' THEN n_chars + 1000
+                      ELSE n_chars END AS BIGINT) AS n_chars
+          FROM documents WHERE doc_id % 7 <> 5)
+        SELECT d.lang, count(*) AS n_facts,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        FROM events e JOIN dim d ON e.user_id = d.doc_id
+        GROUP BY d.lang ORDER BY d.lang""")
     )
   )
 

@@ -142,4 +142,65 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .filter(_.contains(".tmp."))
     assert(leftovers.isEmpty, s"unexpected temp files: ${leftovers.mkString(", ")}")
   }
+
+  // ------------------------------------------------------------------
+  // branches — the q297 oracle covers the disjoint merge and the
+  // both-sides conflict; these pin the ref-machinery edges it can't
+  // ------------------------------------------------------------------
+
+  test("branch: fast-forward when main never moved; fork point recorded") {
+    val cat = freshDir("cat_br_ff")
+    val t = freshDir("cat_br_ff_t")
+    val v0 = table(t, 0 until 10)
+    Catalog.publish(spark, cat, Map("t" -> Catalog.Pin(t, v0)))
+    val bdir = Catalog.createBranch(spark, cat, "work", 0L)
+    assert(Catalog.forkPoint(spark, cat, "work") == 0L)
+    assert(Catalog.pinsAt(spark, bdir, 0L) == Map("t" -> Catalog.Pin(t, v0)))
+    val v1 = table(t, 10 until 20)
+    Catalog.transact(spark, bdir)(pins => pins + ("t" -> Catalog.Pin(t, v1)))
+    val n = Catalog.merge(spark, cat, "work") // main unmoved: fast-forward
+    assert(n == 1L)
+    assert(Catalog.readTable(spark, cat, 1L, "t").count() == 20)
+  }
+
+  test("branch: double create refuses; unknown branch refuses; bad name refuses") {
+    val cat = freshDir("cat_br_dup")
+    val t = freshDir("cat_br_dup_t")
+    Catalog.publish(spark, cat, Map("t" -> Catalog.Pin(t, table(t, 0 until 3))))
+    Catalog.createBranch(spark, cat, "once", 0L)
+    intercept[IllegalArgumentException](Catalog.createBranch(spark, cat, "once", 0L))
+    intercept[IllegalArgumentException](Catalog.forkPoint(spark, cat, "never-made"))
+    intercept[IllegalArgumentException](Catalog.branchDir(cat, "../escape"))
+  }
+
+  test("branch: a creation that crashed before s0 refuses to merge, loudly") {
+    val cat = freshDir("cat_br_crash")
+    val t = freshDir("cat_br_crash_t")
+    Catalog.publish(spark, cat, Map("t" -> Catalog.Pin(t, table(t, 0 until 3))))
+    // simulate the crash: fork point recorded, s0 never published
+    val bdir = Catalog.branchDir(cat, "dead")
+    val fs = new org.apache.hadoop.fs.Path(bdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bdir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$bdir/base"), false)
+    out.write("0".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](Catalog.merge(spark, cat, "dead"))
+    assert(e.getMessage.contains("no snapshots"))
+    assert(Catalog.head(spark, cat) == 0L, "the refused merge must publish nothing")
+  }
+
+  test("branch: a table deleted on the branch merges as a removed pin") {
+    val cat = freshDir("cat_br_del")
+    val t = freshDir("cat_br_del_t")
+    val u = freshDir("cat_br_del_u")
+    Catalog.publish(
+      spark,
+      cat,
+      Map("t" -> Catalog.Pin(t, table(t, 0 until 3)), "u" -> Catalog.Pin(u, table(u, 0 until 3)))
+    )
+    val bdir = Catalog.createBranch(spark, cat, "drop-u", 0L)
+    Catalog.transact(spark, bdir)(pins => pins - "u")
+    Catalog.merge(spark, cat, "drop-u")
+    assert(Catalog.pinsAt(spark, cat, 1L).keySet == Set("t"))
+  }
 }

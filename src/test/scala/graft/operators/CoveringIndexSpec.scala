@@ -34,23 +34,33 @@ class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
 
-  test("a sync crash between segment publish and cursor move replays idempotently") {
+  test("a crashed sync leaves only staging trash; publish is atomic (segment carries its cursor)") {
     val s = spark
     import s.implicits._
     val (src, idx) = table(60)
     CoveringIndex.init(spark, src, idx, "k", cols)
     TableVersions.commitDelete(spark, src, "k % 5 = 0")
     TableVersions.commitAppend(Seq((500L, "gx", 7L)).toDF("k", "g", "v"), src)
-    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L)
-    val want = viewOf(idx)
-    // simulate the crash: the segment landed, the cursor marker didn't
+    // simulate a publish that died mid-write: a partial staging dir —
+    // never readable, never a cursor entry
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_cursor/v2"), true))
-    assert(CoveringIndex.cursor(spark, idx) == 0L)
-    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L) // replay
-    assert(viewOf(idx) == want, "replayed window changed the view")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-attempt"))
+    assert(CoveringIndex.cursor(spark, idx) == 0L, "staging trash must not advance the cursor")
+    // the re-run sync picks the window up from the last PUBLISHED state
+    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L)
+    val want = viewOf(idx)
     assert(CoveringIndex.cursor(spark, idx) == 2L)
+    // a sync with nothing new is a no-op: no segment, same view
+    assert(CoveringIndex.sync(spark, src, idx, "k", cols) == 2L)
+    assert(viewOf(idx) == want)
+    val head = TableVersions
+      .readVersion(spark, src, TableVersions.currentVersion(spark, src))
+      .select("k", "g", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(want == head, "index must equal the table head exactly")
   }
 
   test("delete-then-reinsert resolves to the reinserted row; updates to the post-image") {
@@ -87,20 +97,28 @@ class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       CoveringIndex.init(spark, dupDir, fresh("ci_dup_idx"), "k", cols)
     }
-    // sync: a later append violates the key contract
+    // sync, cross-commit: an append landing on a key that was already
+    // live BEFORE the window (the table now has two rows; latest-wins
+    // would silently serve one) refuses via the liveness-seeded balance
     val (src, idx) = table(10)
     CoveringIndex.init(spark, src, idx, "k", cols)
     TableVersions.commitAppend(Seq((3L, "dup", 99L)).toDF("k", "g", "v"), src)
     intercept[IllegalArgumentException] {
-      // key 3 now has two live rows... within ONE commit it does not,
-      // so force the single-commit violation directly
-      TableVersions.commitAppend(
-        Seq((500L, "x", 1L), (500L, "y", 2L)).toDF("k", "g", "v"),
-        src
-      )
       CoveringIndex.sync(spark, src, idx, "k", cols)
     }
+    // sync, within-commit: two inserts of one NEW key in one commit
+    // refuse through the same balance (prefix reaches 2 with seed 0)
+    val (src2, idx2) = table(10)
+    CoveringIndex.init(spark, src2, idx2, "k", cols)
+    TableVersions.commitAppend(
+      Seq((500L, "x", 1L), (500L, "y", 2L)).toDF("k", "g", "v"),
+      src2
+    )
+    intercept[IllegalArgumentException] {
+      CoveringIndex.sync(spark, src2, idx2, "k", cols)
+    }
   }
+
 
   test("an interrupted compact swap resumes; lookups push probed keys into the scan") {
     val (src, idx) = table(50)
