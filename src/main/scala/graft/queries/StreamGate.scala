@@ -1391,6 +1391,38 @@ object StreamGate {
         )
       },
       Some(Views.bitmapMaintainOracle)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q289 (streaming SCD2, round 14): the type-2 dimension
+    // projected from a table that was BUILT live — the crawl drains
+    // as per-batch insert commits, the post-drain maintenance window
+    // (zh update, erasure, en update) lands exactly q289's three
+    // commits, and the same one-window-pass projection reconstructs
+    // every key's validity intervals from the full commit log. Commit
+    // NUMBERS depend on how the source split, so the output maps them
+    // to the split-invariant epoch coordinate: every drain commit is
+    // epoch 0 (a pure-insert drain of disjoint keys opens intervals
+    // and closes none), the k-th maintenance commit is epoch k — under
+    // any micro-batching the remapped intervals are IDENTICAL, and the
+    // drained output shares q289's closed-form oracle verbatim
+    // (StreamScd2Spec pins a forced 3-batch replay == the single-
+    // commit batch build).
+    QueryDef(
+      "q299_stream_scd2",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runScd2Stream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some(Versioned.scd2OracleSql)
     )
   )
 
@@ -1928,6 +1960,46 @@ object StreamGate {
     Catalog
       .readTable(gs, cat, Catalog.head(gs, cat), "docs")
       .orderBy("doc_id")
+  }
+
+  /** Drive q289's SCD2 projection over a LIVE-built table: drain the
+    * crawl as per-batch insert commits (disjoint keys — nothing
+    * closes), land the q289 maintenance window after the drain, then
+    * project the validity intervals from the whole commit log and
+    * remap commit numbers to the split-invariant epoch coordinate
+    * (drain commits → 0, k-th maintenance commit → k). */
+  private[graft] def runScd2Stream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    import graft.operators.TableVersions
+    val tdir = Similarity.freshIndexDir("scd2_stream_store")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TableVersions.commitAppend(batch.toDF(), tdir): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("scd2_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    val drainHead = TableVersions.currentVersion(gs, tdir)
+    TableVersions.commitUpdate(gs, tdir, "lang = 'zh'", _.withColumn("n_chars", col("n_chars") + 1000))
+    TableVersions.commitDelete(gs, tdir, "doc_id % 7 = 5")
+    TableVersions.commitUpdate(gs, tdir, "lang = 'en'", _.withColumn("n_chars", col("n_chars") + 7))
+    Versioned
+      .scd2Projection(gs, tdir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        greatest(col("from_version") - drainHead, lit(0L)).as("from_version"),
+        when(col("to_version") === -1L, -1L)
+          .otherwise(col("to_version") - drainHead)
+          .as("to_version")
+      )
+      .orderBy("doc_id", "from_version")
   }
 
   /** Drive q282's covering index with LIVE streams: one table commit +

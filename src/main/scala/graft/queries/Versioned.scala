@@ -2997,53 +2997,9 @@ object Versioned {
           "lang = 'en'",
           _.withColumn("n_chars", col("n_chars") + 7)
         ) // v3
-        val head = TableVersions.currentVersion(s, tdir)
-        // v0's rows enter as synthetic inserts; the feed carries v1..head
-        val v0 = TableVersions
-          .readVersion(s, tdir, 0L)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(0L))
-        val events = TableVersions
-          .changesFeed(s, tdir, 0L, head)
-          .select("doc_id", "lang", "n_chars", "_change_type", "_commit_version")
-          .unionByName(v0.select("doc_id", "lang", "n_chars", "_change_type", "_commit_version"))
-          // pre-images are the closing half of an update — the
-          // post-image at the same version both closes the previous
-          // interval (via lead) and opens the new one
-          .filter(col("_change_type") =!= "update_preimage")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-          .orderBy("_commit_version")
-        events
-          .withColumn("to_version", coalesce(lead("_commit_version", 1).over(w), lit(-1L)))
-          .filter(col("_change_type").isin("insert", "update_postimage"))
-          .select(
-            col("doc_id"),
-            col("lang"),
-            col("n_chars"),
-            col("_commit_version").as("from_version"),
-            col("to_version")
-          )
-          .orderBy("doc_id", "from_version")
+        scd2Projection(s, tdir).orderBy("doc_id", "from_version")
       },
-      Some("""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
-                         FROM documents),
-        rows_ AS (
-          SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS from_version,
-                 CAST(CASE WHEN lang = 'zh' THEN 1
-                           WHEN doc_id % 7 = 5 THEN 2
-                           WHEN lang = 'en' THEN 3
-                           ELSE -1 END AS BIGINT) AS to_version
-          FROM d
-          UNION ALL
-          SELECT doc_id, lang, n_chars + 1000, 1,
-                 CASE WHEN doc_id % 7 = 5 THEN 2 ELSE -1 END
-          FROM d WHERE lang = 'zh'
-          UNION ALL
-          SELECT doc_id, lang, n_chars + 7, 3, -1
-          FROM d WHERE lang = 'en' AND doc_id % 7 <> 5)
-        SELECT doc_id, lang, n_chars, from_version, to_version
-        FROM rows_ ORDER BY doc_id, from_version""")
+      Some(scd2OracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -3528,6 +3484,67 @@ object Versioned {
         GROUP BY d.lang ORDER BY d.lang""")
     )
   )
+
+  /** q289's SCD2 core, shared with the live twin (q299): the type-2
+    * validity intervals of a versioned docs table, reconstructed from
+    * the commit history in ONE keyed window pass — an insert or
+    * post-image OPENS an interval, the key's next event (any type)
+    * CLOSES it, a delete closes without opening; `to_version = -1`
+    * encodes "current". v0's rows enter as synthetic inserts; the feed
+    * carries v1..head. O(change events), one exchange on the key. */
+  private[queries] def scd2Projection(
+      s: org.apache.spark.sql.SparkSession,
+      tdir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val head = TableVersions.currentVersion(s, tdir)
+    val v0 = TableVersions
+      .readVersion(s, tdir, 0L)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+    val events = TableVersions
+      .changesFeed(s, tdir, 0L, head)
+      .select("doc_id", "lang", "n_chars", "_change_type", "_commit_version")
+      .unionByName(v0.select("doc_id", "lang", "n_chars", "_change_type", "_commit_version"))
+      // pre-images are the closing half of an update — the post-image
+      // at the same version both closes the previous interval (via
+      // lead) and opens the new one
+      .filter(col("_change_type") =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("_commit_version")
+    events
+      .withColumn("to_version", coalesce(lead("_commit_version", 1).over(w), lit(-1L)))
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("_commit_version").as("from_version"),
+        col("to_version")
+      )
+  }
+
+  /** Shared by q289 and its live twin q299 — the drained stream's
+    * remapped intervals must hash-match the same closed-form SQL. */
+  private[queries] lazy val scd2OracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+                  FROM documents),
+        rows_ AS (
+          SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS from_version,
+                 CAST(CASE WHEN lang = 'zh' THEN 1
+                           WHEN doc_id % 7 = 5 THEN 2
+                           WHEN lang = 'en' THEN 3
+                           ELSE -1 END AS BIGINT) AS to_version
+          FROM d
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 1000, 1,
+                 CASE WHEN doc_id % 7 = 5 THEN 2 ELSE -1 END
+          FROM d WHERE lang = 'zh'
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 7, 3, -1
+          FROM d WHERE lang = 'en' AND doc_id % 7 <> 5)
+        SELECT doc_id, lang, n_chars, from_version, to_version
+        FROM rows_ ORDER BY doc_id, from_version"""
 
   /** Build an IVF index at `vOld`, sync it to `vNew` by consuming the
     * CDC delta, and probe it. Returns (probe result, the fitted
