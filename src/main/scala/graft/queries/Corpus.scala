@@ -536,6 +536,103 @@ object Corpus {
                     WHEN sum(nv) >= 5 THEN 'homogeneous'
                     ELSE 'small' END AS disposition
         FROM cells GROUP BY 1, 2 ORDER BY lang, len_bucket""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DIFFERENTIALLY-PRIVATE RELEASE (round 14, Dwork et al. 2006):
+    // the aggregate-publication side of the privacy family — noisy
+    // per-type user counts plus a noisy clamped event total, each
+    // protected by the Laplace mechanism with CONTRIBUTION BOUNDING
+    // first (the step practical DP lives or dies on): a user counts
+    // at most once per type (so each per-type count has user-
+    // sensitivity 1; with ≤5 types a user touches ≤5 releases, and
+    // the per-release budget ε/5 gives scale b = 5/ε = 5), and the
+    // event total clamps each user to ≤10 events (sensitivity 10,
+    // its own ε = 1 budget, b = 10). The noise draw is DETERMINISTIC
+    // and engine-reproducible: a per-release md5 seed expands to a
+    // 48-bit uniform via the hex-digit polynomial (position() over
+    // the hex alphabet — both engines, no conv()), and the Laplace
+    // inverse CDF runs as one textually identical double sequence;
+    // the released value is the clamped count plus the ROUNDED draw,
+    // floored at zero. The true counts and the draw are NOT in the
+    // output — only the release and its public scale. Plan: one
+    // distinct-rollup per release, noise arithmetic on |types|+1
+    // rows. (ln() is the one non-algebraic call; a 1-ulp cross-
+    // engine divergence could flip round() only within ~1e-13 of a
+    // half-integer — pinned by the three-scale gate like the LM-
+    // scoring family.) ORACLE-EXACT.
+    QueryDef(
+      "q300_dp_release",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("user_id", "event_type")
+        val perType = ev
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n"))
+          .select(
+            col("event_type"),
+            col("n"),
+            md5(concat(lit("dp14|"), col("event_type"))).as("h"),
+            expr("5e0").as("b")
+          )
+        val total = ev
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(least(col("c"), lit(10L))).as("n"))
+          .select(
+            lit("zz_events_total").as("event_type"),
+            col("n"),
+            md5(lit("dp14|zz_events_total")).as("h"),
+            expr("10e0").as("b")
+          )
+        perType
+          .unionByName(total)
+          .withColumn("u", expr(s"(CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0"))
+          .withColumn("z", expr("-b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1))"))
+          .select(
+            col("event_type"),
+            greatest(lit(0L), col("n") + expr("CAST(round(z) AS BIGINT)")).as("released"),
+            expr("CAST(b * 1000000e0 AS BIGINT)").as("b_micros")
+          )
+          .orderBy("event_type")
+      },
+      Some(s"""WITH base AS (
+          SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+                 md5(concat('dp14|', event_type)) AS h, 5e0 AS b
+          FROM events GROUP BY 1
+          UNION ALL
+          SELECT 'zz_events_total',
+                 CAST(sum(least(c, 10)) AS BIGINT),
+                 md5(concat('dp14|', 'zz_events_total')), 10e0
+          FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)),
+        u AS (
+          SELECT event_type, n, b,
+                 (CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0 AS u
+          FROM base),
+        noise AS (
+          SELECT event_type, n, b,
+                 -b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1)) AS z
+          FROM u)
+        SELECT event_type,
+               greatest(CAST(0 AS BIGINT), n + CAST(round(z) AS BIGINT)) AS released,
+               CAST(b * 1000000e0 AS BIGINT) AS b_micros
+        FROM noise ORDER BY event_type""")
     )
   )
+
+  /** The 48-bit uniform seed for q300: twelve md5 hex digits expanded
+    * by the positional polynomial — position() over the hex alphabet
+    * is the one hex→int path BOTH engines share (no conv() in
+    * DuckDB), and generating the text once keeps the Spark expression
+    * and the oracle SQL textually identical by construction. */
+  private lazy val dpHexPoly: String =
+    (1 to 12)
+      .map(i =>
+        // no `L` suffix: Spark parses big integral literals as BIGINT
+        // natively and DuckDB has no suffix syntax — the shared text
+        // must satisfy both parsers
+        // the digit is cast to BIGINT: mid-size multipliers parse as
+        // INT in Spark and 15 * 2^28 overflows 32-bit under ANSI mode
+        s"CAST(position(substr(h, $i, 1) IN '0123456789abcdef') - 1 AS BIGINT) * ${1L << (4 * (12 - i))}"
+      )
+      .mkString("(", " + ", ")")
 }
