@@ -1934,8 +1934,106 @@ object Extras {
         FROM per p, th t
         GROUP BY p.cohort, t.th, t.vr, t.sx, t.n
         ORDER BY p.cohort""")
+    ),
+
+    // ------------------------------------------------------------------
+    // HOLT LINEAR-TREND FORECAST (round 14): q259's EWMA extended with
+    // the trend term — level lₜ = (3xₜ + 5(lₜ₋₁+bₜ₋₁)) DIV 8 and trend
+    // bₜ = ((lₜ−lₜ₋₁) + 3bₜ₋₁) DIV 4 (α=3/8, β=1/4), the genuinely
+    // sequential two-state recursion, expressed as ONE aggregate-HOF
+    // fold by PACKING (level, trend) into a single BIGINT: level in
+    // the high 32 bits, trend biased by 2³¹ in the low (daily counts
+    // and cent sums keep both far inside range). Integer division is
+    // the cross-engine landmine here — Spark's DIV truncates while
+    // DuckDB's // floors, which differ on NEGATIVES — so every
+    // division adds a 2³¹-scaled offset first: the operand is then
+    // always positive and floor == truncate. Seeds l₁=x₁, b₁=x₂−x₁;
+    // the fold text is generated once with the division operator as
+    // the only substitution. Forecast at h=7: l + 7b. Folds run over
+    // DAY-scaled arrays per type — the daily rollup exchange
+    // dominates at any scale. ORACLE-EXACT.
+    QueryDef(
+      "q303_holt_forecast",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .select(
+            col("event_type"),
+            to_date(col("ts")).as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")
+          )
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("x"), sum("cents").as("vc"))
+        def fold(arr: String) =
+          s"""aggregate(slice($arr, 3, size($arr) - 2),
+                (element_at($arr, 1) + 1073741824) * 4294967296
+                  + (element_at($arr, 2) - element_at($arr, 1) + 1073741824),
+                (a, e) -> ${holtStep("DIV")})"""
+        daily
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct(col("d"), col("x"), col("vc")))).as("xs")
+          )
+          .withColumn("xl", expr("transform(xs, e -> e.x)"))
+          .withColumn("vl", expr("transform(xs, e -> e.vc)"))
+          .withColumn("accx", expr(fold("xl")))
+          .withColumn("accv", expr(fold("vl")))
+          .select(
+            col("event_type"),
+            col("n_days"),
+            expr("accx DIV 4294967296 - 1073741824").as("level_count"),
+            expr("accx % 4294967296 - 1073741824").as("trend_count"),
+            expr("accx DIV 4294967296 - 1073741824 + 7 * (accx % 4294967296 - 1073741824)")
+              .as("fc7_count"),
+            expr("accv DIV 4294967296 - 1073741824").as("level_cents"),
+            expr("accv % 4294967296 - 1073741824").as("trend_cents"),
+            expr("accv DIV 4294967296 - 1073741824 + 7 * (accv % 4294967296 - 1073741824)")
+              .as("fc7_cents")
+          )
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT event_type, count(*) AS n_days,
+                 list(x ORDER BY d) AS xl, list(vc ORDER BY d) AS vl
+          FROM daily GROUP BY 1),
+        folded AS (
+          SELECT event_type, n_days,
+                 list_reduce(list_prepend((xl[1] + 1073741824) * 4294967296 + (xl[2] - xl[1] + 1073741824), xl[3:]),
+                             (a, e) -> ${holtStep("//")}) AS accx,
+                 list_reduce(list_prepend((vl[1] + 1073741824) * 4294967296 + (vl[2] - vl[1] + 1073741824), vl[3:]),
+                             (a, e) -> ${holtStep("//")}) AS accv
+          FROM series)
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(accx // 4294967296 - 1073741824 AS BIGINT) AS level_count,
+               CAST(accx % 4294967296 - 1073741824 AS BIGINT) AS trend_count,
+               CAST(accx // 4294967296 - 1073741824 + 7 * (accx % 4294967296 - 1073741824) AS BIGINT) AS fc7_count,
+               CAST(accv // 4294967296 - 1073741824 AS BIGINT) AS level_cents,
+               CAST(accv % 4294967296 - 1073741824 AS BIGINT) AS trend_cents,
+               CAST(accv // 4294967296 - 1073741824 + 7 * (accv % 4294967296 - 1073741824) AS BIGINT) AS fc7_cents
+        FROM folded ORDER BY event_type""")
     )
   )
+
+  /** The Holt fold step, generated once for both engines — `div` is
+    * the ONLY difference (Spark `DIV` truncates, DuckDB `//` floors;
+    * the offsets keep every operand positive, where the two semantics
+    * coincide). State: (level + 2³⁰)·2³² + (trend + 2³⁰) — BOTH fields
+    * biased, because a level that transiently dips negative (tiny
+    * count series) would otherwise flip the packed word negative and
+    * corrupt the unpack (found at sf0.001 by the three-scale gate).
+    * Domain: |level|, |trend| < 2³⁰ — daily series under ~$10M/day. */
+  private def holtStep(div: String): String =
+    s"""((((3 * e + 5 * ((a $div 4294967296 - 1073741824) + (a % 4294967296 - 1073741824))
+           + 34359738368) $div 8 - 4294967296) + 1073741824) * 4294967296
+        + ((((3 * e + 5 * ((a $div 4294967296 - 1073741824) + (a % 4294967296 - 1073741824))
+              + 34359738368) $div 8 - 4294967296)
+            - (a $div 4294967296 - 1073741824)
+            + 3 * (a % 4294967296 - 1073741824)
+            + 17179869184) $div 4 - 3221225472))"""
 
   /** Shared by q177 and its live twin q179 — the drained stream must
     * hash-match the same SQL. (lazy: referenced from `defs`, which

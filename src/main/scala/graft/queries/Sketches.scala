@@ -399,6 +399,126 @@ object Sketches {
                     ELSE CAST(floor(n_both * (${K - 1} * pow(2.0, 60) / greatest(kth_u, 1)) / $K) AS BIGINT) END
                  AS est_inter
         FROM st""")
+    ),
+
+    // ------------------------------------------------------------------
+    // MOMENTS SKETCH (round 14, Gan et al. VLDB'18's premise): the
+    // power sums Σc^k (k ≤ 4) are the CHEAPEST mergeable distribution
+    // summary — per-shard partials merge by plain addition, so the
+    // shuffle carries ≤ |types|×|shards| rows of 5 numbers no matter
+    // the corpus size, and re-aggregating a 100 TB table into regional
+    // sketches then a global one costs one tiny second-level sum (the
+    // two-level plan here materializes exactly that merge). Unusually
+    // for a sketch, everything is ORACLE-EXACT: cents are integers,
+    // the square is the LAST 64-bit product (c³/c⁴ widen through
+    // DECIMAL(38,0)/HUGEINT — q56's discipline; ANSI mode makes any
+    // violation loud), and the derived shape statistics — mean, stddev,
+    // SKEWNESS, EXCESS KURTOSIS, the two moments q56 stops short of —
+    // are one textually identical double sequence over those exact
+    // integers, floored at milli/micro precision.
+    QueryDef(
+      "q301_moments_sketch",
+      (s, dir) => {
+        val typed = Tables(s, dir, "events")
+          .select(
+            col("event_type"),
+            (col("event_id") % 4).as("shard"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c")
+          )
+        momentStats(momentPartials(typed, Seq(col("event_type"), col("shard"))))
+          .orderBy("event_type")
+      },
+      Some(momentsOracleSql)
     )
   )
+
+  /** Partial power sums over `(event_type, c)` rows — the mergeable
+    * sketch state. q301 keys by (event_type, shard) for the explicit
+    * two-level merge; the live twin calls it per micro-batch keyed by
+    * event_type alone and merges across batch rows instead. */
+  private[queries] def momentPartials(
+      typed: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]
+  ): DataFrame =
+    typed
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum("c").as("s1"),
+        // widen at c²: c³/c⁴ overflow BIGINT once cents pass ~2×10⁶/55k
+        // (the sf0.1 tail already crosses the c⁴ line — caught by the
+        // three-scale gate), so the square is the last 64-bit product
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("s2"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0)) * c")).as("s3"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0)) * CAST(c * c AS DECIMAL(38,0))")).as("s4")
+      )
+
+  /** Merge partial sketch rows (by addition — the sketch's whole
+    * point) and derive the shape statistics with the shared double
+    * sequence. */
+  private[queries] def momentStats(partials: DataFrame): DataFrame =
+    partials
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("n"),
+        sum("s1").as("s1"),
+        sum("s2").as("s2"),
+        sum("s3").as("s3"),
+        sum("s4").as("s4")
+      )
+      .withColumn("m1", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n"))
+      .withColumn("m3", expr("CAST(s3 AS DOUBLE) / n"))
+      .withColumn("m4", expr("CAST(s4 AS DOUBLE) / n"))
+      .withColumn("v", expr("m2 - m1 * m1"))
+      .withColumn("c3", expr("m3 - 3e0 * m1 * m2 + 2e0 * m1 * m1 * m1"))
+      .withColumn(
+        "c4",
+        expr("m4 - 4e0 * m1 * m3 + 6e0 * m1 * m1 * m2 - 3e0 * m1 * m1 * m1 * m1")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        col("s1"),
+        expr("CAST(floor(m1 * 1000e0) AS BIGINT)").as("mean_milli_c"),
+        expr("CAST(floor(sqrt(v) * 1000e0) AS BIGINT)").as("std_milli_c"),
+        expr("CAST(floor(c3 / power(v, 15e-1) * 1000000e0) AS BIGINT)").as("skew_micros"),
+        expr("CAST(floor((c4 / (v * v) - 3e0) * 1000000e0) AS BIGINT)").as("kurt_micros")
+      )
+
+  /** Shared by q301 and its live twin q302 — the drained stream's
+    * merged sketch must hash-match the same SQL. */
+  private[queries] lazy val momentsOracleSql: String =
+    """WITH part AS (
+        SELECT event_type, event_id % 4 AS shard,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+               sum(CAST(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS s2,
+               sum(CAST(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS s3,
+               sum(CAST(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS s4
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s1) AS BIGINT) AS s1,
+               sum(s2) AS s2, sum(s3) AS s3, sum(s4) AS s4
+        FROM part GROUP BY 1),
+      d AS (
+        SELECT event_type, n, s1,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS m2,
+               CAST(s3 AS DOUBLE) / n AS m3,
+               CAST(s4 AS DOUBLE) / n AS m4
+        FROM m),
+      c AS (
+        SELECT event_type, n, s1, m1,
+               m2 - m1 * m1 AS v,
+               m3 - 3e0 * m1 * m2 + 2e0 * m1 * m1 * m1 AS c3,
+               m4 - 4e0 * m1 * m3 + 6e0 * m1 * m1 * m2 - 3e0 * m1 * m1 * m1 * m1 AS c4
+        FROM d)
+      SELECT event_type, n, s1,
+             CAST(floor(m1 * 1000e0) AS BIGINT) AS mean_milli_c,
+             CAST(floor(sqrt(v) * 1000e0) AS BIGINT) AS std_milli_c,
+             CAST(floor(c3 / power(v, 15e-1) * 1000000e0) AS BIGINT) AS skew_micros,
+             CAST(floor((c4 / (v * v) - 3e0) * 1000000e0) AS BIGINT) AS kurt_micros
+      FROM c ORDER BY event_type"""
 }

@@ -1423,6 +1423,32 @@ object StreamGate {
         )
       },
       Some(Versioned.scd2OracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q301 (streaming moments sketch, round 14): the mergeable-
+    // by-addition property driven live — every micro-batch reduces to
+    // ≤ |types| partial power-sum rows (the sketch state), the store
+    // accumulates partials, and the drained merge + shape derivation
+    // hash-matches q301's batch SQL. Split-invariance is BY ALGEBRA:
+    // integer sums are associative/commutative, so any micro-batching
+    // of the source folds to the identical five integers per type
+    // (StreamMomentsSpec pins a forced 3-batch replay == q301).
+    QueryDef(
+      "q302_stream_moments",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/events.parquet").schema
+        runMomentsStream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .select("event_type", "value")
+        )
+      },
+      Some(Sketches.momentsOracleSql)
     )
   )
 
@@ -2000,6 +2026,42 @@ object StreamGate {
           .as("to_version")
       )
       .orderBy("doc_id", "from_version")
+  }
+
+  /** q301's moments sketch driven live: each micro-batch reduces to
+    * its per-type partial power sums (one O(batch) aggregate — the
+    * mergeable sketch state), appended to the store; the drained
+    * merge is one tiny sum over partial rows. */
+  private[graft] def runMomentsStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    import graft.operators.TableVersions
+    val tdir = Similarity.freshIndexDir("moments_stream_store")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val typed = batch
+            .toDF()
+            .select(
+              col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("c")
+            )
+          TableVersions.commitAppend(
+            Sketches.momentPartials(typed, Seq(col("event_type"))),
+            tdir
+          ): Unit
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("moments_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Sketches
+      .momentStats(
+        TableVersions.readVersion(gs, tdir, TableVersions.currentVersion(gs, tdir))
+      )
+      .orderBy("event_type")
   }
 
   /** Drive q282's covering index with LIVE streams: one table commit +
