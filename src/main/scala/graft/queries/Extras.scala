@@ -2016,6 +2016,111 @@ object Extras {
                CAST(accv // 4294967296 - 1073741824 + 7 * (accv % 4294967296 - 1073741824) AS BIGINT) AS fc7_cents
         FROM folded ORDER BY event_type""")
     )
+  ) ++ kmDefs
+
+  // lazy: concatenated into `defs`, which initializes first in the
+  // object body — a strict val here would still be null at that point
+  private lazy val kmDefs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // KAPLAN-MEIER SURVIVAL (round 14, Kaplan & Meier 1958): time from
+    // first signup to first subsequent purchase, with users who never
+    // convert RIGHT-CENSORED at the window end — the canonical
+    // incomplete-observation estimator naive conversion rates get
+    // wrong. All counting is exact-integer: per-day deaths/censorings
+    // from one user rollup, the at-risk set as a SUFFIX-sum window
+    // (n_risk(k) = Σ_{j≥k}(d+c) — no scalar subquery), and the
+    // survival product Π(1 − dᵢ/nᵢ) folded per event time over the
+    // day-ordered factor list (the q259/q295 HOF discipline: both
+    // engines run the identical left-to-right double product; seed 1
+    // is exact under IEEE). The triangular self-join that gives each
+    // event time its prefix factors is DAY-bounded (≤31 rows here;
+    // event TIMES, never users — at 100 TB the user table collapses
+    // to per-day counts before anything quadratic). ORACLE-EXACT.
+    QueryDef(
+      "q304_kaplan_meier",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+        val s0 = ev
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min("ts").as("t0"))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .join(s0, Seq("user_id"))
+          .filter(col("ts") > col("t0"))
+          .groupBy("user_id")
+          .agg(min("ts").as("tp"))
+        val dur = s0
+          .join(p, Seq("user_id"), "left")
+          .select(
+            when(
+              col("tp").isNull,
+              expr("(unix_micros(TIMESTAMP '2024-01-31') - unix_micros(t0)) DIV 86400000000")
+            ).otherwise(expr("(unix_micros(tp) - unix_micros(t0)) DIV 86400000000")).as("k"),
+            when(col("tp").isNull, 0L).otherwise(1L).as("ev")
+          )
+        val byday = dur
+          .groupBy("k")
+          .agg(sum("ev").as("d"), sum(expr("1 - ev")).as("c"))
+        val wSuffix = Window
+          .orderBy("k")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val et = byday
+          .withColumn("n_risk", sum(expr("d + c")).over(wSuffix))
+          .filter(col("d") > 0)
+          .select(
+            col("k"),
+            col("d"),
+            col("n_risk"),
+            expr("1e0 - CAST(d AS DOUBLE) / n_risk").as("f")
+          )
+        val a = et.select(col("k"), col("d"), col("n_risk"))
+        val b = et.select(col("k").as("j"), col("f"))
+        a.join(b, col("j") <= col("k"))
+          .groupBy("k", "d", "n_risk")
+          .agg(sort_array(collect_list(struct(col("j"), col("f")))).as("fs"))
+          .select(
+            col("k").as("day"),
+            col("d"),
+            col("n_risk"),
+            expr(
+              "CAST(floor(aggregate(fs, CAST(1 AS DOUBLE), (x, y) -> x * y.f) * 1000000e0) AS BIGINT)"
+            ).as("survival_ppm")
+          )
+          .orderBy("day")
+      },
+      Some("""WITH s AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.t0 GROUP BY 1),
+        dur AS (
+          SELECT CASE WHEN p.tp IS NULL
+                   THEN CAST(epoch_us(TIMESTAMP '2024-01-31') - epoch_us(s.t0) AS BIGINT) // 86400000000
+                   ELSE CAST(epoch_us(p.tp) - epoch_us(s.t0) AS BIGINT) // 86400000000 END AS k,
+                 CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev
+          FROM s LEFT JOIN p ON p.user_id = s.user_id),
+        byday AS (
+          SELECT k, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+          FROM dur GROUP BY 1),
+        et AS (
+          SELECT k, d, n_risk, 1e0 - CAST(d AS DOUBLE) / n_risk AS f FROM (
+            SELECT k, d, c,
+                   CAST(sum(d + c) OVER (ORDER BY k
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+            FROM byday)
+          WHERE d > 0),
+        tri AS (
+          SELECT a.k, a.d, a.n_risk, list(b.f ORDER BY b.k) AS fs
+          FROM et a JOIN et b ON b.k <= a.k
+          GROUP BY a.k, a.d, a.n_risk)
+        SELECT k AS day, d, n_risk,
+               CAST(floor(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs), (x, y) -> x * y)
+                    * 1000000e0) AS BIGINT) AS survival_ppm
+        FROM tri ORDER BY day""")
+    )
   )
 
   /** The Holt fold step, generated once for both engines — `div` is

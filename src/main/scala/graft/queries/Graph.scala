@@ -585,6 +585,70 @@ object Graph {
                     ELSE 's' || CAST(nid // 2 AS VARCHAR) END AS node,
                rank_e12
         FROM top ORDER BY rank_e12 DESC, nid""")
+    ),
+
+    // ------------------------------------------------------------------
+    // NEIGHBORHOOD FUNCTION N(d) AT d ≤ 2 (round 14, the ANF quantity
+    // of Palmer/Gibbons/Faloutsos KDD'02): how many distinct nodes are
+    // within d hops of each node — per-distance totals, the max (the
+    // 2-hop hub), and a reach histogram, the connectivity profile that
+    // drives crawl-frontier and sampling decisions. Exact form: the
+    // 2-hop pair set is one self-join on the mid vertex + distinct —
+    // Σdeg² candidate generation, honest for the orderMod-thinned
+    // fixture graph and AS THE ORACLE; the 100 TB path for d ≫ 2 is
+    // Flajolet-Martin register merging along edges (each superstep
+    // unions neighbors' registers — frontier-scaled like q287, never
+    // pair materialization), recorded as the design note in PLANS.md.
+    // Self is excluded; dedup before counting makes multiplicities
+    // irrelevant. ORACLE-EXACT.
+    QueryDef(
+      "q305_neighborhood_function",
+      (s, dir) => {
+        val sym = purchaseGraph(s, dir, orderMod = 2L).localCheckpoint()
+        val hop1 = sym.select(col("src"), col("dst")).distinct()
+        val mid = sym.select(col("src").as("m"), col("dst"))
+        val hop2 = sym
+          .select(col("src"), col("dst").as("m"))
+          .join(mid, Seq("m"))
+          .select(col("src"), col("dst"))
+          .filter(col("src") =!= col("dst"))
+          .unionByName(hop1)
+          .distinct()
+        def nf(pairs: org.apache.spark.sql.DataFrame, d: Long) = {
+          val reach = pairs.groupBy("src").agg(count(lit(1)).as("r"))
+          reach.agg(
+            lit(d).as("d"),
+            count(lit(1)).as("n_nodes"),
+            sum("r").as("n_pairs"),
+            max("r").as("max_reach"),
+            expr("(sum(r) * 1000) DIV count(1)").as("avg_reach_milli")
+          )
+        }
+        nf(hop1, 1L).unionByName(nf(hop2, 2L)).orderBy("d")
+      },
+      Some(s"""WITH fwd AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderkey % 2 = 0),
+        sym AS (SELECT src, dst FROM fwd
+                UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+        hop1 AS (SELECT DISTINCT src, dst FROM sym),
+        hop2 AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a.src, b.dst FROM sym a JOIN sym b ON b.src = a.dst
+            WHERE a.src <> b.dst
+            UNION ALL SELECT src, dst FROM hop1)),
+        r1 AS (SELECT src, count(*) AS r FROM hop1 GROUP BY 1),
+        r2 AS (SELECT src, count(*) AS r FROM hop2 GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS d, count(*) AS n_nodes,
+               CAST(sum(r) AS BIGINT) AS n_pairs, CAST(max(r) AS BIGINT) AS max_reach,
+               CAST((sum(r) * 1000) // count(*) AS BIGINT) AS avg_reach_milli
+        FROM r1
+        UNION ALL
+        SELECT 2, count(*), CAST(sum(r) AS BIGINT), CAST(max(r) AS BIGINT),
+               CAST((sum(r) * 1000) // count(*) AS BIGINT)
+        FROM r2
+        ORDER BY d""")
     )
   )
 

@@ -52,7 +52,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q252_budget_waterfill", // 1-row broadcast budget/level scalars over a source-count-sized table
     "q183_rotated_serving", // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
     "q261_basket_lift", // 1-row broadcast n_baskets scalar over the 25²-bounded brand-pair table
-    "q296_cuped" // 1-row broadcast θ/moments scalar over the per-user rollup (q38's shape)
+    "q296_cuped", // 1-row broadcast θ/moments scalar over the per-user rollup (q38's shape)
+    "q304_kaplan_meier" // ≤31-row event-TIME table, triangular prefix join by design (days, never users)
   )
 
   /** The ANN scan family: top-k selection must be the bounded
