@@ -1449,6 +1449,44 @@ object StreamGate {
         )
       },
       Some(Sketches.momentsOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q297 (streaming branch workflow, round 14): the whole
+    // crawl-ingest pipeline runs ON A BRANCH — every micro-batch
+    // commits to the shared table log and advances only the BRANCH
+    // pin; main's head is REQUIREd untouched inside every single
+    // batch (the isolation guarantee, checked live, not post-hoc).
+    // After the drain an erasure lands on the branch and the audited
+    // whole-workflow result merges to main as ONE atomic snapshot
+    // (fast-forward — main never moved). Whatever the source split,
+    // main history is exactly two snapshots: the pre-branch base and
+    // the merged final state — split-invariant by construction, and
+    // the ORACLE restates both as plain filters of `documents`.
+    QueryDef(
+      "q306_stream_branch",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val docs = Tables(gs, dir, "documents")
+        val schema = gs.read.parquet(s"$dir/documents.parquet").schema
+        runBranchStream(
+          gs,
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars"),
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "lang", "n_chars")
+        )
+      },
+      Some("""WITH snaps AS (
+          SELECT 0 AS snap, doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 1, doc_id, n_chars FROM documents WHERE doc_id % 7 <> 5)
+        SELECT CAST(snap AS BIGINT) AS snap, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM snaps GROUP BY snap ORDER BY snap""")
     )
   )
 
@@ -2026,6 +2064,64 @@ object StreamGate {
           .as("to_version")
       )
       .orderBy("doc_id", "from_version")
+  }
+
+  /** q297's branch workflow driven live: the base publishes on main,
+    * the crawl drains as commits that advance only the BRANCH pin
+    * (main's head REQUIREd untouched inside every batch), a post-drain
+    * erasure lands on the branch, and the audited whole-workflow state
+    * merges to main as one atomic snapshot. Returns the main-history
+    * census — two snapshots under any source split. */
+  private[graft] def runBranchStream(
+      gs: SparkSession,
+      base: DataFrame,
+      stream: DataFrame
+  ): DataFrame = {
+    import graft.operators.{Catalog, TableVersions}
+    val cat = Similarity.freshIndexDir("branch_stream_cat")
+    val tdir = Similarity.freshIndexDir("branch_stream_docs")
+    Catalog.transact(gs, cat) { _ =>
+      val v0 = TableVersions.commitAppend(base, tdir)
+      Map("docs" -> Catalog.Pin(tdir, v0))
+    }
+    val bdir = Catalog.createBranch(gs, cat, "ingest", fromSnap = 0L)
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val v = TableVersions.commitAppend(batch.toDF(), tdir)
+          Catalog.transact(gs, bdir)(pins => pins + ("docs" -> Catalog.Pin(tdir, v))): Unit
+          // the live isolation guarantee: the branch's commits must be
+          // invisible on main WHILE the stream runs, not just at the end
+          require(
+            Catalog.head(gs, cat) == 0L && Catalog.pinsAt(gs, cat, 0L)("docs").version == 0L,
+            "branch commits leaked onto main mid-drain"
+          )
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("branch_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    // post-drain maintenance on the branch, then one atomic landing
+    val vErase = TableVersions.commitDelete(gs, tdir, "doc_id % 7 = 5")
+    Catalog.transact(gs, bdir)(pins => pins + ("docs" -> Catalog.Pin(tdir, vErase)))
+    val merged = Catalog.merge(gs, cat, "ingest")
+    require(merged == 1L, s"fast-forward merge must publish main snapshot 1, got $merged")
+    val sess = gs
+    import sess.implicits._
+    (0L to Catalog.head(gs, cat))
+      .map { snap =>
+        val r = Catalog
+          .readTable(gs, cat, snap, "docs")
+          .agg(count(lit(1)), sum("n_chars"))
+          .head()
+        (snap, r.getLong(0), r.getLong(1))
+      }
+      .toDF("snap", "n_docs", "sum_chars")
+      .orderBy("snap")
   }
 
   /** q301's moments sketch driven live: each micro-batch reduces to
