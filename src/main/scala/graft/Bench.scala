@@ -161,7 +161,8 @@ object Bench {
     "q112_stream_sink", "q113_stream_typed_state", "q132_stream_metrics",
     "q135_stream_outer_join", "q141_stream_ivf_ingest", "q149_stream_admission",
     "q155_stream_ivf_delete", "q168_stream_count_min", "q179_stream_funnel",
-    "q268_stream_cusum", "q274_stream_cohort", "q302_stream_moments"
+    "q268_stream_cusum", "q274_stream_cohort", "q302_stream_moments",
+    "q309_stream_dp"
   )
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -563,61 +563,70 @@ object Corpus {
     // scoring family.) ORACLE-EXACT.
     QueryDef(
       "q300_dp_release",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events").select("user_id", "event_type")
-        val perType = ev
-          .groupBy("event_type")
-          .agg(countDistinct("user_id").as("n"))
-          .select(
-            col("event_type"),
-            col("n"),
-            md5(concat(lit("dp14|"), col("event_type"))).as("h"),
-            expr("5e0").as("b")
-          )
-        val total = ev
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("c"))
-          .agg(sum(least(col("c"), lit(10L))).as("n"))
-          .select(
-            lit("zz_events_total").as("event_type"),
-            col("n"),
-            md5(lit("dp14|zz_events_total")).as("h"),
-            expr("10e0").as("b")
-          )
-        perType
-          .unionByName(total)
-          .withColumn("u", expr(s"(CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0"))
-          .withColumn("z", expr("-b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1))"))
-          .select(
-            col("event_type"),
-            greatest(lit(0L), col("n") + expr("CAST(round(z) AS BIGINT)")).as("released"),
-            expr("CAST(b * 1000000e0 AS BIGINT)").as("b_micros")
-          )
-          .orderBy("event_type")
-      },
-      Some(s"""WITH base AS (
-          SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n,
-                 md5(concat('dp14|', event_type)) AS h, 5e0 AS b
-          FROM events GROUP BY 1
-          UNION ALL
-          SELECT 'zz_events_total',
-                 CAST(sum(least(c, 10)) AS BIGINT),
-                 md5(concat('dp14|', 'zz_events_total')), 10e0
-          FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)),
-        u AS (
-          SELECT event_type, n, b,
-                 (CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0 AS u
-          FROM base),
-        noise AS (
-          SELECT event_type, n, b,
-                 -b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1)) AS z
-          FROM u)
-        SELECT event_type,
-               greatest(CAST(0 AS BIGINT), n + CAST(round(z) AS BIGINT)) AS released,
-               CAST(b * 1000000e0 AS BIGINT) AS b_micros
-        FROM noise ORDER BY event_type""")
+      (s, dir) => dpRelease(Tables(s, dir, "events").select("user_id", "event_type")),
+      Some(dpOracleSql)
     )
   )
+
+  /** q300's release pipeline over `(user_id, event_type)` rows, shared
+    * with the live twin (q309): contribution-bound the counts, draw
+    * the deterministic per-release Laplace noise, emit only the
+    * release and its public scale. */
+  private[queries] def dpRelease(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perType = ev
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .select(
+        col("event_type"),
+        col("n"),
+        md5(concat(lit("dp14|"), col("event_type"))).as("h"),
+        expr("5e0").as("b")
+      )
+    val total = ev
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(least(col("c"), lit(10L))).as("n"))
+      .select(
+        lit("zz_events_total").as("event_type"),
+        col("n"),
+        md5(lit("dp14|zz_events_total")).as("h"),
+        expr("10e0").as("b")
+      )
+    perType
+      .unionByName(total)
+      .withColumn("u", expr(s"(CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0"))
+      .withColumn("z", expr("-b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1))"))
+      .select(
+        col("event_type"),
+        greatest(lit(0L), col("n") + expr("CAST(round(z) AS BIGINT)")).as("released"),
+        expr("CAST(b * 1000000e0 AS BIGINT)").as("b_micros")
+      )
+      .orderBy("event_type")
+  }
+
+  /** Shared by q300 and its live twin q309. */
+  private[queries] lazy val dpOracleSql: String =
+    s"""WITH base AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+               md5(concat('dp14|', event_type)) AS h, 5e0 AS b
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'zz_events_total',
+               CAST(sum(least(c, 10)) AS BIGINT),
+               md5(concat('dp14|', 'zz_events_total')), 10e0
+        FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)),
+      u AS (
+        SELECT event_type, n, b,
+               (CAST($dpHexPoly AS DOUBLE) + 5e-1) / 281474976710656e0 AS u
+        FROM base),
+      noise AS (
+        SELECT event_type, n, b,
+               -b * sign(u - 5e-1) * ln(1e0 - 2e0 * abs(u - 5e-1)) AS z
+        FROM u)
+      SELECT event_type,
+             greatest(CAST(0 AS BIGINT), n + CAST(round(z) AS BIGINT)) AS released,
+             CAST(b * 1000000e0 AS BIGINT) AS b_micros
+      FROM noise ORDER BY event_type"""
 
   /** The 48-bit uniform seed for q300: twelve md5 hex digits expanded
     * by the positional polynomial — position() over the hex alphabet

@@ -2120,6 +2120,177 @@ object Extras {
                CAST(floor(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs), (x, y) -> x * y)
                     * 1000000e0) AS BIGINT) AS survival_ppm
         FROM tri ORDER BY day""")
+    ),
+
+    // ------------------------------------------------------------------
+    // SEASONAL DECOMPOSITION (round 14): the classical-decomposition
+    // prep every forecast needs before q259/q303 smooth anything —
+    // day-of-week seasonal indexes (exact ppm: the dow's share of the
+    // overall daily mean, pure integer cross-ratio), trend as the
+    // 7-day centered moving average (milli-units, integer DIV), and
+    // per-dow residual mass off the trend. Engine landmine: Spark's
+    // dayofweek is 1-7 Sunday-first, DuckDB's 0-6 — the Spark side
+    // subtracts 1 rather than both sides guessing. Everything is
+    // integer arithmetic over the DAY-scaled rollup: at 100 TB the
+    // daily aggregate's exchange dominates and the windows run over
+    // ~30 rows. ORACLE-EXACT.
+    QueryDef(
+      "q307_seasonal_decompose",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("d"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum("x").as("sx"))
+        val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+        val resid = daily
+          .withColumn("s7", sum("x").over(w7))
+          .withColumn("n7", count(lit(1)).over(w7))
+          .filter(col("n7") === 7)
+          .select(
+            expr("CAST(dayofweek(d) - 1 AS BIGINT)").as("w"),
+            expr("abs(x * 1000 - (s7 * 1000) DIV 7)").as("ar")
+          )
+          .groupBy("w")
+          .agg(sum("ar").as("resid_abs_milli"), count(lit(1)).as("n_resid"))
+        daily
+          .groupBy(expr("CAST(dayofweek(d) - 1 AS BIGINT)").as("w"))
+          .agg(count(lit(1)).as("n_days"), sum("x").as("sxw"))
+          .join(broadcast(tot))
+          .select(
+            col("w"),
+            col("n_days"),
+            expr("(sxw * nd * 1000000) DIV (n_days * sx)").as("seasonal_ppm"),
+            col("sxw")
+          )
+          .join(resid, Seq("w"), "left")
+          .select(
+            col("w"),
+            col("n_days"),
+            col("seasonal_ppm"),
+            col("sxw"),
+            coalesce(col("resid_abs_milli"), lit(0L)).as("resid_abs_milli"),
+            coalesce(col("n_resid"), lit(0L)).as("n_resid")
+          )
+          .orderBy("w")
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS sx
+                FROM daily),
+        resid AS (
+          SELECT dayofweek(d) AS w,
+                 CAST(sum(abs(x * 1000 - (s7 * 1000) // 7)) AS BIGINT) AS resid_abs_milli,
+                 CAST(count(*) AS BIGINT) AS n_resid
+          FROM (
+            SELECT d, x,
+                   CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+                   count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+            FROM daily)
+          WHERE n7 = 7 GROUP BY 1),
+        seas AS (
+          SELECT dayofweek(d) AS w, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sxw
+          FROM daily GROUP BY 1),
+        sel AS (
+          SELECT s.w, s.n_days,
+                 CAST((s.sxw * t.nd * 1000000) // (s.n_days * t.sx) AS BIGINT) AS seasonal_ppm,
+                 s.sxw
+          FROM seas s, tot t)
+        SELECT sel.w, sel.n_days, sel.seasonal_ppm, sel.sxw,
+               CAST(coalesce(r.resid_abs_milli, 0) AS BIGINT) AS resid_abs_milli,
+               CAST(coalesce(r.n_resid, 0) AS BIGINT) AS n_resid
+        FROM sel LEFT JOIN resid r ON r.w = sel.w
+        ORDER BY sel.w""")
+    ),
+
+    // ------------------------------------------------------------------
+    // JACKKNIFE SE FOR A RATIO METRIC (round 14): revenue-per-active-
+    // user is a RATIO of sums — its naive per-unit variance is wrong
+    // (the denominator varies too), and the delete-one jackknife over
+    // DAYS is the standard fix (Efron 1982; the experimentation-
+    // platform workhorse for ratio metrics). Leave-one-out ratios come
+    // from global sums minus each day's sums — one day rollup + one
+    // global aggregate, NO resampling loop; the pseudo-value variance
+    // folds over the day-ordered list (the HOF float discipline), and
+    // the 95% CI reuses q288's critical value. Day-scaled after the
+    // rollup. ORACLE-EXACT.
+    QueryDef(
+      "q308_jackknife_ratio_se",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .select(
+            to_date(col("ts")).as("d"),
+            col("user_id"),
+            col("event_type"),
+            col("value")
+          )
+          .groupBy("d")
+          .agg(
+            sum(
+              when(
+                col("event_type") === "purchase",
+                expr("CAST(round(value * 100) AS BIGINT)")
+              ).otherwise(0L)
+            ).as("num"),
+            countDistinct("user_id").as("den")
+          )
+        val g = daily.agg(count(lit(1)).as("n"), sum("num").as("snum"), sum("den").as("sden"))
+        daily
+          .join(broadcast(g))
+          .select(
+            col("d"),
+            col("n"),
+            expr("CAST(snum AS DOUBLE) / sden").as("r_all"),
+            expr("CAST(snum - num AS DOUBLE) / (sden - den)").as("r_i")
+          )
+          .groupBy("n", "r_all")
+          .agg(sort_array(collect_list(struct(col("d"), col("r_i")))).as("rs"))
+          .withColumn(
+            "rbar",
+            expr("aggregate(rs, CAST(0 AS DOUBLE), (a, e) -> a + e.r_i) / n")
+          )
+          .withColumn(
+            "se",
+            expr("""sqrt((CAST(n AS DOUBLE) - 1e0) / n
+                    * aggregate(rs, CAST(0 AS DOUBLE),
+                                (a, e) -> a + (e.r_i - rbar) * (e.r_i - rbar)))""")
+          )
+          .select(
+            col("n").as("n_days"),
+            expr("CAST(floor(r_all * 1000000e0) AS BIGINT)").as("ratio_micros"),
+            expr("CAST(floor(se * 1000000e0) AS BIGINT)").as("jk_se_micros"),
+            expr("CAST(floor((r_all - 1959964e-6 * se) * 1000000e0) AS BIGINT)").as("ci_lo_micros"),
+            expr("CAST(floor((r_all + 1959964e-6 * se) * 1000000e0) AS BIGINT)").as("ci_hi_micros")
+          )
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS num,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS den
+          FROM events GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(num) AS BIGINT) AS snum,
+                     CAST(sum(den) AS BIGINT) AS sden FROM daily),
+        loo AS (
+          SELECT d, n, CAST(snum AS DOUBLE) / sden AS r_all,
+                 CAST(snum - num AS DOUBLE) / (sden - den) AS r_i
+          FROM daily, g),
+        jk AS (SELECT n, r_all, list(r_i ORDER BY d) AS rs FROM loo GROUP BY 1, 2),
+        m AS (SELECT n, r_all, rs,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE), rs), (a, e) -> a + e) / n AS rbar
+              FROM jk),
+        se AS (SELECT n, r_all,
+                      sqrt((CAST(n AS DOUBLE) - 1e0) / n
+                        * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(rs, e -> (e - rbar) * (e - rbar))), (a, e) -> a + e)) AS se
+               FROM m)
+        SELECT n AS n_days,
+               CAST(floor(r_all * 1000000e0) AS BIGINT) AS ratio_micros,
+               CAST(floor(se * 1000000e0) AS BIGINT) AS jk_se_micros,
+               CAST(floor((r_all - 1959964e-6 * se) * 1000000e0) AS BIGINT) AS ci_lo_micros,
+               CAST(floor((r_all + 1959964e-6 * se) * 1000000e0) AS BIGINT) AS ci_hi_micros
+        FROM se""")
     )
   )
 

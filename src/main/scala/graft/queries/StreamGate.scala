@@ -1487,6 +1487,31 @@ object StreamGate {
         SELECT CAST(snap AS BIGINT) AS snap, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM snaps GROUP BY snap ORDER BY snap""")
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q300 (streaming DP release, round 14): the governed
+    // release over a LIVE-ingested event log. Contribution bounding
+    // is whole-history (a user's presence clamp and per-user cap span
+    // batches), so this is a stage-and-recompute gate like q274's
+    // cohorts: batches land in the store, the release recomputes over
+    // everything staged. The noise is seed-deterministic, so the
+    // drained release shares q300's oracle under any split.
+    QueryDef(
+      "q309_stream_dp",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/events.parquet").schema
+        runDpStream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .select("user_id", "event_type")
+        )
+      },
+      Some(Corpus.dpOracleSql)
     )
   )
 
@@ -2124,13 +2149,34 @@ object StreamGate {
       .orderBy("snap")
   }
 
+  /** q300's DP release driven live — stage-and-recompute, because
+    * contribution bounding is whole-history (presence clamps and
+    * per-user caps span micro-batches; partial noisy releases would
+    * compose budgets, not counts). */
+  private[graft] def runDpStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("dp_staging")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.toDF().write.mode("append").parquet(staging)
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("dp_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Corpus.dpRelease(gs.read.parquet(staging))
+  }
+
   /** q301's moments sketch driven live: each micro-batch reduces to
     * its per-type partial power sums (one O(batch) aggregate — the
     * mergeable sketch state), appended to the store; the drained
     * merge is one tiny sum over partial rows. */
   private[graft] def runMomentsStream(gs: SparkSession, stream: DataFrame): DataFrame = {
-    import graft.operators.TableVersions
-    val tdir = Similarity.freshIndexDir("moments_stream_store")
+    val staging = Similarity.freshIndexDir("moments_staging")
     val q = stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -2140,10 +2186,11 @@ object StreamGate {
               col("event_type"),
               expr("CAST(round(value * 100) AS BIGINT)").as("c")
             )
-          TableVersions.commitAppend(
-            Sketches.momentPartials(typed, Seq(col("event_type"))),
-            tdir
-          ): Unit
+          Sketches
+            .momentPartials(typed, Seq(col("event_type")))
+            .write
+            .mode("append")
+            .parquet(staging)
       }
       .option("checkpointLocation", Similarity.freshIndexDir("moments_stream_ck"))
       .trigger(Trigger.AvailableNow())
@@ -2153,11 +2200,7 @@ object StreamGate {
       q.stop()
       org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
     }
-    Sketches
-      .momentStats(
-        TableVersions.readVersion(gs, tdir, TableVersions.currentVersion(gs, tdir))
-      )
-      .orderBy("event_type")
+    Sketches.momentStats(gs.read.parquet(staging)).orderBy("event_type")
   }
 
   /** Drive q282's covering index with LIVE streams: one table commit +

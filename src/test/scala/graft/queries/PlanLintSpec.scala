@@ -53,7 +53,9 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     "q183_rotated_serving", // 16-row broadcast centroid table + ≤10 query vectors (q153's shape)
     "q261_basket_lift", // 1-row broadcast n_baskets scalar over the 25²-bounded brand-pair table
     "q296_cuped", // 1-row broadcast θ/moments scalar over the per-user rollup (q38's shape)
-    "q304_kaplan_meier" // ≤31-row event-TIME table, triangular prefix join by design (days, never users)
+    "q304_kaplan_meier", // ≤31-row event-TIME table, triangular prefix join by design (days, never users)
+    "q307_seasonal_decompose", // 1-row broadcast (nd, sx) scalar over the 7-row dow table
+    "q308_jackknife_ratio_se" // 1-row broadcast global-sums scalar over the ≤31-row day table
   )
 
   /** The ANN scan family: top-k selection must be the bounded
