@@ -143,6 +143,45 @@ object PositionalIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_postings"))
 
+  /** Keyword-in-context concordance: every phrase occurrence with
+    * `window` tokens of context on each side, assembled ENTIRELY from
+    * the index (the find runs on the phrase tokens' pruned buckets;
+    * the render is one postings pass doc-restricted to the hits —
+    * positions carry the layout, so no text re-scan, no document
+    * store). The hit set is df(phrase)-scaled and broadcasts into the
+    * context join — the concordance contract (a phrase whose hit list
+    * doesn't fit an executor isn't a concordance query). Tokens
+    * dropped at build time (empty splits) stay dropped in the render,
+    * matching the postings exactly. */
+  def kwic(s: SparkSession, indexDir: String, phrase: Seq[String], window: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two tokens")
+    require(window >= 0, "window must be nonnegative")
+    val bkts = phrase.map(InvertedIndex.bucketOf).distinct
+    val live = liveData(s, indexDir)
+    val posts = live
+      .filter(col("bkt").isin(bkts: _*) && col("tok").isin(phrase.distinct: _*))
+    val hits = phrase.zipWithIndex
+      .map { case (w, i) =>
+        posts.filter(col("tok") === w).select(col("doc_id"), (col("pos") - i).as("start"))
+      }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .select(col("doc_id").as("hd"), col("start"))
+    live
+      .join(
+        broadcast(hits),
+        col("doc_id") === col("hd")
+          && col("pos") >= col("start") - window
+          && col("pos") <= col("start") + (phrase.size - 1 + window)
+      )
+      .groupBy(col("hd"), col("start"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("w"))
+      .select(
+        col("hd").as("doc_id"),
+        col("start").cast("long").as("start"),
+        expr("concat_ws(' ', transform(w, e -> e.tok))").as("context")
+      )
+  }
+
   /** Term statistics for every token with the given prefix: document
     * frequency and total occurrences. Bucket pruning is impossible
     * (md5 buckets), but the tok-sorted row groups give min/max

@@ -336,6 +336,42 @@ object Retrieval {
     ),
 
     // ------------------------------------------------------------------
+    // KEYWORD-IN-CONTEXT CONCORDANCE (round 14): the classic corpus-
+    // linguistics view — every occurrence of a phrase with ±2 tokens of
+    // context — served ENTIRELY from the positional index: the find is
+    // q276's bucket-pruned frame equi-join, and the render is one
+    // postings pass doc-restricted to the df-scaled hit set (positions
+    // ARE the layout; no text re-scan, no document store in the plan).
+    // The oracle re-derives every context window from raw text with
+    // the identical tokenization, including the subtlety that tokens
+    // dropped at build time (empty splits) stay dropped in the render.
+    // ORACLE-EXACT.
+    QueryDef(
+      "q310_kwic_concordance",
+      (s, dir) => {
+        import graft.operators.PositionalIndex
+        val idx = Similarity.freshIndexDir("pos_kwic")
+        PositionalIndex.build(Tables(s, dir, "documents").select("doc_id", "text"), idx)
+        PositionalIndex
+          .kwic(s, idx, Seq("spark", "join"), window = 2)
+          .select(lit("spark join").as("phrase"), col("doc_id"), col("start"), col("context"))
+          .orderBy("doc_id", "start")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        hits AS (
+          SELECT doc_id, i FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+          WHERE t[i] = 'spark' AND t[i+1] = 'join'),
+        ctx AS (
+          SELECT h.doc_id, CAST(h.i - 1 AS BIGINT) AS start,
+                 list_aggregate(
+                   list_filter(tk.t[CASE WHEN h.i - 2 < 1 THEN 1 ELSE h.i - 2 END : h.i + 3],
+                               x -> x <> ''), 'string_agg', ' ') AS context
+          FROM hits h JOIN toks tk ON tk.doc_id = h.doc_id)
+        SELECT 'spark join' AS phrase, doc_id, start, context
+        FROM ctx ORDER BY doc_id, start""")
+    ),
+
+    // ------------------------------------------------------------------
     // POSITIONAL-INDEX LIFECYCLE (round 14): q276/q277 built their
     // index once and read it — this walks the full house lifecycle the
     // operator now carries: BUILD on half the corpus, APPEND the other
