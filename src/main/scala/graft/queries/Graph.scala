@@ -605,20 +605,32 @@ object Graph {
       "q305_neighborhood_function",
       (s, dir) => {
         val sym = purchaseGraph(s, dir, orderMod = 2L).localCheckpoint()
-        val hop1 = sym.select(col("src"), col("dst")).distinct()
+        // the ANF methodology: exact reach for a SAMPLED source set —
+        // never per-node all-pairs (the first cut of this query
+        // materialized the full 2-hop set and cost 34 s at sf0.1, the
+        // Σdeg² hub explosion in person; sampled sources make both
+        // hops frontier-scaled, the q287 shape)
+        val sources = sym
+          .select(col("src").as("s0"))
+          .distinct()
+          .filter(col("s0") % 97 === 1)
+        val hop1 = sources
+          .join(sym, col("s0") === col("src"))
+          .select(col("s0"), col("dst"))
+          .distinct()
         val mid = sym.select(col("src").as("m"), col("dst"))
-        val hop2 = sym
-          .select(col("src"), col("dst").as("m"))
+        val hop2 = hop1
+          .select(col("s0"), col("dst").as("m"))
           .join(mid, Seq("m"))
-          .select(col("src"), col("dst"))
-          .filter(col("src") =!= col("dst"))
+          .select(col("s0"), col("dst"))
+          .filter(col("s0") =!= col("dst"))
           .unionByName(hop1)
           .distinct()
         def nf(pairs: org.apache.spark.sql.DataFrame, d: Long) = {
-          val reach = pairs.groupBy("src").agg(count(lit(1)).as("r"))
+          val reach = pairs.groupBy("s0").agg(count(lit(1)).as("r"))
           reach.agg(
             lit(d).as("d"),
-            count(lit(1)).as("n_nodes"),
+            count(lit(1)).as("n_sources"),
             sum("r").as("n_pairs"),
             max("r").as("max_reach"),
             expr("(sum(r) * 1000) DIV count(1)").as("avg_reach_milli")
@@ -632,15 +644,17 @@ object Graph {
           WHERE o_orderkey % 2 = 0),
         sym AS (SELECT src, dst FROM fwd
                 UNION ALL SELECT dst AS src, src AS dst FROM fwd),
-        hop1 AS (SELECT DISTINCT src, dst FROM sym),
+        srcs AS (SELECT DISTINCT src AS s0 FROM sym WHERE src % 97 = 1),
+        hop1 AS (
+          SELECT DISTINCT s0, dst FROM srcs JOIN sym ON sym.src = srcs.s0),
         hop2 AS (
-          SELECT DISTINCT src, dst FROM (
-            SELECT a.src, b.dst FROM sym a JOIN sym b ON b.src = a.dst
-            WHERE a.src <> b.dst
-            UNION ALL SELECT src, dst FROM hop1)),
-        r1 AS (SELECT src, count(*) AS r FROM hop1 GROUP BY 1),
-        r2 AS (SELECT src, count(*) AS r FROM hop2 GROUP BY 1)
-        SELECT CAST(1 AS BIGINT) AS d, count(*) AS n_nodes,
+          SELECT DISTINCT s0, dst FROM (
+            SELECT h.s0, b.dst FROM hop1 h JOIN sym b ON b.src = h.dst
+            WHERE h.s0 <> b.dst
+            UNION ALL SELECT s0, dst FROM hop1)),
+        r1 AS (SELECT s0, count(*) AS r FROM hop1 GROUP BY 1),
+        r2 AS (SELECT s0, count(*) AS r FROM hop2 GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS d, count(*) AS n_sources,
                CAST(sum(r) AS BIGINT) AS n_pairs, CAST(max(r) AS BIGINT) AS max_reach,
                CAST((sum(r) * 1000) // count(*) AS BIGINT) AS avg_reach_milli
         FROM r1
