@@ -2291,6 +2291,111 @@ object Extras {
                CAST(floor((r_all - 1959964e-6 * se) * 1000000e0) AS BIGINT) AS ci_lo_micros,
                CAST(floor((r_all + 1959964e-6 * se) * 1000000e0) AS BIGINT) AS ci_hi_micros
         FROM se""")
+    ),
+
+    // ------------------------------------------------------------------
+    // GINI / LORENZ CONCENTRATION (round 14): how concentrated is
+    // revenue across users — the Gini coefficient via the rank
+    // identity G = 2Σᵢ i·xᵢ / (nΣx) − (n+1)/n over ascending-sorted
+    // spend (exact ppm, pure integer arithmetic: i·x products stay
+    // far under 2⁶³), plus the top-10% and top-1% Lorenz shares. The
+    // deterministic tiebreak (x, user_id) pins equal-spend ranks.
+    // Plan: one user rollup, then ONE global rank window over USERS
+    // (the q285 trade — exact global concentration needs a
+    // user-count-scaled sort; events never enter it). ORACLE-EXACT.
+    QueryDef(
+      "q311_gini_concentration",
+      (s, dir) => {
+        val per = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(
+              when(
+                col("event_type") === "purchase",
+                expr("CAST(round(value * 100) AS BIGINT)")
+              ).otherwise(0L)
+            ).as("x")
+          )
+        per
+          .withColumn("i", row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("sx", sum("x").over(Window.partitionBy()))
+          .agg(
+            first("n").as("n"),
+            first("sx").as("sx"),
+            sum(expr("i * x")).as("six"),
+            sum(when(expr("i > n - (n DIV 10)"), col("x")).otherwise(0L)).as("top10"),
+            sum(when(expr("i > n - (n DIV 100)"), col("x")).otherwise(0L)).as("top1")
+          )
+          .select(
+            col("n"),
+            col("sx"),
+            expr("(2 * six * 1000000) DIV (n * sx) - ((n + 1) * 1000000) DIV n").as("gini_ppm"),
+            expr("(top10 * 1000000) DIV sx").as("top10_share_ppm"),
+            expr("(top1 * 1000000) DIV sx").as("top1_share_ppm")
+          )
+      },
+      Some("""WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i,
+                 CAST(count(*) OVER () AS BIGINT) AS n,
+                 CAST(sum(x) OVER () AS BIGINT) AS sx
+          FROM per),
+        g AS (
+          SELECT n, sx, CAST(sum(i * x) AS BIGINT) AS six,
+                 CAST(sum(CASE WHEN i > n - (n // 10) THEN x ELSE 0 END) AS BIGINT) AS top10,
+                 CAST(sum(CASE WHEN i > n - (n // 100) THEN x ELSE 0 END) AS BIGINT) AS top1
+          FROM r GROUP BY n, sx)
+        SELECT n, sx,
+               CAST((2 * six * 1000000) // (n * sx) - ((n + 1) * 1000000) // n AS BIGINT) AS gini_ppm,
+               CAST((top10 * 1000000) // sx AS BIGINT) AS top10_share_ppm,
+               CAST((top1 * 1000000) // sx AS BIGINT) AS top1_share_ppm
+        FROM g""")
+    ),
+
+    // ------------------------------------------------------------------
+    // A/B POWER ANALYSIS (round 14): the question asked BEFORE q288's
+    // test — how many users per arm to detect a 20% relative lift in
+    // the conversion rate at 80% power, 5% two-sided? The closed form
+    // n = 2(z_{α/2}+z_β)² p(1−p)/δ² over the observed baseline rate,
+    // with both critical values pinned as micros literals (1.959964,
+    // 0.841621) and the whole derivation one textually identical
+    // double sequence over exact integer counts. One user rollup + a
+    // 2-sum aggregate — nothing else. ORACLE-EXACT.
+    QueryDef(
+      "q312_power_analysis",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            max(
+              when(col("event_type") === "purchase" && col("value") > 100, 1L).otherwise(0L)
+            ).as("conv")
+          )
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+          .withColumn("p0", expr("CAST(c AS DOUBLE) / n"))
+          .select(
+            col("n"),
+            col("c"),
+            expr("CAST(floor(p0 * 1000000e0) AS BIGINT)").as("p0_ppm"),
+            expr("""CAST(ceil(2e0 * (1959964e-6 + 841621e-6) * (1959964e-6 + 841621e-6)
+                    * p0 * (1e0 - p0) / ((2e-1 * p0) * (2e-1 * p0))) AS BIGINT)""").as("n_per_arm")
+          )
+      },
+      Some("""WITH u AS (
+          SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 100
+                              THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u),
+        p AS (SELECT n, c, CAST(c AS DOUBLE) / n AS p0 FROM g)
+        SELECT n, c, CAST(floor(p0 * 1000000e0) AS BIGINT) AS p0_ppm,
+               CAST(ceil(2e0 * (1959964e-6 + 841621e-6) * (1959964e-6 + 841621e-6)
+                    * p0 * (1e0 - p0) / ((2e-1 * p0) * (2e-1 * p0))) AS BIGINT) AS n_per_arm
+        FROM p""")
     )
   )
 
