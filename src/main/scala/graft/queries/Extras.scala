@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.operators.DistributedRank
 
 /** Second relational tranche (SURVEY.md §2.3): statistical aggregates,
   * distribution windows, positional explode, time bucketing, SQL
@@ -1499,11 +1500,14 @@ object Extras {
     // each scored 1-5 by DETERMINISTIC quintile (row_number with the
     // user id as tiebreak, then integer bucket arithmetic; ntile's
     // tie placement is engine-defined and would break the hash).
-    // Plan: one user-keyed aggregate (event-scaled) + three global
-    // rank windows over USERS (user-scaled — the small side; at 100 TB
-    // the events never pass through a single partition, only the
-    // per-user rollup does, and a user-count-scaled sort is the
-    // standard price of exact global quantile scores). ORACLE-EXACT.
+    // Plan: one user-keyed aggregate (event-scaled) + three exact
+    // DISTRIBUTED global ranks over the per-user rollup
+    // ([[graft.operators.DistributedRank]]: range-partition + local
+    // sort + broadcast prefix offsets — the round-15 replacement for
+    // the partition-less rank windows this query shipped with, which
+    // moved every user into ONE sort task; at 100 TB each rank pass is
+    // now fully parallel and the events never enter it at all).
+    // ORACLE-EXACT.
     QueryDef(
       "q285_rfm_segmentation",
       (s, dir) => {
@@ -1516,21 +1520,15 @@ object Extras {
             sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("monetary_c")
           )
         val maxUs = per.agg(max("last_us")).head().getLong(0)
-        val n = per.count()
-        val scored = per
+        val base = per
           .withColumn("r_days", expr(s"(${maxUs}L - last_us) DIV 86400000000"))
-          .withColumn(
-            "rr",
-            row_number().over(Window.orderBy(col("r_days"), col("user_id")))
-          )
-          .withColumn(
-            "fr",
-            row_number().over(Window.orderBy(col("freq").desc, col("user_id")))
-          )
-          .withColumn(
-            "mr",
-            row_number().over(Window.orderBy(col("monetary_c").desc, col("user_id")))
-          )
+        val byR = DistributedRank.rowNumber(base, Seq(col("r_days"), col("user_id")), "rr")
+        val n = byR.total
+        val byF = DistributedRank
+          .rowNumber(byR.df, Seq(col("freq").desc, col("user_id")), "fr")
+        val byM = DistributedRank
+          .rowNumber(byF.df, Seq(col("monetary_c").desc, col("user_id")), "mr")
+        val scored = byM.df
           .select(
             col("user_id"),
             col("r_days"),
@@ -1664,10 +1662,18 @@ object Extras {
     // scan, no scalar cross join. The normal-approximation z is then
     // ONE textually identical double sequence over those exact
     // integers (q288's discipline: `1e0` literals, floor at micros).
-    // Plan: the rank window is global but runs over PURCHASES ONLY —
-    // the filtered small side, the q285 trade (an exact global rank
-    // has a user-count-scaled sort; the event stream never enters it).
-    // ORACLE-EXACT.
+    // Plan (round 15, replacing the partition-less rank window that
+    // single-task-sorted every purchase row): ranks only ever attach
+    // to VALUE GROUPS — rank_min(v) = 1 + Σ_{v'<v} t(v') — so the
+    // purchases fold to one row per distinct value first (event-scaled
+    // aggregate) and the global structure is an exact distributed
+    // prefix sum over the group frame
+    // ([[graft.operators.DistributedRank.prefixSumExclusive]]: range
+    // partition + pid-partitioned running sum + broadcast offsets).
+    // Identical integers: 2·avgrank = 2·rank_min + t − 1 per group,
+    // the cohort-0 rank sum weights that by the group's cohort-0
+    // count, and the tie term t³−t is per-group algebra. Nothing
+    // data-scaled crosses a single partition. ORACLE-EXACT.
     QueryDef(
       "q294_mann_whitney",
       (s, dir) => {
@@ -1680,21 +1686,31 @@ object Extras {
                          - CAST(tie3 AS DOUBLE)
                            / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))
                * 1000000e0) AS BIGINT)"""
-        Tables(s, dir, "events")
+        val groups = Tables(s, dir, "events")
           .filter(col("event_type") === "purchase")
           .select(
             expr("CAST(floor(value) AS BIGINT)").as("v"),
             (col("user_id") % 2).as("cohort")
           )
-          .withColumn("r_lo", rank().over(Window.orderBy("v")).cast("long"))
-          .withColumn("t", count(lit(1)).over(Window.partitionBy("v")))
+          .groupBy("v")
           .agg(
-            sum(when(col("cohort") === 0, expr("2 * r_lo + t - 1")).otherwise(0L)).as("r0_2"),
-            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
-            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"),
-            // Σ_v (t³ − t) = Σ_rows (t² − 1): each of the t rows in a tie
-            // group contributes t²−1, so the tie term needs no group-by
-            sum(expr("t * t - 1")).as("tie3")
+            count(lit(1)).as("t"),
+            sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0")
+          )
+        // rank_min(v) = 1 + (rows with a strictly smaller value) — the
+        // exact distributed prefix sum over the group frame; v is
+        // unique per row here, so the order is total by construction
+        DistributedRank
+          .prefixSumExclusive(groups, Seq(col("v")), col("t"), "pre")
+          .df
+          .withColumn("r_lo", col("pre") + 1L)
+          .agg(
+            // Σ over cohort-0 rows of 2·avgrank = Σ groups c0·(2·rank_min + t − 1)
+            sum(expr("c0 * (2 * r_lo + t - 1)")).as("r0_2"),
+            sum(col("c0")).as("n0"),
+            sum(expr("t - c0")).as("n1"),
+            // Σ_v (t³ − t): per-group algebra — no per-row pass needed
+            sum(expr("t * (t * t - 1)")).as("tie3")
           )
           .select(
             col("n0"),
@@ -2300,9 +2316,15 @@ object Extras {
     // spend (exact ppm, pure integer arithmetic: i·x products stay
     // far under 2⁶³), plus the top-10% and top-1% Lorenz shares. The
     // deterministic tiebreak (x, user_id) pins equal-spend ranks.
-    // Plan: one user rollup, then ONE global rank window over USERS
-    // (the q285 trade — exact global concentration needs a
-    // user-count-scaled sort; events never enter it). ORACLE-EXACT.
+    // Plan (round 15): one user rollup, then ONE exact distributed
+    // global rank over the rollup ([[graft.operators.DistributedRank
+    // .rowNumber]] — range partition + broadcast prefix offsets; the
+    // partition-less rank/count/sum windows this query shipped with
+    // are gone, so no user-scaled side ever crosses a single sort
+    // task). Σi·x grows QUADRATICALLY with user count, so the scaled
+    // products ride DECIMAL(38,0) on the Spark side and HUGEINT in
+    // the oracle (the q301 moments discipline — plain BIGINT aborts
+    // one scale step above the gated fixtures). ORACLE-EXACT.
     QueryDef(
       "q311_gini_concentration",
       (s, dir) => {
@@ -2316,23 +2338,26 @@ object Extras {
               ).otherwise(0L)
             ).as("x")
           )
-        per
-          .withColumn("i", row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .withColumn("sx", sum("x").over(Window.partitionBy()))
+        val ranked = DistributedRank.rowNumber(per, Seq(col("x"), col("user_id")), "i")
+        val n = ranked.total
+        ranked.df
           .agg(
-            first("n").as("n"),
-            first("sx").as("sx"),
-            sum(expr("i * x")).as("six"),
-            sum(when(expr("i > n - (n DIV 10)"), col("x")).otherwise(0L)).as("top10"),
-            sum(when(expr("i > n - (n DIV 100)"), col("x")).otherwise(0L)).as("top1")
+            sum("x").as("sx"),
+            sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("six"),
+            sum(when(expr(s"i > ${n}L - (${n}L DIV 10)"), col("x")).otherwise(0L)).as("top10"),
+            sum(when(expr(s"i > ${n}L - (${n}L DIV 100)"), col("x")).otherwise(0L)).as("top1")
           )
           .select(
-            col("n"),
+            lit(n).as("n"),
             col("sx"),
-            expr("(2 * six * 1000000) DIV (n * sx) - ((n + 1) * 1000000) DIV n").as("gini_ppm"),
-            expr("(top10 * 1000000) DIV sx").as("top10_share_ppm"),
-            expr("(top1 * 1000000) DIV sx").as("top1_share_ppm")
+            expr(
+              s"""CAST((2 * six * 1000000) DIV (CAST(${n}L AS DECIMAL(38,0)) * sx)
+                  - ((${n}L + 1) * 1000000) DIV ${n}L AS BIGINT)"""
+            ).as("gini_ppm"),
+            expr("CAST((CAST(top10 AS DECIMAL(38,0)) * 1000000) DIV sx AS BIGINT)")
+              .as("top10_share_ppm"),
+            expr("CAST((CAST(top1 AS DECIMAL(38,0)) * 1000000) DIV sx AS BIGINT)")
+              .as("top1_share_ppm")
           )
       },
       Some("""WITH per AS (
@@ -2346,14 +2371,15 @@ object Extras {
                  CAST(sum(x) OVER () AS BIGINT) AS sx
           FROM per),
         g AS (
-          SELECT n, sx, CAST(sum(i * x) AS BIGINT) AS six,
+          SELECT n, sx, sum(CAST(i AS HUGEINT) * x) AS six,
                  CAST(sum(CASE WHEN i > n - (n // 10) THEN x ELSE 0 END) AS BIGINT) AS top10,
                  CAST(sum(CASE WHEN i > n - (n // 100) THEN x ELSE 0 END) AS BIGINT) AS top1
           FROM r GROUP BY n, sx)
         SELECT n, sx,
-               CAST((2 * six * 1000000) // (n * sx) - ((n + 1) * 1000000) // n AS BIGINT) AS gini_ppm,
-               CAST((top10 * 1000000) // sx AS BIGINT) AS top10_share_ppm,
-               CAST((top1 * 1000000) // sx AS BIGINT) AS top1_share_ppm
+               CAST((2 * six * 1000000) // (CAST(n AS HUGEINT) * sx)
+                    - ((n + 1) * 1000000) // n AS BIGINT) AS gini_ppm,
+               CAST((CAST(top10 AS HUGEINT) * 1000000) // sx AS BIGINT) AS top10_share_ppm,
+               CAST((CAST(top1 AS HUGEINT) * 1000000) // sx AS BIGINT) AS top1_share_ppm
         FROM g""")
     ),
 

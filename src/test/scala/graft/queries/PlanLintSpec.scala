@@ -94,6 +94,41 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"corpus-scaled top-k shapes:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries whose optimized plan legitimately contains a window with
+    * an EMPTY partition spec: every one runs over a frame bounded by
+    * CONSTRUCTION (never data-scaled), so the single-partition sort it
+    * implies is a constant-size stage. Anything else is the one-task
+    * global sort that kills a 100 TB run — exact global ranks over
+    * data-scaled frames must go through
+    * [[graft.operators.DistributedRank]] (range partition + broadcast
+    * prefix offsets; see q285/q294/q311, re-planned in round 15). */
+  private val globalWindowAllowed = Set(
+    "q97_temperature_mix", // per-LANGUAGE mass table (bounded lang domain)
+    "q126_skew_report", // three 1-row stat pieces ranked together
+    "q140_bpe_train", // rank over the 5 rows surviving TakeOrdered (per step)
+    "q142_bpe_encode", // same bpeTop5 machinery — 5-row frames
+    "q143_token_budget", // ≤1001-row quality-bucket table (bucketed by construction)
+    "q252_budget_waterfill", // source-count-sized caps table (bounded source domain)
+    "q295_chi_squared", // cohortsxtypes contingency cells (15 rows)
+    "q304_kaplan_meier", // ≤31-row event-TIME table (days, never users)
+    "q307_seasonal_decompose" // 7-row day-of-week table
+  )
+
+  test("no partition-less window over a data-scaled frame (exact global ranks use DistributedRank)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty && !globalWindowAllowed(name)) Some(s"$name: ${bad.size} global window(s)")
+      else None
+    }
+    assert(
+      offenders.isEmpty,
+      s"partition-less windows outside the bounded-frame allowlist:\n${offenders.mkString("\n")}"
+    )
+  }
+
   test("no CartesianProduct; BroadcastNestedLoopJoin only with bounded build sides") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
