@@ -159,9 +159,11 @@ object CoveringIndex {
     val deltaKeys = deltas.select(col(key)).distinct()
     val nDeltaKeys = deltaKeys.count()
     if (nDeltaKeys > 0) {
+      // Row.get keeps the probe generic — the fast path works for any
+      // key type (string business keys included), not just BIGINT
       val live0 =
         (if (nDeltaKeys <= UniqueGuardProbeLimit)
-           lookup(s, idxDir, key, Seq.empty, deltaKeys.collect().map(_.getLong(0)).toSeq)
+           lookup(s, idxDir, key, Seq.empty, deltaKeys.collect().map(_.get(0)).toSeq)
          else read(s, idxDir, key, Seq.empty))
           .select(col(key), lit(1).as("_l0"))
       val w = org.apache.spark.sql.expressions.Window
@@ -204,13 +206,17 @@ object CoveringIndex {
 
   /** Point lookups served from the index alone: the probed keys push
     * into every segment scan (key-sorted row groups min/max-skip), the
-    * latest-wins fold runs over O(keys × segments) rows. */
+    * latest-wins fold runs over O(keys × segments) rows. Keys are any
+    * orderable type the index was built on — BIGINT surrogates and
+    * string business keys alike (`isin` analysis coerces the literals
+    * against the scanned column type, so a mistyped probe fails loudly
+    * at analysis, never as a silent empty result). */
   def lookup(
       s: SparkSession,
       idxDir: String,
       key: String,
       cols: Seq[String],
-      keys: Seq[Long]
+      keys: Seq[Any]
   ): DataFrame = {
     require(keys.nonEmpty, "empty probe set")
     latestWins(
@@ -218,6 +224,27 @@ object CoveringIndex {
       key,
       cols
     )
+  }
+
+  /** Sweep orphaned `_staging/` trash left by crashed syncs — the
+    * janitor every other staged-publish operator's maintain() already
+    * runs for its own debt. A crashed [[sync]] strands one UUID dir
+    * (data files + `_v` marker) that no read path ever touches;
+    * correctness never needed this sweep, but the garbage is otherwise
+    * unbounded. MUST NOT run concurrently with an in-flight sync (the
+    * same single-maintainer contract as [[compact]] — a live sync's
+    * staged dir is indistinguishable from a crashed one's). Returns
+    * the number of orphans removed. */
+  def maintain(s: SparkSession, idxDir: String): Int = {
+    val fs = fsOf(s, idxDir)
+    val staging = new Path(s"$idxDir/_staging")
+    if (!fs.exists(staging)) return 0
+    val orphans = fs.listStatus(staging).toSeq
+    orphans.foreach { st =>
+      if (!fs.delete(st.getPath, /* recursive = */ true))
+        throw new java.io.IOException(s"covering index maintain: failed to remove ${st.getPath}")
+    }
+    orphans.size
   }
 
   /** Fold all segments into one live base (tombstones physically

@@ -2865,6 +2865,110 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // STRING-KEYED COVERING INDEX + STAGING JANITOR (round 15): the
+    // common dimension case the BIGINT-only surface locked out — the
+    // business key is a STRING (supplier name), and the whole
+    // lifecycle (init / multi-commit CDC sync / unique-key guard
+    // probe / point lookup / compact) runs on it unchanged. The
+    // second sync window deliberately touches ≤1000 keys so the
+    // guard's FAST path (pushed point lookups seeded from collected
+    // probe values) executes on strings — the path that previously
+    // hard-cast Row.getLong and died on any non-BIGINT key. Also
+    // exercised: maintain(), the `_staging` janitor — a simulated
+    // crashed sync strands an orphan staging dir; maintain sweeps it
+    // (REQUIREd empty after) and the index answers are REQUIREd
+    // byte-identical around the sweep. Point lookups REQUIRE
+    // index-only input files (the q282 discipline). ORACLE-EXACT:
+    // lookup rows + per-nation census restated over `supplier` with
+    // the update and both deletes applied.
+    QueryDef(
+      "q313_covering_index_string_key",
+      (s, dir) => {
+        import graft.operators.CoveringIndex
+        val tdir = Similarity.freshIndexDir("covs_store")
+        val idx = Similarity.freshIndexDir("covs_idx")
+        val sup = Tables(s, dir, "supplier")
+          .select(
+            col("s_name"),
+            col("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"),
+            col("s_acctbal")
+          )
+        val key = "s_name"
+        val cols = Seq("s_suppkey", "s_nationkey", "s_acctbal")
+        TableVersions.commitAppend(sup.filter(col("s_suppkey") % 2 === 0).repartition(2), tdir)
+        CoveringIndex.init(s, tdir, idx, key, cols)
+        // one multi-commit window: append + update + delete
+        TableVersions.commitAppend(sup.filter(col("s_suppkey") % 2 === 1).repartition(2), tdir)
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "s_nationkey = 3",
+          _.withColumn("s_acctbal", col("s_acctbal") + lit(1000.0d))
+        )
+        TableVersions.commitDelete(s, tdir, "s_suppkey % 7 = 5")
+        require(CoveringIndex.sync(s, tdir, idx, key, cols) == 3L, "sync must reach v3")
+        // crashed-sync debris: maintain() sweeps it, answers unchanged
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-sync-attempt"))
+        val beforeSweep = CoveringIndex.read(s, idx, key, cols).collect().toSet
+        require(CoveringIndex.maintain(s, idx) >= 1, "janitor must sweep the orphan")
+        require(
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-sync-attempt")),
+          "orphan staging dir survived maintain()"
+        )
+        require(
+          CoveringIndex.read(s, idx, key, cols).collect().toSet == beforeSweep,
+          "maintain() changed an index answer"
+        )
+        // second window touches ≤1000 keys → the guard's pushed-probe
+        // fast path runs on STRING keys (the former getLong crash site)
+        TableVersions.commitDelete(s, tdir, "s_suppkey % 11 = 1")
+        require(CoveringIndex.sync(s, tdir, idx, key, cols) == 4L, "sync must reach v4")
+        val probeKeys: Seq[Any] =
+          Seq(1L, 3L, 5L, 8L).map(k => f"Supplier#$k%09d")
+        def probe() = CoveringIndex.lookup(s, idx, key, cols, probeKeys)
+        require(
+          probe().inputFiles.nonEmpty && probe().inputFiles.forall(_.contains("covs_idx")),
+          s"lookup must read only the index: ${probe().inputFiles.take(3).mkString(",")}"
+        )
+        val before = probe().collect().toSet
+        CoveringIndex.compact(s, idx, key, cols)
+        require(probe().collect().toSet == before, "compaction changed a lookup answer")
+        val census = CoveringIndex
+          .read(s, idx, key, cols)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("k"), min("s_acctbal").as("b"))
+          .select(
+            lit("census").as("probe"),
+            concat(lit("nation_"), col("s_nationkey")).as("s_name"),
+            col("k").as("s_suppkey"),
+            col("s_nationkey"),
+            col("b").as("s_acctbal")
+          )
+        probe()
+          .select(lit("lookup").as("probe"), col("s_name"), col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .unionByName(census)
+          .orderBy("probe", "s_name")
+      },
+      Some("""WITH fin AS (
+          SELECT s_name, s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                 CASE WHEN s_nationkey = 3 THEN s_acctbal + 1000.0 ELSE s_acctbal END AS s_acctbal
+          FROM supplier
+          WHERE s_suppkey % 7 <> 5 AND s_suppkey % 11 <> 1)
+        SELECT probe, s_name, s_suppkey, s_nationkey, s_acctbal FROM (
+          SELECT 'lookup' AS probe, s_name, s_suppkey, s_nationkey, s_acctbal FROM fin
+          WHERE s_name IN ('Supplier#000000001', 'Supplier#000000003',
+                           'Supplier#000000005', 'Supplier#000000008')
+          UNION ALL
+          SELECT 'census', 'nation_' || CAST(s_nationkey AS VARCHAR), count(*),
+                 s_nationkey, min(s_acctbal)
+          FROM fin GROUP BY s_nationkey)
+        ORDER BY probe, s_name""")
+    ),
+
+    // ------------------------------------------------------------------
     // WRITE-AUDIT-PUBLISH (round 14) — the Netflix/Iceberg WAP pattern
     // on the house catalog: a batch COMMITS to the table (a real
     // version, fully written) but stays INVISIBLE to readers until a

@@ -146,4 +146,48 @@ class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
       .toString
     assert(plan.contains("PushedFilters") && plan.contains("k"), "probe keys not pushed")
   }
+
+  test("maintain sweeps crashed-sync staging orphans; answers unchanged") {
+    val (src, idx) = table(40)
+    CoveringIndex.init(spark, src, idx, "k", cols)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CoveringIndex.maintain(spark, idx) == 0, "nothing to sweep yet")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-1"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-2/part-0.parquet"), true).close()
+    val want = viewOf(idx)
+    assert(CoveringIndex.maintain(spark, idx) == 2)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/_staging")).isEmpty)
+    assert(viewOf(idx) == want, "janitor changed an answer")
+    assert(CoveringIndex.maintain(spark, idx) == 0, "sweep is idempotent")
+  }
+
+  test("string business keys: full lifecycle incl. the sync guard's pushed-probe fast path") {
+    val s = spark
+    import s.implicits._
+    val src = fresh("cis_src")
+    val idx = fresh("cis_idx")
+    val scols = Seq("v")
+    TableVersions.commitAppend(
+      (0L until 30L).map(i => (f"key_$i%03d", i * 10)).toDF("k", "v"),
+      src
+    )
+    CoveringIndex.init(spark, src, idx, "k", scols)
+    // window touches 3 keys (≤1000) → the guard probes the index with
+    // collected STRING values — the former Row.getLong crash site
+    TableVersions.commitDelete(spark, src, "k = 'key_005'")
+    TableVersions.commitAppend(Seq(("key_new", 7L), ("key_005", 55L)).toDF("k", "v"), src)
+    assert(CoveringIndex.sync(spark, src, idx, "k", scols) == 2L)
+    val got = CoveringIndex
+      .lookup(spark, idx, "k", scols, Seq("key_005", "key_new", "key_010"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(got == Set(("key_005", 55L), ("key_new", 7L), ("key_010", 100L)))
+    // the guard still REFUSES an insert onto a live string key
+    TableVersions.commitAppend(Seq(("key_010", 999L)).toDF("k", "v"), src)
+    intercept[IllegalArgumentException] {
+      CoveringIndex.sync(spark, src, idx, "k", scols)
+    }
+  }
 }
