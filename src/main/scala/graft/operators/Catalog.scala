@@ -64,6 +64,25 @@ object Catalog {
 
   private def snapsDir(catDir: String) = s"$catDir/snaps"
 
+  /** Atomically create `p` iff it does not exist — true iff THIS call
+    * created it. Hadoop's local create(overwrite = false) is
+    * check-then-act (exists() + open), so local filesystems go through
+    * the kernel's O_CREAT|O_EXCL instead; everywhere else (HDFS, object
+    * stores) create(overwrite = false) is the filesystem's own atomic
+    * claim. The single exclusive-create discipline behind every
+    * one-winner decision in this catalog (snapshot claims, branch
+    * creation). */
+  private def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case remote =>
+      try { remote.create(p, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   private def fsOf(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -136,18 +155,7 @@ object Catalog {
           "are stale (re-read the head and re-derive before retrying)"
       )
     val claim = new Path(s"$dir/s$n.claim")
-    val won = fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        // Hadoop's local create(overwrite = false) is check-then-act
-        // (exists() + open) — go through the kernel's O_CREAT|O_EXCL
-        try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case remote =>
-        try { remote.create(claim, /* overwrite = */ false).close(); true }
-        catch { case _: java.io.IOException => false }
-    }
+    val won = exclusiveCreate(fs, claim)
     if (!won)
       throw new ConcurrentSnapshotException(
         s"snapshot $n of $catDir is already claimed — a concurrent publisher won it " +
@@ -285,26 +293,35 @@ object Catalog {
   }
 
   /** Fork branch `name` from main snapshot `fromSnap`: records the
-    * fork point (exclusive create — one creator wins) and publishes
-    * the branch's s0 as a copy of main's pins at `fromSnap`. O(tables)
-    * metadata; no data moves. */
+    * fork point and publishes the branch's s0 as a copy of main's pins
+    * at `fromSnap`. O(tables) metadata; no data moves.
+    *
+    * One-creator-wins is decided by an EXCLUSIVE CREATE of
+    * `base.claim` — the same [[exclusiveCreate]] discipline as
+    * [[publish]] — never by rename-refuses-existing: POSIX rename(2)
+    * on a raw local filesystem silently REPLACES the destination, so a
+    * rename-as-claim would let a late loser overwrite the winner's
+    * fork point while the loser's s0 publish fails later with the
+    * wrong exception. With the claim held, the fork-point content
+    * still lands by tmp-write + rename (atomic — never observable
+    * half-written). A creator that crashes between the claim and the
+    * content rename leaves `base.claim` without `base`: [[forkPoint]]
+    * and [[merge]] refuse loudly, and the remediation is the one
+    * already documented for a crash before s0 — delete `refs/<name>`
+    * and re-fork. */
   def createBranch(s: SparkSession, catDir: String, name: String, fromSnap: Long): String = {
     val pins = pinsAt(s, catDir, fromSnap) // fails loudly on unpublished snaps
     val bdir = branchDir(catDir, name)
     val fs = fsOf(s, bdir)
     fs.mkdirs(new Path(bdir))
+    if (!exclusiveCreate(fs, new Path(s"$bdir/base.claim")))
+      throw new IllegalArgumentException(s"branch '$name' of $catDir already exists")
     val base = new Path(s"$bdir/base")
-    // content is written to a temp file FIRST, then renamed onto `base`
-    // — the rename is the exclusive claim (it fails when base exists),
-    // so a winner's fork point is never observable half-written
     val tmp = new Path(s"$bdir/.base.tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(fromSnap.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, base)) {
-      fs.delete(tmp, false): Unit
-      throw new IllegalArgumentException(s"branch '$name' of $catDir already exists")
-    }
+    require(fs.rename(tmp, base), s"failed to record fork point of branch '$name'")
     publish(s, bdir, pins, expectedHead = -1L)
     bdir
   }
@@ -354,5 +371,140 @@ object Catalog {
     val merged = (mainPins ++ branchPins.view.filterKeys(branchChanged).toMap) --
       branchChanged.filterNot(branchPins.contains)
     publish(s, catDir, merged, mainHead)
+  }
+
+  // ------------------------------------------------------------------
+  // Replay merge (round 15): the documented Nessie gap closed. A
+  // table-granular conflict (both sides changed the same table since
+  // the fork) is frequently a FALSE conflict at row level — the
+  // nightly branch reworked one key range while main erased another.
+  //
+  // Isolation prerequisite: the per-table version log is LINEAR, so a
+  // branch that commits same-table work into the SHARED log hands its
+  // changes to every later main commit's lineage — there is no
+  // attribution to replay. Same-table branch work must therefore live
+  // on a ZERO-COPY CLONE of the fork image
+  // ([[TableVersions.cloneShallow]] — O(metadata), the per-table DAG
+  // fork the linear log lacks), with the branch pinning the clone.
+  // [[mergeWithReplay]] then has two clean feeds: the clone's
+  // (everything the branch did) and main's (everything main did), it
+  // proves their touched ROW-KEY sets disjoint, and re-applies the
+  // branch's net change on top of main's head as fresh commits — both
+  // sides' rows survive. A TRUE row overlap, an unisolated same-log
+  // branch, or an add/remove conflict still refuses with
+  // [[BranchConflictException]] (fail safe: replay commits land per
+  // table only after that table's disjointness is proven).
+  // ------------------------------------------------------------------
+
+  /** SQL literal for a replayed delete key. */
+  private def keyLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other     => String.valueOf(other)
+  }
+
+  /** [[merge]], falling back to ROW-LEVEL REPLAY on a table-granular
+    * conflict. `keyOf` names each replayable table's unique row key; a
+    * conflicted table with no entry rethrows the conflict. Each
+    * conflicted table's branch pin must be a clone of the fork image
+    * (see above — provenance REQUIREd by comparing the clone's v0 live
+    * file set against the fork version's); its change feed and main's
+    * must touch DISJOINT key sets; the branch's net change
+    * (latest-wins per key) then lands on main's table as one merge
+    * commit plus one request-scaled delete, and the merged snapshot
+    * pins the replayed head. Cost: O(both sides' changes) per
+    * conflicted table — feeds, never table scans; the merge commit's
+    * copy-on-write touches only hit files. NOT idempotent across a
+    * lost publish race: the replay commits are already in the table
+    * log, so on [[ConcurrentSnapshotException]] re-derive (re-fork)
+    * rather than blindly re-invoking. Single-merger discipline, like
+    * every staged-swap maintainer in this engine. */
+  def mergeWithReplay(
+      s: SparkSession,
+      catDir: String,
+      name: String,
+      keyOf: Map[String, String]
+  ): Long = {
+    import org.apache.spark.sql.functions._
+    try merge(s, catDir, name)
+    catch {
+      case conflict: BranchConflictException =>
+        val fork = forkPoint(s, catDir, name)
+        val basePins = pinsAt(s, catDir, fork)
+        val bdir = branchDir(catDir, name)
+        val branchPins = pinsAt(s, bdir, head(s, bdir))
+        val mainHead = head(s, catDir)
+        val mainPins = pinsAt(s, catDir, mainHead)
+        def changed(now: Map[String, Pin]): Set[String] =
+          (now.keySet ++ basePins.keySet).filter(t => basePins.get(t) != now.get(t))
+        val branchChanged = changed(branchPins)
+        val conflicts = branchChanged.intersect(changed(mainPins)).toSeq.sorted
+        val replayedPins = conflicts.map { t =>
+          val key = keyOf.getOrElse(t, throw conflict)
+          // add/remove conflicts have no row-level form; a branch pin
+          // still in the SHARED log has no attributable feed — fail safe
+          val (basePin, bPin, mPin) = (basePins.get(t), branchPins.get(t), mainPins.get(t)) match {
+            case (Some(a), Some(b), Some(m)) if b.dir != a.dir && m.dir == a.dir => (a, b, m)
+            case _                                                               => throw conflict
+          }
+          // provenance: the clone's v0 must BE the fork image
+          require(
+            TableVersions.liveFiles(s, bPin.dir, 0L).toSet ==
+              TableVersions.liveFiles(s, basePin.dir, basePin.version).toSet,
+            s"replay of '$t': branch pin ${bPin.dir} is not a clone of " +
+              s"${basePin.dir}@${basePin.version} — re-fork and replay by hand"
+          )
+          if (bPin.version == 0L) {
+            // branch cloned but never committed — main's state stands
+            t -> mPin
+          } else {
+            val bFeed = TableVersions.changesFeed(s, bPin.dir, 0L, bPin.version).localCheckpoint()
+            val bKeys = bFeed.select(col(key)).distinct()
+            val mKeys =
+              if (mPin.version == basePin.version) bKeys.limit(0)
+              else
+                TableVersions
+                  .changesFeed(s, basePin.dir, basePin.version, mPin.version)
+                  .select(col(key))
+                  .distinct()
+            val overlap = bKeys.join(mKeys, Seq(key)).limit(1).collect()
+            if (overlap.nonEmpty)
+              throw new BranchConflictException(
+                s"branch '$name' and main both touched row $key=${overlap.head.get(0)} " +
+                  s"of '$t' since fork snapshot $fork — a true row conflict; re-fork and rework"
+              )
+            // net branch change per key (the CoveringIndex fold): later
+            // versions win; within one, a post-image/insert outranks the
+            // pre-image/delete marker of the same update
+            val dataCols = bFeed.columns.toSeq
+              .filterNot(c => c == "_change_type" || c == "_commit_version" || c == key)
+            val live = when(col("_change_type").isin("insert", "update_postimage"), 1).otherwise(0)
+            val packed = struct(col("_commit_version") +: live.as("_live") +: dataCols.map(col): _*)
+            val net = bFeed
+              .groupBy(col(key))
+              .agg(max(packed).as("top"))
+              .select(
+                col(key) +: (col("top._live") === 1).as("_live") +: dataCols.map(c =>
+                  col(s"top.$c").as(c)
+                ): _*
+              )
+              .localCheckpoint()
+            val upserts = net.filter(col("_live")).drop("_live")
+            if (!upserts.isEmpty) TableVersions.commitMerge(upserts, basePin.dir, key): Unit
+            val dels = net.filter(!col("_live")).select(col(key)).collect().map(r => r.get(0))
+            if (dels.nonEmpty)
+              TableVersions.commitDelete(
+                s,
+                basePin.dir,
+                s"$key IN (${dels.map(keyLiteral).mkString(", ")})"
+              ): Unit
+            t -> Pin(basePin.dir, TableVersions.currentVersion(s, basePin.dir))
+          }
+        }
+        // three-way outcome for everything else; replayed heads for the
+        // conflicted tables. CAS at the head the replay was derived from.
+        val merged = (mainPins ++ branchPins.view.filterKeys(branchChanged).toMap) --
+          branchChanged.filterNot(branchPins.contains) ++ replayedPins
+        publish(s, catDir, merged, mainHead)
+    }
   }
 }

@@ -341,7 +341,7 @@ object TableVersions {
     * fresh batch directories), so the within-version tie never occurs;
     * the struct ordering would resolve it to `remove` — the safe side.
     */
-  private def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
+  private[operators] def liveFiles(s: SparkSession, dir: String, v: Long): Seq[String] =
     liveFileAdds(s, dir, v).map(_._1)
 
   /** Live files at v WITH each file's last-add version — the deletion

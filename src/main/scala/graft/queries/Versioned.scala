@@ -3528,6 +3528,139 @@ object Versioned {
     ),
 
     // ------------------------------------------------------------------
+    // BRANCH REPLAY MERGE (round 15): q297's table-granular conflict
+    // resolved at ROW level — the documented Nessie gap closed. The
+    // per-table log is LINEAR, so same-table branch work must be
+    // ISOLATED on a zero-copy clone of the fork image (cloneShallow —
+    // O(metadata); committing into the shared log would hand the
+    // branch's changes to main's later commits, with nothing left to
+    // attribute, and an in-query REQUIRE pins that main's s1 readers
+    // see none of the branch's rework). Both sides change 'docs'
+    // since the fork (branch-on-clone: a rework update of doc_id%5=1;
+    // main: a governance erasure of doc_id%5=0), so plain merge
+    // REQUIREs a BranchConflictException; mergeWithReplay proves the
+    // two feeds' key sets disjoint and re-applies the branch's net
+    // change on main's head as one merge commit — BOTH sides' rows
+    // survive in the published snapshot. The second arm pins
+    // fail-safety: a rogue clone-branch whose update genuinely
+    // overlaps main's delete (doc_id%10=2 ⊂ doc_id%5=2) refuses with
+    // the conflict exception, publishes NOTHING, and commits NOTHING
+    // (table version REQUIREd unchanged). Scale posture: replay cost
+    // is O(both sides' changes) per conflicted table — feeds, never
+    // table scans; the request-scaled delete list is the erasure-path
+    // discipline. ORACLE-EXACT: per-snapshot census of main's history.
+    QueryDef(
+      "q314_branch_replay_merge",
+      (s, dir) => {
+        val cat = Similarity.freshIndexDir("replay_cat")
+        val docsDir = Similarity.freshIndexDir("replay_docs")
+        val cloneDir = Similarity.freshIndexDir("replay_clone")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        Catalog.transact(s, cat) { _ =>
+          val v = TableVersions.commitAppend(docs, docsDir)
+          Map("docs" -> Catalog.Pin(docsDir, v))
+        } // main s0
+
+        // the rework branch clones the fork image and updates one key
+        // range ON THE CLONE…
+        val bdir = Catalog.createBranch(s, cat, "rework", fromSnap = 0L)
+        Catalog.transact(s, bdir) { pins =>
+          TableVersions.cloneShallow(s, docsDir, cloneDir, 0L): Unit
+          val v = TableVersions.commitUpdate(
+            s,
+            cloneDir,
+            "doc_id % 5 = 1",
+            _.withColumn("n_chars", col("n_chars") + 1000)
+          )
+          pins + ("docs" -> Catalog.Pin(cloneDir, v))
+        }
+        // …while main erases a DISJOINT one on the shared table
+        Catalog.transact(s, cat) { pins =>
+          val v = TableVersions.commitDelete(s, docsDir, "doc_id % 5 = 0")
+          pins + ("docs" -> Catalog.Pin(docsDir, v))
+        } // main s1
+
+        // isolation: main's s1 readers see EXACTLY the erasure's
+        // survivors with their ORIGINAL attributes — none of the
+        // branch's rework (the property a shared-log branch breaks)
+        val s1View = Catalog.readTable(s, cat, 1L, "docs")
+        val s1Want = docs.filter(col("doc_id") % 5 =!= 0)
+        require(
+          s1View.exceptAll(s1Want).isEmpty && s1Want.exceptAll(s1View).isEmpty,
+          "branch rework leaked into main before the merge"
+        )
+
+        // table-granular merge refuses — both sides changed 'docs'
+        val refused =
+          try { Catalog.merge(s, cat, "rework"); false }
+          catch { case _: Catalog.BranchConflictException => true }
+        require(refused, "same-table commits must refuse the plain merge")
+
+        // row-disjoint → replay lands both sides' effects as main s2
+        val merged = Catalog.mergeWithReplay(s, cat, "rework", Map("docs" -> "doc_id"))
+        require(merged == 2L, s"replay merge must publish main snapshot 2, got $merged")
+
+        // TRUE row overlap still refuses, publishes and commits nothing
+        val rogueClone = Similarity.freshIndexDir("replay_rogue")
+        val rdir = Catalog.createBranch(s, cat, "rogue", fromSnap = 2L)
+        val forkV = Catalog.pinsAt(s, cat, 2L)("docs").version
+        Catalog.transact(s, rdir) { pins =>
+          TableVersions.cloneShallow(s, docsDir, rogueClone, forkV): Unit
+          val v = TableVersions.commitUpdate(
+            s,
+            rogueClone,
+            "doc_id % 5 = 2",
+            _.withColumn("n_chars", col("n_chars") + 7)
+          )
+          pins + ("docs" -> Catalog.Pin(rogueClone, v))
+        }
+        Catalog.transact(s, cat) { pins =>
+          val v = TableVersions.commitDelete(s, docsDir, "doc_id % 10 = 2")
+          pins + ("docs" -> Catalog.Pin(docsDir, v))
+        } // main s3
+        val vBefore = TableVersions.currentVersion(s, docsDir)
+        val rogueRefused =
+          try { Catalog.mergeWithReplay(s, cat, "rogue", Map("docs" -> "doc_id")); false }
+          catch { case _: Catalog.BranchConflictException => true }
+        require(rogueRefused, "overlapping row keys must refuse the replay")
+        require(Catalog.head(s, cat) == 3L, "a refused replay must publish nothing")
+        require(
+          TableVersions.currentVersion(s, docsDir) == vBefore,
+          "a refused replay must commit nothing"
+        )
+
+        val sess = s
+        import sess.implicits._
+        (0L to Catalog.head(s, cat))
+          .map { snap =>
+            val d = Catalog
+              .readTable(s, cat, snap, "docs")
+              .agg(count(lit(1)), sum("n_chars"))
+              .head()
+            (snap, d.getLong(0), d.getLong(1))
+          }
+          .toDF("snap", "n_docs", "sum_chars")
+          .orderBy("snap")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        up AS (SELECT doc_id,
+                      n_chars + CASE WHEN doc_id % 5 = 1 THEN 1000 ELSE 0 END AS n_chars
+               FROM d),
+        snaps AS (
+          SELECT 0 AS snap, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM d
+          UNION ALL
+          SELECT 1, count(*), sum(n_chars) FROM d WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT 2, count(*), sum(n_chars) FROM up WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT 3, count(*), sum(n_chars) FROM up
+          WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 2)
+        SELECT CAST(snap AS BIGINT) AS snap, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(sum_chars AS BIGINT) AS sum_chars
+        FROM snaps ORDER BY snap""")
+    ),
+
+    // ------------------------------------------------------------------
     // INDEX-SERVED DIMENSION JOIN (round 14): the q282 covering index
     // serving a fact→dim equi join INSTEAD of the dimension table —
     // the Hyperspace join-acceleration shape. The dim side is the

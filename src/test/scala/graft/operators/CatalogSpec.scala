@@ -189,6 +189,26 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(Catalog.head(spark, cat) == 0L, "the refused merge must publish nothing")
   }
 
+  test("branch: a creation that crashed between the claim and the fork-point write is loud") {
+    val cat = freshDir("cat_br_claim")
+    val t = freshDir("cat_br_claim_t")
+    Catalog.publish(spark, cat, Map("t" -> Catalog.Pin(t, table(t, 0 until 3))))
+    // simulate the crash: claim created, base never written
+    val bdir = Catalog.branchDir(cat, "half")
+    val fs = new org.apache.hadoop.fs.Path(bdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bdir))
+    fs.create(new org.apache.hadoop.fs.Path(s"$bdir/base.claim"), false).close()
+    // a rival creator refuses (the claim is held), the crashed branch
+    // refuses to resolve, and the documented remediation (delete the
+    // ref dir, re-fork) works
+    intercept[IllegalArgumentException](Catalog.createBranch(spark, cat, "half", 0L))
+    intercept[IllegalArgumentException](Catalog.forkPoint(spark, cat, "half"))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(bdir), true))
+    Catalog.createBranch(spark, cat, "half", 0L)
+    assert(Catalog.forkPoint(spark, cat, "half") == 0L)
+  }
+
   test("branch: a table deleted on the branch merges as a removed pin") {
     val cat = freshDir("cat_br_del")
     val t = freshDir("cat_br_del_t")
