@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * 100 TB each frame is df(term)-scaled and the join keys on
   * (doc, start) — rare-term phrases cost their rarest term.
   *
+  * TWO LAYOUTS (round 15): the token-bucketed postings above answer
+  * FIND (phrase/prefix — prune by query term); a doc-bucketed FORWARD
+  * sibling (`fwd/`, 64 doc buckets, doc-sorted row groups) answers
+  * RENDER (KWIC context, snippets — prune by hit doc). One layout
+  * cannot serve both: token buckets scatter a doc's context tokens
+  * across all 16 buckets, so a context render over them is an
+  * O(index) scan no matter how rare the phrase; the forward layout
+  * makes it O(hit buckets). This is Lucene's stored-fields/postings
+  * split re-expressed as two parquet partitionings of the same rows.
+  *
   * LIFECYCLE (round 14) — the house persisted-index contract
   * ([[InvertedIndex]]'s, carried over): [[append]] lands a crawl
   * batch's postings into the bucket layout without reading existing
@@ -49,15 +59,43 @@ object PositionalIndex {
       .repartition(col("bkt"), col("tok"))
       .sortWithinPartitions("tok", "doc_id", "pos")
 
-  /** Index `docs` (doc_id, text): whitespace tokens with positions. */
-  def build(docs: DataFrame, indexDir: String): Unit =
+  /** Doc-bucket count of the FORWARD sibling layout (round 15): the
+    * render path's pruning unit. 64 buckets bound how many partition
+    * directories a hit set can touch, never write parallelism (the
+    * (dbk, doc_id) repartition below) and never read volume (the hit
+    * docs' buckets are the only ones a kwic render opens). */
+  private val FwdBuckets = 64
+
+  /** The forward sibling of a postings batch: the SAME rows laid out
+    * by DOC bucket with doc-sorted row groups, so any doc-restricted
+    * render (KWIC context, snippets) prunes to the hit docs' buckets
+    * at file level instead of scanning the whole token-bucketed
+    * layout — serving cost O(hit buckets), not O(index). */
+  private def fwdLayout(p: DataFrame): DataFrame =
+    p.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("dbk", pmod(col("doc_id"), lit(FwdBuckets)).cast("int"))
+      // (dbk, doc_id) fan-out: write parallelism is the shuffle width,
+      // not the 64-value bucket domain (the InvertedIndex discipline)
+      .repartition(col("dbk"), col("doc_id"))
+      .sortWithinPartitions("doc_id", "pos")
+
+  /** Index `docs` (doc_id, text): whitespace tokens with positions.
+    * Writes BOTH layouts — the token-bucketed inverted postings (the
+    * find path) and the doc-bucketed forward sibling (the render
+    * path). Two O(batch) passes over the batch; neither layout is
+    * ever derived by re-reading the other. */
+  def build(docs: DataFrame, indexDir: String): Unit = {
     postings(docs).write.mode("errorifexists").partitionBy("bkt").parquet(s"$indexDir/data")
+    fwdLayout(postings(docs)).write.mode("errorifexists").partitionBy("dbk").parquet(s"$indexDir/fwd")
+  }
 
   /** Incremental maintenance: a new crawl batch's postings append into
-    * the bucket layout — O(batch tokens), existing postings never
+    * both bucket layouts — O(batch tokens), existing postings never
     * re-read (per-doc posting rows are disjoint across docs). */
-  def append(newDocs: DataFrame, indexDir: String): Unit =
+  def append(newDocs: DataFrame, indexDir: String): Unit = {
     postings(newDocs).write.mode("append").partitionBy("bkt").parquet(s"$indexDir/data")
+    fwdLayout(postings(newDocs)).write.mode("append").partitionBy("dbk").parquet(s"$indexDir/fwd")
+  }
 
   /** Deletion = doc-id tombstones (one tiny write; the erasure path).
     * Reads anti-join the tombstone set out; duplicates are idempotent
@@ -69,30 +107,46 @@ object PositionalIndex {
       .mode("append")
       .parquet(s"$indexDir/tombstones")
 
-  /** Fold accumulated tombstones into the posting layout by CHECKED
-    * staged swap (a failed delete/rename throws with the staged
+  /** Fold accumulated tombstones into BOTH posting layouts by CHECKED
+    * staged swaps (a failed delete/rename throws with the staged
     * rewrite intact for retry — never a silently destroyed index),
-    * restoring the build-time tok-sorted row groups; the tombstone
-    * table clears last. No-op when no tombstones exist. */
+    * restoring the build-time sorted row groups; the tombstone table
+    * clears LAST, so a crash between the two swaps is safe: reads of
+    * the not-yet-swapped layout still anti-join the tombstones, and a
+    * re-run recomputes both layouts from the (already clean) inverted
+    * side. No-op when no tombstones exist. */
   def compact(s: SparkSession, indexDir: String): Unit = {
     val tombs = new Path(s"$indexDir/tombstones")
     val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombs)) return
-    val survivors = s.read
+    def survivors() = s.read
       .schema(postingSchema)
       .parquet(s"$indexDir/data")
       .join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+    def swap(stagedName: String, liveName: String): Unit = {
+      val staged = new Path(s"$indexDir/$stagedName")
+      val live = new Path(s"$indexDir/$liveName")
+      if (!fs.delete(live, /* recursive = */ true))
+        throw new java.io.IOException(s"compact: failed to remove old layout $live")
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"compact: failed to swap $staged into place — staged rewrite preserved at $staged"
+        )
+    }
+    survivors()
       .repartition(col("bkt"), col("tok"))
       .sortWithinPartitions("tok", "doc_id", "pos")
-    val staged = new Path(s"$indexDir/data_compacted")
-    survivors.write.mode("overwrite").partitionBy("bkt").parquet(staged.toString)
-    val live = new Path(s"$indexDir/data")
-    if (!fs.delete(live, /* recursive = */ true))
-      throw new java.io.IOException(s"compact: failed to remove old layout $live")
-    if (!fs.rename(staged, live))
-      throw new java.io.IOException(
-        s"compact: failed to swap $staged into place — staged rewrite preserved at $staged"
-      )
+      .write
+      .mode("overwrite")
+      .partitionBy("bkt")
+      .parquet(s"$indexDir/data_compacted")
+    fwdLayout(survivors())
+      .write
+      .mode("overwrite")
+      .partitionBy("dbk")
+      .parquet(s"$indexDir/fwd_compacted")
+    swap("data_compacted", "data")
+    swap("fwd_compacted", "fwd")
     if (!fs.delete(tombs, /* recursive = */ true))
       throw new java.io.IOException(s"compact: failed to clear tombstone table $tombs")
   }
@@ -110,6 +164,24 @@ object PositionalIndex {
 
   private def liveData(s: SparkSession, indexDir: String): DataFrame = {
     val raw = s.read.schema(postingSchema).parquet(s"$indexDir/data")
+    val tombs = new Path(s"$indexDir/tombstones")
+    val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombs))
+      raw.join(broadcast(s.read.parquet(tombs.toString)), Seq("doc_id"), "left_anti")
+    else raw
+  }
+
+  private val fwdSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dbk", org.apache.spark.sql.types.IntegerType)
+    )
+  )
+
+  private def liveFwd(s: SparkSession, indexDir: String): DataFrame = {
+    val raw = s.read.schema(fwdSchema).parquet(s"$indexDir/fwd")
     val tombs = new Path(s"$indexDir/tombstones")
     val fs = tombs.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(tombs))
@@ -146,19 +218,21 @@ object PositionalIndex {
   /** Keyword-in-context concordance: every phrase occurrence with
     * `window` tokens of context on each side, assembled ENTIRELY from
     * the index (the find runs on the phrase tokens' pruned buckets;
-    * the render is one postings pass doc-restricted to the hits —
-    * positions carry the layout, so no text re-scan, no document
-    * store). The hit set is df(phrase)-scaled and broadcasts into the
-    * context join — the concordance contract (a phrase whose hit list
-    * doesn't fit an executor isn't a concordance query). Tokens
-    * dropped at build time (empty splits) stay dropped in the render,
-    * matching the postings exactly. */
+    * the render reads ONLY the hit docs' forward buckets — positions
+    * carry the layout, so no text re-scan, no document store, and no
+    * full-postings pass: serving cost is O(hit buckets), not
+    * O(index)). The hit set is df(phrase)-scaled and broadcasts into
+    * the context join — the concordance contract (a phrase whose hit
+    * list doesn't fit an executor isn't a concordance query); its
+    * distinct DOC BUCKETS (≤64 values — metadata-scale) prune the
+    * forward scan at file level. Tokens dropped at build time (empty
+    * splits) stay dropped in the render, matching the postings
+    * exactly. */
   def kwic(s: SparkSession, indexDir: String, phrase: Seq[String], window: Int): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two tokens")
     require(window >= 0, "window must be nonnegative")
     val bkts = phrase.map(InvertedIndex.bucketOf).distinct
-    val live = liveData(s, indexDir)
-    val posts = live
+    val posts = liveData(s, indexDir)
       .filter(col("bkt").isin(bkts: _*) && col("tok").isin(phrase.distinct: _*))
     val hits = phrase.zipWithIndex
       .map { case (w, i) =>
@@ -166,7 +240,17 @@ object PositionalIndex {
       }
       .reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .select(col("doc_id").as("hd"), col("start"))
-    live
+      // pinned once: the bucket probe below and the broadcast join both
+      // read the SAME df(phrase)-scaled hit set
+      .localCheckpoint()
+    val hitDbks = hits
+      .select(pmod(col("hd"), lit(FwdBuckets)).cast("int").as("dbk"))
+      .distinct()
+      .collect() // ≤64 rows by construction — metadata, never data
+      .map(_.getInt(0))
+      .toSeq
+    liveFwd(s, indexDir)
+      .filter(col("dbk").isin(hitDbks: _*))
       .join(
         broadcast(hits),
         col("doc_id") === col("hd")

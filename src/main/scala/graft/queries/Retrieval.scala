@@ -352,10 +352,33 @@ object Retrieval {
         import graft.operators.PositionalIndex
         val idx = Similarity.freshIndexDir("pos_kwic")
         PositionalIndex.build(Tables(s, dir, "documents").select("doc_id", "text"), idx)
-        PositionalIndex
+        val out = PositionalIndex
           .kwic(s, idx, Seq("spark", "join"), window = 2)
           .select(lit("spark join").as("phrase"), col("doc_id"), col("start"), col("context"))
           .orderBy("doc_id", "start")
+        // the q298 pruned-read discipline: the render's forward-layout
+        // SCAN selects ONLY the hit docs' buckets (round 15 — the
+        // O(corpus)-per-query render scan is gone). Evidence comes
+        // from the physical scan's selected partitions — the file set
+        // the executor actually opens after partition pruning (a plain
+        // inputFiles listing is pre-pruning and would not prove it).
+        val hitDbks = PositionalIndex
+          .phraseCounts(s, idx, Seq("spark", "join"))
+          .select(pmod(col("doc_id"), lit(64)).cast("int"))
+          .distinct()
+          .collect()
+          .map(r => s"dbk=${r.getInt(0)}")
+          .toSet
+        val fwdScanned = out.queryExecution.sparkPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+          .flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+          .filter(_.contains("/fwd/"))
+        require(fwdScanned.nonEmpty, "kwic render must be served by the forward layout")
+        require(
+          fwdScanned.forall(f => hitDbks.exists(b => f.contains(s"/$b/"))),
+          s"kwic render scans a non-hit bucket: ${fwdScanned.filterNot(f => hitDbks.exists(b => f.contains(s"/$b/"))).take(3).mkString(",")}"
+        )
+        out
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         hits AS (

@@ -80,6 +80,27 @@ class PositionalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("tok"), "term filter not pushed")
   }
 
+  test("kwic renders from the forward layout; tombstoned docs vanish BEFORE compact folds them") {
+    val idx = graft.queries.Similarity.freshIndexDir("pos_fwd")
+    PositionalIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idx)
+    PositionalIndex.append(docs.filter(col("doc_id") % 3 === 0), idx)
+    def kwicRows() = PositionalIndex
+      .kwic(spark, idx, Seq("spark", "join"), window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val all = kwicRows()
+    assert(all.nonEmpty, "fixture phrase must occur")
+    // delete every hit doc's neighbors-by-modulus; the render must drop
+    // them from tombstones ALONE (the mid-compact crash window: one
+    // layout swapped, the other not — reads stay correct either way)
+    PositionalIndex.delete(docs.filter(col("doc_id") % 2 === 0).select("doc_id"), idx)
+    val afterDelete = kwicRows()
+    assert(afterDelete == all.filter(_._1 % 2 != 0), "tombstones not applied to the render")
+    PositionalIndex.compact(spark, idx)
+    assert(kwicRows() == afterDelete, "compact changed a kwic answer")
+  }
+
   test("build write fan-out is the shuffle width, not the 16-value bucket domain") {
     // 16 md5 buckets but 32 shuffle partitions: partitionBy must route
     // rows while MANY tasks write — the round-13 `weak` was exactly a
