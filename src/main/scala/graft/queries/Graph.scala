@@ -663,6 +663,83 @@ object Graph {
                CAST((sum(r) * 1000) // count(*) AS BIGINT)
         FROM r2
         ORDER BY d""")
+    ),
+
+    // ------------------------------------------------------------------
+    // ANF REGISTER-MERGE SUPERSTEPS (round 15): q305's design note made
+    // real — the Flajolet-Martin register union of Palmer/Gibbons/
+    // Faloutsos KDD'02, the 100 TB path for N(d) at d ≫ 2. Every node
+    // carries 32 FM registers (one deterministic xxhash64 bit each);
+    // each superstep ORs a node's registers with its neighbors' — ONE
+    // edge-scaled join + one (node, trial) bit_or per distance, never
+    // pair materialization, so d = 4 costs four passes while the exact
+    // form's Σdeg⁴ candidates would explode (q305's own first cut blew
+    // up at d = 2). Validation rides the query: for d ≤ 2 the exact
+    // sampled-source reach (q305's machinery, self included) is
+    // computed alongside and the estimator error is REQUIREd within
+    // the FM bound (k = 32 → σ ≈ 13.6% of log₂N; 25% headroom at the
+    // ppm gate); d = 3, 4 are estimate-only — the regime exact cannot
+    // reach. No oracle: DuckDB has no 64-bit register algebra to
+    // restate this; rows + the in-query bound + AnfSketchSpec's
+    // bit-identical register property are the gate.
+    QueryDef(
+      "q315_anf_register_sketch",
+      (s, dir) => {
+        import graft.operators.AnfSketch
+        val sym = purchaseGraph(s, dir, orderMod = 2L).localCheckpoint()
+        val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+        val sources = nodes.filter(col("node") % 97 === 1)
+        val nSources = sources.count()
+        // exact reach (self included) for the sampled sources, d ≤ 2
+        val hop1 = sources
+          .select(col("node").as("s0"))
+          .join(sym, col("s0") === col("src"))
+          .select(col("s0"), col("dst"))
+          .distinct()
+          .localCheckpoint()
+        val hop2 = hop1
+          .select(col("s0"), col("dst").as("m"))
+          .join(sym.select(col("src").as("m"), col("dst")), Seq("m"))
+          .select(col("s0"), col("dst"))
+          .filter(col("s0") =!= col("dst"))
+          .unionByName(hop1)
+          .distinct()
+        val exactInclSelf = Map(
+          1 -> (hop1.count() + nSources),
+          2 -> (hop2.count() + nSources)
+        )
+        var regs = AnfSketch.initRegisters(nodes, k = 32).localCheckpoint()
+        val rows = (1 to 4).map { d =>
+          regs = AnfSketch.superstep(regs, sym).localCheckpoint()
+          val est = AnfSketch
+            .estimate(regs)
+            .join(sources, Seq("node"))
+            .agg(sum("est"))
+            .head()
+            .getDouble(0)
+          val exact = exactInclSelf.get(d)
+          val errPpm = exact.map(e => math.abs(est - e) / e * 1e6)
+          errPpm.foreach { err =>
+            require(
+              err <= 250000d,
+              s"ANF estimate at d=$d off by ${err / 10000}% — outside the FM bound"
+            )
+          }
+          (
+            d.toLong,
+            nSources,
+            exact,
+            math.floor(est).toLong,
+            errPpm.map(e => math.floor(e).toLong)
+          )
+        }
+        val sess = s
+        import sess.implicits._
+        rows
+          .toDF("d", "n_sources", "exact_reach", "est_reach", "err_ppm")
+          .orderBy("d")
+      },
+      None
     )
   )
 
