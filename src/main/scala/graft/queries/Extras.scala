@@ -2384,6 +2384,27 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // EXACT GLOBAL QUANTILES (round 15): the first query any analyst
+    // ports — exact (not approximate) percentiles of per-user spend
+    // by the NEAREST-RANK definition: value at rank ⌈p·n/100⌉, ranks
+    // from [[graft.operators.DistributedRank]] (range partition +
+    // broadcast prefix offsets — no partition-less window, no
+    // approx_percentile sketch). All integer arithmetic: cents, ranks
+    // ⌈p·n/100⌉ = (p·n + 99) DIV 100 spelled identically in both
+    // engines, deterministic (x, user_id) tiebreaks. The rank-target
+    // probe is a 7-row broadcast join pushed into the ranked frame.
+    // ORACLE-EXACT.
+    QueryDef(
+      "q316_exact_quantiles",
+      (s, dir) => exactQuantiles(
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(purchaseCents.as("x"))
+      ),
+      Some(exactQuantilesOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
     // A/B POWER ANALYSIS (round 14): the question asked BEFORE q288's
     // test — how many users per arm to detect a 20% relative lift in
     // the conversion rate at 80% power, 5% two-sided? The closed form
@@ -2433,6 +2454,52 @@ object Extras {
     * count series) would otherwise flip the packed word negative and
     * corrupt the unpack (found at sf0.001 by the three-scale gate).
     * Domain: |level|, |trend| < 2³⁰ — daily series under ~$10M/day. */
+  /** Per-user purchase spend in exact cents (0 for users with events
+    * but no purchases) — the rollup q316 and its live twin rank. */
+  private[graft] def purchaseCents: Column =
+    sum(
+      when(
+        col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")
+      ).otherwise(0L)
+    )
+
+  /** q316's body, shared with the streaming twin (q318): exact
+    * nearest-rank percentiles of the (user_id, x) rollup via
+    * [[DistributedRank]] — rank targets ⌈p·n/100⌉ as a 7-row
+    * broadcast probe into the ranked frame. */
+  private[graft] def exactQuantiles(per: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ranked = DistributedRank.rowNumber(per, Seq(col("x"), col("user_id")), "i")
+    val n = ranked.total
+    val sess = per.sparkSession
+    import sess.implicits._
+    val targets = Seq(1L, 25L, 50L, 75L, 90L, 99L, 100L)
+      .map(p => (p, (p * n + 99L) / 100L))
+      .toDF("pct", "i")
+    ranked.df
+      .join(broadcast(targets), Seq("i"))
+      .select(col("pct"), col("i").as("rank"), col("x").as("value_cents"))
+      .orderBy("pct")
+  }
+
+  /** Shared by q316 and its live twin q318 — the drained stream must
+    * hash-match the same SQL. */
+  private[graft] val exactQuantilesOracleSql: String = """WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+          FROM per),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        t AS (SELECT CAST(pct AS BIGINT) AS pct,
+                     CAST((pct * n + 99) // 100 AS BIGINT) AS rk
+              FROM (SELECT unnest([1, 25, 50, 75, 90, 99, 100]) AS pct), cnt)
+        SELECT pct, rk AS rank, x AS value_cents
+        FROM t JOIN r ON r.i = t.rk
+        ORDER BY pct"""
+
   private def holtStep(div: String): String =
     s"""((((3 * e + 5 * ((a $div 4294967296 - 1073741824) + (a % 4294967296 - 1073741824))
            + 34359738368) $div 8 - 4294967296) + 1073741824) * 4294967296

@@ -740,6 +740,64 @@ object Graph {
           .orderBy("d")
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // EFFECTIVE DIAMETER (round 15): the question ANF exists to answer
+    // (Palmer/Gibbons/Faloutsos §1 — "how many hops until the graph is
+    // effectively covered?"): run register supersteps to convergence
+    // and report, per distance, the estimated TOTAL reach Σ_v N(d,v)
+    // and its share of the converged mass; the effective diameter is
+    // the smallest d whose share reaches 90%. Convergence is detected
+    // from the estimates themselves (relative growth < 0.5%, cap 8
+    // supersteps — each is one edge-scaled join, so the cap bounds
+    // cost, not correctness). In-query REQUIRE pins the sketch's
+    // structural MONOTONICITY: registers only gain bits under OR, so
+    // the lowest-zero index — and with it every estimate — can never
+    // decrease across supersteps; a violation means the superstep
+    // merged registers wrong. No oracle (register algebra; the exact
+    // d ≤ 2 validation lives in q315, the bit-identical union property
+    // in AnfSketchSpec).
+    QueryDef(
+      "q317_effective_diameter",
+      (s, dir) => {
+        import graft.operators.AnfSketch
+        val sym = purchaseGraph(s, dir, orderMod = 2L).localCheckpoint()
+        val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+        var regs = AnfSketch.initRegisters(nodes, k = 32).localCheckpoint()
+        val totals = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var d = 0L
+        var converged = false
+        while (!converged && d < 8) {
+          d += 1
+          regs = AnfSketch.superstep(regs, sym).localCheckpoint()
+          val tot = AnfSketch.estimate(regs).agg(sum("est")).head().getDouble(0)
+          totals.lastOption.foreach { case (_, prev) =>
+            require(
+              tot >= prev * (1 - 1e-9),
+              s"ANF total reach shrank at d=$d ($prev -> $tot) — register merge broken"
+            )
+            if (tot <= prev * 1.005) converged = true
+          }
+          totals += ((d, tot))
+        }
+        val finalTot = totals.last._2
+        val effDiam = totals.find(_._2 >= 0.9 * finalTot).map(_._1).get
+        val sess = s
+        import sess.implicits._
+        totals.toSeq
+          .map { case (dd, tot) =>
+            (
+              dd,
+              math.floor(tot).toLong,
+              math.floor(tot / finalTot * 1e6).toLong,
+              dd == effDiam
+            )
+          }
+          .toDF("d", "est_total_reach", "share_ppm", "is_effective_diameter")
+          .orderBy("d")
+      },
+      None
     )
   )
 

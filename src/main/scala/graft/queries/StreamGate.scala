@@ -1512,8 +1512,68 @@ object StreamGate {
         )
       },
       Some(Corpus.dpOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // E15 × q316 (streaming exact quantiles, round 15): the exact
+    // global percentiles computed over a LIVE stream with MERGEABLE
+    // state — each micro-batch reduces to its per-user partial cent
+    // sums (one O(batch) aggregate appended to the store; never raw
+    // rows), and the drained answer re-aggregates the partials and
+    // runs the shared distributed-rank body. Split-invariant because
+    // per-user sums are associative: however the stream splits, each
+    // user's total — and therefore every rank and every percentile —
+    // is identical to the batch run's. Shares q316's oracle.
+    QueryDef(
+      "q318_stream_quantiles",
+      (s, dir) => {
+        val gs = gateSession(s)
+        val schema = gs.read.parquet(s"$dir/events.parquet").schema
+        runQuantilesStream(
+          gs,
+          gs.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .select("user_id", "event_type", "value")
+        )
+      },
+      Some(Extras.exactQuantilesOracleSql)
     )
   )
+
+  /** q316's exact quantiles driven live: per-batch per-user partial
+    * cent sums (the mergeable state — O(batch users) per batch),
+    * re-aggregated at drain and ranked by the shared distributed-rank
+    * body. */
+  private[graft] def runQuantilesStream(gs: SparkSession, stream: DataFrame): DataFrame = {
+    val staging = Similarity.freshIndexDir("quant_staging")
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch
+            .toDF()
+            .groupBy("user_id")
+            .agg(Extras.purchaseCents.as("px"))
+            .write
+            .mode("append")
+            .parquet(staging)
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("quant_stream_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    Extras.exactQuantiles(
+      gs.read
+        .parquet(staging)
+        .groupBy("user_id")
+        .agg(sum("px").as("x"))
+    )
+  }
 
   /** q234's as-of index driven live: one append commit + one index
     * sync per micro-batch (each sync O(batch tokens), idempotent by
