@@ -2376,7 +2376,8 @@ object TableVersions {
       minSmallFiles: Int = 8,
       smallBytes: Long = 32L * 1024 * 1024,
       maxDeadSkipRows: Long = 64,
-      resultCacheDir: Option[String] = None
+      resultCacheDir: Option[String] = None,
+      maxStagedAgeMs: Long = 3600000L
   ): Seq[(String, String)] = {
     val actions = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val v = currentVersion(s, dir)
@@ -2421,7 +2422,40 @@ object TableVersions {
       val n = ResultCache.evict(s, c)
       if (n > 0) actions += ("evict_result_cache" -> s"dropped $n stale entries")
     }
+    val orphans = sweepStagedOrphans(s, dir, maxStagedAgeMs)
+    if (orphans > 0) actions += ("sweep_staged" -> s"removed $orphans crashed-commit staging dirs")
     actions.toSeq
+  }
+
+  /** Crashed CHECKED commits strand `stage-<uuid>` dirs under `data/`,
+    * `_cdf/`, and `_dvstage/` — never referenced by the log (readers
+    * resolve files through it), so correctness never needed this
+    * sweep, but the garbage is otherwise unbounded (the same orphan
+    * class [[CoveringIndex.maintain]] and the AsOfIndex purge close
+    * for their layouts). A LIVE in-flight commit's staging is
+    * indistinguishable from a crashed one's by name, so the janitor
+    * only removes dirs older than `olderThanMs` — no healthy commit
+    * holds staging for an hour; pass 0 only when no writer can be
+    * running (tests, single-writer maintenance windows). Returns the
+    * number of dirs removed. */
+  def sweepStagedOrphans(s: SparkSession, dir: String, olderThanMs: Long = 3600000L): Int = {
+    val fs = fsOf(s, dir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val roots = Seq(s"$dir/data", cdfDir(dir), s"$dir/_dvstage")
+    roots.map { root =>
+      val p = new Path(root)
+      if (!fs.exists(p)) 0
+      else {
+        val dead = fs
+          .listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("stage-") && st.getModificationTime <= cutoff)
+        dead.foreach { st =>
+          if (!fs.delete(st.getPath, /* recursive = */ true))
+            throw new java.io.IOException(s"sweepStagedOrphans: failed to remove ${st.getPath}")
+        }
+        dead.length
+      }
+    }.sum
   }
 
   private def qualifiedStr(s: SparkSession, p: String): String = qualified(s, new Path(p))

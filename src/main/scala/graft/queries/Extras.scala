@@ -2483,8 +2483,12 @@ object Extras {
   }
 
   /** Shared by q316 and its live twin q318 — the drained stream must
-    * hash-match the same SQL. */
-  private[graft] val exactQuantilesOracleSql: String = """WITH per AS (
+    * hash-match the same SQL. (lazy: referenced from `defs`, which
+    * initializes FIRST in declaration order — a plain val here is
+    * still null when q316's QueryDef captures it, and the oracle map
+    * then NPEs at dump time; the holtStep helper documents the same
+    * trap.) */
+  private[graft] lazy val exactQuantilesOracleSql: String = """WITH per AS (
           SELECT user_id,
                  CAST(sum(CASE WHEN event_type = 'purchase'
                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x

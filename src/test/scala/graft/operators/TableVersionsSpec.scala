@@ -838,4 +838,36 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
       TableVersions.dropConstraint(spark, dir, "nope")
     }
   }
+
+  test("sweepStagedOrphans removes crashed-commit staging, never the live layout or answers") {
+    val dir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), dir)
+    TableVersions.commitDelete(spark, dir, "id < 10")
+    val want = TableVersions
+      .readVersion(spark, dir, 1)
+      .collect()
+      .map(_.toString)
+      .sorted
+      .toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate crashed checked commits in all three staging roots
+    Seq(s"$dir/data/stage-dead1", s"$dir/_cdf/stage-dead2", s"$dir/_dvstage/stage-dead3")
+      .foreach(p => fs.mkdirs(new org.apache.hadoop.fs.Path(p)))
+    // age guard: a fresh (in-flight-looking) dir survives the default window
+    assert(TableVersions.sweepStagedOrphans(spark, dir) == 0, "age guard must protect fresh staging")
+    assert(TableVersions.sweepStagedOrphans(spark, dir, olderThanMs = 0L) == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/stage-dead1")))
+    assert(TableVersions.sweepStagedOrphans(spark, dir, olderThanMs = 0L) == 0, "sweep is idempotent")
+    val got = TableVersions
+      .readVersion(spark, dir, 1)
+      .collect()
+      .map(_.toString)
+      .sorted
+      .toSeq
+    assert(got == want, "janitor changed an answer")
+    // still committable afterwards
+    TableVersions.commitDelete(spark, dir, "id = 77")
+    assert(TableVersions.readVersion(spark, dir, 2).count() == want.size - 1)
+  }
 }
