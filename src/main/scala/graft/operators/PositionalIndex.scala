@@ -83,10 +83,12 @@ object PositionalIndex {
     * Writes BOTH layouts — the token-bucketed inverted postings (the
     * find path) and the doc-bucketed forward sibling (the render
     * path). The forward layout derives from a RE-READ of the postings
-    * just written: tokenizing the corpus is the expensive half of a
-    * build (string split + explode over raw text), while re-reading
-    * the columnar layout is a compressed three-column scan — the
-    * bench measured the re-tokenize variant at ~2× build cost. */
+    * just written — a compressed three-column scan instead of a second
+    * tokenize (string split + explode over raw text). A/B-measured at
+    * fixture scale the gain is modest (~5%: the second shuffle + 64-way
+    * write dominates either way), but the re-read variant's advantage
+    * grows with document size — tokenize cost scales with raw text
+    * bytes, the columnar re-read with compressed token bytes. */
   def build(docs: DataFrame, indexDir: String): Unit = {
     val p = postings(docs)
     p.write.mode("errorifexists").partitionBy("bkt").parquet(s"$indexDir/data")
