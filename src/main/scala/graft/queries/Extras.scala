@@ -2405,6 +2405,105 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // ROBUST STATISTICS (round 15): the outlier-resistant summary a
+    // spend distribution actually needs — exact median, quartiles,
+    // IQR, MAD (median absolute deviation), and outlier censuses by
+    // BOTH fences (Tukey 1.5·IQR and 3·MAD). Two composed
+    // [[DistributedRank]] passes: rank spend → median/quartiles by
+    // nearest-rank probe; rank |x − median| → MAD. Everything is
+    // integer cents — the fences (3·(q3−q1)) DIV 2 and 3·MAD are
+    // exact in both engines — and every rank target is the shared
+    // ⌈p·n/100⌉ arithmetic. The three pass-1 values come back as ONE
+    // 3-row collect (scalar metadata, the q285 maxUs discipline).
+    // ORACLE-EXACT.
+    QueryDef(
+      "q319_robust_stats",
+      (s, dir) => {
+        val per = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(purchaseCents.as("x"))
+        val r1 = DistributedRank.rowNumber(per, Seq(col("x"), col("user_id")), "i")
+        val n = r1.total
+        def target(p: Long) = (p * n + 99L) / 100L
+        val wants = Seq(25L, 50L, 75L).map(target)
+        val vals = r1.df
+          .filter(col("i").isin(wants: _*))
+          .select("i", "x")
+          .collect() // ≤3 rows — rank-probe scalars
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        val (q1c, medC, q3c) = (vals(target(25)), vals(target(50)), vals(target(75)))
+        val dev = r1.df.select(
+          col("user_id"),
+          col("x"),
+          abs(col("x") - lit(medC)).as("d")
+        )
+        val r2 = DistributedRank.rowNumber(dev, Seq(col("d"), col("user_id")), "j")
+        val madC = r2.df
+          .filter(col("j") === target(50))
+          .select("d")
+          .head()
+          .getLong(0)
+        val iqr = q3c - q1c
+        val tukeyHi = q3c + (3L * iqr) / 2L
+        val tukeyLo = q1c - (3L * iqr) / 2L
+        r2.df
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("x") < tukeyLo || col("x") > tukeyHi, 1L).otherwise(0L))
+              .as("n_outliers_tukey"),
+            sum(when(col("d") > 3L * madC, 1L).otherwise(0L)).as("n_outliers_mad")
+          )
+          .select(
+            col("n"),
+            lit(medC).as("median_c"),
+            lit(q1c).as("q1_c"),
+            lit(q3c).as("q3_c"),
+            lit(iqr).as("iqr_c"),
+            lit(madC).as("mad_c"),
+            col("n_outliers_tukey"),
+            col("n_outliers_mad")
+          )
+      },
+      Some("""WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r1 AS (
+          SELECT user_id, x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+          FROM per),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        qs AS (
+          SELECT
+            (SELECT x FROM r1, cnt WHERE i = (25 * n + 99) // 100) AS q1_c,
+            (SELECT x FROM r1, cnt WHERE i = (50 * n + 99) // 100) AS median_c,
+            (SELECT x FROM r1, cnt WHERE i = (75 * n + 99) // 100) AS q3_c),
+        dev AS (
+          SELECT user_id, x, abs(x - (SELECT median_c FROM qs)) AS d FROM per),
+        r2 AS (
+          SELECT x, d, CAST(row_number() OVER (ORDER BY d, user_id) AS BIGINT) AS j
+          FROM dev),
+        mad AS (SELECT d AS mad_c FROM r2, cnt WHERE j = (50 * n + 99) // 100),
+        fence AS (
+          SELECT q1_c, median_c, q3_c, q3_c - q1_c AS iqr_c, mad_c,
+                 q3_c + (3 * (q3_c - q1_c)) // 2 AS hi,
+                 q1_c - (3 * (q3_c - q1_c)) // 2 AS lo
+          FROM qs, mad)
+        SELECT n,
+               CAST(median_c AS BIGINT) AS median_c,
+               CAST(q1_c AS BIGINT) AS q1_c,
+               CAST(q3_c AS BIGINT) AS q3_c,
+               CAST(iqr_c AS BIGINT) AS iqr_c,
+               CAST(mad_c AS BIGINT) AS mad_c,
+               CAST((SELECT count(*) FROM r2, fence WHERE x < lo OR x > hi) AS BIGINT)
+                 AS n_outliers_tukey,
+               CAST((SELECT count(*) FROM r2, fence WHERE d > 3 * mad_c) AS BIGINT)
+                 AS n_outliers_mad
+        FROM cnt, fence""")
+    ),
+
+    // ------------------------------------------------------------------
     // A/B POWER ANALYSIS (round 14): the question asked BEFORE q288's
     // test — how many users per arm to detect a 20% relative lift in
     // the conversion rate at 80% power, 5% two-sided? The closed form
