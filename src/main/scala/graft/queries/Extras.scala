@@ -2504,6 +2504,78 @@ object Extras {
     ),
 
     // ------------------------------------------------------------------
+    // TRIMMED + WINSORIZED MEANS (round 15): q319's companion — the
+    // robust location estimates that keep the mean usable under heavy
+    // tails: cut ⌊5%·n⌋ ranks from EACH side (trimmed), or clamp
+    // beyond the cut values (winsorized). One distributed-rank pass;
+    // the two boundary values come back as one 2-row rank probe; the
+    // means stay exact integers (sum DIV count in cents — identical
+    // truncation in both engines). ORACLE-EXACT.
+    QueryDef(
+      "q320_trimmed_means",
+      (s, dir) => {
+        val per = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(purchaseCents.as("x"))
+        val r1 = DistributedRank.rowNumber(per, Seq(col("x"), col("user_id")), "i")
+        val n = r1.total
+        val k = n / 20L // floor(0.05 * n)
+        val bounds = r1.df
+          .filter(col("i").isin(k + 1L, n - k))
+          .select("i", "x")
+          .collect() // 2 rows — rank-probe scalars
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        val (vLo, vHi) = (bounds(k + 1L), bounds(n - k))
+        r1.df
+          .agg(
+            count(lit(1)).as("n"),
+            sum("x").as("sum_all_c"),
+            sum(when(col("i") > k && col("i") <= n - k, col("x")).otherwise(0L))
+              .as("sum_trim_c"),
+            sum(
+              when(col("x") < vLo, lit(vLo))
+                .when(col("x") > vHi, lit(vHi))
+                .otherwise(col("x"))
+            ).as("sum_wins_c")
+          )
+          .select(
+            col("n"),
+            lit(k).as("k_cut"),
+            expr("sum_all_c DIV n").as("mean_c"),
+            expr(s"sum_trim_c DIV (n - ${2L * k}L)").as("trimmed_mean_c"),
+            expr("sum_wins_c DIV n").as("winsorized_mean_c"),
+            lit(vLo).as("lo_clamp_c"),
+            lit(vHi).as("hi_clamp_c")
+          )
+      },
+      Some("""WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r1 AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+          FROM per),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) // 20 AS BIGINT) AS k
+                FROM per),
+        b AS (
+          SELECT (SELECT x FROM r1, cnt WHERE i = k + 1) AS v_lo,
+                 (SELECT x FROM r1, cnt WHERE i = n - k) AS v_hi)
+        SELECT n, k AS k_cut,
+               CAST(sum(x) // n AS BIGINT) AS mean_c,
+               CAST(sum(CASE WHEN i > k AND i <= n - k THEN x ELSE 0 END)
+                    // (n - 2 * k) AS BIGINT) AS trimmed_mean_c,
+               CAST(sum(CASE WHEN x < v_lo THEN v_lo
+                             WHEN x > v_hi THEN v_hi ELSE x END) // n AS BIGINT)
+                 AS winsorized_mean_c,
+               CAST(v_lo AS BIGINT) AS lo_clamp_c,
+               CAST(v_hi AS BIGINT) AS hi_clamp_c
+        FROM r1, cnt, b
+        GROUP BY n, k, v_lo, v_hi""")
+    ),
+
+    // ------------------------------------------------------------------
     // A/B POWER ANALYSIS (round 14): the question asked BEFORE q288's
     // test — how many users per arm to detect a 20% relative lift in
     // the conversion rate at 80% power, 5% two-sided? The closed form
