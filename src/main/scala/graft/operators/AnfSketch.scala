@@ -85,9 +85,17 @@ object AnfSketch {
     * columns: node, est (double). Pure projection — no shuffle. */
   def estimate(regs: DataFrame): DataFrame = {
     val k = regs.columns.count(_.startsWith("m"))
+    // saturation: initRegisters caps the bit index at 62, so a fully
+    // saturated register is Long.MaxValue (bits 0..62), for which
+    // (~m)&(m+1) is Long.MinValue — log2 of a negative is NULL, which
+    // would silently NULL the node's whole estimate. The lowest zero
+    // bit of that register is 63; -1 (bit 63 somehow set too) caps at
+    // 64. Both are 2⁻⁶³-probability guards that must degrade to the
+    // cap, never to NULL.
     val bSum = maskCols(k)
       .map(m =>
         s"""(CASE WHEN $m = -1 THEN 64
+                  WHEN $m = ${Long.MaxValue}L THEN 63
                   ELSE CAST(log2(CAST((~$m) & ($m + 1) AS DOUBLE)) AS INT) END)"""
       )
       .mkString(" + ")

@@ -396,12 +396,6 @@ object Catalog {
   // table only after that table's disjointness is proven).
   // ------------------------------------------------------------------
 
-  /** SQL literal for a replayed delete key. */
-  private def keyLiteral(v: Any): String = v match {
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case other     => String.valueOf(other)
-  }
-
   /** [[merge]], falling back to ROW-LEVEL REPLAY on a table-granular
     * conflict. `keyOf` names each replayable table's unique row key; a
     * conflicted table with no entry rethrows the conflict. Each
@@ -490,13 +484,15 @@ object Catalog {
               .localCheckpoint()
             val upserts = net.filter(col("_live")).drop("_live")
             if (!upserts.isEmpty) TableVersions.commitMerge(upserts, basePin.dir, key): Unit
-            val dels = net.filter(!col("_live")).select(col(key)).collect().map(r => r.get(0))
-            if (dels.nonEmpty)
-              TableVersions.commitDelete(
-                s,
-                basePin.dir,
-                s"$key IN (${dels.map(keyLiteral).mkString(", ")})"
-              ): Unit
+            // the delete arm stays as distributed as the upsert arm:
+            // the branch's deleted KEY SET lands as a key-only semi-
+            // join delete ([[TableVersions.commitDeleteKeys]]), never
+            // as a driver-collected IN-list — a delete-heavy branch is
+            // data-scaled, and literal-encoding keys would also break
+            // on date/decimal/NULL key types
+            val dels = net.filter(!col("_live")).select(col(key))
+            if (!dels.isEmpty)
+              TableVersions.commitDeleteKeys(dels, basePin.dir, key): Unit
             t -> Pin(basePin.dir, TableVersions.currentVersion(s, basePin.dir))
           }
         }

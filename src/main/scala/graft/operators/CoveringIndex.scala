@@ -231,15 +231,18 @@ object CoveringIndex {
     * runs for its own debt. A crashed [[sync]] strands one UUID dir
     * (data files + `_v` marker) that no read path ever touches;
     * correctness never needed this sweep, but the garbage is otherwise
-    * unbounded. MUST NOT run concurrently with an in-flight sync (the
-    * same single-maintainer contract as [[compact]] — a live sync's
-    * staged dir is indistinguishable from a crashed one's). Returns
-    * the number of orphans removed. */
-  def maintain(s: SparkSession, idxDir: String): Int = {
+    * unbounded. A LIVE in-flight sync's staged dir is
+    * indistinguishable from a crashed one's by name, so — like
+    * [[TableVersions.sweepStagedOrphans]] — only dirs older than
+    * `olderThanMs` are removed (no healthy sync holds staging for an
+    * hour); pass 0 only when no sync can be running (tests,
+    * single-maintainer windows). Returns the number removed. */
+  def maintain(s: SparkSession, idxDir: String, olderThanMs: Long = 3600000L): Int = {
     val fs = fsOf(s, idxDir)
     val staging = new Path(s"$idxDir/_staging")
     if (!fs.exists(staging)) return 0
-    val orphans = fs.listStatus(staging).toSeq
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = fs.listStatus(staging).toSeq.filter(_.getModificationTime <= cutoff)
     orphans.foreach { st =>
       if (!fs.delete(st.getPath, /* recursive = */ true))
         throw new java.io.IOException(s"covering index maintain: failed to remove ${st.getPath}")

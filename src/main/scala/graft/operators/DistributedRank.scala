@@ -52,9 +52,33 @@ object DistributedRank {
   private val PidShift = 33
   private val LocalMask = (1L << PidShift) - 1
 
+  /** Partition count derived from the input's optimizer statistics
+    * when the caller doesn't pin one: enough range partitions that
+    * each holds ~64 MB (the shuffle-partition sizing discipline),
+    * never fewer than the session's shuffle parallelism. A fixed 32
+    * was right for the rollup-scaled frames ranked today but is the
+    * wrong shape for a fact-scaled rank at 100 TB — there the count
+    * must grow with the data, and it does: stats flow from the scan
+    * (file sizes) through the plan. Capped at 2²⁰ partitions (a 64 TB
+    * single-column rank) to bound the offset array. */
+  private def autoParts(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes / (64L * 1024 * 1024)).min(BigInt(1 << 20)).toInt + 1
+    math.max(conf.numShufflePartitions, byBytes)
+  }
+
   /** Range-partition + sort + pin; returns the staged frame with
     * `__pid`/`__loc` derived from the materialized row ids, and the
-    * per-partition row counts in pid order. */
+    * per-partition row counts in pid order.
+    *
+    * Pinning is `localCheckpoint` — executor-storage blocks, the right
+    * cost for the rollup-scaled frames ranked today. For a FACT-scaled
+    * rank on a real cluster, prefer a reliable checkpoint
+    * (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`): a lost
+    * executor under localCheckpoint kills the job, and at 100 TB the
+    * pinned blocks compete with shuffle storage. The two-pass rank
+    * itself is checkpoint-strategy agnostic — only this pin changes. */
   private def stage(df: DataFrame, order: Seq[Column], nPart: Int): (DataFrame, Seq[(Int, Long)]) = {
     val staged = df
       .repartitionByRange(nPart, order: _*)
@@ -73,23 +97,43 @@ object DistributedRank {
     (staged, counts)
   }
 
-  /** Broadcast the prefix offsets back as one literal expression
-    * (P-branch CASE — codegen-friendly, no join, no second shuffle). */
-  private def offsetExpr(counts: Seq[(Int, Long)]): Column = {
+  /** Broadcast the prefix offsets back as ONE array literal indexed by
+    * `__pid` — O(1) to evaluate and O(P) in the expression tree, where
+    * the P-branch nested CASE this replaced was O(P) deep PER ROW and
+    * would blow the tree (and Janino) at the thousands of range
+    * partitions a fact-scaled rank needs. Gaps (empty range
+    * partitions produce no rows but still consume a pid) carry the
+    * running offset so the array indexes densely by pid. */
+  private def offsetExpr(offsetsByPid: Array[Long]): Column =
+    element_at(lit(offsetsByPid), col("__pid") + 1)
+
+  /** Dense pid-indexed exclusive prefix offsets from sparse per-pid
+    * totals (pids with no rows never appear in `totals`). */
+  private def prefixOffsets(totals: Seq[(Int, Long)]): Array[Long] = {
+    if (totals.isEmpty) return Array(0L) // empty input: no rows ever index it
+    val maxPid = totals.map(_._1).max
+    val byPid = totals.toMap
+    val offs = new Array[Long](maxPid + 1)
     var acc = 0L
-    val offs = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    offs.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
+    var pid = 0
+    while (pid <= maxPid) {
+      offs(pid) = acc
+      acc += byPid.getOrElse(pid, 0L)
+      pid += 1
     }
+    offs
   }
 
   /** Exact global `row_number()` over a TOTAL order (the caller must
     * include a unique tiebreak column), as column `out` (1-based,
-    * LongType). No window operator anywhere in the plan. */
-  def rowNumber(df: DataFrame, order: Seq[Column], out: String, nPart: Int = 32): Ranked = {
-    val (staged, counts) = stage(df, order, nPart)
+    * LongType). No window operator anywhere in the plan. `nPart <= 0`
+    * (the default) derives the partition count from the input's size
+    * statistics — see [[autoParts]]. */
+  def rowNumber(df: DataFrame, order: Seq[Column], out: String, nPart: Int = 0): Ranked = {
+    val parts = if (nPart > 0) nPart else autoParts(df)
+    val (staged, counts) = stage(df, order, parts)
     val ranked = staged
-      .withColumn(out, col("__loc") + offsetExpr(counts) + 1L)
+      .withColumn(out, col("__loc") + offsetExpr(prefixOffsets(counts)) + 1L)
       .drop("__mid", "__pid", "__loc")
     Ranked(ranked, counts.map(_._2).sum)
   }
@@ -105,10 +149,14 @@ object DistributedRank {
       order: Seq[Column],
       value: Column,
       out: String,
-      nPart: Int = 32
+      nPart: Int = 0
   ): Ranked = {
-    val staged0 = df.withColumn("__v", value.cast("long"))
-    val (staged, _) = stage(staged0, order, nPart)
+    // NULL values contribute 0 — made explicit with a coalesce rather
+    // than left to sum()'s null-skipping, which would also leave an
+    // all-NULL partition's total NULL and NPE the driver-side getLong
+    val staged0 = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+    val parts = if (nPart > 0) nPart else autoParts(staged0)
+    val (staged, _) = stage(staged0, order, parts)
     val sums = staged
       .groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
@@ -116,11 +164,7 @@ object DistributedRank {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
       .toSeq
-    var acc = 0L
-    val offs = sums.map { case (pid, _, sv) => val o = (pid, acc); acc += sv; o }
-    val offCol = offs.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    val offCol = offsetExpr(prefixOffsets(sums.map(t => (t._1, t._3))))
     val w = Window
       .partitionBy(col("__pid"))
       .orderBy(col("__loc"))

@@ -569,6 +569,73 @@ object TableVersions {
   def commitDelete(s: SparkSession, dir: String, cond: String): Long =
     rewriteWhere(s, dir, cond, identity, "delete")
 
+  /** Copy-on-write delete of an arbitrary KEY SET, fully distributed —
+    * the data-scaled sibling of [[commitDelete]], whose SQL-predicate
+    * contract is request-scaled by construction: a million-key erasure
+    * routed through it would have to `collect()` its keys into an
+    * IN-list on the driver, the exact shape this engine bans. Hit
+    * files come from a key-only LEFT SEMI join against the live table
+    * (the [[commitMerge]] probe minus the insert arm); the survivors
+    * of each hit file from the complementary LEFT ANTI. The key set is
+    * deduplicated and PINNED (`localCheckpoint`) before any file is
+    * rewritten — `keys` may lawfully derive from the very table being
+    * deleted from, and a lazy re-read mid-rewrite would see the
+    * half-written state. NULL keys are rejected loudly: SQL join
+    * semantics would silently never match them, turning "delete these
+    * keys" into "delete some of these keys". Cost: one table⋈keys
+    * probe + O(hit files) rewrite; nothing key-scaled ever touches the
+    * driver.
+    */
+  /** Loud NULL-key guard shared by the key-set delete paths: SQL join
+    * semantics silently never match a NULL key, which would turn
+    * "delete these keys" into "delete some of these keys". */
+  private def requireNoNullKeys(keys: DataFrame, key: String): Unit = {
+    val stats = keys.agg(count(lit(1)).as("n"), count(col(key)).as("nn")).head()
+    require(
+      stats.getLong(0) == stats.getLong(1),
+      s"delete key set has ${stats.getLong(0) - stats.getLong(1)} NULL $key keys — " +
+        "NULL never matches a join, so those rows would silently survive; resolve them explicitly"
+    )
+  }
+
+  def commitDeleteKeys(keys: DataFrame, dir: String, key: String): Long = {
+    val s = keys.sparkSession
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    requireNoNullKeys(keys, key)
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val keySet = keys.select(col(key)).distinct().localCheckpoint()
+    val adds = liveFileAdds(s, dir, prev)
+    // mergeSchema + DVs applied, for rewriteWhere's reasons: an evolved
+    // table rewrites under the union schema; a MOR-deleted row must
+    // neither match nor resurrect
+    val withFile = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+      .withColumn("__file", col("__dv_file"))
+    val hit = withFile
+      .join(keySet, Seq(key), "left_semi")
+      .select("__file")
+      .distinct()
+      .collect() // file paths — metadata-scale, never key-scale
+      .map(r => qualified(s, new Path(r.getString(0))))
+      .toSet
+    if (hit.isEmpty) {
+      appendLog(s, dir, v, "delete", Nil, Nil)
+      return v
+    }
+    val hitAdds = adds.filter(a => hit.contains(a._1))
+    val hitDf = applyDv(s, dir, prev, hitAdds, readMerged(s, hit.toSeq.sorted))
+    val keep = hitDf.join(keySet, Seq(key), "left_anti")
+    val cdf = hitDf
+      .join(keySet, Seq(key), "left_semi")
+      .withColumn("_change_type", lit("delete"))
+    writeCdf(s, dir, v, cdf)
+    val batch = s"$dir/data/b$v"
+    keep.write.mode("errorifexists").parquet(batch)
+    appendLog(s, dir, v, "delete", listParquet(s, batch), hit.toSeq.sorted)
+    v
+  }
+
   /** Copy-on-write update: matching rows are transformed, the rest of
     * each hit file is preserved verbatim. `transform` receives ONLY
     * the matching rows and must return the same schema.
@@ -982,6 +1049,46 @@ object TableVersions {
       return v
     }
     // change-data feed: the matched pre-images, same as a CoW delete
+    writeCdf(
+      s,
+      dir,
+      v,
+      matched.drop("__dv_file", "__dv_pos").withColumn("_change_type", lit("delete"))
+    )
+    hits.coalesce(1).write.mode("errorifexists").parquet(s"${dvDir(dir)}/v$v")
+    appendLog(s, dir, v, "mor_delete", Nil, Nil)
+    v
+  }
+
+  /** Merge-on-read delete of an arbitrary KEY SET — [[commitDeleteMor]]
+    * with the predicate replaced by a key-only LEFT SEMI join, for the
+    * same reason [[commitDeleteKeys]] exists beside [[commitDelete]]:
+    * the predicate contract is request-scaled, and a data-scaled key
+    * set must reach the matcher as a DataFrame, never as a collected
+    * IN-list. Same DV output shape; the key set is deduplicated and
+    * pinned before positions resolve. */
+  def commitDeleteMorKeys(keys: DataFrame, dir: String, key: String): Long = {
+    val s = keys.sparkSession
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    requireNoNullKeys(keys, key)
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val keySet = keys.select(col(key)).distinct().localCheckpoint()
+    val adds = liveFileAdds(s, dir, prev)
+    val matched = applyDv(s, dir, prev, adds, readMerged(s, adds.map(_._1)), keepMeta = true)
+      .join(keySet, Seq(key), "left_semi")
+      .localCheckpoint()
+    val hits = matched
+      .select(
+        canonPathCol(col("__dv_file")).as("file"),
+        col("__dv_pos").as("pos"),
+        lit(v).as("dv_version")
+      )
+    if (matched.isEmpty) {
+      appendLog(s, dir, v, "mor_delete", Nil, Nil)
+      return v
+    }
     writeCdf(
       s,
       dir,

@@ -1548,16 +1548,24 @@ object StreamGate {
     * body. */
   private[graft] def runQuantilesStream(gs: SparkSession, stream: DataFrame): DataFrame = {
     val staging = Similarity.freshIndexDir("quant_staging")
+    // foreachBatch is at-least-once: a batch replayed after a post-write
+    // failure must REWRITE its own partials, not append them twice (a
+    // blind append would double-count the replayed users' spend and
+    // shift every quantile). Each batch therefore lands in its own
+    // batch_id=<n> directory with overwrite mode — the idempotent
+    // file-sink recipe every other staged gate here uses
+    // (EventStreams.writeBatch).
     val q = stream.writeStream
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch
-            .toDF()
-            .groupBy("user_id")
-            .agg(Extras.purchaseCents.as("px"))
-            .write
-            .mode("append")
-            .parquet(staging)
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.streaming.EventStreams.writeBatch(
+            batch
+              .toDF()
+              .groupBy("user_id")
+              .agg(Extras.purchaseCents.as("px")),
+            batchId,
+            staging
+          )
       }
       .option("checkpointLocation", Similarity.freshIndexDir("quant_stream_ck"))
       .trigger(Trigger.AvailableNow())
@@ -1900,13 +1908,14 @@ object StreamGate {
     val q = forgets.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          // forget requests are human-scale (a batch of subjects, not a
-          // corpus) — the collected id list bounds the predicate string
-          val ids = batch.select("doc_id").distinct().collect().map(_.getLong(0))
-          if (ids.nonEmpty) {
+          // forget requests are usually human-scale, but a backfilled
+          // erasure batch is not — the key set reaches the delete as a
+          // DataFrame (key-only semi join), never a collected IN-list
+          val ids = batch.select("doc_id").distinct()
+          if (!ids.isEmpty) {
             val prev = graft.operators.TableVersions.currentVersion(gs, tdir)
             val v = graft.operators.TableVersions
-              .commitDelete(gs, tdir, s"doc_id IN (${ids.mkString(", ")})")
+              .commitDeleteKeys(ids, tdir, "doc_id")
             val confirmed = graft.operators.TableVersions
               .changes(gs, tdir, "doc_id", prev, v)
               .filter(col("change_type") === "delete")
@@ -1976,10 +1985,10 @@ object StreamGate {
     val q = deletes.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val ids = batch.select("doc_id").distinct().collect().map(_.getLong(0))
-          if (ids.nonEmpty) {
+          val ids = batch.select("doc_id").distinct()
+          if (!ids.isEmpty) {
             graft.operators.TableVersions
-              .commitDeleteMor(gs, tdir, s"doc_id IN (${ids.mkString(", ")})"): Unit
+              .commitDeleteMorKeys(ids, tdir, "doc_id"): Unit
           }
       }
       .option("checkpointLocation", Similarity.freshIndexDir("mor_stream_ck"))

@@ -712,14 +712,15 @@ object Versioned {
         TableVersions.commitDeleteMor(s, src, "doc_id % 7 = 3") // v4
         // catch-up: apply the (1, 4] feed — O(changes), no source read
         val feed = TableVersions.changesFeed(s, src, 1L, 4L).localCheckpoint()
+        // window-scaled key set — a delete-heavy window is data-scaled,
+        // so the keys flow to the delete as a frame (semi join), never
+        // through the driver as an IN-list
         val gone = feed
           .filter(col("_change_type").isin("delete", "update_preimage"))
           .select("doc_id")
           .distinct()
-          .collect()
-          .map(_.getLong(0))
-        if (gone.nonEmpty)
-          TableVersions.commitDelete(s, rep, s"doc_id IN (${gone.mkString(", ")})")
+        if (!gone.isEmpty)
+          TableVersions.commitDeleteKeys(gone, rep, "doc_id"): Unit
         // a key can carry several windowed events (updated at v3,
         // deleted at v4) — its LAST event decides: within a version a
         // post-image outranks its pre-image, across versions the later
@@ -2913,7 +2914,10 @@ object Versioned {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-sync-attempt"))
         val beforeSweep = CoveringIndex.read(s, idx, key, cols).collect().toSet
-        require(CoveringIndex.maintain(s, idx) >= 1, "janitor must sweep the orphan")
+        // olderThanMs = 0: this fixture IS the single-maintainer window
+        // (no sync in flight); production maintenance keeps the 1h
+        // default so a live sync's staging is never destroyed
+        require(CoveringIndex.maintain(s, idx, olderThanMs = 0L) >= 1, "janitor must sweep the orphan")
         require(
           !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-sync-attempt")),
           "orphan staging dir survived maintain()"

@@ -152,14 +152,21 @@ class CoveringIndexSpec extends AnyFunSuite with SparkSpec {
     CoveringIndex.init(spark, src, idx, "k", cols)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(CoveringIndex.maintain(spark, idx) == 0, "nothing to sweep yet")
+    assert(CoveringIndex.maintain(spark, idx, olderThanMs = 0L) == 0, "nothing to sweep yet")
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-1"))
     fs.create(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-2/part-0.parquet"), true).close()
     val want = viewOf(idx)
-    assert(CoveringIndex.maintain(spark, idx) == 2)
+    // the age guard: a just-created staging dir is indistinguishable
+    // from a LIVE in-flight sync's — the default cutoff must leave it
+    assert(CoveringIndex.maintain(spark, idx) == 0, "default cutoff destroyed fresh staging")
+    assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_staging/dead-1")),
+      "a fresh (possibly live) staging dir must survive the default cutoff"
+    )
+    assert(CoveringIndex.maintain(spark, idx, olderThanMs = 0L) == 2)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/_staging")).isEmpty)
     assert(viewOf(idx) == want, "janitor changed an answer")
-    assert(CoveringIndex.maintain(spark, idx) == 0, "sweep is idempotent")
+    assert(CoveringIndex.maintain(spark, idx, olderThanMs = 0L) == 0, "sweep is idempotent")
   }
 
   test("string business keys: full lifecycle incl. the sync guard's pushed-probe fast path") {

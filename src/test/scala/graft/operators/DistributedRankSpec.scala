@@ -70,6 +70,47 @@ class DistributedRankSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"prefix-sum window must be pid-partitioned:\n$plan")
   }
 
+  test("ranks are invariant to the partition count: nPart in {8, 32, 256} and auto") {
+    val df = fixture(5000, 13L)
+    val order = Seq(col("v"), col("id"))
+    val base = DistributedRank.rowNumber(df, order, "rn", nPart = 8)
+    for (p <- Seq(32, 256, 0 /* auto: derived from input stats */ )) {
+      val got = DistributedRank.rowNumber(df, order, "rn", nPart = p)
+      assert(got.total == base.total, s"total changed at nPart=$p")
+      assert(
+        got.df.exceptAll(base.df).isEmpty && base.df.exceptAll(got.df).isEmpty,
+        s"ranks changed at nPart=$p"
+      )
+      // the offset fold must stay an array lookup — no plan-shape change
+      val windows = got.df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"nPart=$p introduced a window")
+    }
+    val ps8 = DistributedRank.prefixSumExclusive(df, order, col("v") + 1, "ps", nPart = 8)
+    for (p <- Seq(32, 256, 0)) {
+      val got = DistributedRank.prefixSumExclusive(df, order, col("v") + 1, "ps", nPart = p)
+      assert(
+        got.df.exceptAll(ps8.df).isEmpty && ps8.df.exceptAll(got.df).isEmpty,
+        s"prefix sums changed at nPart=$p"
+      )
+    }
+  }
+
+  test("prefixSumExclusive: NULL values contribute 0, all-NULL partitions don't NPE") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long)]((1L, null), (2L, 10L), (3L, null), (4L, 5L))
+      .toDF("id", "v")
+    val got = DistributedRank
+      .prefixSumExclusive(df, Seq(col("id")), col("v"), "ps", nPart = 4)
+    val rows = got.df.orderBy("id").select("ps").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 0L, 10L, 10L))
+    // every partition all-NULL: the driver-side offset pass must not NPE
+    val allNull = Seq[(Long, java.lang.Long)]((1L, null), (2L, null)).toDF("id", "v")
+    val r2 = DistributedRank.prefixSumExclusive(allNull, Seq(col("id")), col("v"), "ps", nPart = 2)
+    assert(r2.df.select(sum("ps")).head().getLong(0) == 0L)
+  }
+
   test("single-row and empty frames") {
     import spark.implicits._
     val one = Seq((1L, 42L)).toDF("id", "v")

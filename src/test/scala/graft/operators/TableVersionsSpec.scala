@@ -39,6 +39,69 @@ class TableVersionsSpec extends AnyFunSuite with SparkSpec {
     assert(live1.filter(col("id") < 15).count() == 0)
   }
 
+  test("commitDeleteKeys: key-set delete matches the predicate delete, hit-file-scoped, no NULLs") {
+    val s = spark
+    import s.implicits._
+    // predicate twin
+    val pdir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), pdir)
+    TableVersions.commitDelete(spark, pdir, "id % 7 = 3 AND id < 40")
+    // key-set path: same delete expressed as a DataFrame of keys — and
+    // the keys lawfully DERIVE from the table being deleted from (the
+    // pin-before-rewrite hazard the operator closes)
+    val kdir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), kdir)
+    val keys = TableVersions
+      .readVersion(spark, kdir, 0)
+      .filter(col("id") % 7 === 3 && col("id") < 40)
+      .select("id")
+    TableVersions.commitDeleteKeys(keys, kdir, "id")
+    val got = TableVersions.readVersion(spark, kdir, 1)
+    val want = TableVersions.readVersion(spark, pdir, 1)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // only files CONTAINING hit keys (ids 3..38 live in files 0/1) rewrote
+    val removed = spark.read.parquet(s"$kdir/_log").filter(col("version") === 1)
+      .filter(col("action") === "remove").collect()
+    assert(removed.length == 2, s"expected 2 hit files, got ${removed.length}")
+    // the change feed carries exactly the deleted pre-images
+    val cdf = TableVersions.changesFeed(spark, kdir, 0L, 1L)
+    assert(cdf.filter(col("_change_type") === "delete").count() == keys.count())
+    // an absent key set is a no-op commit, not an error
+    val v2 = TableVersions.commitDeleteKeys(Seq(100000L).toDF("id"), kdir, "id")
+    assert(v2 == 2L && TableVersions.readVersion(spark, kdir, 2).count() == got.count())
+    // NULL keys refuse loudly — a join would silently skip them
+    val withNull = Seq[java.lang.Long](5L, null).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      TableVersions.commitDeleteKeys(withNull, kdir, "id")
+    }
+    assert(err.getMessage.contains("NULL"))
+    // the refusal landed nothing
+    assert(TableVersions.currentVersion(spark, kdir) == 2L)
+  }
+
+  test("commitDeleteMorKeys: DV-path key-set delete matches commitDeleteMor") {
+    val s = spark
+    import s.implicits._
+    val pdir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), pdir)
+    TableVersions.commitDeleteMor(spark, pdir, "id % 5 = 2")
+    val kdir = freshDir()
+    TableVersions.commitAppend(fixture().repartitionByRange(4, col("id")), kdir)
+    val keys = fixture().filter(col("id") % 5 === 2).select("id")
+    TableVersions.commitDeleteMorKeys(keys, kdir, "id")
+    val got = TableVersions.readVersion(spark, kdir, 1)
+    val want = TableVersions.readVersion(spark, pdir, 1)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // merge-on-read: no data file rewritten, only a DV landed
+    val rewrote = spark.read.parquet(s"$kdir/_log").filter(col("version") === 1)
+      .filter(col("action").isin("add", "remove")).count()
+    assert(rewrote == 0L, "MOR delete must not rewrite data files")
+    assert(
+      TableVersions.changesFeed(spark, kdir, 0L, 1L)
+        .filter(col("_change_type") === "delete").count() == keys.count()
+    )
+  }
+
   test("time travel: earlier versions stay bit-stable through later delete/update commits") {
     val dir = freshDir()
     TableVersions.commitAppend(fixture(), dir)
