@@ -29,10 +29,16 @@ object HarnessUtil {
     * (localCheckpoint leftovers), and — via the explicit GC — dead
     * shuffle files and broadcasts the ContextCleaner can only reclaim
     * once their driver handles are collected.
+    *
+    * `gc = false` skips only the explicit full GC (cache/unpersist
+    * still run): the bench harness sweeps BETWEEN RUNS of the same
+    * query, where a forced full collection on a ~50 GiB heap costs
+    * real wall-time ~1300 times per bench for residue the per-QUERY
+    * GC (and the 1-minute periodic ContextCleaner GC) already bounds.
     */
-  def sweep(spark: SparkSession): Unit = {
+  def sweep(spark: SparkSession, gc: Boolean = true): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    System.gc()
+    if (gc) System.gc()
   }
 }
