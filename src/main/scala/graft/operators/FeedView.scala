@@ -83,14 +83,38 @@ object FeedView {
     val head = TableVersions.safeHead(s, srcDir)
     val cur = cursor(s, viewDir)
     if (head <= cur) return cur
-    val feed = TableVersions.changesFeed(s, srcDir, cur, head)
+    foldEvents(s, viewDir, TableVersions.changesFeed(s, srcDir, cur, head), groupCol, sumCol, head)
+  }
+
+  /** Fold a frame of FEED EVENTS (rows carrying `_change_type` and
+    * `_commit_version` — a [[TableVersions.changesFeed]] window, or a
+    * micro-batch from the [[graft.streaming.CdfSourceProvider]]
+    * streaming source) into the view as ONE merge commit. IDEMPOTENT
+    * under replay: events at or below the view's cursor are filtered
+    * out first, so an at-least-once delivery (foreachBatch re-running
+    * a batch after a post-commit failure) re-applies nothing — the
+    * cursor travels INSIDE the same commit as the deltas, which is
+    * what makes the filter and the fold atomic. `newCursor` must be
+    * the version the event frame reaches (its max `_commit_version`,
+    * or the window's end). Returns the resulting cursor. */
+  def foldEvents(
+      s: SparkSession,
+      viewDir: String,
+      events: DataFrame,
+      groupCol: String,
+      sumCol: String,
+      newCursor: Long
+  ): Long = {
+    val cur = cursor(s, viewDir)
+    if (newCursor <= cur) return cur // whole frame already folded (replay)
+    val fresh = events.filter(col("_commit_version") > cur)
     // retractable-aggregate weights: an event either contributes a row
     // (+1) or takes one back (−1); an update is a −pre +post pair, so
     // a group change moves mass between groups and an in-group value
     // change nets to the value delta
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
-    val deltas = feed
+    val deltas = fresh
       .select(
         col(groupCol).cast("string").as("k"),
         w.as("w"),
@@ -111,8 +135,8 @@ object FeedView {
         (coalesce(col("n_rows"), lit(0L)) + col("d_n")).as("n_rows"),
         (coalesce(col("sum_val"), lit(0L)) + col("d_sum")).as("sum_val")
       )
-    TableVersions.commitMerge(touched.unionByName(cursorRow(s, head)), viewDir, "k")
-    head
+    TableVersions.commitMerge(touched.unionByName(cursorRow(s, newCursor)), viewDir, "k")
+    newCursor
   }
 
   /** The last source version folded into the view. */

@@ -1539,6 +1539,37 @@ object StreamGate {
         )
       },
       Some(Extras.exactQuantilesOracleSql)
+    ),
+
+    // ------------------------------------------------------------------
+    // CHANGE FEED AS A STREAMING SOURCE (round 16): q216's incremental
+    // aggregate view, driven by a GENUINE Structured Streaming source
+    // over the version store's `_cdf` + commit log
+    // (graft.streaming.CdfSourceProvider) instead of hand-polled feed
+    // windows — the read side that completes the store's streaming
+    // loop, Delta's readChangeFeed shape. One offset = one committed
+    // version; maxVersionsPerBatch=1 rate-limits the drain to one
+    // commit per micro-batch (REQUIREd from the query's own progress
+    // records), and each batch folds through FeedView.foldEvents —
+    // the SAME fold body as the batch sync, idempotent under replay
+    // because the cursor rides inside the fold's merge commit. The
+    // history crosses append, CoW delete, update, and MOR delete;
+    // shares q216's oracle, so a window the source dropped, split
+    // mid-commit, or double-delivered breaks the hash. ORACLE-EXACT;
+    // CdfSourceSpec pins restart-from-checkpoint continuity and
+    // replay idempotence.
+    QueryDef(
+      "q321_cdf_stream_feed_view",
+      (s, dir) => {
+        val gs = gateSession(s)
+        runCdfFeedViewStream(gs, dir)
+      },
+      Some("""SELECT lang AS k, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+                 AS sum_val
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+        GROUP BY lang ORDER BY k""")
     )
   )
 
@@ -1581,6 +1612,61 @@ object StreamGate {
         .groupBy("user_id")
         .agg(sum("px").as("x"))
     )
+  }
+
+  /** q216's feed-view fixture driven through the CDF STREAMING SOURCE:
+    * the same commit history (append, CoW delete, update, MOR delete),
+    * the same per-lang rollup — but the feed windows arrive as
+    * micro-batches from `readStream.format(CdfSourceProvider)`, one
+    * commit per batch (maxVersionsPerBatch = 1), each folded by
+    * [[graft.operators.FeedView.foldEvents]]. The drain REQUIREs the
+    * rate limit actually held: exactly 4 data-carrying micro-batches
+    * for the 4 post-init commits. */
+  private[graft] def runCdfFeedViewStream(gs: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FeedView, TableVersions}
+    val src = Similarity.freshIndexDir("cdfsrc_store")
+    val view = Similarity.freshIndexDir("cdfsrc_view")
+    val docs = Tables(gs, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), src) // v0
+    FeedView.init(gs, src, view, "lang", "n_chars") // cursor = 0
+    TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), src) // v1
+    TableVersions.commitDelete(gs, src, "doc_id % 5 = 0") // v2
+    TableVersions.commitUpdate(
+      gs,
+      src,
+      "lang = 'zh'",
+      _.withColumn("n_chars", col("n_chars") + 1000)
+    ) // v3
+    TableVersions.commitDeleteMor(gs, src, "doc_id % 7 = 3") // v4
+    val stream = gs.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("path", src)
+      .option("startingVersion", "0") // the init snapshot's version
+      .option("maxVersionsPerBatch", "1")
+      .load()
+    val q = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val upTo = batch.agg(max(col("_commit_version"))).head().getLong(0)
+            FeedView.foldEvents(gs, view, batch.toDF(), "lang", "n_chars", upTo): Unit
+          }
+      }
+      .option("checkpointLocation", Similarity.freshIndexDir("cdfsrc_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      org.apache.spark.sql.graftshims.StreamingStateHygiene.unloadAllStateStores()
+    }
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(
+      dataBatches == 4,
+      s"maxVersionsPerBatch=1 must drain the 4 commits as 4 micro-batches, saw $dataBatches"
+    )
+    require(FeedView.cursor(gs, view) == 4L, "stream drain must leave the cursor at v4")
+    FeedView.read(gs, view).orderBy("k")
   }
 
   /** q234's as-of index driven live: one append commit + one index
