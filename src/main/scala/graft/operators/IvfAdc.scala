@@ -367,4 +367,88 @@ object IvfAdc {
       )
       .orderBy("q_id", "rank")
   }
+
+  /** Integer recall@`topK` (0-100) of this index against the exact
+    * cosine scan over `anchors` (q_id, qv) — q157's health metric as a
+    * reusable number. `corpus` is the source of truth (vec_id, v);
+    * cost is one probe plus one anchors×corpus exact pass, bounded by
+    * the anchor count. */
+  def recallPct(
+      s: SparkSession,
+      indexDir: String,
+      corpus: DataFrame,
+      anchors: DataFrame,
+      nprobe: Int = 10,
+      candK: Int = 256,
+      topK: Int = 5
+  ): Long = {
+    val approx = probe(s, indexDir, anchors, nprobe, candK, topK)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val exact = corpus
+      .crossJoin(broadcast(anchors))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
+      .filter(col("cos").isNotNull) // zero-norm rows carry no defined angle
+      .groupBy("q_id")
+      .agg(expr(s"top_k_structs(struct(-cos AS nc, vec_id), $topK)").as("top"))
+      .select(col("q_id"), explode(expr("transform(top, t -> t.vec_id)")).as("vec_id"))
+    val r = exact
+      .join(approx, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).cast("long").as("h"))
+      .head()
+    if (r.getLong(0) == 0L) 100L else r.getLong(1) * 100L / r.getLong(0)
+  }
+
+  /** INDEX AUTOPILOT — the q239 maintenance discipline applied to the
+    * vector index: measure recall@`topK` against the exact scan; if it
+    * holds `floorPct`, do NOTHING (zero jobs when healthy — probes
+    * stay bit-stable because no file is touched); if it sagged (corpus
+    * drift, append/delete cycles unbalancing cells fitted on an old
+    * distribution), RE-FIT both quantizers on the CURRENT corpus into
+    * a staged sibling and atomically swap it in. Returns the audited
+    * actions, empty when healthy.
+    *
+    * Single-maintainer contract, like every staged-swap maintainer
+    * here. Crash recovery: an interrupted swap leaves the old index
+    * dir intact or the completed staging to resume — re-running
+    * maintain() converges (the refit is deterministic: seeded fits on
+    * the same corpus).
+    */
+  def maintain(
+      s: SparkSession,
+      indexDir: String,
+      corpus: DataFrame,
+      anchors: DataFrame,
+      floorPct: Long,
+      nprobe: Int = 10,
+      candK: Int = 256,
+      topK: Int = 5,
+      kCells: Int = 16
+  ): Seq[(String, String)] = {
+    val staged = new org.apache.hadoop.fs.Path(s"${indexDir}_refit_staging")
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // resume an interrupted swap (live gone, staging complete)
+    if (!fs.exists(live) && fs.exists(staged)) {
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"ivfadc maintain: failed to resume swap from $staged")
+      return Seq("resume_swap" -> s"completed an interrupted refit swap from $staged")
+    }
+    val before = recallPct(s, indexDir, corpus, anchors, nprobe, candK, topK)
+    if (before >= floorPct) return Seq.empty // healthy: zero jobs, zero writes
+    fs.delete(staged, /* recursive = */ true): Unit
+    build(corpus, staged.toString, kCells = kCells)
+    // swap: the refit replaces the WHOLE layout (models + data +
+    // tombstones — the corpus is the source of truth, so tombstoned
+    // ids simply aren't in it)
+    if (!fs.delete(live, /* recursive = */ true))
+      throw new java.io.IOException(s"ivfadc maintain: failed to retire $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"ivfadc maintain: failed to publish $staged")
+    val after = recallPct(s, indexDir, corpus, anchors, nprobe, candK, topK)
+    Seq(
+      "refit" -> s"recall@$topK $before% < floor $floorPct%: refit kCells=$kCells on current corpus",
+      "recall_after" -> s"$after%"
+    )
+  }
 }

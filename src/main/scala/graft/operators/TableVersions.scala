@@ -3047,6 +3047,148 @@ object TableVersions {
     0L
   }
 
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING (round 16): rename/drop as METADATA, the
+  // Iceberg/Delta id-based model — physical parquet column names are
+  // the stable ids and are NEVER rewritten; a versioned logical→
+  // physical map (`_log/_colmap/v<N>`, one parquet per mapping change,
+  // each pinned to its own audited log commit) translates at the READ
+  // boundary ([[readVersionLogical]]) and the WRITE boundary
+  // ([[toPhysical]]). Time travel resolves the map AS OF the version
+  // read, so pre-rename versions surface their era's names and history
+  // stays readable without a byte of data rewritten; every rewrite
+  // path (CoW/MOR/MERGE) keeps operating on the physical names and
+  // survives the rename untouched. A renamed table at 100 TB costs
+  // one metadata commit, not a table rewrite.
+  // ------------------------------------------------------------------
+
+  private def colmapDir(dir: String) = s"${logDir(dir)}/_colmap"
+
+  /** The column map AS OF `v` — (logical, physical, dropped) — or None
+    * when no mapping change had landed by `v` (identity: logical IS
+    * physical, nothing hidden). */
+  def columnMapAt(s: SparkSession, dir: String, v: Long): Option[Seq[(String, String, Boolean)]] = {
+    val p = new Path(colmapDir(dir))
+    val fs = fsOf(s, dir)
+    if (!fs.exists(p)) return None
+    val vers = fs
+      .listStatus(p)
+      .toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+      .filter(_ <= v)
+    if (vers.isEmpty) None
+    else
+      Some(
+        s.read
+          .parquet(s"${colmapDir(dir)}/v${vers.max}")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+          .sortBy(_._2)
+          .toSeq
+      )
+  }
+
+  /** Current map, or the identity map derived from the head schema. */
+  private def mapOrIdentity(s: SparkSession, dir: String, v: Long): Seq[(String, String, Boolean)] =
+    columnMapAt(s, dir, v).getOrElse(
+      readVersion(s, dir, v, mergeSchema = true).columns.toSeq.map(c => (c, c, false))
+    )
+
+  /** One mapping change = one audited commit: the new map lands under
+    * the claimed version, then the log entry (op `colmap`, no file
+    * actions — a logical no-op for liveness, vacuum, and the feed). */
+  private def commitColmap(
+      s: SparkSession,
+      dir: String,
+      entries: Seq[(String, String, Boolean)]
+  ): Long = {
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    import s.implicits._
+    entries
+      .toDF("logical", "physical", "dropped")
+      .coalesce(1)
+      .write
+      .mode("errorifexists")
+      .parquet(s"${colmapDir(dir)}/v$v")
+    appendLog(s, dir, v, "colmap", Nil, Nil)
+    v
+  }
+
+  /** Rename logical column `from` to `to` — metadata only. Refuses an
+    * unknown/dropped source and a collision with a live name. */
+  def renameColumn(s: SparkSession, dir: String, from: String, to: String): Long = {
+    val cur = mapOrIdentity(s, dir, currentVersion(s, dir))
+    require(cur.exists(e => e._1 == from && !e._3), s"no live column '$from' to rename")
+    require(!cur.exists(e => e._1 == to && !e._3), s"column '$to' already exists")
+    commitColmap(s, dir, cur.map { case (l, p, d) => if (l == from && !d) (to, p, d) else (l, p, d) })
+  }
+
+  /** Drop logical column `name` — metadata only: readers stop seeing
+    * it, the physical data stays (history below the drop still serves
+    * it; a later rename may NOT reuse the physical slot). */
+  def dropColumn(s: SparkSession, dir: String, name: String): Long = {
+    val cur = mapOrIdentity(s, dir, currentVersion(s, dir))
+    require(cur.exists(e => e._1 == name && !e._3), s"no live column '$name' to drop")
+    commitColmap(s, dir, cur.map { case (l, p, d) => if (l == name && !d) (l, p, true) else (l, p, d) })
+  }
+
+  /** [[readVersion]] surfaced under the LOGICAL names of `v`'s era:
+    * mapped physical columns renamed, dropped columns hidden, physical
+    * columns the map predates (a later schema evolution) passed
+    * through unchanged. Identity when the table has no mapping. */
+  def readVersionLogical(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      mergeSchema: Boolean = false
+  ): DataFrame = {
+    val df = readVersion(s, dir, v, mergeSchema)
+    columnMapAt(s, dir, v) match {
+      case None => df
+      case Some(m) =>
+        // column ORDER follows the physical frame (stable across
+        // mapping changes); the map only renames and hides
+        val byPhysical = m.map(e => e._2 -> e).toMap
+        df.select(df.columns.toSeq.flatMap { c =>
+          byPhysical.get(c) match {
+            case Some((_, _, true))  => None // dropped: hidden from this era on
+            case Some((l, _, false)) => Some(col(c).as(l))
+            case None                => Some(col(c)) // post-map schema evolution
+          }
+        }: _*)
+    }
+  }
+
+  /** Adapter for writers holding a LOGICAL frame: columns translated
+    * back to their physical names so every data file keeps the stable
+    * physical schema. Unknown logical names (including dropped ones)
+    * refuse loudly; unmapped columns (post-map schema evolution) pass
+    * through. */
+  def toPhysical(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    columnMapAt(s, dir, currentVersion(s, dir)) match {
+      case None => df
+      case Some(m) =>
+        val live = m.filter(!_._3).map(e => e._1 -> e._2).toMap
+        val physical = m.map(_._2).toSet
+        df.select(df.columns.toSeq.map { c =>
+          live.get(c) match {
+            case Some(p) => col(c).as(p)
+            case None =>
+              // c addressing a renamed column's PHYSICAL slot (or a
+              // dropped column's) would silently collide/resurrect
+              require(
+                !physical.contains(c),
+                s"'$c' addresses a mapped physical slot of $dir — use its live logical name"
+              )
+              col(c)
+          }
+        }: _*)
+    }
+
   /** RESTORE TABLE … TO VERSION AS OF `to` — as a new COMMIT, and
     * METADATA-ONLY (the Delta RESTORE shape): the head is brought back
     * to version `to`'s exact file set by logging `add` for target
@@ -3149,7 +3291,7 @@ object TableVersions {
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
     val fs = fsOf(s, dir)
-    val logicalNoOps = Set("optimize", "zorder", "hilbert", "mor_compact")
+    val logicalNoOps = Set("optimize", "zorder", "hilbert", "mor_compact", "colmap")
     val cdfOps = Set("delete", "update", "merge", "mor_delete")
     val claimed = claimedVersions(s, dir).toSet
     val frames: Seq[DataFrame] = (vOld + 1 to vNew).toSeq.flatMap { w =>

@@ -1452,6 +1452,95 @@ object Similarity {
         LEFT JOIN (SELECT q_id, vec_id FROM tops WHERE d = 64) f
           ON t.q_id = f.q_id AND t.vec_id = f.vec_id
         GROUP BY t.d, t.q_id ORDER BY d, t.q_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // VECTOR-INDEX AUTOPILOT (round 16): q157 measures IVFADC recall
+    // and q180 A/Bs quantizer designs — this closes the loop: the
+    // q239 maintenance discipline (audited actions, ZERO jobs when
+    // healthy, idempotent re-runs) applied to quantizer drift. The
+    // lifecycle: build on the base distribution → maintain() on a
+    // healthy index does NOTHING and probes stay BIT-STABLE (REQUIREd
+    // by comparing collected probe results across the call) → a
+    // drifted batch lands (every component shifted — the appended
+    // cloud is assigned and coded under centroids/codebooks fitted on
+    // the OLD distribution, the real-world drift failure) → recall
+    // over drifted anchors sags under the floor → maintain() refits
+    // both quantizers on the CURRENT corpus and atomically swaps the
+    // staged layout in → recall REQUIREd back at/above the floor.
+    // Rows-only like the rest of the IVF family (cells/codebooks are
+    // implementation-defined); the floor/bit-stability/refit REQUIREs
+    // and IvfAdcSpec gate it.
+    QueryDef(
+      "q324_index_autopilot",
+      (s, dir) => {
+        import graft.operators.IvfAdc
+        val idx = freshIndexDir("ivfadc_autopilot")
+        // a QUARTER of the corpus: the autopilot's cost is 2 quantizer
+        // fits + 4 recall measurements by construction (4-6x a plain
+        // build query) — the drift/refit contract is size-blind, so
+        // the fixture stays lean
+        val e = emb(s, dir).filter(col("vec_id") % 4 < 2).localCheckpoint()
+        val base = e.filter(col("vec_id") % 2 === 0)
+        // drifted batch: the whole cloud moves (+0.8 on every
+        // component), norms recomputed — appended under base-fitted
+        // models, the canonical drift degradation
+        val drifted = e
+          .filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr("transform(v, x -> x + 0.8d)").as("v"))
+          .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+        val corpus0 = base
+        IvfAdc.build(corpus0, idx)
+        val anchorsHealthy = base
+          .filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // the acceptance floor is pinned at COMMISSIONING: two thirds
+        // of the measured healthy recall — how a real deployment sets
+        // the SLO (an absolute constant would be wrong at some scale:
+        // measured healthy@5 spans 62-88% across sf at these serving
+        // params, and a refit on the post-drift TWO-cloud corpus is
+        // intrinsically below the single-cloud commissioning number)
+        val healthy = IvfAdc.recallPct(s, idx, corpus0, anchorsHealthy, nprobe = 8, candK = 32)
+        val floor = healthy * 2 / 3
+        // healthy: no action, and the serving path untouched —
+        // bit-stable probes across the maintain() call
+        val probeBefore =
+          IvfAdc.probe(s, idx, anchorsHealthy, nprobe = 8, candK = 32, topK = 5).collect().toSeq
+        val healthyActions =
+          IvfAdc.maintain(s, idx, corpus0, anchorsHealthy, floor, nprobe = 8, candK = 32)
+        require(healthyActions.isEmpty, s"healthy index must schedule zero jobs: $healthyActions")
+        val probeAfter =
+          IvfAdc.probe(s, idx, anchorsHealthy, nprobe = 8, candK = 32, topK = 5).collect().toSeq
+        require(probeBefore == probeAfter, "healthy maintain() must leave probes bit-stable")
+        // drift lands
+        IvfAdc.append(drifted, idx)
+        val corpus1 = base.unionByName(drifted).localCheckpoint()
+        val anchorsDrift = drifted
+          .filter(col("vec_id") < 80)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val degraded = IvfAdc.recallPct(s, idx, corpus1, anchorsDrift, nprobe = 8, candK = 32)
+        val actions =
+          IvfAdc.maintain(s, idx, corpus1, anchorsDrift, floor, nprobe = 8, candK = 32)
+        require(
+          actions.nonEmpty,
+          s"drifted recall $degraded% should have sagged under the $floor% floor and refit"
+        )
+        val refit = IvfAdc.recallPct(s, idx, corpus1, anchorsDrift, nprobe = 8, candK = 32)
+        require(
+          refit >= floor,
+          s"autopilot refit must restore recall to >= $floor%, got $refit% (was $degraded%)"
+        )
+        require(refit > degraded, "refit must improve recall over the drifted state")
+        val sess = s
+        import sess.implicits._
+        Seq(
+          ("healthy_actions", healthyActions.size.toLong),
+          ("degraded_recall_pct", degraded),
+          ("refit_actions", actions.size.toLong),
+          ("refit_recall_pct", refit)
+        ).toDF("step", "value").orderBy("step")
+      },
+      None
     )
   )
 

@@ -3723,6 +3723,150 @@ object Versioned {
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         FROM events e JOIN dim d ON e.user_id = d.doc_id
         GROUP BY d.lang ORDER BY d.lang""")
+    ),
+
+    // ------------------------------------------------------------------
+    // DEEP CLONE + CROSS-STORE REPLICATION (round 16): the DR/promotion
+    // story q201's zero-copy shallow clone cannot give — a MATERIALIZED
+    // replica under its own storage root (Delta deep clone's shape),
+    // kept current by feed-scaled catch-up syncs (Replica.sync: one
+    // key-set delete + one latest-wins merge per window, cursor
+    // advanced only after the window lands; crash-replays converge).
+    // Parity is PROVEN, not assumed: an order/layout-independent
+    // (count, sum, xor)-of-row-hash fingerprint is REQUIREd equal at
+    // the pinned clone point AND after catch-up. Then the INDEPENDENCE
+    // property: the source vacuums everything below its head — the
+    // files the clone was cut from are physically gone — and the
+    // replica still serves, because it owns every byte (a shallow
+    // clone dangles here; q201 proves the ownership guard, this proves
+    // the deep copy). ORACLE-EXACT: final replica == the closed-form
+    // survivor set; ReplicaSpec pins cursor crash-replay convergence
+    // and the no-op sync.
+    QueryDef(
+      "q322_deep_clone_replica",
+      (s, dir) => {
+        import graft.operators.Replica
+        val src = Similarity.freshIndexDir("deepclone_src")
+        val rep = Similarity.freshIndexDir("deepclone_rep")
+        // a third of the corpus: the contract under test (parity,
+        // feed-scaled catch-up, vacuum independence) is size-blind
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 0).repartition(4), src) // v0
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 2 === 1), src) // v1
+        Replica.cloneDeep(s, src, rep, 1L)
+        require(
+          Replica.fingerprint(s, src, 1L) == Replica.fingerprint(s, rep, 0L),
+          "deep clone must be fingerprint-identical to the pinned source version"
+        )
+        // source diverges across both deletion paths + an update
+        TableVersions.commitDelete(s, src, "doc_id % 5 = 0") // v2
+        TableVersions.commitUpdate(
+          s,
+          src,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v3
+        TableVersions.commitDeleteMor(s, src, "doc_id % 7 = 3") // v4
+        require(Replica.sync(s, src, rep, "doc_id") == 4L, "catch-up must reach the head")
+        val repHead = TableVersions.currentVersion(s, rep)
+        require(
+          Replica.fingerprint(s, src, 4L) == Replica.fingerprint(s, rep, repHead),
+          "replica must be fingerprint-identical to the source head after catch-up"
+        )
+        // INDEPENDENCE: the source vacuums its whole history — the
+        // files the clone copied from are physically deleted — and a
+        // re-sync is a recorded no-op (cursor already at head)
+        TableVersions.vacuum(s, src, 4L): Unit
+        require(Replica.sync(s, src, rep, "doc_id") == 4L, "no-op sync must not move the cursor")
+        TableVersions
+          .readVersion(s, rep, TableVersions.currentVersion(s, rep))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang,
+               CAST(CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS BIGINT)
+                 AS n_chars
+        FROM documents
+        WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0 AND doc_id % 7 <> 3
+        ORDER BY doc_id""")
+    ),
+
+    // ------------------------------------------------------------------
+    // COLUMN MAPPING (round 16): rename/drop as pure METADATA commits
+    // (the Iceberg/Delta id-based model) — physical parquet names are
+    // the stable ids, a versioned logical→physical map translates at
+    // the read/write boundary, and NOTHING is rewritten: a renamed
+    // 100 TB table costs one log entry. The lifecycle: rename
+    // n_chars→chars, then a copy-on-write UPDATE and a MOR delete land
+    // ON TOP of the rename (the rewrite paths run on physical names —
+    // they must survive the mapping untouched), then lang→language and
+    // a DROP of source. The output probes the whole contract: the
+    // column LISTS as of three eras (time travel resolves the map as
+    // of the version read — v0 still answers under its original names;
+    // the head hides the dropped column), plus value aggregates under
+    // the NEW names across the rewrites. ORACLE-EXACT (the DuckDB
+    // restatement hardcodes the era schemas and survivor math);
+    // ColumnMappingSpec pins CoW/MOR/MERGE-across-rename equivalence,
+    // toPhysical refusals, and the no-reuse-of-dropped-slots rule.
+    QueryDef(
+      "q323_column_mapping",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("colmap_store")
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 2) // size-blind contract, lean fixture
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        TableVersions.commitAppend(docs.repartition(4), tdir) // v0
+        TableVersions.renameColumn(s, tdir, "n_chars", "chars") // v1 (metadata)
+        // rewrites land ON TOP of the rename, addressing physical names
+        TableVersions.commitUpdate(
+          s,
+          tdir,
+          "lang = 'zh'",
+          _.withColumn("n_chars", col("n_chars") + 1000)
+        ) // v2
+        TableVersions.commitDeleteMor(s, tdir, "doc_id % 7 = 3") // v3
+        TableVersions.renameColumn(s, tdir, "lang", "language") // v4
+        TableVersions.dropColumn(s, tdir, "source") // v5
+        val head = TableVersions.currentVersion(s, tdir)
+        require(head == 5L, s"expected 5 commits, got $head")
+        def colsAt(v: Long) =
+          TableVersions.readVersionLogical(s, tdir, v).columns.mkString(",")
+        val sess = s
+        import sess.implicits._
+        val eras = Seq(
+          ("cols_v0", colsAt(0L), 0L), // original names: time travel across the renames
+          ("cols_v2", colsAt(2L), 0L), // first rename applied, later ones not
+          ("cols_head", colsAt(5L), 0L) // renamed + dropped hidden
+        ).toDF("k", "txt", "n")
+        // values under the NEW names, across the CoW update + MOR delete
+        val headDf = TableVersions.readVersionLogical(s, tdir, head)
+        val sums = headDf
+          .groupBy(col("language"))
+          .agg(count(lit(1)).as("cnt"), sum(col("chars")).as("sum_chars"))
+          .select(
+            concat(lit("census_"), col("language")).as("k"),
+            col("cnt").cast("string").as("txt"),
+            col("sum_chars").as("n")
+          )
+        eras.unionByName(sums).orderBy("k")
+      },
+      Some("""WITH survivors AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN lang = 'zh' THEN n_chars + 1000 ELSE n_chars END AS BIGINT)
+                   AS chars
+          FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 <> 3),
+        census AS (
+          SELECT 'census_' || lang AS k, CAST(count(*) AS VARCHAR) AS txt,
+                 CAST(sum(chars) AS BIGINT) AS n
+          FROM survivors GROUP BY lang),
+        eras AS (
+          SELECT 'cols_v0' AS k, 'doc_id,source,lang,n_chars' AS txt, CAST(0 AS BIGINT) AS n
+          UNION ALL SELECT 'cols_v2', 'doc_id,source,lang,chars', 0
+          UNION ALL SELECT 'cols_head', 'doc_id,language,chars', 0)
+        SELECT k, txt, n FROM (SELECT * FROM eras UNION ALL SELECT * FROM census)
+        ORDER BY k""")
     )
   )
 

@@ -176,4 +176,33 @@ class IvfAdcSpec extends AnyFunSuite with SparkSpec {
     assert(appended.nonEmpty)
     assert(appended == rebuilt)
   }
+
+  test("autopilot: zero jobs + bit-stable probes when healthy; refit restores a sagged recall") {
+    val idx = graft.queries.Similarity.freshIndexDir("ivfadc_maint_spec")
+    val base = emb.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    IvfAdc.build(base, idx)
+    val anchors = base.filter(col("vec_id") < 40).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val healthyRecall = IvfAdc.recallPct(spark, idx, base, anchors, nprobe = 4, candK = 64)
+    val before = IvfAdc.probe(spark, idx, anchors, nprobe = 4, candK = 64, topK = 5).collect().toSeq
+    // healthy: no actions, no writes, probes bit-stable
+    assert(IvfAdc.maintain(spark, idx, base, anchors, floorPct = healthyRecall, nprobe = 4, candK = 64).isEmpty)
+    assert(IvfAdc.probe(spark, idx, anchors, nprobe = 4, candK = 64, topK = 5).collect().toSeq == before)
+    // drift: the appended cloud moved; anchors drawn from it
+    val drifted = emb
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), expr("transform(v, x -> x + 0.8d)").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, cast(0 AS double), (a, x) -> a + x*x)")))
+      .localCheckpoint()
+    IvfAdc.append(drifted, idx)
+    val corpus = base.unionByName(drifted).localCheckpoint()
+    val driftAnchors = drifted.filter(col("vec_id") < 80).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val degraded = IvfAdc.recallPct(spark, idx, corpus, driftAnchors, nprobe = 4, candK = 64)
+    val actions = IvfAdc.maintain(spark, idx, corpus, driftAnchors, floorPct = 70L, nprobe = 4, candK = 64)
+    assert(actions.nonEmpty, s"degraded recall $degraded% must trigger the refit")
+    val restored = IvfAdc.recallPct(spark, idx, corpus, driftAnchors, nprobe = 4, candK = 64)
+    assert(restored >= 70L, s"refit must restore recall: $degraded% -> $restored%")
+    assert(restored > degraded)
+    // idempotent: the refit index is healthy, a second maintain does nothing
+    assert(IvfAdc.maintain(spark, idx, corpus, driftAnchors, floorPct = 70L, nprobe = 4, candK = 64).isEmpty)
+  }
 }
