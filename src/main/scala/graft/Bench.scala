@@ -184,8 +184,8 @@ object Bench {
   )
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "--child" :: out :: names :: runs :: Nil =>
-      runChild(out, names.split(',').toSeq, runs.toInt)
+    case "--child" :: out :: names :: runs :: gcPerRun :: Nil =>
+      runChild(out, names.split(',').toSeq, runs.toInt, gcPerRun.toBoolean)
     case _ =>
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC"))
         runChildInline(SparkEntry.queries.keys.toSeq.sorted) // single-JVM escape hatch
@@ -207,6 +207,7 @@ object Bench {
   private def measure(
       names: Seq[String],
       runsPerQuery: Int,
+      gcPerRun: Boolean = false,
       onResult: (String, Either[String, Seq[Double]]) => Unit = (_, _) => ()
   ): Seq[(String, Either[String, Seq[Double]])] = {
     val sfDir = SfDir
@@ -287,14 +288,20 @@ object Bench {
             err = Some(e.getClass.getSimpleName)
         }
         // drop inter-run state: SQL cache and persisted RDD blocks
-        // (localCheckpoint leftovers). The explicit full GC moved to
-        // once per QUERY (below): between runs of the SAME query it
-        // reclaimed only that query's own just-dead handles, at
+        // (localCheckpoint leftovers). The explicit full GC runs once
+        // per QUERY for batch/v parts: between runs of the SAME query
+        // it reclaimed only that query's own just-dead handles, at
         // ~0.2 s × ~1300 runs of pure wall-time per bench; cross-QUERY
         // residue — the contamination the protocol actually targets —
         // still meets a forced GC before the next query starts, and
         // the drift gate stays armed against anything that slips by.
-        HarnessUtil.sweep(spark, gc = false)
+        // EXCEPTION (round-16 run-1 evidence): the STREAMING gates
+        // (sl/stream parts) keep the per-run GC — their state-store /
+        // cleaner residue otherwise lands inside the next measured run
+        // (q253 9.9→13.3 s, q318 0.88→1.30 s in a QUIET child), which
+        // inflates the judged medians far more than the ~8 s the extra
+        // ~40 collections cost.
+        HarnessUtil.sweep(spark, gc = gcPerRun)
         i += 1
       }
       // per-query full sweep: forced GC releases dead shuffle files and
@@ -313,7 +320,7 @@ object Bench {
     * completed; only the in-flight query falls back to the parent's
     * child_rc marker.
     */
-  private def runChild(outFile: String, names: Seq[String], runsPerQuery: Int): Unit = {
+  private def runChild(outFile: String, names: Seq[String], runsPerQuery: Int, gcPerRun: Boolean): Unit = {
     val w = new java.io.PrintWriter(
       new java.io.FileWriter(outFile, /* append = */ false),
       /* autoFlush = */ true
@@ -323,6 +330,7 @@ object Bench {
       measure(
         names,
         runsPerQuery,
+        gcPerRun,
         {
           case (n, Right(rs)) => w.println(s"$n\tRUNS\t${rs.map(r3).mkString(",")}")
           case (n, Left(e))   => w.println(s"$n\tERROR\t${errName(e)}")
@@ -364,10 +372,11 @@ object Bench {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+    val gcPerRun = idx.startsWith("sl") || idx.startsWith("stream") || idx.startsWith("rerun_s")
     val cmd =
       Seq(javaBin) ++ jvmArgs ++ Seq("-cp", sys.props("java.class.path"),
         "graft.Bench", "--child", frag.getAbsolutePath, names.mkString(","),
-        runsPerQuery.toString)
+        runsPerQuery.toString, gcPerRun.toString)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     pb.redirectOutput(log)
