@@ -1534,6 +1534,224 @@ object TableVersions {
       applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)).filter(pred)
   }
 
+  // ------------------------------------------------------------------
+  // HIDDEN (transform) PARTITIONING — the Iceberg partition-transform
+  // model: a commit lays its files out under a DERIVED bucket of a
+  // source column (`__t_days_ts=19841/`, `__t_month_ts=652/`,
+  // `__t_trunc100_event_id=4200/`) and a RANGE read on the SOURCE
+  // column prunes at the log level — the caller never names, or even
+  // knows about, the partition value. Because each file's directory
+  // segment records its OWN transform, commits with different
+  // transforms coexist (PARTITION EVOLUTION: re-speccing the table is
+  // a property of new commits, never a rewrite of old files) and a
+  // probe resolves each file against the transform it was written
+  // under; files without a `__t_` segment for the column are always
+  // read — the absence-safe rule every layout device here follows.
+  // The transform bucket is DERIVED (like `__bucket=`, unlike `__p_`):
+  // partitionBy strips it, nothing is duplicated into the data, and
+  // explicit-file-list reads never resurrect it.
+  //
+  // All three transforms are MONOTONE (v1 <= v2 ⇒ bucket(v1) <=
+  // bucket(v2)), so a value range [lo, hi] maps to the exact bucket
+  // range [bucket(lo), bucket(hi)] — pruning is exact, never lossy,
+  // and the precise predicate is re-applied after the cut. Spark-side
+  // derivation and driver-side probe arithmetic are kept in lockstep
+  // by the UTC session clock (GraftSession pins
+  // spark.sql.session.timeZone=UTC): epoch-day / epoch-month of a
+  // date-cast timestamp equals java.time's UTC LocalDate arithmetic.
+  // ------------------------------------------------------------------
+
+  private def transformPartCol(transform: String, c: String) = s"__t_${transform}_$c"
+
+  /** Spark-side derivation of a transform bucket (always a LONG). */
+  private def transformExpr(transform: String, c: String): org.apache.spark.sql.Column =
+    transform match {
+      case "days" =>
+        datediff(col(c).cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+      case "month" =>
+        val d = col(c).cast("date")
+        (year(d) * 12 + month(d) - 1).cast("long")
+      case t if t.startsWith("trunc") =>
+        val w = t.stripPrefix("trunc").toLong
+        require(w > 0, s"truncate width must be positive in transform '$t'")
+        val v = col(c).cast("long")
+        v - pmod(v, lit(w)) // floor-div * w, exact for negatives too
+      case other => throw new IllegalArgumentException(
+          s"unknown partition transform '$other' (supported: days, month, trunc<W>)")
+    }
+
+  /** Driver-side mirror of [[transformExpr]] for a PROBE literal:
+    * `days`/`month` take the (UTC) date part of an ISO date or
+    * timestamp string; `trunc<W>` takes an integral string. */
+  private[operators] def transformBucket(transform: String, probe: String): Long =
+    transform match {
+      case "days"  => java.time.LocalDate.parse(probe.take(10)).toEpochDay
+      case "month" =>
+        val d = java.time.LocalDate.parse(probe.take(10))
+        d.getYear * 12L + d.getMonthValue - 1
+      case t if t.startsWith("trunc") =>
+        val w = t.stripPrefix("trunc").toLong
+        require(w > 0, s"truncate width must be positive in transform '$t'")
+        val v = probe.trim.toLong
+        Math.floorDiv(v, w) * w
+      case other => throw new IllegalArgumentException(
+          s"unknown partition transform '$other' (supported: days, month, trunc<W>)")
+    }
+
+  /** [[commitAppend]] with a hidden-partitioned batch layout: files
+    * land under `__t_<transform>_<c>=<bucket>/` where bucket is the
+    * DERIVED transform of source column `c` — `days` (epoch day of the
+    * date-cast value), `month` (epoch month), or `trunc<W>` (value
+    * floored to a multiple of W). The derived column is stripped by
+    * partitionBy; the data files carry only the table's own columns. */
+  def commitAppendTransformed(
+      df: DataFrame,
+      dir: String,
+      c: String,
+      transform: String
+  ): Long = {
+    enforceConstraints(df, dir, "append")
+    val s = df.sparkSession
+    require(df.columns.contains(c), s"transform column '$c' not in ${df.columns.mkString(",")}")
+    val v = currentVersion(s, dir) + 1
+    claimVersion(s, dir, v)
+    val batch = s"$dir/data/b$v"
+    val pcol = transformPartCol(transform, c)
+    df.withColumn(pcol, transformExpr(transform, c))
+      .write
+      .partitionBy(pcol)
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, if (v == 0) "init" else "append", listParquetRec(s, batch), Nil)
+    v
+  }
+
+  /** Recluster every live file NOT already laid out under
+    * `__t_<transform>_<c>=` into that layout — Iceberg's
+    * "rewrite data files under the current partition spec": evolution
+    * itself never rewrites history (old eras keep their layout and
+    * prune under it), but when an operator WANTS the whole table under
+    * one spec — e.g. before handing a days-scoped serving workload a
+    * table with flat early commits — this is the explicit, audited
+    * maintenance op that pays the rewrite, exactly once, folding any
+    * applicable deletion vectors into the fresh files (the
+    * [[optimizeBucketed]] contract). A logical no-op: row content is
+    * unchanged, reads at prior versions still serve the old layout.
+    * Returns the new version, or the current one when every file
+    * already conforms (zero jobs — the maintenance-autopilot rule). */
+  def optimizeTransformed(s: SparkSession, dir: String, c: String, transform: String): Long = {
+    // validate the transform name before touching anything
+    transformBucket(transform, if (transform.startsWith("trunc")) "0" else "1970-01-01")
+    val prev = currentVersion(s, dir)
+    require(prev >= 0, s"$dir not initialized")
+    val adds = liveFileAdds(s, dir, prev)
+    val want = s"/${transformPartCol(transform, c)}="
+    val nonConforming = adds.map(_._1).filterNot(_.contains(want)).sorted
+    if (nonConforming.isEmpty) return prev
+    val v = prev + 1
+    claimVersion(s, dir, v)
+    val doomed = nonConforming.toSet
+    val batch = s"$dir/data/b$v"
+    val pcol = transformPartCol(transform, c)
+    applyDv(s, dir, prev, adds.filter(a => doomed(a._1)), readMerged(s, nonConforming))
+      .withColumn(pcol, transformExpr(transform, c))
+      .repartition(col(pcol)) // ~one output file per bucket
+      .write
+      .partitionBy(pcol)
+      .mode("errorifexists")
+      .parquet(batch)
+    appendLog(s, dir, v, "optimize", listParquetRec(s, batch), nonConforming)
+    compactSkipping(s, dir)
+    v
+  }
+
+  /** [[readVersion]] restricted — at the LOG level, zero data or index
+    * probes — to files whose transform bucket can contain a value in
+    * `[lo, hi]` of SOURCE column `c`. Every file is judged under the
+    * transform recorded in its own path (mixed eras prune correctly);
+    * files carrying no transform segment for `c` are always read. The
+    * precise range predicate is re-applied, so the result equals
+    * `readVersion(v).filter(c between lo and hi)` exactly. `lo`/`hi`
+    * are ISO date/timestamp strings for `days`/`month` eras and
+    * integral strings for `trunc` eras — both notations resolve
+    * against every era via the era's own transform. */
+  def readVersionTransformPruned(
+      s: SparkSession,
+      dir: String,
+      v: Long,
+      c: String,
+      lo: String,
+      hi: String
+  ): DataFrame = {
+    val horizon = retentionHorizon(s, dir)
+    require(v >= horizon, s"version $v of $dir was vacuumed (retention horizon is $horizon)")
+    val adds = liveFileAdds(s, dir, v)
+    require(adds.nonEmpty, s"version $v of $dir has no live files")
+    val re = (".*/__t_([a-z]+[0-9]*)_" +
+      java.util.regex.Pattern.quote(c) + "=(-?\\d+)/.*").r
+    val candidates = adds.filter { case (f, _) =>
+      f match {
+        case re(tname, value) =>
+          val b = value.toLong
+          b >= transformBucket(tname, lo) && b <= transformBucket(tname, hi)
+        case _ => true // no transform segment for c: always read
+      }
+    }
+    def preciseFilter(df: DataFrame): DataFrame = {
+      val dt = df.schema(c).dataType
+      df.filter(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
+    }
+    if (candidates.isEmpty)
+      preciseFilter(s.read.parquet(adds.head._1)).filter(lit(false))
+    else
+      preciseFilter(applyDv(s, dir, v, candidates, s.read.parquet(candidates.map(_._1): _*)))
+  }
+
+  // ------------------------------------------------------------------
+  // TIMESTAMP TIME TRAVEL — "AS OF <wall clock>" resolved from the
+  // commit log's own file modification times, the Delta approach: no
+  // extra metadata is written, and history committed before this
+  // feature existed resolves retroactively. Directory mtimes are not
+  // perfectly monotone (sub-ms commits tie; clocks step), so effective
+  // timestamps are MONOTONICIZED exactly as Delta does: eff(v) =
+  // max(mtime(v), eff(v-1) + 1ms). The caveat is also Delta's: an
+  // operation that rewrites log directories (restore of a vacuumed
+  // fold) refreshes mtimes, so timestamp resolution is authoritative
+  // for live history and best-effort across vacuum — version-based
+  // travel remains the durable reference.
+  // ------------------------------------------------------------------
+
+  /** (version, effective commit millis) for every commit, ascending,
+    * monotonicized (strictly increasing effective timestamps). */
+  def commitTimestamps(s: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val fs = fsOf(s, dir)
+    val vs = listNumbered(s, logDir(dir), "version=").sorted
+    var prev = Long.MinValue
+    vs.map { v =>
+      val m = fs.getFileStatus(new Path(s"${logDir(dir)}/version=$v")).getModificationTime
+      val eff = if (prev == Long.MinValue) m else math.max(m, prev + 1)
+      prev = eff
+      (v, eff)
+    }
+  }
+
+  /** Latest version whose effective commit time is <= `tsMillis`.
+    * Refuses a timestamp that predates the first commit (there is no
+    * table to read there — the Delta contract). */
+  def versionAt(s: SparkSession, dir: String, tsMillis: Long): Long = {
+    val cts = commitTimestamps(s, dir)
+    require(cts.nonEmpty, s"$dir has no commits")
+    require(
+      cts.head._2 <= tsMillis,
+      s"timestamp $tsMillis predates the first commit (${cts.head._2}) of $dir"
+    )
+    cts.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** [[readVersion]] at the version resolved by [[versionAt]]. */
+  def readVersionAsOf(s: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readVersion(s, dir, versionAt(s, dir, tsMillis))
+
   /** Row count at version v WITHOUT touching row data: every add
     * entry LOGS its file's row count at commit time (checkpoints
     * carry the counts forward), so the total is one log/checkpoint

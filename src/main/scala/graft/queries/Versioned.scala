@@ -3867,6 +3867,203 @@ object Versioned {
           UNION ALL SELECT 'cols_head', 'doc_id,language,chars', 0)
         SELECT k, txt, n FROM (SELECT * FROM eras UNION ALL SELECT * FROM census)
         ORDER BY k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // HIDDEN (transform) PARTITIONING + PARTITION EVOLUTION — the
+    // Iceberg model: commits lay files out under a DERIVED bucket of a
+    // source column (days/month of a timestamp, trunc<W> of a number)
+    // and a RANGE read on the SOURCE column prunes at the log level;
+    // the caller never names a partition column. Re-speccing the table
+    // (days → month here) is a property of NEW commits only — old
+    // files keep their layout and every file is judged under the
+    // transform in its own path, so evolution never rewrites history.
+    // At 100 TB this is the difference between "the pipeline author
+    // must know the layout" and "any ts predicate prunes": the cut is
+    // pure log metadata, zero data or index probes, exact because the
+    // transforms are monotone. The query drives a 3-era table (days,
+    // month, flat — the flat era pins absence-safety) plus a trunc
+    // table, and REQUIREs the file-cut evidence the oracle cannot see
+    // (pruned reads were assembled from explicit candidate lists, so
+    // inputFiles IS the post-cut set). ORACLE-EXACT;
+    // TransformPartitionSpec pins era-wise cuts, negative-bucket floor
+    // math, empty cuts, and DV composition.
+    QueryDef(
+      "q325_hidden_partitioning",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").select("event_id", "ts", "event_type")
+        // table 1: ts-transformed eras — days, then month (evolution),
+        // then flat (absence-safe) — the three classes cover all events
+        val tdir = Similarity.freshIndexDir("transform_store")
+        TableVersions.commitAppendTransformed(
+          ev.filter(col("event_id") % 3 === 0).repartition(8, col("ts").cast("date")),
+          tdir, "ts", "days")
+        TableVersions.commitAppendTransformed(
+          ev.filter(col("event_id") % 3 === 1).repartition(2), tdir, "ts", "month")
+        TableVersions.commitAppend(ev.filter(col("event_id") % 3 === 2).repartition(2), tdir)
+        val head = TableVersions.currentVersion(s, tdir)
+        // table 2: numeric truncate era + flat era
+        val ndir = Similarity.freshIndexDir("transform_num")
+        TableVersions.commitAppendTransformed(
+          ev.filter(col("event_id") % 2 === 0).repartition(4), ndir, "event_id", "trunc100")
+        TableVersions.commitAppend(ev.filter(col("event_id") % 2 === 1).repartition(2), ndir)
+        val nhead = TableVersions.currentVersion(s, ndir)
+
+        val (lo, hi) = ("2024-01-08", "2024-01-12 23:59:59")
+        val daysPruned = TableVersions.readVersionTransformPruned(s, tdir, head, "ts", lo, hi)
+        // file-cut evidence: every days-era file in the cut sits inside
+        // the probe's bucket window, and the cut is strictly smaller
+        // than the live set
+        val daySeg = "/__t_days_ts=(-?\\d+)/".r
+        val cutDays = daysPruned.inputFiles.toSeq
+          .flatMap(f => daySeg.findFirstMatchIn(f).map(_.group(1).toLong))
+        val (dLo, dHi) = (
+          java.time.LocalDate.parse("2024-01-08").toEpochDay,
+          java.time.LocalDate.parse("2024-01-12").toEpochDay
+        )
+        require(
+          cutDays.nonEmpty && cutDays.forall(d => d >= dLo && d <= dHi),
+          s"days cut leaked buckets: $cutDays"
+        )
+        require(
+          daysPruned.inputFiles.length <
+            TableVersions.readVersion(s, tdir, head).inputFiles.length,
+          "days probe cut nothing"
+        )
+        val truncPruned =
+          TableVersions.readVersionTransformPruned(s, ndir, nhead, "event_id", "200", "499")
+        val truncSeg = "/__t_trunc100_event_id=(-?\\d+)/".r
+        val cutBuckets = truncPruned.inputFiles.toSeq
+          .flatMap(f => truncSeg.findFirstMatchIn(f).map(_.group(1).toLong))
+          .distinct
+        require(
+          cutBuckets.nonEmpty && cutBuckets.forall(b => b >= 200L && b <= 400L),
+          s"trunc cut leaked buckets: $cutBuckets"
+        )
+
+        val days = daysPruned
+          .groupBy(col("ts").cast("date").cast("string").as("k"))
+          .agg(count(lit(1)).as("n"), sum("event_id").as("v"))
+          .select(lit("days").as("kind"), col("k"), col("n"), col("v"))
+        val trunc = truncPruned
+          .groupBy(col("event_type").as("k"))
+          .agg(count(lit(1)).as("n"), sum("event_id").as("v"))
+          .select(lit("trunc").as("kind"), col("k"), col("n"), col("v"))
+
+        // recluster the whole table under the days spec (the explicit
+        // rewrite evolution itself never pays), then re-probe: the cut
+        // must now be PURE — every candidate carries an in-range days
+        // bucket, the month/flat survivors are gone — and the content
+        // must be a logical no-op (same oracle rows under kind=days2,
+        // same head count)
+        val v3 = TableVersions.optimizeTransformed(s, tdir, "ts", "days")
+        require(v3 == head + 1, "recluster must commit exactly once")
+        require(
+          TableVersions.countAt(s, tdir, v3) == TableVersions.countAt(s, tdir, head),
+          "recluster must preserve the row count"
+        )
+        require(
+          TableVersions.optimizeTransformed(s, tdir, "ts", "days") == v3,
+          "a fully-conforming table must recluster as a zero-job no-op"
+        )
+        val days2Pruned = TableVersions.readVersionTransformPruned(s, tdir, v3, "ts", lo, hi)
+        require(
+          days2Pruned.inputFiles.nonEmpty && days2Pruned.inputFiles.forall(f =>
+            daySeg.findFirstMatchIn(f).exists { m =>
+              val d = m.group(1).toLong; d >= dLo && d <= dHi
+            }
+          ),
+          "post-recluster cut must contain only in-range days files"
+        )
+        val days2 = days2Pruned
+          .groupBy(col("ts").cast("date").cast("string").as("k"))
+          .agg(count(lit(1)).as("n"), sum("event_id").as("v"))
+          .select(lit("days2").as("kind"), col("k"), col("n"), col("v"))
+        val census = TableVersions
+          .readVersion(s, tdir, v3)
+          .groupBy(col("event_type").as("k"))
+          .agg(count(lit(1)).as("n"), sum("event_id").as("v"))
+          .select(lit("census").as("kind"), col("k"), col("n"), col("v"))
+        days.unionByName(days2).unionByName(trunc).unionByName(census).orderBy("kind", "k")
+      },
+      Some("""WITH e AS (SELECT event_id, ts, event_type FROM events),
+        rows_ AS (
+          SELECT 'days' AS kind, CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+                 count(*) AS n, CAST(sum(event_id) AS BIGINT) AS v
+          FROM e
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+          GROUP BY 2
+          UNION ALL
+          SELECT 'days2', CAST(CAST(ts AS DATE) AS VARCHAR),
+                 count(*), CAST(sum(event_id) AS BIGINT)
+          FROM e
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+          GROUP BY 2
+          UNION ALL
+          SELECT 'trunc', event_type, count(*), CAST(sum(event_id) AS BIGINT)
+          FROM e WHERE event_id BETWEEN 200 AND 499 GROUP BY 2
+          UNION ALL
+          SELECT 'census', event_type, count(*), CAST(sum(event_id) AS BIGINT)
+          FROM e GROUP BY 2)
+        SELECT kind, k, n, v FROM rows_ ORDER BY kind, k""")
+    ),
+
+    // ------------------------------------------------------------------
+    // TIMESTAMP TIME TRAVEL — "AS OF <wall clock>", resolved from the
+    // commit log's own directory mtimes (the Delta approach: no new
+    // metadata, history committed before the feature resolves
+    // retroactively), monotonicized so mtime ties and clock steps can
+    // never make resolution ambiguous. The fixture captures a wall
+    // timestamp between each pair of commits and REQUIREs versionAt to
+    // resolve each probe to its era before reading it; the oracle
+    // restates the three eras as plain filters. ORACLE-EXACT;
+    // TimestampTravelSpec pins strict monotonicity, boundary
+    // resolution (eff-1 → predecessor), and the predates-first-commit
+    // refusal.
+    QueryDef(
+      "q326_timestamp_travel",
+      (s, dir) => {
+        val tdir = Similarity.freshIndexDir("ts_travel")
+        val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir) // v0
+        Thread.sleep(5)
+        val t0 = System.currentTimeMillis()
+        Thread.sleep(5)
+        TableVersions.commitAppend(docs.filter(col("doc_id") % 3 === 1), tdir) // v1
+        Thread.sleep(5)
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(5)
+        TableVersions.commitDelete(s, tdir, "lang = 'en'") // v2
+        val now = System.currentTimeMillis()
+        require(TableVersions.versionAt(s, tdir, t0) == 0L, "t0 must resolve to v0")
+        require(TableVersions.versionAt(s, tdir, t1) == 1L, "t1 must resolve to v1")
+        require(TableVersions.versionAt(s, tdir, now) == 2L, "now must resolve to head")
+        def census(kind: String, ts: Long) =
+          TableVersions
+            .readVersionAsOf(s, tdir, ts)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n"), sum("n_chars").as("v"))
+            .select(lit(kind).as("kind"), col("lang"), col("n"), col("v"))
+        census("asof_t0", t0)
+          .unionByName(census("asof_t1", t1))
+          .unionByName(census("asof_now", now))
+          .orderBy("kind", "lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+                  FROM documents),
+        rows_ AS (
+          SELECT 'asof_t0' AS kind, lang, count(*) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS v
+          FROM d WHERE doc_id % 3 = 0 GROUP BY lang
+          UNION ALL
+          SELECT 'asof_t1', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM d WHERE doc_id % 3 IN (0, 1) GROUP BY lang
+          UNION ALL
+          SELECT 'asof_now', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+          FROM d WHERE doc_id % 3 IN (0, 1) AND lang <> 'en' GROUP BY lang)
+        SELECT kind, lang, n, v FROM rows_ ORDER BY kind, lang""")
     )
   )
 
