@@ -122,12 +122,27 @@ class CdfSourceSpec extends AnyFunSuite with SparkSpec {
     assert(after == direct)
   }
 
-  test("streamed q321 equals the hand-synced batch view (shared oracle shape)") {
+  test("streamed q321 equals the direct post-history aggregate over its own slice") {
+    // q321's fixture is the doc_id % 3 = 0 SLICE of q216's history
+    // (append → CoW delete % 5 → zh update +1000 → MOR delete % 7 = 3),
+    // so the batch twin is the direct aggregate of that history's
+    // survivors — the same closed form as q321's DuckDB oracle. (It is
+    // NOT q216's output: q216 runs the full corpus.)
     val streamed = SparkEntry
       .queries("q321_cdf_stream_feed_view")(spark, dir)
       .collect()
       .toSeq
-    val batch = SparkEntry.queries("q216_feed_view")(spark, dir).collect().toSeq
-    assert(streamed == batch)
+    val direct = docs
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 3)
+      .withColumn(
+        "nc",
+        when(col("lang") === "zh", col("n_chars") + 1000).otherwise(col("n_chars"))
+      )
+      .groupBy(col("lang").as("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("nc").cast("long")).as("sum_val"))
+      .orderBy("k")
+      .collect()
+      .toSeq
+    assert(streamed == direct)
   }
 }
