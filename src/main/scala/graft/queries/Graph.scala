@@ -23,33 +23,21 @@ object Graph {
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       orderMod: Long = 1L
-  ) =
-    // the edge DERIVATION is a shared deterministic fixture, cached on
-    // disk per (dir, orderMod, input generation): every graph query
-    // measures its graph OPERATOR (rank iterations, register
-    // supersteps, …), not the same orders⋈lineitem ETL re-run 4× per
-    // query per bench — at pipeline scale this is the staged edge
-    // table every job would read, built once
-    graft.FixtureCache.cached(
-      s,
-      "sym_purchase_edges",
-      Seq(dir, orderMod.toString),
-      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")
-    ) {
-      val fwd = Tables(s, dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .filter(col("o_orderkey") % orderMod === 0)
-        .join(
-          Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey")
-        )
-        .select(
-          (col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst")
-        )
-        .distinct()
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    }
+  ) = {
+    val fwd = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .filter(col("o_orderkey") % orderMod === 0)
+      .join(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")
+      )
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
   /** Distinct co-purchase edges between parts (u < v): parts appearing
     * in the same order. Candidate generation is BASKET-BOUNDED — an
@@ -66,29 +54,20 @@ object Graph {
       dir: String,
       orderMod: Long = 1L
   ): org.apache.spark.sql.DataFrame =
-    // same shared-fixture discipline as purchaseGraph: the basket
-    // expansion is deterministic input ETL, cached once per generation
-    graft.FixtureCache.cached(
-      s,
-      "part_edges",
-      Seq(dir, orderMod.toString),
-      Seq(s"$dir/lineitem.parquet")
-    ) {
-      Tables(s, dir, "lineitem")
-        .filter(col("l_orderkey") % orderMod === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .groupBy("o")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(
-          explode(
-            expr(
-              "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-            )
-          ).as("pr")
-        )
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .distinct()
-    }
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % orderMod === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+          )
+        ).as("pr")
+      )
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .distinct()
 
   /** Shared oracle prefix: the same co-purchase edge set in DuckDB. */
   private def edgeCteOver(liFilter: String): String =
