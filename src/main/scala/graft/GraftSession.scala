@@ -45,7 +45,10 @@ object GraftSession {
       .withExtensions(graft.plans.TopKRewrite.install)
       .withExtensions(graft.plans.JoinElim.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON by default (the 100 TB-correct setting: runtime
+      // coalescing, broadcast conversion, skew splitting); the env
+      // override exists for A/B measurement only
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

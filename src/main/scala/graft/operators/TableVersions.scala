@@ -104,28 +104,94 @@ object TableVersions {
       removes: Seq[String],
       knownCounts: Map[String, Long] = Map.empty
   ): Unit = {
-    import s.implicits._
     // every add logs its file's ROW COUNT — from `knownCounts` when
     // the commit already resolved it (metadata-only ops: clone,
     // restore), else ONE footer open of the just-written file (its
     // metadata is hot). Readers ([[countAt]]) then answer from the
-    // log alone instead of a footer sweep per live file.
+    // log alone instead of a footer sweep per live file. The opens run
+    // on a bounded driver pool: a hidden-partitioned commit can add
+    // thousands of files, and opening their footers serially was the
+    // single largest driver stall in the lifecycle queries (measured
+    // ~8 ms/file × 4000 files ≈ 30 s on q325's trunc100 batch).
+    val counts = footerRecordCounts(s, adds.filterNot(knownCounts.contains)) ++ knownCounts
     val actions =
-      adds.map(f => (op, f, "add", Some(knownCounts.getOrElse(f, footerRecordCount(s, f))))) ++
+      adds.map(f => (op, f, "add", Some(counts(f)))) ++
         removes.map((op, _, "remove", Option.empty[Long]))
     // a no-op commit still writes one marker row — a version's
     // existence is its log directory, so an empty commit would
     // silently reuse the version number on the next commit
     val rows = if (actions.nonEmpty) actions else Seq((op, "", "noop", Option.empty[Long]))
-    rows
-      .toDF("op", "file", "action", "n_rows")
-      .coalesce(1)
-      .write
-      // errorifexists: belt to the claim's suspenders — the directory
-      // IS the commit, and even a writer that somehow bypassed the
-      // claim fails loudly instead of merging
-      .mode("errorifexists")
-      .parquet(s"${logDir(dir)}/version=$version")
+    writeLogFile(s, s"${logDir(dir)}/version=$version", rows)
+  }
+
+  /** Footer row counts for many files — one bounded driver-side pool
+    * (the opens are independent ~ms metadata reads; a Spark job here
+    * would cost more in scheduling than it parallelizes). */
+  private def footerRecordCounts(s: SparkSession, files: Seq[String]): Map[String, Long] =
+    if (files.size <= 4) files.map(f => f -> footerRecordCount(s, f)).toMap
+    else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(math.min(32, files.size))
+      try {
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.{Await, Future}
+        Await
+          .result(
+            Future.sequence(files.map(f => Future(f -> footerRecordCount(s, f)))),
+            scala.concurrent.duration.Duration(10, "min")
+          )
+          .toMap
+      } finally pool.shutdown()
+    }
+
+  /** Write one commit's action rows as a single parquet file, ON THE
+    * DRIVER — the log is O(files-in-commit) metadata, and routing it
+    * through a Spark job (toDF.coalesce(1).write) paid a full
+    * job-submission + task round trip (~0.1-0.3 s) PER COMMIT, which
+    * multi-commit lifecycle fixtures pay dozens of times. The file is
+    * bit-compatible with what the DataFrame writer produced: same
+    * column names, optional BINARY(UTF8)/INT64 physical types, zstd
+    * codec, `part-*.parquet` naming (readers schema-impose
+    * [[logSchema]]; `version` stays a directory-derived partition
+    * column). The directory-exists check mirrors errorifexists as the
+    * belt to the claim's suspenders. */
+  private def writeLogFile(
+      s: SparkSession,
+      dirPath: String,
+      rows: Seq[(String, String, String, Option[Long])]
+  ): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(dirPath)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p))
+      throw new ConcurrentCommitException(s"log directory $dirPath already exists")
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message log {
+        |  optional binary op (UTF8);
+        |  optional binary file (UTF8);
+        |  optional binary action (UTF8);
+        |  optional int64 n_rows;
+        |}""".stripMargin
+    )
+    val file = new Path(p, s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+    val writeConf = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, writeConf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, writeConf))
+      .withConf(writeConf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      rows.foreach { case (op, f, action, n) =>
+        val g = factory.newGroup()
+        g.append("op", op)
+        g.append("file", f)
+        g.append("action", action)
+        n.foreach(v => g.add("n_rows", v))
+        writer.write(g)
+      }
+    } finally writer.close()
   }
 
   /** One parquet FOOTER open — record count without touching a row
@@ -1617,7 +1683,18 @@ object TableVersions {
     claimVersion(s, dir, v)
     val batch = s"$dir/data/b$v"
     val pcol = transformPartCol(transform, c)
-    df.withColumn(pcol, transformExpr(transform, c))
+    // hash-distribute by the DERIVED bucket before the partitioned
+    // write (Iceberg's write.distribution-mode=hash): without it every
+    // input task opens a writer per bucket it happens to hold — a
+    // trunc100 batch over a wide key range wrote tasks × buckets tiny
+    // files (measured 4× the bucket count) through task-serial writer
+    // churn. Clustered, each bucket lands in exactly one task: file
+    // count = bucket count and the writers run shuffle-wide. The
+    // explicit partition count pins the exchange (AQE would coalesce a
+    // small batch back to one task and re-serialize the writer churn).
+    val withBucket = df.withColumn(pcol, transformExpr(transform, c))
+    withBucket
+      .repartition(s.sessionState.conf.numShufflePartitions, col(pcol))
       .write
       .partitionBy(pcol)
       .mode("errorifexists")
@@ -1655,7 +1732,10 @@ object TableVersions {
     val pcol = transformPartCol(transform, c)
     applyDv(s, dir, prev, adds.filter(a => doomed(a._1)), readMerged(s, nonConforming))
       .withColumn(pcol, transformExpr(transform, c))
-      .repartition(col(pcol)) // ~one output file per bucket
+      // ~one output file per bucket; the pinned count keeps the
+      // rewrite shuffle-wide (AQE would coalesce a small rewrite to
+      // one task and serialize the per-bucket writer churn)
+      .repartition(s.sessionState.conf.numShufflePartitions, col(pcol))
       .write
       .partitionBy(pcol)
       .mode("errorifexists")

@@ -24,7 +24,13 @@ object Graph {
       dir: String,
       orderMod: Long = 1L
   ) = {
-    val fwd = Tables(s, dir, "orders")
+    // one distinct pass, then BOTH directions from a single explode —
+    // the union-of-swapped-selves shape re-ran the distinct aggregate
+    // once per branch (two HashAggregates over the reused exchange);
+    // node parity (customer 2k, supplier 2k+1) guarantees the swap can
+    // never collide with a forward edge, so exploding after one
+    // distinct is set-identical
+    Tables(s, dir, "orders")
       .select("o_orderkey", "o_custkey")
       .filter(col("o_orderkey") % orderMod === 0)
       .join(
@@ -36,7 +42,15 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst")
       )
       .distinct()
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .select(
+        explode(
+          array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Distinct co-purchase edges between parts (u < v): parts appearing

