@@ -423,7 +423,8 @@ object IvfAdc {
       nprobe: Int = 10,
       candK: Int = 256,
       topK: Int = 5,
-      kCells: Int = 16
+      kCells: Int = 16,
+      knownRecall: Option[Long] = None
   ): Seq[(String, String)] = {
     val staged = new org.apache.hadoop.fs.Path(s"${indexDir}_refit_staging")
     val live = new org.apache.hadoop.fs.Path(indexDir)
@@ -434,7 +435,12 @@ object IvfAdc {
         throw new java.io.IOException(s"ivfadc maintain: failed to resume swap from $staged")
       return Seq("resume_swap" -> s"completed an interrupted refit swap from $staged")
     }
-    val before = recallPct(s, indexDir, corpus, anchors, nprobe, candK, topK)
+    // an autopilot driven by a monitoring loop already HOLDS the recall
+    // it is reacting to; re-measuring inside costs a full probe + exact
+    // anchors×corpus pass for a number that is deterministic given
+    // (index state, corpus, anchors). `knownRecall` lets the caller
+    // pass it through — semantics identical either way.
+    val before = knownRecall.getOrElse(recallPct(s, indexDir, corpus, anchors, nprobe, candK, topK))
     if (before >= floorPct) return Seq.empty // healthy: zero jobs, zero writes
     fs.delete(staged, /* recursive = */ true): Unit
     build(corpus, staged.toString, kCells = kCells)

